@@ -1,0 +1,41 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.udf
+import graft.functions.GeoCode
+import graft.geo.SudanGeo
+
+/** SQL surface registration — the Spark analogue of the reference's
+  * extension entry point (sudan_extension.cpp:21-31): makes the documented
+  * SQL runnable verbatim-modulo-naming in `spark.sql`.
+  *
+  * DuckDB table functions with named args have no Spark-SQL TVF counterpart
+  * (SURVEY §7.3), so the mapping is:
+  *   SUDAN_States()            → temp view `sudan_states`
+  *   SUDAN_Boundaries('x')     → views `sudan_boundaries_{country,state,locality}`
+  *   SUDAN_Providers()         → temp view `sudan_providers`
+  *   SUDAN_GeoCode(name)       → SQL scalar function SUDAN_GeoCode (UDF)
+  * Networked sources register as views per default-country fetch via
+  * their Scala factories (see graft.sources).
+  */
+object SudanExtension {
+
+  /** Register the offline surface: geo temp views + the GeoCode UDF. */
+  def registerAll(spark: SparkSession): Unit = {
+    SudanGeo.states(spark).createOrReplaceTempView("sudan_states")
+    SudanGeo.providers(spark).createOrReplaceTempView("sudan_providers")
+    SudanGeo.boundariesDf(spark, "country")
+      .createOrReplaceTempView("sudan_boundaries_country")
+    SudanGeo.boundariesDf(spark, "state")
+      .createOrReplaceTempView("sudan_boundaries_state")
+    SudanGeo.boundariesDf(spark, "locality")
+      .createOrReplaceTempView("sudan_boundaries_locality")
+    spark.udf.register("SUDAN_GeoCode", udf((name: String) => GeoCode.lookup(name)))
+  }
+
+  /** Scala-facing factories (the idiomatic API, SURVEY §7.3). */
+  def states(spark: SparkSession): DataFrame = SudanGeo.states(spark)
+  def boundaries(spark: SparkSession, level: String): DataFrame =
+    SudanGeo.boundariesDf(spark, level)
+  def providers(spark: SparkSession): DataFrame = SudanGeo.providers(spark)
+}

@@ -74,7 +74,9 @@ final class FixtureFetcher(fixtures: Map[String, String]) extends HttpFetcher {
 final case class FetcherSpec(mode: String, fixtureResource: String = "") extends Serializable {
   def build(): HttpFetcher = mode match {
     case "fixtures" => new FixtureFetcher(Fixtures.load(fixtureResource))
-    case _          => new JavaHttpFetcher()
+    case "http"     => new JavaHttpFetcher()
+    case other => throw new IllegalArgumentException(
+      s"unknown fetcher mode '$other' (expected 'http' or 'fixtures')")
   }
 }
 
@@ -114,9 +116,12 @@ object ResponseCache {
     val now = System.currentTimeMillis()
     val cached = cache.get(url)
     if (cached != null && now - cached._2 < TtlMillis) Right(cached._1)
-    else fetch match {
-      case r @ Right(body) => cache.put(url, (body, now)); r
-      case l => l
+    else {
+      if (cached != null) cache.remove(url, cached) // evict expired entry
+      fetch match {
+        case r @ Right(body) => cache.put(url, (body, now)); r
+        case l => l
+      }
     }
   }
 

@@ -54,7 +54,16 @@ object Json {
       else None
     }
 
-  /** long with the same coercion ladder (UNHCR values: BIGINT). */
+  /** long with the same coercion ladder (UNHCR values: BIGINT). Integral
+    * values parse as long directly — routing through double would lose
+    * precision above 2^53. */
   def longFlexible(n: JsonNode, name: String): Option[Long] =
-    doubleFlexible(n, name).map(_.toLong)
+    field(n, name).flatMap { v =>
+      if (v.isIntegralNumber) Some(v.asLong())
+      else if (v.isTextual) {
+        val s = v.asText().trim.replace(",", "")
+        (try Some(s.toLong) catch { case _: Exception => None })
+          .orElse(doubleFlexible(n, name).map(_.toLong))
+      } else doubleFlexible(n, name).map(_.toLong)
+    }
 }

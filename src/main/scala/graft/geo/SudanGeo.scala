@@ -51,9 +51,11 @@ object SudanGeo {
     * throws with the reference's message (geo_functions.cpp:87-89). */
   def boundariesDf(spark: SparkSession, level: String): DataFrame = {
     import spark.implicits._
-    level.toLowerCase match {
+    val lower = level.toLowerCase
+    lower match {
       case "country" =>
-        Seq(CountryBoundaryRow("Sudan", "السودان", "SD", boundaries._1)).toDF()
+        // ISO3 at country level, per the reference (geo_functions.cpp Init: "SDN")
+        Seq(CountryBoundaryRow("Sudan", "السودان", "SDN", boundaries._1)).toDF()
       case "state" =>
         val geo = boundaries._2
         Registry.states.zipWithIndex.map { case (s, i) =>
@@ -62,9 +64,10 @@ object SudanGeo {
       case "locality" =>
         // admin-2 is a declared-but-empty level in the reference (geo_functions.cpp:156-160)
         spark.emptyDataset[LocalityBoundaryRow].toDF()
-      case other =>
+      case _ =>
+        // echo the user's original input, as the reference does (level.c_str())
         throw new IllegalArgumentException(
-          s"SUDAN: Invalid boundary level '$other'. Valid levels: 'country', 'state', 'locality'.")
+          s"SUDAN: Invalid boundary level '$level'. Valid levels: 'country', 'state', 'locality'.")
     }
   }
 

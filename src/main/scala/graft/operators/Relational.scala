@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The host-operator capability surface (SURVEY.md §2B): every relational
+  * construct the reference's documented workload exercises — projection,
+  * filters, equi-joins (all four kinds, incl. 2-key), aggregation with
+  * computed keys + HAVING, multi-key sort/limit, set ops, conditional and
+  * string scalar expressions (incl. Arabic literals), and datetime bucketing
+  * — expressed as declarative DataFrame plans over the parquet test tables.
+  *
+  * Scale notes (100 TB design intent, verified via .explain on each query):
+  *  - Filters/projections sit directly on the scan → Catalyst pushes
+  *    predicates + prunes columns into the parquet reader.
+  *  - Dimension-side joins (nation: 25 rows, customer: 0.15M×sf) are
+  *    broadcast; Spark's AQE picks broadcast automatically under the
+  *    10 MB threshold, and small dims here are always under it.
+  *  - Aggregations are partial (map-side combine) before the shuffle; the
+  *    shuffle key is the group key, so the plan scales linearly with
+  *    executors and has no driver-side collection anywhere.
+  *  - Top-N (sort+limit) uses TakeOrderedAndProject — no global sort.
+  */
+object Relational {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Money-sum with deterministic, engine-independent result: cast each
+    * value to DECIMAL(18,2) (cents), sum exactly, cast back to double.
+    * A plain double sum depends on accumulation order, which differs
+    * between partitions/engines at the ULP level — this removes that. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Projection with aliasing + scalar expressions (SURVEY §2B projection). */
+  def projection(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      (col("p_retailprice") * lit(0.9)).as("discounted"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      (col("p_size") + lit(100)).as("size_adj"))
+
+  /** Filter battery: BETWEEN, equality, IS NOT NULL (SURVEY §2B filter). */
+  def filterBetween(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_returnflag") === "R" && col("l_shipdate").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  /** Filter battery: LIKE + IN + comparison. */
+  def filterLikeIn(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .filter(col("p_name").like("%gear%") &&
+        col("p_brand").isin("Brand#1", "Brand#9", "Brand#13") &&
+        col("p_size") >= 10)
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+
+  /** Inner equi-join orders⋈customer + aggregation by market segment.
+    * customer is the small side → broadcastable on a cluster. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_revenue"))
+
+  /** LEFT join keeps all 25 nations, incl. ones with no customers. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "nation").as("n")
+      .join(table(spark, dir, "customer").as("c"),
+        col("n.n_nationkey") === col("c.c_nationkey"), "left")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("c.c_custkey")).as("n_customers"))
+
+  /** RIGHT join: same semantics from the other side. */
+  def joinRight(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "supplier").as("s")
+      .join(table(spark, dir, "nation").as("n"),
+        col("s.s_nationkey") === col("n.n_nationkey"), "right")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("s.s_suppkey")).as("n_suppliers"))
+
+  /** FULL OUTER join of per-nation customer and supplier aggregates;
+    * COALESCE fills the unmatched side. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val supp = table(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("nk_c") === col("nk_s"), "full")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** 2-key equi-join, the reference's (country, year) join pattern
+    * (notebooks/sudan_sql_basics.ipynb cells 72-78) re-expressed over
+    * orders: per-(custkey, year) order count ⋈ revenue on both keys. */
+  def join2Key(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val counts = o.groupBy(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"))
+    val revenue = o.groupBy(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    counts.join(revenue, Seq("custkey", "yr"), "inner")
+      .filter(col("n_orders") >= 2)
+  }
+
+  /** TPC-H Q1-shaped aggregation: SUM/AVG/MIN/MAX/COUNT/COUNT DISTINCT
+    * over a 2-column group key (SURVEY §2B aggregation). */
+  def aggQ1(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        // exact decimal product: price and discount are 2-decimal values, so
+        // decimal×decimal is exact — no double-rounding divergence
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Computed GROUP BY key (decade bucket) + HAVING (post-agg filter). */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy((floor(year(col("l_shipdate")) / lit(10.0)) * lit(10))
+        .cast("int").as("decade"))
+      .agg(count(lit(1)).as("n_items"),
+        round(avg("l_extendedprice"), 2).as("avg_price"))
+      .filter(col("n_items") > 100)
+
+  /** COUNT(DISTINCT) over multiple columns per group. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Multi-key ORDER BY … DESC + LIMIT with a total tie-break →
+    * deterministic top-N; physically TakeOrderedAndProject (no full sort). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+
+  /** UNION (distinct) of customer and supplier nation keys. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+      .union(table(spark, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+
+  /** UNION ALL + re-aggregation (bag semantics preserved). */
+  def unionAll(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+      .unionAll(table(spark, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("n_rows"))
+
+  /** CASE WHEN / COALESCE+NULLIF / ROUND / division (SURVEY §2B conditional). */
+  def conditional(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000, "big")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("small").as("bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_adj"),
+      round(col("o_totalprice") / lit(1000.0), 1).as("k_price"))
+
+  /** String scalars: LEFT (substring), LENGTH, Arabic literal in CASE —
+    * the reference's bilingual output convention (SURVEY §2B scalar row). */
+  def stringFns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(
+      col("c_custkey"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_mktsegment")).as("seg_len"),
+      when(col("c_mktsegment") === "BUILDING", "بناء")
+        .when(col("c_mktsegment") === "AUTOMOBILE", "سيارات")
+        .otherwise(col("c_mktsegment")).as("segment_ar"),
+      when(col("c_acctbal") < 0, lit("مدين")).otherwise(lit("دائن")).as("balance_ar"))
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos-since-epoch LongType (spark.sql.legacy.parquet.nanosAsLong=true,
+    * set in Verify/Bench sessions). Normalize to a proper timestamp here so
+    * queries are agnostic to the session's representation. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV: double division would lose precision on epoch-nanos
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
+  /** Datetime bucketing over the events table (day × type). */
+  def datetimeAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+
+  /** Window function: top-3 customers per market segment by balance.
+    * Beyond the reference's surface (no OVER anywhere in its corpus) but a
+    * first-class capability of this engine. */
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    table(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+}

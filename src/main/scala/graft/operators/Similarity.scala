@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k: the exact baseline — a broadcast of the
+  *    query vector against a single narrow scan; O(N) with no shuffle,
+  *    perfectly parallel. Correct at any scale, used to measure recall.
+  *  - LSH-bucketed (random hyperplane) search: the 100 TB path — vectors
+  *    are bucketed by sign-pattern against H fixed hyperplanes; search
+  *    touches only matching buckets (plus 1-bit multiprobe), so the
+  *    candidate set is ~N/2^H per probe instead of N. The all-pairs
+  *    near-dup join is a bucketed equi-join — never a cartesian product.
+  *
+  * Dot products use the codegen'd higher-order functions
+  * (`zip_with` + `aggregate`), not a UDF, so the whole pipeline stays
+  * inside WholeStageCodegen.
+  */
+object Similarity {
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Sequential-fold dot product of two ARRAY<FLOAT> columns in double
+    * precision — same accumulation order as a scalar loop, codegen'd. */
+  private def dot(a: String, b: String) = expr(
+    s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
+      s"(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  /** Per-vector L2 norm (+ label passthrough). */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(
+      col("vec_id"),
+      round(sqrt(dot("embedding", "embedding")), 4).as("norm"),
+      col("label"))
+
+  /** Exact cosine top-k for one query vector (by vec_id). The 1-row query
+    * side is broadcast; the plan is scan → codegen'd map → TakeOrdered. */
+  def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long,
+      k: Int = 10): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot("embedding", "q_emb") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("q_emb", "q_emb"))), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------- random-hyperplane LSH
+
+  /** Deterministic pseudo-Gaussian hyperplanes: component (i,j) from a
+    * SplitMix64 walk (sum of 4 uniforms, CLT-ish) — reproducible across
+    * executors with no RNG state. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    Array.tabulate(numPlanes, dim) { (i, j) =>
+      val u = (0 until 4).map { r =>
+        splitmix((i.toLong * dim + j) * 4 + r).toDouble / Long.MaxValue.toDouble
+      }.sum
+      u / 2.0 // ~N(0, 1/3)-ish; only the sign pattern matters
+    }
+  }
+
+  /** Sign-pattern LSH bucket id of each vector against `numPlanes` fixed
+    * hyperplanes (bit i = sign of dot with plane i). */
+  def withBucket(spark: SparkSession, dir: String,
+      numPlanes: Int = 12): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val bucketUdf = udf((v: Seq[Float]) => {
+      var bucket = 0L
+      var i = 0
+      while (i < planes.length) {
+        var d = 0.0; var j = 0
+        val p = planes(i)
+        while (j < p.length && j < v.length) { d += p(j) * v(j); j += 1 }
+        if (d >= 0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    })
+    embeddings(spark, dir).withColumn("bucket", bucketUdf(col("embedding")))
+  }
+
+  /** ANN top-k via LSH buckets with 1-bit multiprobe: search the query's
+    * bucket plus all buckets at Hamming distance 1 (numPlanes+1 probes),
+    * brute-force only within those candidates. */
+  def lshTopK(spark: SparkSession, dir: String, queryId: Long, k: Int = 10,
+      numPlanes: Int = 12): DataFrame = {
+    val bucketed = withBucket(spark, dir, numPlanes)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    // probe set: q_bucket and q_bucket with each single bit flipped
+    val probes = array((0 to numPlanes).map { i =>
+      if (i == 0) col("q_bucket")
+      else col("q_bucket").bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q.withColumn("probe_buckets", probes)),
+        array_contains(col("probe_buckets"), col("bucket")))
+      .select(col("vec_id"), col("label"),
+        round(dot("embedding", "q_emb") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("q_emb", "q_emb"))), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucketed self-join (same LSH
+    * bucket) + cosine threshold — the embedding analogue of MinHash dedup.
+    * Never all-pairs: the join key is the bucket id. */
+  def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.95,
+      numPlanes: Int = 8): DataFrame = {
+    val bucketed = withBucket(spark, dir, numPlanes)
+    val l = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("emb_a", "emb_b") /
+          (sqrt(dot("emb_a", "emb_a")) * sqrt(dot("emb_b", "emb_b"))), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

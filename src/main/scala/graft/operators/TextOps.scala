@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: per-document statistics, token counting, quality
+  * scoring, language identification, and document fingerprinting.
+  *
+  * Scale notes: every operator here is a narrow (no-shuffle) per-row map over
+  * codegen'd built-in expressions, except langProfile (one partial-agg
+  * shuffle on a low-cardinality key). Nothing collects to the driver; all
+  * plans are a single WholeStageCodegen span over the parquet scan.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace word count as a pure-arithmetic expression (identical
+    * semantics in any ANSI engine, unlike regex splits): texts are
+    * single-space separated, so words = spaces + 1. */
+  private val nWords = (length(col("text")) -
+    length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
+
+  /** Per-document size statistics: chars, bytes, words, avg word length. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      nWords.as("n_words"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nWords.cast("double"), 4).as("avg_word_len"))
+
+  /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate (the
+    * standard heuristic: one subword token ≈ 4 chars of English text). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      nWords.as("ws_tokens"),
+      ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
+        .as("approx_bpe_tokens"))
+
+  /** Corpus language profile: per declared language, doc count + size stats. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+
+  /** Quality scoring: length-based score + categorical flag, the shape of a
+    * filtering pass in a pretraining pipeline (keep `flag = 'ok'`). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(least(nWords, lit(200L)).cast("double") / lit(200.0), 4)
+        .as("quality"),
+      when(nWords < 30, "short").when(nWords > 150, "long")
+        .otherwise("ok").as("flag"))
+
+  /** N-gram heuristic language ID. Scores each language by hits of its most
+    * frequent words/character patterns in the document; deterministic and
+    * driver-free (pure column expressions, codegen'd — no UDF).
+    * A real pipeline would use trained trigram profiles; the operator shape
+    * (per-row scoring over K language profiles, argmax) is identical. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    // tiny built-in profiles: language → characteristic tokens
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " is "),
+      "de" -> Seq(" der ", " und ", " die ", " ist "),
+      "fr" -> Seq(" le ", " la ", " et ", " est "),
+      "es" -> Seq(" el ", " de ", " que ", " es "),
+      "zh" -> Seq("的", "是", "了", "在"))
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def score(tokens: Seq[String]) =
+      tokens.map(t => when(padded.contains(t), 1).otherwise(0))
+        .reduce(_ + _)
+    val scored = profiles.foldLeft(docs(spark, dir)) { case (df, (lang, toks)) =>
+      df.withColumn(s"score_$lang", score(toks))
+    }
+    val best = profiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      when(greatest(best: _*).getField("s") > 0,
+        greatest(best: _*).getField("l")).otherwise("und").as("predicted_lang"))
+  }
+
+  /** Document fingerprinting via winnowing (Schleimer et al., SIGMOD'03):
+    * rolling Karp-Rabin hashes of k-grams, keep the min hash in each window
+    * → a compact, position-robust fingerprint set per document.
+    * Implemented as a deterministic Scala UDF (pure function of the text;
+    * no state, no I/O) — candidate for a Catalyst Expression upgrade. */
+  def fingerprintSet(text: String, k: Int = 8, window: Int = 4): Seq[Long] = {
+    if (text == null || text.length < k) return Seq.empty
+    // base/modulus chosen so every product fits in a Long (operands < 2^31)
+    val B = 131L
+    val Mod = 1000000007L
+    // rolling hash of every k-gram
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * B % Mod; i += 1 }
+    val n = text.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + text.charAt(i)) % Mod; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h + Mod - text.charAt(i - 1) * pow % Mod) % Mod
+      h = (h * B + text.charAt(i + k - 1)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min of each window (rightmost min), dedup consecutive picks
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    i = 0
+    val lastStart = n - window
+    if (lastStart < 0) return Seq(hashes.min)
+    while (i <= lastStart) {
+      var m = hashes(i); var j = i + 1
+      while (j < i + window) { if (hashes(j) <= m) m = hashes(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Fingerprint operator: doc_id → sorted winnowing fingerprint hashes. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fp = udf((t: String) => fingerprintSet(t).sorted)
+    docs(spark, dir).select(
+      col("doc_id"), fp(col("text")).as("fingerprint"),
+      size(fp(col("text"))).as("n_grams"))
+  }
+}

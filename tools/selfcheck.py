@@ -1,0 +1,41 @@
+import duckdb, json, glob, math
+import pyarrow.parquet as pq
+import pandas as pd
+
+con = duckdb.connect()
+d = '/root/testdata/sf0.01'
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+
+oracle = json.load(open('/tmp/verify_out/oracle_sql.json'))
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif 'float' in str(df[c].dtype):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+results = {}
+for name, sql in sorted(oracle.items()):
+    try:
+        odf = con.execute(sql).df()
+        files = glob.glob(f'/tmp/verify_out/{name}/*.parquet')
+        sdf = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        rows = (len(odf) == len(sdf))
+        cols = sorted(odf.columns) == sorted(sdf.columns)
+        o, s = canon(odf), canon(sdf)
+        try:
+            same = o.shape == s.shape and all(
+                (o[c].values == s[c].values).all() or
+                ('float' in str(o[c].dtype) and ((o[c].isna() & s[c].isna()) | (abs(o[c]-s[c]) < 1e-9)).all())
+                for c in o.columns)
+        except Exception as e:
+            same = f'cmp-err {e}'
+        results[name] = dict(rows_o=len(odf), rows_s=len(sdf), rows_match=rows, cols_match=cols, hash_match=same)
+    except Exception as e:
+        results[name] = dict(error=str(e)[:300])
+for k, v in sorted(results.items()):
+    status = 'OK ' if v.get('hash_match') is True and v.get('rows_match') and v.get('cols_match') else 'FAIL'
+    print(status, k, v)
