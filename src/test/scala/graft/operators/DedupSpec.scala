@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("shingles: word 3-grams, degenerate short text") {
+    assert(Dedup.shingles("a b c d") === Set("a b c", "b c d"))
+    assert(Dedup.shingles("a b") === Set("a b"))
+    assert(Dedup.shingles(null) === Set.empty)
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val a = Dedup.shingles("x y z w")
+    assert(Dedup.jaccard(a, a) === 1.0)
+    assert(Dedup.jaccard(a, Dedup.shingles("p q r s")) === 0.0)
+  }
+
+  test("minhash signature approximates jaccard") {
+    val a = Dedup.shingles(("the quick brown fox " * 20).trim)
+    val b = Dedup.shingles(("the quick brown fox " * 19).trim + " jumps high today")
+    val sa = Dedup.minHashSignature(a, 128)
+    val sb = Dedup.minHashSignature(b, 128)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    val truth = Dedup.jaccard(a, b)
+    assert(math.abs(est - truth) < 0.2, s"est=$est truth=$truth")
+  }
+
+  test("minhash signature is deterministic across calls") {
+    val sh = Dedup.shingles("alpha beta gamma delta epsilon zeta")
+    assert(Dedup.minHashSignature(sh, 32).toSeq ===
+      Dedup.minHashSignature(sh, 32).toSeq)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    import spark.implicits._
+    val df = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "unique text")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.exact(spark, tmp).collect()
+    assert(out.length === 2)
+    val dupGroup = out.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) === 1L) // keep_id = min doc_id
+  }
+
+  test("minhash LSH finds planted near-duplicates and verifies jaccard") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"word$i").mkString(" ") + " tail other"
+    val unrelated = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("minhash").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minHashPairs(spark, tmp, numHashes = 64, bands = 16,
+      threshold = 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getDouble(2) > 0.8)
+  }
+
+  test("minhash LSH plan contains no cartesian product (scale guard)") {
+    val plan = Dedup.minHashPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must be a bucketed equi-join, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must not be a nested-loop join")
+  }
+
+  test("simhash: identical texts same hash, near texts close, determinism") {
+    val a = Dedup.simHash64("the quick brown fox jumps over the lazy dog")
+    assert(a === Dedup.simHash64("the quick brown fox jumps over the lazy dog"))
+    val b = Dedup.simHash64("the quick brown fox jumps over the lazy cat")
+    val far = Dedup.simHash64("completely different words entirely elsewhere")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, far))
+  }
+
+  test("simhash pairs plan is a bucketed equi-join") {
+    val plan = Dedup.simHashPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

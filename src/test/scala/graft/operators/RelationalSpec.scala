@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape and semantics checks for the §2B workload. Value-level
+  * correctness is pinned by the driver's DuckDB oracle (SparkEntry.oracleSql)
+  * — these specs guard the *physical plan* properties that matter at scale. */
+class RelationalSpec extends SparkSpec {
+
+  test("filters are pushed into the parquet scan") {
+    val plan = Relational.filterBetween(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)") ||
+      plan.contains("l_quantity"), plan)
+  }
+
+  test("projection prunes columns at the scan (ReadSchema)") {
+    val plan = Relational.filterBetween(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // only the 5 referenced columns should be read, not all 11
+    assert(!plan.contains("l_extendedprice"), plan)
+    assert(!plan.contains("l_shipmode"), plan)
+  }
+
+  test("small-dimension join broadcasts (no shuffle of nation)") {
+    val plan = Relational.joinLeft(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"nation (25 rows) should broadcast:\n$plan")
+  }
+
+  test("sort+limit uses TakeOrderedAndProject (no global sort at scale)") {
+    val plan = Relational.sortLimit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregation is partial before shuffle (map-side combine)") {
+    val plan = Relational.aggQ1(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"expected partial_ aggregates:\n$plan")
+  }
+
+  test("full outer join coalesces both sides: 25 nation keys") {
+    assert(Relational.joinFull(spark, sfDir).count() === 25)
+  }
+
+  test("union distinct ≤ union all group count") {
+    val d = Relational.unionDistinct(spark, sfDir).count()
+    val a = Relational.unionAll(spark, sfDir).count()
+    assert(d === a) // both are the distinct nation-key set here
+  }
+
+  test("window top-n emits ≤3 rows per segment") {
+    val rows = Relational.windowTopN(spark, sfDir).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    assert(bySeg.values.forall(_.length <= 3))
+    assert(bySeg.values.forall(v => v.map(_.getInt(3)).sorted.toSeq == (1 to v.length)))
+  }
+
+  test("events nanos timestamp normalizes to usable timestamp") {
+    val df = Relational.events(spark, sfDir)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val days = Relational.datetimeAgg(spark, sfDir)
+      .select("day").distinct().collect().map(_.getString(0))
+    assert(days.forall(_.startsWith("2024-01")))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("norms: synthetic embeddings are unit vectors") {
+    val norms = Similarity.norms(spark, sfDir).collect()
+    assert(norms.nonEmpty)
+    assert(norms.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-3))
+  }
+
+  test("brute-force top-k: k rows, sorted by cosine desc, excludes query") {
+    val top = Similarity.bruteForceTopK(spark, sfDir, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    assert(top.forall(_.getLong(0) != 0L))
+    val cosines = top.map(_.getDouble(2)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("hyperplanes are deterministic") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+  }
+
+  test("LSH finds planted near-neighbors (recall where locality exists)") {
+    // Uniform random vectors have no locality (sf0.001 max cosine ≈ 0.37) —
+    // LSH legitimately can't beat chance there. Plant true neighbors:
+    // query + small perturbations, amid random noise vectors.
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(64)(j =>
+        splitmix(seed * 64 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = unit(1L)
+    def perturb(seed: Long, eps: Double): Array[Float] = {
+      val noise = unit(seed)
+      val v = base.zip(noise).map { case (b, n) => b + (eps * n).toFloat }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val rows = Seq((0L, base, 0)) ++
+      (1L to 3L).map(i => (i, perturb(100 + i, 0.1), 0)) ++
+      (10L to 60L).map(i => (i, unit(1000 + i), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("lsh").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val approx = Similarity.lshTopK(spark, tmp, queryId = 0L, k = 3,
+      numPlanes = 8).collect().map(_.getLong(0)).toSet
+    // the three planted near-dups (cosine ≈ 0.99) must be retrieved
+    assert(approx === Set(1L, 2L, 3L), s"got $approx")
+  }
+
+  test("near-dup pairs plan is a bucketed equi-join, never cartesian (scale guard)") {
+    val plan = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("near-dup pairs are symmetric-deduped (a < b) and above threshold") {
+    val pairs = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.2).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.2))
+  }
+}

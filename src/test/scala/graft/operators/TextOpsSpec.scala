@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  test("text stats: n_words/n_chars consistent with document text") {
+    val r = TextOps.textStats(spark, sfDir)
+      .filter(col("doc_id") === 0L).collect()(0)
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+    assert(r.getLong(1) === text.length)
+    assert(r.getLong(3) === text.split(" ").length)
+  }
+
+  test("token count: bpe estimate = ceil(chars/4)") {
+    val rows = TextOps.tokenCount(spark, sfDir).limit(20).collect()
+    assert(rows.forall(r => r.getLong(2) >= 1))
+  }
+
+  test("quality score bounded [0,1] with consistent flags") {
+    val rows = TextOps.qualityScore(spark, sfDir).collect()
+    assert(rows.forall { r =>
+      val q = r.getDouble(2); q >= 0.0 && q <= 1.0
+    })
+    assert(rows.forall { r =>
+      val (n, flag) = (r.getLong(1), r.getString(3))
+      if (n < 30) flag == "short" else if (n > 150) flag == "long" else flag == "ok"
+    })
+  }
+
+  test("langId predicts 'en' for English function words") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("langid").toString
+    Seq((1L, "the cat and the dog of the house is here", "en"),
+      (2L, "der hund und die katze ist hier", "de"),
+      (3L, "xyzzy qwerty plugh", "xx"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.langId(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und") // no profile hit → undetermined
+  }
+
+  test("winnowing fingerprint: deterministic, shift-robust, short-text safe") {
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    assert(TextOps.fingerprintSet(t) === TextOps.fingerprintSet(t))
+    // contiguous shared content yields overlapping fingerprints
+    val fp1 = TextOps.fingerprintSet("PREFIX " + t).toSet
+    val fp2 = TextOps.fingerprintSet(t + " SUFFIX").toSet
+    assert((fp1 & fp2).nonEmpty)
+    // shorter than k → empty; k..k+window → still produces output
+    assert(TextOps.fingerprintSet("abc") === Seq.empty)
+    assert(TextOps.fingerprintSet("abcdefgh").nonEmpty)
+    assert(TextOps.fingerprintSet(null) === Seq.empty)
+  }
+}
