@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.api.Sudan
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.functions.GeoCode
 import graft.geo.SudanGeo
@@ -91,8 +92,36 @@ object SparkEntry {
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
     // LLM-pipeline: multimodal family
-    "q_multimodal_meta" -> (Multimodal.assetMeta _)
+    "q_multimodal_meta" -> (Multimodal.assetMeta _),
+    // networked DSv2 sources (§2A S1-S9), driven by recorded fixtures —
+    // the full read path (options → URL → fetch → decode) runs for real;
+    // only the HTTP transport is recorded, as in the reference's own
+    // offline testing strategy (FIXTURES.md §1)
+    "q_src_worldbank" -> ((s, _) =>
+      Sudan.worldBank(s, "SP.POP.TOTL", fetcher = fixtures("worldbank"))),
+    "q_src_wb_catalog" -> ((s, _) =>
+      Sudan.wbIndicators(s, fetcher = fixtures("worldbank"))),
+    "q_src_wb_pushdown" -> ((s, _) =>
+      Sudan.worldBank(s, "SP.POP.TOTL", fetcher = fixtures("worldbank"))
+        .filter(col("year") >= 2019)),
+    "q_src_who" -> ((s, _) =>
+      Sudan.who(s, "WHOSIS_000001", fetcher = fixtures("who"))),
+    "q_src_who_catalog" -> ((s, _) =>
+      Sudan.whoIndicators(s, fetcher = fixtures("who"))),
+    "q_src_fao" -> ((s, _) =>
+      Sudan.fao(s, "QCL", "production", fetcher = fixtures("fao"))),
+    "q_src_unhcr" -> ((s, _) =>
+      Sudan.unhcr(s, "refugees", fetcher = fixtures("unhcr"))),
+    "q_src_ilo" -> ((s, _) =>
+      Sudan.ilo(s, "UNE_DEAP_SEX_AGE_RT", fetcher = fixtures("ilo"))),
+    "q_src_ilo_legacy" -> ((s, _) =>
+      Sudan.ilo(s, "EMP_TEMP_SEX_ECO_NB", fetcher = fixtures("ilo10"))),
+    "q_src_search" -> ((s, _) =>
+      Sudan.search(s, "mortality", fetcher = fixtures("search")))
   )
+
+  private def fixtures(dir: String): Sudan.Fetcher =
+    Sudan.Fetcher("fixtures", s"graft/fixtures/$dir")
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -300,7 +329,77 @@ object SparkEntry {
         "CAST(e.embedding AS DOUBLE[]))) * " +
         "sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine " +
         "FROM embeddings e, q WHERE e.vec_id <> 0 " +
-        "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10")
+        "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"),
+    // networked-source goldens: expected decode of the recorded fixture
+    // bodies (FIXTURES.md §1), matching the reference's parse semantics
+    "q_src_worldbank" ->
+      ("SELECT indicator_id, indicator_name, country, country_name, " +
+        "CAST(year AS INTEGER) AS year, CAST(value AS DOUBLE) AS value FROM (VALUES " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2020, 44440486.0), " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2019, 43232954.5), " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2018, CAST(NULL AS DOUBLE))" +
+        ") AS t(indicator_id, indicator_name, country, country_name, year, value)"),
+    "q_src_wb_catalog" ->
+      ("SELECT indicator_id, indicator_name, source, source_note FROM (VALUES " +
+        "('SP.POP.TOTL', 'Population, total', 'World Development Indicators', 'Total population.'), " +
+        "('SP.POP.GROW', 'Population growth (annual %)', 'World Development Indicators', CAST(NULL AS VARCHAR)), " +
+        "('NY.GDP.MKTP.CD', 'GDP (current US$)', 'World Development Indicators', 'GDP at purchaser prices.'), " +
+        "('SH.DYN.MORT', 'Mortality rate, under-5', 'Health', 'Under-five mortality.')" +
+        ") AS t(indicator_id, indicator_name, source, source_note)"),
+    "q_src_wb_pushdown" ->
+      ("SELECT indicator_id, indicator_name, country, country_name, " +
+        "CAST(year AS INTEGER) AS year, CAST(value AS DOUBLE) AS value FROM (VALUES " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2020, 44440486.0), " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2019, 43232954.5)" +
+        ") AS t(indicator_id, indicator_name, country, country_name, year, value)"),
+    "q_src_who" ->
+      ("SELECT indicator_code, CAST(indicator_name AS VARCHAR) AS indicator_name, " +
+        "country, CAST(year AS INTEGER) AS year, sex, " +
+        "CAST(value AS DOUBLE) AS value, region FROM (VALUES " +
+        "('WHOSIS_000001', NULL, 'SDN', 2019, 'SEX_BTSX', 65.3, 'Africa'), " +
+        "('WHOSIS_000001', NULL, 'SDN', 2018, CAST(NULL AS VARCHAR), 65.0, CAST(NULL AS VARCHAR)), " +
+        "('WHOSIS_000001', NULL, 'SDN', 2017, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 'Africa')" +
+        ") AS t(indicator_code, indicator_name, country, year, sex, value, region)"),
+    "q_src_who_catalog" ->
+      ("SELECT indicator_code, indicator_name, language FROM (VALUES " +
+        "('WHOSIS_000001', 'Life expectancy at birth (years)', 'EN'), " +
+        "('MDG_0000000001', 'Infant mortality rate', 'EN'), " +
+        "('NCD_BMI_30A', 'Obesity prevalence', CAST(NULL AS VARCHAR))" +
+        ") AS t(indicator_code, indicator_name, language)"),
+    "q_src_fao" ->
+      ("SELECT dataset, area, item, element, CAST(year AS INTEGER) AS year, " +
+        "CAST(value AS DOUBLE) AS value, unit FROM (VALUES " +
+        "('QCL', 'Sudan', 'Wheat', 'Production', 2021, 601000.0, 't'), " +
+        "('QCL', 'Sudan', 'Sorghum', 'Production', 2020, 3746000.0, 't'), " +
+        "('QCL', 'Sudan', 'Millet', 'Production', 2020, 1034000.0, 't'), " +
+        "('QCL', 'Sudan', 'Dates', 'Production', 2019, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))" +
+        ") AS t(dataset, area, item, element, year, value, unit)"),
+    "q_src_unhcr" ->
+      ("SELECT CAST(year AS INTEGER) AS year, population_type, country_origin, " +
+        "country_origin_name, country_asylum, country_asylum_name, " +
+        "CAST(value AS BIGINT) AS value FROM (VALUES " +
+        "(2023, 'refugees', 'SDN', 'Sudan', 'TCD', 'Chad', 409235), " +
+        "(2023, 'refugees', 'SDN', 'Sudan', 'EGY', 'Egypt', 318533), " +
+        "(2023, 'refugees', 'ERI', 'Eritrea', 'SDN', 'Sudan', 126000)" +
+        ") AS t(year, population_type, country_origin, country_origin_name, " +
+        "country_asylum, country_asylum_name, value)"),
+    "q_src_ilo" ->
+      ("SELECT indicator, country, sex, classif1, CAST(year AS INTEGER) AS year, " +
+        "CAST(value AS DOUBLE) AS value FROM (VALUES " +
+        "('UNE_DEAP_SEX_AGE_RT', 'SDN', 'SEX_T', 'AGE_YTHADULT_Y15-64', 2022, 13.1), " +
+        "('UNE_DEAP_SEX_AGE_RT', 'SDN', 'SEX_T', 'AGE_YTHADULT_Y15-64', 2023, 13.4), " +
+        "('UNE_DEAP_SEX_AGE_RT', 'SDN', 'SEX_M', 'AGE_YTHADULT_Y15-64', 2022, 11.2)" +
+        ") AS t(indicator, country, sex, classif1, year, value)"),
+    "q_src_ilo_legacy" ->
+      ("SELECT indicator, country, sex, classif1, CAST(year AS INTEGER) AS year, " +
+        "CAST(value AS DOUBLE) AS value FROM (VALUES " +
+        "('EMP_TEMP_SEX_ECO_NB', 'SDN', CAST(NULL AS VARCHAR), 'ECO_SECTOR_AGR', 2021, 7.5)" +
+        ") AS t(indicator, country, sex, classif1, year, value)"),
+    "q_src_search" ->
+      ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
+        "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
+        "('who', 'MDG_0000000001', 'Infant mortality rate')" +
+        ") AS t(provider, indicator_id, indicator_name)")
     // q_minhash_pairs / q_simhash_pairs / q_lang_id / q_fingerprints /
     // q_ann_lsh / q_embed_neardup: not ANSI-SQL-expressible (signature UDFs
     // / LSH bucketing) → rows-only check; pinned instead by ScalaTest specs.

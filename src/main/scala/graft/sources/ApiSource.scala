@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.{FetcherSpec, HttpFetcher}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 skeleton for the networked API sources. One Spark
+  * `InputPartition` per [[FetchTask]] (per country, or per country×endpoint),
+  * so fetches run concurrently on executors — the parallelism the reference
+  * does serially (wb_functions.cpp:240-242 et al.).
+  *
+  * Error contract (parity with reference http_client.cpp:159-203): transport
+  * or parse failures yield zero rows from that partition, never a query
+  * failure; *argument* errors throw IllegalArgumentException at load() time
+  * with the reference's message text.
+  *
+  * Year-range pushdown: `SupportsPushDownFilters` translates year predicates
+  * into per-API URL parameters (the reference scaffolds these encoders but
+  * never wires them — filter_pushdown.cpp:6-97). All filters are reported
+  * back as unhandled so Spark re-applies them above the scan: pushdown is a
+  * fetch-size optimization, never a semantics change.
+  */
+
+/** Inclusive year bounds extracted from pushed-down filters. */
+final case class YearRange(start: Option[Int] = None, end: Option[Int] = None) {
+  def isEmpty: Boolean = start.isEmpty && end.isEmpty
+}
+
+object YearRange {
+  /** Collect year bounds from Catalyst filters on an INTEGER `year` column. */
+  def fromFilters(filters: Array[Filter]): YearRange = {
+    var r = YearRange()
+    def asInt(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long => Some(l.toInt)
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo("year", v) =>
+        asInt(v).foreach(y => r = YearRange(Some(y), Some(y)))
+      case GreaterThanOrEqual("year", v) => asInt(v).foreach(y => r = r.copy(start = Some(y)))
+      case GreaterThan("year", v) => asInt(v).foreach(y => r = r.copy(start = Some(y + 1)))
+      case LessThanOrEqual("year", v) => asInt(v).foreach(y => r = r.copy(end = Some(y)))
+      case LessThan("year", v) => asInt(v).foreach(y => r = r.copy(end = Some(y - 1)))
+      case _ =>
+    }
+    r
+  }
+}
+
+/** One partition's fetch work.
+  * @param urls URLs fetched in order; each decoded independently.
+  * @param pagedBase if set, fetched as `pagedBase&page=N` from 1 until the
+  *   decoder-reported page count (World Bank pagination protocol).
+  * @param firstSuccessOnly if true, `urls` are alternatives — stop at the
+  *   first fetch that succeeds (ILO's 5 key-shape retries).
+  * @param meta decoder context (country code, requested field, ...). */
+final case class FetchTask(
+    urls: Seq[String] = Seq.empty,
+    pagedBase: Option[String] = None,
+    firstSuccessOnly: Boolean = false,
+    meta: Map[String, String] = Map.empty) extends Serializable
+
+/** Stateless, serializable JSON→rows decoder. Values use JVM types matching
+  * the schema (String/Int/Double/Long or null). */
+trait RowDecoder extends Serializable {
+  def decode(body: String, task: FetchTask): Iterator[Seq[Any]]
+  /** World Bank-style pagination metadata, if the protocol has it. */
+  def totalPages(body: String): Option[Int] = None
+}
+
+/** Generic DSv2 table over an HTTP+JSON API. */
+final class ApiTable(
+    tableName: String,
+    dataSchema: StructType,
+    tasks: YearRange => Seq[FetchTask],
+    decoder: RowDecoder,
+    fetcherSpec: FetcherSpec) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = dataSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ApiScanBuilder(tableName, dataSchema, tasks, decoder, fetcherSpec)
+}
+
+final class ApiScanBuilder(
+    tableName: String,
+    schema: StructType,
+    tasks: YearRange => Seq[FetchTask],
+    decoder: RowDecoder,
+    fetcherSpec: FetcherSpec) extends ScanBuilder with SupportsPushDownFilters {
+
+  private var yearRange: YearRange = YearRange()
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    yearRange = YearRange.fromFilters(filters)
+    pushed = filters.filter {
+      case EqualTo("year", _) | GreaterThan("year", _) | GreaterThanOrEqual("year", _) |
+           LessThan("year", _) | LessThanOrEqual("year", _) => true
+      case _ => false
+    }
+    // report ALL filters unhandled: the API-side encoding narrows the fetch,
+    // Spark still re-applies the predicate (safe double-filtering)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = schema
+    override def toBatch: Batch = this
+    override def description(): String = s"$tableName year=$yearRange"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      tasks(yearRange).map(t => ApiInputPartition(t): InputPartition).toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ApiReaderFactory(schema, decoder, fetcherSpec)
+  }
+}
+
+final case class ApiInputPartition(task: FetchTask) extends InputPartition
+
+final class ApiReaderFactory(
+    schema: StructType,
+    decoder: RowDecoder,
+    fetcherSpec: FetcherSpec) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val task = partition.asInstanceOf[ApiInputPartition].task
+    new ApiPartitionReader(task, decoder, fetcherSpec.build())
+  }
+}
+
+/** Executor-side reader: fetch → decode → emit. Materializes one task's rows
+  * (hundreds per partition for these APIs — the reference buffers identically
+  * in GlobalTableFunctionState). */
+final class ApiPartitionReader(
+    task: FetchTask,
+    decoder: RowDecoder,
+    fetcher: HttpFetcher) extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[Seq[Any]] = fetchAll()
+  private var current: Seq[Any] = _
+
+  private def fetchAll(): Iterator[Seq[Any]] = {
+    val direct: Iterator[Seq[Any]] =
+      if (task.firstSuccessOnly) {
+        task.urls.iterator
+          .map(fetcher.get)
+          .collectFirst { case Right(body) if body.nonEmpty => body }
+          .map(b => decoder.decode(b, task))
+          .getOrElse(Iterator.empty)
+      } else {
+        task.urls.iterator.flatMap { url =>
+          fetcher.get(url) match {
+            case Right(body) => decoder.decode(body, task)
+            case Left(_) => Iterator.empty // graceful degradation: 0 rows
+          }
+        }
+      }
+    val paged: Iterator[Seq[Any]] = task.pagedBase match {
+      case None => Iterator.empty
+      case Some(base) =>
+        new Iterator[Iterator[Seq[Any]]] {
+          private var page = 1
+          private var total = 1
+          def hasNext: Boolean = page <= total
+          def next(): Iterator[Seq[Any]] = {
+            val url = s"$base&page=$page"
+            val out = fetcher.get(url) match {
+              case Right(body) =>
+                decoder.totalPages(body).foreach(t => total = t)
+                decoder.decode(body, task)
+              case Left(_) =>
+                total = 0 // stop pagination on failure
+                Iterator.empty
+            }
+            page += 1
+            out
+          }
+        }.flatten
+    }
+    direct ++ paged
+  }
+
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(current.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    })
+
+  override def close(): Unit = ()
+}
+
+/** Shared option handling for the concrete providers. */
+abstract class ApiSourceBase extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  def tableSchema(options: CaseInsensitiveStringMap): StructType
+  def buildTasks(options: CaseInsensitiveStringMap): YearRange => Seq[FetchTask]
+  def decoder: RowDecoder
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new ApiTable(shortName(), tableSchema(options), buildTasks(options),
+      decoder, fetcherSpec(options))
+  }
+
+  protected def fetcherSpec(options: CaseInsensitiveStringMap): FetcherSpec =
+    FetcherSpec(
+      mode = options.getOrDefault("fetcher.mode", "http"),
+      fixtureResource = options.getOrDefault("fetcher.fixtures", ""))
+
+  protected def countriesOf(options: CaseInsensitiveStringMap): Seq[String] =
+    graft.core.Registry.parseCountries(Option(options.get("countries")))
+
+  protected def requireOption(options: CaseInsensitiveStringMap, key: String,
+      message: String): String = {
+    val v = options.get(key)
+    if (v == null || v.isEmpty) throw new IllegalArgumentException(message)
+    v
+  }
+}
