@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at the smallest SF: triggers codegen compilation + JIT for every
+    // query shape so the timed run measures the engine, not JVM warmup.
+    // (Steady-state is 5-10x cold: q_agg_q1 7.6s cold vs 0.6s warm.)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
