@@ -117,7 +117,18 @@ object SparkEntry {
     "q_src_ilo_legacy" -> ((s, _) =>
       Sudan.ilo(s, "EMP_TEMP_SEX_ECO_NB", fetcher = fixtures("ilo10"))),
     "q_src_search" -> ((s, _) =>
-      Sudan.search(s, "mortality", fetcher = fixtures("search")))
+      Sudan.search(s, "mortality", fetcher = fixtures("search"))),
+    // streaming twin: gap-based sessionization (batch form; the streaming
+    // form is pinned by EventStreamSpec against the same definition)
+    "q_sessionize" -> ((s, d) =>
+      graft.streaming.EventStream
+        .sessionizeBatch(Relational.events(s, d))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"), col("total_value")))
   )
 
   private def fixtures(dir: String): Sudan.Fetcher =
@@ -399,7 +410,21 @@ object SparkEntry {
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
         "('who', 'MDG_0000000001', 'Infant mortality rate')" +
-        ") AS t(provider, indicator_id, indicator_name)")
+        ") AS t(provider, indicator_id, indicator_name)"),
+    "q_sessionize" ->
+      ("WITH m AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) " +
+        "> 1800000 THEN 1 ELSE 0 END AS new_session FROM events), " +
+        "g AS (SELECT user_id, ts, value, " +
+        "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS session_no FROM m) " +
+        "SELECT user_id, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM g GROUP BY user_id, session_no")
     // q_minhash_pairs / q_simhash_pairs / q_lang_id / q_fingerprints /
     // q_ann_lsh / q_embed_neardup: not ANSI-SQL-expressible (signature UDFs
     // / LSH bucketing) → rows-only check; pinned instead by ScalaTest specs.

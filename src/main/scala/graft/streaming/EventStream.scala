@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value) — beyond the reference's
+  * surface (it has no streaming), but a first-class capability of this
+  * engine for the training-data-pipeline use case (live ingest → windowed
+  * stats → sessionized examples).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond it is dropped, state evicted); sessionization state is
+  * one small struct per active user key, evicted on timeout. Both shuffle
+  * once on their grouping key — the standard streaming topology.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Tumbling-window counts/sums per event type with a watermark: the
+    * canonical `readStream → withWatermark → groupBy(window) → agg` shape. */
+  def windowedStats(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"), col("approx_users"))
+
+  /** Gap-based sessionization per user via flatMapGroupsWithState — the
+    * custom-state path the DataFrame API can't express. A session closes
+    * when the next event arrives more than `gapMs` after the previous one,
+    * or when the event-time watermark passes the gap (EventTimeTimeout —
+    * ProcessingTimeTimeout would schedule perpetual empty micro-batches). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes")
+      (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var out = List.empty[Session]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          out ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+        }
+        state.remove()
+        return out.iterator
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            out ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close via watermark once the gap has passed in event time; must
+        // stay ahead of the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.reverse.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Batch-mode sessionization of the static events table via window functions —
+    * the offline twin of [[sessionize]] (same session definition), used to
+    * backfill or verify streaming output. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // millisecond-exact integer gap (unix_millis), engine-independent
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs)
+          .cast("int"))
+      .withColumn("session_no",
+        sum("new_session").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        // decimal-exact sum: engine/accumulation-order independent
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("session_no")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+
+  import EventStream._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed stats with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = windowedStats(input.toDF(), windowLength = "10 minutes",
+      watermark = "20 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(2), 100, "click", 2.0),
+        Event(3, ts(11), 101, "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .select("event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("streaming sessionization closes a session on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: minutes 1-5 (3 events); then a 25-minute gap
+      input.addData(
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(3), 100, "view", 2.0),
+        Event(3, ts(5), 100, "click", 3.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(30), 100, "click", 4.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      assert(sessions.length === 1)
+      val sess = sessions(0)
+      assert(sess.getLong(0) === 100L)
+      assert(sess.getTimestamp(1) === ts(1))
+      assert(sess.getTimestamp(2) === ts(5))
+      assert(sess.getInt(3) === 3)
+      assert(sess.getDouble(4) === 6.0)
+    } finally query.stop()
+  }
+
+  test("batch sessionization matches the same session definition") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(1), 100L, "click", 1.0),
+      (2L, ts(3), 100L, "view", 2.0),
+      (3L, ts(30), 100L, "click", 4.0),
+      (4L, ts(2), 200L, "view", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = sessionizeBatch(df, gapMs = 10 * 60 * 1000L)
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length === 3)
+    // user 100: [1,3] then [30]; user 200: [2]
+    assert(sessions(0).getLong(3) === 2L) // n_events of first session
+    assert(sessions(1).getLong(3) === 1L)
+    assert(sessions(2).getLong(0) === 200L)
+  }
+
+  test("batch sessionization works over the real events table") {
+    val events = graft.operators.Relational.events(spark, sfDir)
+    val sessions = sessionizeBatch(events)
+    assert(sessions.count() > 0)
+    // every session is internally consistent
+    assert(sessions.filter(col("session_end") < col("session_start")).count() === 0)
+  }
+}
