@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for SUDAN_GeoCode — the codegen'd upgrade of
+  * the UDF (SURVEY §7.3): stays inside WholeStageCodegen instead of paying
+  * the UDF serialization boundary. Semantics identical to [[GeoCode.lookup]]
+  * (Arabic-exact / English-ci / '' on miss / '' on NULL — the reference's
+  * empty-string-not-null contract, geo_functions.cpp:350-352).
+  */
+final case class GeoCodeExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  // total function: NULL input yields '' (not NULL), so never null out
+  override def nullable: Boolean = false
+  override def prettyName: String = "sudan_geocode"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(GeoCode.lookup(v.asInstanceOf[UTF8String].toString))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    // companion-object method reached via its Scala static forwarder
+    val fn = "graft.functions.GeoCodeExpression.lookupUtf8"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? UTF8String.EMPTY_UTF8
+          : $fn(${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GeoCodeExpression =
+    copy(child = newChild)
+}
+
+object GeoCodeExpression {
+  /** Codegen entry point (static call from generated Java). */
+  def lookupUtf8(name: UTF8String): UTF8String =
+    if (name == null) UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(GeoCode.lookup(name.toString))
+
+  /** Column-API form of the native expression:
+    * `df.select(GeoCodeExpression.native(col("name")))`. */
+  def native(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      GeoCodeExpression(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}
+
+/** SparkSessionExtensions hook: enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` —
+  * registers SUDAN_GeoCode as a NATIVE function (codegen'd expression), in
+  * contrast to SudanExtension.registerAll's UDF registration which works on
+  * any stock session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("SUDAN_GeoCode"),
+      new ExpressionInfo(classOf[GeoCodeExpression].getName, "SUDAN_GeoCode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "SUDAN_GeoCode takes exactly one argument")
+        GeoCodeExpression(children.head)
+      }))
+  }
+}
