@@ -77,6 +77,7 @@ object SparkEntry {
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(s, d)),
+    "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
     // LLM-pipeline: text analysis family
     "q_text_stats" -> (TextOps.textStats _),

@@ -101,7 +101,12 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Persist: the banded self-join reads the signatures twice; without this
+    // Spark recomputes the shingle+minhash UDF (the most expensive stage of
+    // the whole pipeline) on both sides of the join — verified via the
+    // physical plan, which showed two FileScan+UDF branches.
     val sigs = minHashSignatures(spark, dir, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one row per (doc, band): band key = hash of the band's sig slice
     val bandKeys = sigs.select(col("doc_id"), col("sig"),
@@ -129,6 +134,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(jacUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end near-dedup filter: drop every document that near-duplicates
+    * a lower-id document (greedy keep-lowest-id over the MinHash pairs).
+    * This is the operator a pretraining pipeline actually ends with; the
+    * anti-join is the same bucketed shape, no extra shuffle class. */
+  def minHashKeep(spark: SparkSession, dir: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val drop = minHashPairs(spark, dir, numHashes, bands, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -61,6 +61,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) > 0.8)
   }
 
+  test("exactKeep keeps one row per distinct text") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ek").toString
+    Seq((1L, "dup"), (2L, "dup"), (3L, "solo")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.exactKeep(spark, tmp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("minhash keep drops exactly the higher-id near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"word$i").mkString(" ") + " tail other"
+    val unrelated = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("keep").toString
+    Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.minHashKeep(spark, tmp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // doc 2 near-duplicates doc 1 → dropped
+  }
+
   test("minhash LSH plan contains no cartesian product (scale guard)") {
     val plan = Dedup.minHashPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
