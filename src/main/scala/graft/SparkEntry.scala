@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.Sudan
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Ivf, Multimodal, Relational, Similarity, TextOps}
 import graft.functions.GeoCode
 import graft.geo.SudanGeo
 
@@ -90,6 +90,7 @@ object SparkEntry {
     "q_embed_norms" -> (Similarity.norms _),
     "q_ann_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d, queryId = 0L)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, queryId = 0L)),
+    "q_ann_ivf" -> ((s, d) => Ivf.topK(s, d, queryId = 0L)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
     // LLM-pipeline: multimodal family

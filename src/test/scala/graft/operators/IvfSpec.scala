@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  test("index assigns every vector to a cell; cells bounded by nlist") {
+    val (indexed, centroids) = Ivf.buildIndex(spark, sfDir, nlist = 8)
+    assert(centroids.length === 8)
+    assert(indexed.filter(col("cluster").isNull).count() === 0)
+    val cells = indexed.select("cluster").distinct().count()
+    assert(cells > 1 && cells <= 8)
+  }
+
+  test("IVF top-k finds planted near-neighbors through the probed cells") {
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(64)(j => splitmix(seed * 64 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = unit(1L)
+    def perturb(seed: Long): Array[Float] = {
+      val noise = unit(seed)
+      val v = base.zip(noise).map { case (b, n) => b + (0.05 * n).toFloat }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val rows = Seq((0L, base, 0)) ++ (1L to 3L).map(i => (i, perturb(100 + i), 0)) ++
+      (10L to 80L).map(i => (i, unit(1000 + i), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val top = Ivf.topK(spark, tmp, queryId = 0L, k = 3, nlist = 6, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top === Set(1L, 2L, 3L), s"got $top")
+  }
+
+  test("probing is selective: fewer rows scanned than brute force") {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val (indexed, _) = Ivf.buildIndex(spark, sfDir, nlist = 16)
+    val largestProbeSet = indexed.groupBy("cluster").count()
+      .orderBy(desc("count")).limit(4).agg(sum("count")).collect()(0).getLong(0)
+    assert(largestProbeSet < all, "probing must touch a strict subset")
+  }
+}
