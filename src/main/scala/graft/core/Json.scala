@@ -12,7 +12,9 @@ object Json {
   private val mapper = new ObjectMapper()
 
   def parse(s: String): Option[JsonNode] =
-    try Option(mapper.readTree(s)) catch { case _: Exception => None }
+    // readTree("") yields a MissingNode, not an error — treat as no data
+    try Option(mapper.readTree(s)).filterNot(_.isMissingNode)
+    catch { case _: Exception => None }
 
   /** Children of an array node, empty for anything else. */
   def elements(n: JsonNode): Iterator[JsonNode] =
