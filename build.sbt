@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 distinct whole-stage-codegen classes in one JVM (warmup + timed
+  // bench) overflow the default 240m code cache → JIT stops compiling and
+  // queries degrade 5-20x, non-deterministically. Headroom fixes it.
+  "-XX:ReservedCodeCacheSize=512m",
 )

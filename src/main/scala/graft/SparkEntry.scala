@@ -91,6 +91,7 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d, queryId = 0L)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, queryId = 0L)),
     "q_ann_ivf" -> ((s, d) => Ivf.topK(s, d, queryId = 0L)),
+    "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
     // LLM-pipeline: multimodal family

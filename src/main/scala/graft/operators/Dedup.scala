@@ -97,16 +97,21 @@ object Dedup {
     * signatures → band keys (explode bands×docs) → bucketed self-join on
     * (band, band_hash) → exact Jaccard verify on the shingle sets.
     * bands×rows = numHashes; threshold ≈ (1/bands)^(1/rows). */
+  /** @param persistSignatures cache the signature frame across the two
+    *   sides of the banded self-join. The plan otherwise recomputes the
+    *   shingle+minhash UDF on both sides (verified: two FileScan+UDF
+    *   branches). Default OFF: persisted frames outlive the query and
+    *   pollute later queries sharing the session (observed 4-5x bench
+    *   drift); at real scale, materialize signatures to parquet instead. */
   def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5,
+      persistSignatures: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Persist: the banded self-join reads the signatures twice; without this
-    // Spark recomputes the shingle+minhash UDF (the most expensive stage of
-    // the whole pipeline) on both sides of the join — verified via the
-    // physical plan, which showed two FileScan+UDF branches.
-    val sigs = minHashSignatures(spark, dir, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigsRaw = minHashSignatures(spark, dir, numHashes)
+    val sigs = if (persistSignatures)
+      sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigsRaw
 
     // one row per (doc, band): band key = hash of the band's sig slice
     val bandKeys = sigs.select(col("doc_id"), col("sig"),

@@ -1,8 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,28 +8,73 @@ import org.apache.spark.sql.functions._
   * every vector to one of `nlist` cells; a query probes only the `nprobe`
   * cells whose centroids are nearest, then brute-forces inside them.
   *
-  * At 100 TB: the index build is one MLlib k-means job (sampled train +
-  * one assignment pass); search reads only ~nprobe/nlist of the data via a
-  * partition-prunable `cluster` column — write the indexed table partitioned
-  * by `cluster` and the probe filter becomes partition pruning at the scan.
-  * Training uses a fixed seed: rebuilds are reproducible.
+  * Index build follows the standard IVF recipe (train the coarse quantizer
+  * on a bounded sample, assign the full corpus distributed): a driver-side
+  * Lloyd loop over ≤`trainSample` vectors — deterministic (fixed seed-free
+  * init: first-k distinct sample rows), no MLlib job storm — then ONE
+  * distributed pass tags every vector with its cell via a broadcast
+  * centroid table. At 100 TB: write the indexed table partitioned by
+  * `cluster` and the probe filter becomes partition pruning at the scan;
+  * the sample collect is bounded (default 4096 × 64 floats ≈ 1 MB).
   */
 object Ivf {
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Index: every vector tagged with its IVF cell + the centroid table.
-    * Returns (assignments, centroids). */
-  def buildIndex(spark: SparkSession, dir: String, nlist: Int = 16)
-      : (DataFrame, Array[Vector]) = {
-    val withVec = embeddings(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(withVec)
-    (model.transform(withVec).drop("features"), model.clusterCenters)
+  /** Train coarse centroids with Lloyd iterations on a bounded sample. */
+  def trainCentroids(sample: Array[Array[Float]], nlist: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    val k = math.min(nlist, sample.length)
+    // deterministic init: evenly-spaced sample rows
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by L2 distance (ties → lowest index). */
+  def nearest(centroids: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var j = 0
+      val cent = centroids(c)
+      while (j < cent.length && j < v.length) {
+        val diff = cent(j) - v(j); d += diff * diff; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Index: every vector tagged with its IVF cell + the centroid table. */
+  def buildIndex(spark: SparkSession, dir: String, nlist: Int = 16,
+      trainSample: Int = 4096): (DataFrame, Array[Array[Double]]) = {
+    val df = embeddings(spark, dir)
+    val sample = df.select("embedding").limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(sample, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Float]) => nearest(bc.value, v.toArray))
+    (df.withColumn("cluster", assign(col("embedding"))), centroids)
   }
 
   /** ANN top-k for one query vector: probe the nprobe nearest cells only. */
@@ -43,12 +85,11 @@ object Ivf {
       .select("embedding").collect()(0).getSeq[Float](0).toArray
 
     // driver-side: rank centroids by distance to the query (nlist is tiny)
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-      val arr = c.toArray
+    val probes = centroids.zipWithIndex.map { case (cent, i) =>
       var d = 0.0
       var j = 0
-      while (j < arr.length && j < qVec.length) {
-        val diff = arr(j) - qVec(j); d += diff * diff; j += 1
+      while (j < cent.length && j < qVec.length) {
+        val diff = cent(j) - qVec(j); d += diff * diff; j += 1
       }
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1)

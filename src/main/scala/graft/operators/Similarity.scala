@@ -118,6 +118,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN join: top-k neighbors for EVERY vector (similarity-graph
+    * construction) via the bucketed LSH self-join + a per-vector window
+    * top-k. The quadratic blowup is bounded by bucket size; ranking is a
+    * single shuffle on vec_a. At 100 TB this is the standard
+    * dedup-graph/retrieval-index build shape — never an all-pairs product. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
+      numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = withBucket(spark, dir, numPlanes)
+    val l = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy("vec_a")
+      .orderBy(col("cosine").desc, col("vec_b").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("emb_a", "emb_b") /
+          (sqrt(dot("emb_a", "emb_a")) * sqrt(dot("emb_b", "emb_b"))), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucketed self-join (same LSH
     * bucket) + cosine threshold — the embedding analogue of MinHash dedup.
     * Never all-pairs: the join key is the bucket id. */

@@ -61,6 +61,22 @@ class SimilaritySpec extends SparkSpec {
     assert(approx === Set(1L, 2L, 3L), s"got $approx")
   }
 
+  test("knn join: ≤k neighbors per vector, ranked, cartesian-free") {
+    val knn = Similarity.knnJoin(spark, sfDir, k = 3)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rows = knn.collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length <= 3))
+    byVec.values.foreach { vs =>
+      val ranked = vs.sortBy(_.getInt(3))
+      val cosines = ranked.map(_.getDouble(2)).toSeq
+      assert(cosines === cosines.sorted.reverse)
+    }
+  }
+
   test("near-dup pairs plan is a bucketed equi-join, never cartesian (scale guard)") {
     val plan = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.3)
       .queryExecution.executedPlan.toString
