@@ -69,6 +69,9 @@ object SparkEntry {
     "q_string_fns" -> (Relational.stringFns _),
     "q_datetime_agg" -> (Relational.datetimeAgg _),
     "q_window_topn" -> (Relational.windowTopN _),
+    "q_rollup" -> (Relational.rollupAgg _),
+    "q_percentiles" -> (Relational.percentiles _),
+    "q_semi_anti" -> (Relational.semiAnti _),
     // embedded geo sources + scalar (§2A S8/S10/S11/F1)
     "q_states" -> (statesGolden _),
     "q_providers" -> ((s, _) => SudanGeo.providers(s)),
@@ -264,6 +267,20 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY c_mktsegment " +
         "ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn " +
         "FROM customer) t WHERE rn <= 3"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q_percentiles" ->
+      ("SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS p50_chars, " +
+        "round(quantile_cont(n_chars, 0.9), 2) AS p90_chars, " +
+        "round(quantile_cont(n_chars, 0.99), 2) AS p99_chars " +
+        "FROM documents GROUP BY lang"),
+    "q_semi_anti" ->
+      ("SELECT 'with_orders' AS kind, c_custkey FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders) " +
+        "UNION ALL SELECT 'no_orders' AS kind, c_custkey FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
     "q_states" ->
       ("SELECT iso_code, state_name, state_name_ar, " +
         "CAST(centroid_lon AS DOUBLE) AS centroid_lon, " +

@@ -211,6 +211,34 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** ROLLUP: per-(returnflag, linestatus) with subtotals and grand total —
+    * beyond the reference's surface, standard in Spark and DuckDB. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+
+  /** Exact interpolated percentiles per group (corpus profiling shape). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90_chars"),
+        round(expr("percentile(n_chars, 0.99)"), 2).as("p99_chars"))
+
+  /** LEFT SEMI / LEFT ANTI joins: customers with vs without orders. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("kind"), col("c_custkey"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("kind"), col("c_custkey"))
+    withOrders.unionAll(without)
+  }
+
   /** Window function: top-3 customers per market segment by balance.
     * Beyond the reference's surface (no OVER anywhere in its corpus) but a
     * first-class capability of this engine. */
