@@ -87,6 +87,11 @@ object SparkEntry {
     "q_token_count" -> (TextOps.tokenCount _),
     "q_lang_profile" -> (TextOps.langProfile _),
     "q_quality_score" -> (TextOps.qualityScore _),
+    "q_stopword_quality" -> (TextOps.stopwordQuality _),
+    "q_kmv_distinct" -> ((s, d) => Relational.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.KmvSketch.approxDistinct(
+        col("user_id").cast("string")).as("approx_users"))),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprints" -> (TextOps.fingerprints _),
     // LLM-pipeline: similarity family
@@ -339,6 +344,17 @@ object SparkEntry {
         "CASE WHEN n_words < 30 THEN 'short' WHEN n_words > 150 THEN 'long' " +
         "ELSE 'ok' END AS flag FROM " +
         s"(SELECT doc_id, $wordsExpr AS n_words FROM documents) t"),
+    "q_stopword_quality" ->
+      ("WITH h AS (SELECT doc_id, " +
+        Seq(" the ", " and ", " of ", " a ").map { w =>
+          s"(length(concat(' ', text, ' ')) - " +
+            s"length(replace(concat(' ', text, ' '), '$w', ''))) // ${w.length}"
+        }.mkString("(", " + ", ")") +
+        " AS stop_hits, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(stop_hits AS BIGINT) AS stop_hits, n_words, " +
+        "round(CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS stop_ratio FROM h"),
     "q_multimodal_meta" ->
       ("SELECT doc_id AS asset_id, " +
         "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' " +

@@ -62,6 +62,24 @@ object TextOps {
       when(nWords < 30, "short").when(nWords > 150, "long")
         .otherwise("ok").as("flag"))
 
+  /** Stopword-based quality signals: stopword hit count and ratio — the
+    * classic "is this natural language" pretraining filter. Pure portable
+    * string arithmetic (replace + length), identical in any ANSI engine;
+    * occurrence counting is leftmost non-overlapping in both Spark and
+    * DuckDB so the oracle matches exactly. */
+  def stopwordQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = Seq(" the ", " and ", " of ", " a ")
+    val hits = stopwords.map { w =>
+      expr(s"(length(concat(' ', text, ' ')) - " +
+        s"length(replace(concat(' ', text, ' '), '$w', ''))) DIV ${w.length}")
+    }.reduce(_ + _)
+    docs(spark, dir).select(
+      col("doc_id"),
+      hits.cast("long").as("stop_hits"),
+      nWords.as("n_words"),
+      round(hits.cast("double") / nWords.cast("double"), 4).as("stop_ratio"))
+  }
+
   /** N-gram heuristic language ID. Scores each language by hits of its most
     * frequent words/character patterns in the document; deterministic and
     * driver-free (pure column expressions, codegen'd — no UDF).
