@@ -88,6 +88,9 @@ object SparkEntry {
     "q_lang_profile" -> (TextOps.langProfile _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_stopword_quality" -> (TextOps.stopwordQuality _),
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedCountSum(Relational.events(s, d),
+        "event_type", "value")),
     "q_kmv_distinct" -> ((s, d) => Relational.events(s, d)
       .groupBy("event_type")
       .agg(graft.functions.KmvSketch.approxDistinct(
@@ -344,6 +347,12 @@ object SparkEntry {
         "CASE WHEN n_words < 30 THEN 'short' WHEN n_words > 150 THEN 'long' " +
         "ELSE 'ok' END AS flag FROM " +
         s"(SELECT doc_id, $wordsExpr AS n_words FROM documents) t"),
+    // the salted two-phase aggregation must be indistinguishable from the
+    // plain GROUP BY — that equivalence IS the correctness contract
+    "q_salted_agg" ->
+      ("SELECT event_type, count(*) AS n_rows, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type"),
     "q_stopword_quality" ->
       ("WITH h AS (SELECT doc_id, " +
         Seq(" the ", " and ", " of ", " a ").map { w =>
