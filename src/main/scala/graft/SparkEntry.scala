@@ -70,6 +70,8 @@ object SparkEntry {
     "q_datetime_agg" -> (Relational.datetimeAgg _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_rollup" -> (Relational.rollupAgg _),
+    "q_sql_cte" -> (Relational.sqlCte _),
+    "q_sql_exists" -> (Relational.sqlExists _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_semi_anti" -> (Relational.semiAnti _),
     // embedded geo sources + scalar (§2A S8/S10/S11/F1)
@@ -279,6 +281,9 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    // identical SQL text runs on both engines — the string IS the oracle
+    "q_sql_cte" -> Relational.cteSql,
+    "q_sql_exists" -> Relational.existsSql,
     "q_percentiles" ->
       ("SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS p50_chars, " +
         "round(quantile_cont(n_chars, 0.9), 2) AS p90_chars, " +

@@ -239,6 +239,36 @@ object Relational {
     withOrders.unionAll(without)
   }
 
+  /** SQL-text surface: the same engine through spark.sql — CTE + join +
+    * aggregation, written once and runnable verbatim on DuckDB (the oracle
+    * IS this string). Demonstrates the parser/analyzer path the reference's
+    * users actually exercise. */
+  val cteSql: String =
+    "WITH big_orders AS (" +
+      "SELECT o_custkey, count(*) AS n_big FROM orders " +
+      "WHERE o_totalprice > 150000 GROUP BY o_custkey) " +
+      "SELECT c_mktsegment, CAST(sum(n_big) AS BIGINT) AS total_big_orders, " +
+      "count(*) AS n_customers " +
+      "FROM customer JOIN big_orders ON c_custkey = o_custkey " +
+      "GROUP BY c_mktsegment"
+
+  def sqlCte(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(cteSql)
+  }
+
+  /** SQL-text surface: correlated EXISTS subquery. */
+  val existsSql: String =
+    "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (" +
+      "SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)"
+
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(existsSql)
+  }
+
   /** Window function: top-3 customers per market segment by balance.
     * Beyond the reference's surface (no OVER anywhere in its corpus) but a
     * first-class capability of this engine. */
