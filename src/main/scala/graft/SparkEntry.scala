@@ -72,6 +72,9 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_sql_cte" -> (Relational.sqlCte _),
     "q_sql_exists" -> (Relational.sqlExists _),
+    "q_pivot" -> (Relational.pivotEvents _),
+    "q_unpivot" -> (Relational.unpivotPart _),
+    "q_collect_agg" -> (Relational.collectAgg _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_semi_anti" -> (Relational.semiAnti _),
     // embedded geo sources + scalar (§2A S8/S10/S11/F1)
@@ -284,6 +287,22 @@ object SparkEntry {
     // identical SQL text runs on both engines — the string IS the oracle
     "q_sql_cte" -> Relational.cteSql,
     "q_sql_exists" -> Relational.existsSql,
+    "q_pivot" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"")
+          .mkString(", ") +
+        " FROM events GROUP BY 1"),
+    "q_unpivot" ->
+      ("SELECT p_partkey, 'p_retailprice' AS metric, " +
+        "CAST(p_retailprice AS DOUBLE) AS value FROM part " +
+        "UNION ALL SELECT p_partkey, 'p_size' AS metric, " +
+        "CAST(p_size AS DOUBLE) AS value FROM part"),
+    "q_collect_agg" ->
+      ("SELECT l_returnflag, " +
+        "string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses, " +
+        "count(DISTINCT l_linestatus) AS n_statuses FROM lineitem " +
+        "GROUP BY l_returnflag"),
     "q_percentiles" ->
       ("SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS p50_chars, " +
         "round(quantile_cont(n_chars, 0.9), 2) AS p90_chars, " +

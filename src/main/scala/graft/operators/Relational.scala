@@ -239,6 +239,33 @@ object Relational {
     withOrders.unionAll(without)
   }
 
+  /** PIVOT: events day × event_type count matrix (explicit value list so
+    * output columns are deterministic and oracle-matchable). */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      // empty (day, type) cells: Spark pivots to NULL, a filtered count is 0
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+
+  /** UNPIVOT (melt): part metrics to long form. */
+  def unpivotPart(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").cast("double").as("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "value")
+
+  /** Ordered string aggregation (deterministic collect): distinct line
+    * statuses per return flag, sorted and joined. */
+  def collectAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+        .as("statuses"),
+        countDistinct("l_linestatus").as("n_statuses"))
+
   /** SQL-text surface: the same engine through spark.sql — CTE + join +
     * aggregation, written once and runnable verbatim on DuckDB (the oracle
     * IS this string). Demonstrates the parser/analyzer path the reference's
