@@ -480,6 +480,22 @@ object SparkEntry {
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
         "('who', 'MDG_0000000001', 'Infant mortality rate')" +
         ") AS t(provider, indicator_id, indicator_name)"),
+    // winnowing fingerprints (Schleimer et al., SIGMOD'03), k=8, window=4:
+    // the Karp-Rabin k-gram hash is the fixed polynomial
+    // sum(ord(c_j) * 131^(k-1-j)) mod 1e9+7, so the oracle spells the powers
+    // out as constants; window minima + distinct reproduce the winnow. ASCII
+    // corpus → DuckDB codepoints == JVM UTF-16 units, so ord() matches charAt.
+    "q_fingerprints" ->
+      ("WITH hs AS (SELECT doc_id, " +
+        "list_transform(range(1, length(text) - 6), i -> (" +
+        Seq(617266377L, 913108910L, 579489385L, 294499921L,
+          2248091L, 17161L, 131L, 1L).zipWithIndex.map { case (p, j) =>
+            s"CAST(ord(text[i+$j]) AS BIGINT) * $p"
+          }.mkString(" + ") +
+        ") % 1000000007) AS h FROM documents) " +
+        "SELECT doc_id, CAST(unnest(list_distinct(" +
+        "list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))) " +
+        "AS BIGINT) AS fp_hash FROM hs"),
     "q_sessionize" ->
       ("WITH m AS (SELECT user_id, ts, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
@@ -494,7 +510,7 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM g GROUP BY user_id, session_no")
-    // q_minhash_pairs / q_simhash_pairs / q_lang_id / q_fingerprints /
+    // q_minhash_pairs / q_simhash_pairs / q_lang_id /
     // q_ann_lsh / q_embed_neardup: not ANSI-SQL-expressible (signature UDFs
     // / LSH bucketing) → rows-only check; pinned instead by ScalaTest specs.
   )

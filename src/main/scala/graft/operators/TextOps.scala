@@ -150,11 +150,21 @@ object TextOps {
     out.toSeq
   }
 
-  /** Fingerprint operator: doc_id → sorted winnowing fingerprint hashes. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val fp = udf((t: String) => fingerprintSet(t).sorted)
+  private val fpUdf = udf((t: String) => fingerprintSet(t).sorted)
+
+  /** Fingerprint operator, exploded to scalar rows (doc_id, fp_hash) — one
+    * row per distinct winnowed hash. The scalar shape is directly
+    * comparable/joinable (and is what a containment-overlap join between
+    * two corpora consumes); the UDF runs once per document (the generator
+    * consumes the single materialized array). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
-      col("doc_id"), fp(col("text")).as("fingerprint"),
-      size(fp(col("text"))).as("n_grams"))
-  }
+      col("doc_id"), explode(fpUdf(col("text"))).as("fp_hash"))
+
+  /** Array-shaped fingerprints: doc_id → sorted hash set + count. The UDF is
+    * computed once; `n_grams` derives from the materialized column. */
+  def fingerprintArrays(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"))
+      .withColumn("n_grams", size(col("fingerprint")))
 }

@@ -81,8 +81,13 @@ final class WhoSource extends ApiSourceBase {
       val year =
         yearRange.start.map(y => s" and TimeDim ge $y").getOrElse("") +
           yearRange.end.map(y => s" and TimeDim le $y").getOrElse("")
+      // OData filter values contain spaces, which are illegal in a URI —
+      // URI.create would throw inside the fetcher and the error contract
+      // would silently turn every live query into 0 rows. Percent-encode
+      // the query portion ('%20'; apostrophes are legal query sub-delims).
+      val filter = s"SpatialDim eq '$c'$year".replace(" ", "%20")
       val url = s"https://ghoapi.azureedge.net/api/$indicator" +
-        s"?$$filter=SpatialDim eq '$c'$year"
+        s"?$$filter=$filter"
       FetchTask(urls = Seq(url), meta = Map("country" -> c))
     }
   }

@@ -57,4 +57,20 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.fingerprintSet("abcdefgh").nonEmpty)
     assert(TextOps.fingerprintSet(null) === Seq.empty)
   }
+
+  test("fingerprints: exploded scalar rows agree with array form") {
+    val exploded = TextOps.fingerprints(spark, sfDir)
+    assert(exploded.schema.map(_.name) === Seq("doc_id", "fp_hash"))
+    val arrays = TextOps.fingerprintArrays(spark, sfDir)
+    // counts line up: sum of n_grams == exploded row count
+    val nExploded = exploded.count()
+    val nFromArrays = arrays.agg(sum("n_grams")).collect()(0).getLong(0)
+    assert(nExploded === nFromArrays && nExploded > 0)
+    // spot-check one doc: exploded rows == the array's elements
+    val a0 = arrays.filter(col("doc_id") === 0L)
+      .select("fingerprint").collect()(0).getSeq[Long](0).toSet
+    val e0 = exploded.filter(col("doc_id") === 0L)
+      .collect().map(_.getLong(1)).toSet
+    assert(a0 === e0)
+  }
 }

@@ -17,11 +17,12 @@ class PushdownSpec extends SparkSpec {
   private val startOnly = YearRange(Some(2015), None)
   private val none = YearRange()
 
-  test("WHO: OData 'and TimeDim ge/le' clauses") {
+  test("WHO: OData 'and TimeDim ge/le' clauses, percent-encoded") {
     val t = new WhoSource().buildTasks(opts("indicator" -> "X"))
-    assert(t(both).head.urls.head
-      .contains("$filter=SpatialDim eq 'SDN' and TimeDim ge 2015 and TimeDim le 2020"))
-    assert(t(startOnly).head.urls.head.contains("and TimeDim ge 2015"))
+    assert(t(both).head.urls.head.contains(
+      "$filter=SpatialDim%20eq%20'SDN'%20and%20TimeDim%20ge%202015" +
+        "%20and%20TimeDim%20le%202020"))
+    assert(t(startOnly).head.urls.head.contains("and%20TimeDim%20ge%202015"))
     assert(!t(none).head.urls.head.contains("TimeDim"))
   }
 
@@ -62,8 +63,30 @@ class PushdownSpec extends SparkSpec {
   test("countries option: ISO2 normalization + default SDN") {
     val t = new WhoSource().buildTasks(opts("indicator" -> "X", "countries" -> "eg, ET"))
     val urls = t(none).map(_.urls.head)
-    assert(urls.exists(_.contains("eq 'EGY'")) && urls.exists(_.contains("eq 'ETH'")))
+    assert(urls.exists(_.contains("eq%20'EGY'")) && urls.exists(_.contains("eq%20'ETH'")))
     val d = new WhoSource().buildTasks(opts("indicator" -> "X"))
-    assert(d(none).map(_.urls.head).head.contains("eq 'SDN'"))
+    assert(d(none).map(_.urls.head).head.contains("eq%20'SDN'"))
+  }
+
+  test("every generated source URL parses as a valid java.net.URI") {
+    // URI.create throwing inside JavaHttpFetcher is swallowed into Left →
+    // silent 0 rows on live APIs, invisible to substring-matched fixtures.
+    // Guard: every URL any source can emit must be a well-formed URI.
+    val all: Seq[FetchTask] =
+      new WhoSource().buildTasks(opts("indicator" -> "WHOSIS_000001",
+        "countries" -> "SD,EG,ET"))(both) ++
+        new WhoIndicatorsSource().buildTasks(opts())(none) ++
+        new WorldBankSource().buildTasks(opts("indicator" -> "SP.POP.TOTL"))(both) ++
+        new WbIndicatorsSource().buildTasks(opts())(none) ++
+        new FaoSource().buildTasks(opts("dataset" -> "QCL",
+          "element" -> "production"))(both) ++
+        new UnhcrSource().buildTasks(opts("population_type" -> "refugees"))(both) ++
+        new IloSource().buildTasks(opts("indicator" -> "UNE_DEAP_SEX_AGE_RT"))(both)
+    val urls = all.flatMap(_.urls)
+    assert(urls.size >= 10)
+    urls.foreach { u =>
+      val uri = java.net.URI.create(u) // throws IllegalArgumentException if malformed
+      assert(uri.getHost != null, s"no host parsed from $u")
+    }
   }
 }
