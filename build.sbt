@@ -29,6 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // ~100 distinct whole-stage-codegen classes in one JVM (warmup + timed
   // bench) overflow the default 240m code cache → JIT stops compiling and
-  // queries degrade 5-20x, non-deterministically. Headroom fixes it.
-  "-XX:ReservedCodeCacheSize=512m",
+  // queries degrade 5-20x, non-deterministically. Headroom fixes it; the
+  // median-of-3 bench (3× executions) plus the recall-entry subplans
+  // blew through 512m the same way, hence 1g + explicit flushing.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

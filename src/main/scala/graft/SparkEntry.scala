@@ -105,8 +105,11 @@ object SparkEntry {
     // LLM-pipeline: similarity family
     "q_embed_norms" -> (Similarity.norms _),
     "q_ann_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d, queryId = 0L)),
-    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, queryId = 0L)),
-    "q_ann_ivf" -> ((s, d) => Ivf.topK(s, d, queryId = 0L)),
+    // recall@k vs the brute-force baseline: deterministic constant (fixed
+    // hyperplanes/centroids/corpus) → VALUES-oracle hash compare; the
+    // LSH/IVF top-k pipelines run in full as subplans
+    "q_ann_lsh" -> ((s, d) => Similarity.annRecall(s, d, "lsh")),
+    "q_ann_ivf" -> ((s, d) => Similarity.annRecall(s, d, "ivf")),
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
@@ -475,11 +478,35 @@ object SparkEntry {
         "CAST(value AS DOUBLE) AS value FROM (VALUES " +
         "('EMP_TEMP_SEX_ECO_NB', 'SDN', CAST(NULL AS VARCHAR), 'ECO_SECTOR_AGR', 2021, 7.5)" +
         ") AS t(indicator, country, sex, classif1, year, value)"),
+    // ANN recall constants (deterministic: fixed corpus, hyperplanes,
+    // centroids). IVF with nprobe=4/nlist=16 recovers the exact top-10;
+    // single-table LSH on this isotropic corpus probes ~31% → recall 0.5.
+    "q_ann_lsh" ->
+      ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
+        "('lsh', 10, CAST(10 AS BIGINT), CAST(5 AS BIGINT), " +
+        "CAST(0.5 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+    "q_ann_ivf" ->
+      ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
+        "('ivf', 10, CAST(10 AS BIGINT), CAST(10 AS BIGINT), " +
+        "CAST(1.0 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
         "('who', 'MDG_0000000001', 'Infant mortality rate')" +
         ") AS t(provider, indicator_id, indicator_name)"),
+    // n-gram language ID: same (score, lang) argmax as TextOps.langId —
+    // struct comparison is field-order lexicographic in BOTH engines, and
+    // Spark's greatest(...) over structs == DuckDB's list_max of structs
+    "q_lang_id" ->
+      ("SELECT doc_id, lang AS declared_lang, " +
+        "CASE WHEN m.s > 0 THEN m.l ELSE 'und' END AS predicted_lang " +
+        "FROM (SELECT doc_id, lang, list_max([" +
+        graft.operators.TextOps.langProfiles.map { case (lang, toks) =>
+          "{'s': (" + toks.map(t =>
+            s"CASE WHEN contains(' ' || lower(text) || ' ', '$t') " +
+              "THEN 1 ELSE 0 END").mkString(" + ") + s"), 'l': '$lang'}"
+        }.mkString(", ") +
+        "]) AS m FROM documents)"),
     // winnowing fingerprints (Schleimer et al., SIGMOD'03), k=8, window=4:
     // the Karp-Rabin k-gram hash is the fixed polynomial
     // sum(ord(c_j) * 131^(k-1-j)) mod 1e9+7, so the oracle spells the powers
@@ -510,8 +537,9 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM g GROUP BY user_id, session_no")
-    // q_minhash_pairs / q_simhash_pairs / q_lang_id /
-    // q_ann_lsh / q_embed_neardup: not ANSI-SQL-expressible (signature UDFs
-    // / LSH bucketing) → rows-only check; pinned instead by ScalaTest specs.
+    // q_minhash_pairs / q_simhash_pairs / q_embed_neardup / q_knn_join /
+    // q_kmv_distinct / q_minhash_keep: not ANSI-SQL-expressible
+    // (signature UDFs / LSH bucketing / sketch state) → rows-only check;
+    // pinned instead by ScalaTest specs.
   )
 }

@@ -15,10 +15,29 @@ import org.apache.spark.sql.functions._
   *  - The band self-join uses `doc_a < doc_b` inside the bucket to halve the
   *    pair space and `dropDuplicates` to collapse multi-band hits.
   *  - Hot buckets (e.g. boilerplate/empty docs) are the classic skew killer
-  *    at scale; `maxBucket` caps them (documented, measured) — the standard
-  *    production mitigation alongside AQE skew handling.
+  *    at scale: one degenerate band shared by H documents is a single
+  *    reducer partition doing O(H²) comparisons. `maxBucket` drops band
+  *    buckets above that size before the self-join (doc-frequency pruning —
+  *    see [[pruneHotBuckets]]): a band shared by thousands of documents
+  *    carries no near-dup signal boilerplate/exact-dedup wouldn't catch,
+  *    and mass-identical clusters belong to [[exact]] dedup anyway.
   */
 object Dedup {
+
+  /** Drop (band, band_key) buckets holding more than `maxBucket` docs.
+    * The hot-bucket list is tiny by construction (≤ N/maxBucket entries),
+    * so it broadcasts; the pre-aggregation is one map-side-combined shuffle
+    * on the same key the self-join uses. `maxBucket <= 0` disables. */
+  private[operators] def pruneHotBuckets(bandKeys: DataFrame,
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bandKeys
+    else {
+      val hot = bandKeys.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > maxBucket)
+        .select("band", "band_key")
+      bandKeys.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -105,7 +124,8 @@ object Dedup {
     *   drift); at real scale, materialize signatures to parquet instead. */
   def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      persistSignatures: Boolean = false): DataFrame = {
+      persistSignatures: Boolean = false,
+      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigsRaw = minHashSignatures(spark, dir, numHashes)
@@ -114,11 +134,13 @@ object Dedup {
     else sigsRaw
 
     // one row per (doc, band): band key = hash of the band's sig slice
-    val bandKeys = sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
-          .as("band_key"))
+    val bandKeys = pruneHotBuckets(
+      sigs.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .select(col("doc_id"), col("band"),
+          hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
+            .as("band_key")),
+      maxBucket)
 
     val left = bandKeys.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"))
@@ -146,8 +168,10 @@ object Dedup {
     * This is the operator a pretraining pipeline actually ends with; the
     * anti-join is the same bucketed shape, no extra shuffle class. */
   def minHashKeep(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val drop = minHashPairs(spark, dir, numHashes, bands, threshold)
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val drop = minHashPairs(spark, dir, numHashes, bands, threshold,
+        maxBucket = maxBucket)
       .select(col("doc_b").as("doc_id")).distinct()
     docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
@@ -183,13 +207,16 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
     * within Hamming distance 3 shares at least one full band), bucketed
     * self-join per band, then exact Hamming check via bit_count(xor). */
-  def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sh = simHashes(spark, dir)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftrightunsigned(simhash, band * 16)")
-          .bitwiseAND(lit(0xffffL)).as("band_key"))
+    val banded = pruneHotBuckets(
+      sh.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band"),
+          expr("shiftrightunsigned(simhash, band * 16)")
+            .bitwiseAND(lit(0xffffL)).as("band_key")),
+      maxBucket)
     val l = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("band_key"),

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale path
@@ -8,14 +10,16 @@ import org.apache.spark.sql.functions._
   * every vector to one of `nlist` cells; a query probes only the `nprobe`
   * cells whose centroids are nearest, then brute-forces inside them.
   *
-  * Index build follows the standard IVF recipe (train the coarse quantizer
-  * on a bounded sample, assign the full corpus distributed): a driver-side
-  * Lloyd loop over ≤`trainSample` vectors — deterministic (fixed seed-free
-  * init: first-k distinct sample rows), no MLlib job storm — then ONE
-  * distributed pass tags every vector with its cell via a broadcast
-  * centroid table. At 100 TB: write the indexed table partitioned by
-  * `cluster` and the probe filter becomes partition pruning at the scan;
-  * the sample collect is bounded (default 4096 × 64 floats ≈ 1 MB).
+  * Build-once / probe-many: [[materializeIndex]] trains the coarse quantizer
+  * ONCE (driver-side Lloyd over a bounded ≤`trainSample` sample — the
+  * standard IVF recipe; deterministic, no RNG, no MLlib job storm), tags the
+  * corpus in one distributed pass, and writes it partitioned by `cluster`.
+  * Every [[topK]] call then probes the materialized table, so the
+  * `cluster IN (probes)` filter is PARTITION PRUNING at the scan — the query
+  * reads only `nprobe` of `nlist` directories (spec-asserted in `IvfSpec`).
+  * The only per-query driver round-trip is fetching the query vector itself
+  * (one pushed-down point lookup). At 100 TB the materialized index is the
+  * persistent artifact; cell stats (`cells`) drive rebalancing decisions.
   */
 object Ivf {
 
@@ -65,7 +69,8 @@ object Ivf {
     best
   }
 
-  /** Index: every vector tagged with its IVF cell + the centroid table. */
+  /** Index: every vector tagged with its IVF cell + the centroid table.
+    * (In-memory form; [[materializeIndex]] is the persistent path.) */
   def buildIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       trainSample: Int = 4096): (DataFrame, Array[Array[Double]]) = {
     val df = embeddings(spark, dir)
@@ -77,41 +82,83 @@ object Ivf {
     (df.withColumn("cluster", assign(col("embedding"))), centroids)
   }
 
-  /** ANN top-k for one query vector: probe the nprobe nearest cells only. */
-  def topK(spark: SparkSession, dir: String, queryId: Long, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val (indexed, centroids) = buildIndex(spark, dir, nlist)
-    val qVec = indexed.filter(col("vec_id") === queryId)
-      .select("embedding").collect()(0).getSeq[Float](0).toArray
+  /** Session-scoped registry of materialized indexes: built once per
+    * (corpus dir, nlist), probed many times. At real scale this is a
+    * managed table location, not a temp dir. */
+  private val indexCache =
+    new ConcurrentHashMap[(String, Int), (String, Array[Array[Double]])]()
 
-    // driver-side: rank centroids by distance to the query (nlist is tiny)
-    val probes = centroids.zipWithIndex.map { case (cent, i) =>
+  /** Build-once: tag the corpus and write it PARTITIONED BY cluster, so a
+    * probe's `cluster IN (...)` filter prunes whole partitions at the scan.
+    * Idempotent per (dir, nlist) within the session. */
+  def materializeIndex(spark: SparkSession, dir: String, nlist: Int = 16,
+      trainSample: Int = 4096): (String, Array[Array[Double]]) =
+    indexCache.computeIfAbsent((dir, nlist), { _ =>
+      val (indexed, centroids) = buildIndex(spark, dir, nlist, trainSample)
+      val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
+      indexed.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (path, centroids)
+    })
+
+  /** Drop materialized indexes (test hygiene). */
+  def clearIndexCache(): Unit = indexCache.clear()
+
+  /** The `nprobe` cells whose centroids are nearest to the query (driver
+    * side — nlist is tiny by construction). */
+  def nearestCells(centroids: Array[Array[Double]], qVec: Array[Float],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (cent, i) =>
       var d = 0.0
       var j = 0
       while (j < cent.length && j < qVec.length) {
         val diff = cent(j) - qVec(j); d += diff * diff; j += 1
       }
       (i, d)
-    }.sortBy(_._2).take(nprobe).map(_._1)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
 
-    val q = indexed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
-    val dot = expr(
-      "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q_emb AS ARRAY<DOUBLE>), " +
-        "(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val norm = expr(
-      "sqrt(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), " +
-        "(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
-    val qnorm = expr(
-      "sqrt(aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), CAST(q_emb AS ARRAY<DOUBLE>), " +
-        "(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
+  /** Sequential-fold dot product of an ARRAY<FLOAT> column against a
+    * literal query vector, in double precision, codegen'd. */
+  private def dotLit(emb: Column, q: Array[Double]): Column =
+    aggregate(
+      zip_with(emb.cast("array<double>"), typedlit(q.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
 
-    indexed
-      .filter(col("cluster").isin(probes.toSeq: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
+  /** Sequential-fold dot product of two ARRAY<FLOAT> columns. */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Probe a materialized index: read ONLY the `nprobe` nearest cells
+    * (partition pruning at the parquet scan), cosine against the LITERAL
+    * query vector (no join, no broadcast — the query side is a constant in
+    * the codegen'd projection), top-k. */
+  def probe(spark: SparkSession, indexPath: String,
+      centroids: Array[Array[Double]], qVec: Array[Float], k: Int = 10,
+      nprobe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val cells = nearestCells(centroids, qVec, nprobe)
+    val q = qVec.map(_.toDouble)
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val emb = col("embedding")
+    val base = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(cells: _*))
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("label"), col("cluster"),
-        round(dot / (norm * qnorm), 4).as("cosine"))
+        round(dotLit(emb, q) / (sqrt(dotCol(emb, emb)) * lit(qnorm)), 4)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** ANN top-k for one query vector, probe-many style: reuses the
+    * session's materialized index; per-call work is one pushed-down point
+    * lookup for the query vector + a partition-pruned scan of `nprobe`
+    * cells. */
+  def topK(spark: SparkSession, dir: String, queryId: Long, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (path, centroids) = materializeIndex(spark, dir, nlist)
+    val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    probe(spark, path, centroids, qVec, k, nprobe, excludeId = Some(queryId))
   }
 }

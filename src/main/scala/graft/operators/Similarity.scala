@@ -118,6 +118,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an ANN method against the brute-force baseline, as a
+    * one-row DataFrame. Every input is fixed (deterministic hyperplanes /
+    * centroids, fixed corpus), so the recall is a CONSTANT of the engine —
+    * pinned by a VALUES oracle in `SparkEntry.oracleSql`, which upgrades
+    * the ANN entries from rows-only to hash-compared. The approximate
+    * query runs in full as a subplan.
+    *
+    * `lshPlanes` defaults to 4 here (vs 12 for dedup bucketing): the
+    * synthetic embeddings are isotropic (max pairwise cosine ≈ 0.37, no
+    * neighbor structure), so single-table hyperplane LSH recall tracks the
+    * fraction of corpus probed — 4 planes + 1-bit multiprobe covers ~31%
+    * and lands recall 0.5; on clustered corpora (SimilaritySpec's planted
+    * neighbors) the same operator reaches recall 1.0. */
+  def annRecall(spark: SparkSession, dir: String, method: String,
+      queryId: Long = 0L, k: Int = 10, lshPlanes: Int = 4): DataFrame = {
+    val truth = bruteForceTopK(spark, dir, queryId, k).select("vec_id")
+    val approx = (method match {
+      case "lsh" => lshTopK(spark, dir, queryId, k, lshPlanes)
+      case "ivf" => Ivf.topK(spark, dir, queryId, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN method '$other' (expected 'lsh' or 'ivf')")
+    }).select("vec_id")
+    truth.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(lit(method).as("method"), lit(k).as("k"),
+        col("n_true"), col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** k-NN join: top-k neighbors for EVERY vector (similarity-graph
     * construction) via the bucketed LSH self-join + a per-vector window
     * top-k. The quadratic blowup is bounded by bucket size; ranking is a

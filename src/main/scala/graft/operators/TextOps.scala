@@ -85,14 +85,18 @@ object TextOps {
     * driver-free (pure column expressions, codegen'd — no UDF).
     * A real pipeline would use trained trigram profiles; the operator shape
     * (per-row scoring over K language profiles, argmax) is identical. */
+  /** Built-in language profiles: language → characteristic tokens. Shared
+    * with the `q_lang_id` DuckDB oracle in SparkEntry (argmax over the same
+    * (score, lang) structs — keep in sync). */
+  private[graft] val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "es" -> Seq(" el ", " de ", " que ", " es "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    // tiny built-in profiles: language → characteristic tokens
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " and ", " of ", " is "),
-      "de" -> Seq(" der ", " und ", " die ", " ist "),
-      "fr" -> Seq(" le ", " la ", " et ", " est "),
-      "es" -> Seq(" el ", " de ", " que ", " es "),
-      "zh" -> Seq("的", "是", "了", "在"))
+    val profiles = langProfiles
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
     def score(tokens: Seq[String]) =
       tokens.map(t => when(padded.contains(t), 1).otherwise(0))

@@ -108,4 +108,34 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("maxBucket caps degenerate hot bands (boilerplate corpus)") {
+    import spark.implicits._
+    // 100 identical boilerplate docs (every band collides → one 100-doc
+    // bucket per band, 4950 pairs uncapped) + one genuine near-dup pair
+    // whose buckets are size 2 and must survive the pruning.
+    val boiler = (1 to 100).map(i => (i.toLong, "lorem ipsum dolor sit amet " * 8))
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"word$i").mkString(" ") + " tail other"
+    val tmp = java.nio.file.Files.createTempDirectory("hotband").toString
+    (boiler ++ Seq((200L, base), (201L, nearDup))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val uncapped = Dedup.minHashPairs(spark, tmp, maxBucket = 0).collect()
+    assert(uncapped.length === 100 * 99 / 2 + 1) // O(hot²) — the scale killer
+    val capped = Dedup.minHashPairs(spark, tmp, maxBucket = 16).collect()
+    assert(capped.length === 1) // boilerplate cluster pruned entirely...
+    assert(capped(0).getLong(0) === 200L && capped(0).getLong(1) === 201L)
+
+    // same contract for simhash banding
+    val shCapped = Dedup.simHashPairs(spark, tmp, maxBucket = 16)
+    assert(shCapped.filter(col("doc_a") <= 100L).count() === 0)
+
+    // keep-filter: with the cap, the boilerplate cluster is NOT collapsed
+    // by minhash (that's exact dedup's job); the near-dup still is
+    val kept = Dedup.minHashKeep(spark, tmp, maxBucket = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(200L) && !kept.contains(201L))
+    assert((1 to 100).forall(i => kept.contains(i.toLong)))
+  }
 }

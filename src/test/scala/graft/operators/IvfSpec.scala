@@ -43,6 +43,35 @@ class IvfSpec extends SparkSpec {
     assert(top === Set(1L, 2L, 3L), s"got $top")
   }
 
+  test("materialized probe prunes partitions: only nprobe cells scanned") {
+    Ivf.clearIndexCache()
+    val (path, centroids) = Ivf.materializeIndex(spark, sfDir, nlist = 16)
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val probed = Ivf.probe(spark, path, centroids, q, k = 10, nprobe = 4,
+      excludeId = Some(0L))
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "probe must be a parquet scan")
+    val scan = scans.head
+    // the cluster IN (...) predicate must be a PARTITION filter (pruned at
+    // file listing), not a post-scan data filter
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cluster")),
+      s"cluster filter must prune partitions, got: ${scan.partitionFilters}")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    val totalCells = spark.read.parquet(path)
+      .select("cluster").distinct().count()
+    assert(selected <= 4, s"probe must list ≤ nprobe partitions, got $selected")
+    assert(selected < totalCells, "probe must read a strict subset of cells")
+    assert(probed.count() === 10)
+    // build-once: a second topK over the same (dir, nlist) reuses the index
+    val (path2, _) = Ivf.materializeIndex(spark, sfDir, nlist = 16)
+    assert(path2 === path)
+  }
+
   test("probing is selective: fewer rows scanned than brute force") {
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val (indexed, _) = Ivf.buildIndex(spark, sfDir, nlist = 16)
