@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,9 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Arabic-exact / English-ci / '' on miss / '' on NULL — the reference's
   * empty-string-not-null contract, geo_functions.cpp:350-352).
   */
-final case class GeoCodeExpression(child: Expression) extends UnaryExpression {
+final case class GeoCodeExpression(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
+  // analysis-time coercion: SUDAN_GeoCode(123) casts to string like the
+  // reference's implicit VARCHAR cast, instead of failing in codegen.
+  // (return type inferred — AbstractDataType is private[sql])
+  override def inputTypes = Seq(StringType)
   // total function: NULL input yields '' (not NULL), so never null out
   override def nullable: Boolean = false
   override def prettyName: String = "sudan_geocode"
@@ -65,9 +70,25 @@ object GeoCodeExpression {
   * any stock session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // catalog-visible docs, mirroring the reference's per-function
+    // description/example metadata (function_builder.hpp:10-41,
+    // sudan_extension.cpp:21-31): DESCRIBE FUNCTION [EXTENDED] shows them
     ext.injectFunction((
       FunctionIdentifier("SUDAN_GeoCode"),
-      new ExpressionInfo(classOf[GeoCodeExpression].getName, "SUDAN_GeoCode"),
+      new ExpressionInfo(
+        classOf[GeoCodeExpression].getName,
+        null,
+        "SUDAN_GeoCode",
+        "SUDAN_GeoCode(name) - Returns the ISO 3166-2:SD code for a Sudanese " +
+          "state name (Arabic exact match or English case-insensitive); " +
+          "returns '' when the name is unknown or NULL.",
+        """
+    Examples:
+      > SELECT SUDAN_GeoCode('Khartoum');
+       SD-KH
+      > SELECT SUDAN_GeoCode('الخرطوم');
+       SD-KH
+  """),
       (children: Seq[Expression]) => {
         require(children.length == 1, "SUDAN_GeoCode takes exactly one argument")
         GeoCodeExpression(children.head)

@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * Two-phase salted aggregation: phase 1 groups on (key, salt) so the hot
   * key's rows spread over `salts` reducers; phase 2 merges the partials.
-  * Works for any algebraic aggregate (sum/count/min/max); the salt column
-  * is derived from a hash of the full row, so it is deterministic and needs
-  * no RNG. At 100 TB: pick salts ≈ hot-key rows / target-partition rows.
+  * Works for any algebraic aggregate (sum/count/min/max); the salt is a
+  * hash of ALL the row's columns — a pure function of row content, so the
+  * assignment is stable under task retry/recomputation (no RNG, no
+  * partition-order dependence). Rows that are full duplicates share a salt;
+  * residual skew is bounded by duplicate multiplicity (with a unique id
+  * column in the row, spreading is uniform). At 100 TB: pick
+  * salts ≈ hot-key rows / target-partition rows.
   */
 object Skew {
 
@@ -19,7 +23,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(col(key), col(valueCol), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"),

@@ -69,7 +69,11 @@ object EventStream {
             out ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))
           case Some(s) =>
-            cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
+            // monotone bounds: a late-but-within-watermark event from a
+            // later micro-batch (t < s.lastMs) must not move the session
+            // end backwards (would split sessions / fire timeouts early)
+            cur = Some(SessionState(math.min(s.startMs, t),
+              math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }

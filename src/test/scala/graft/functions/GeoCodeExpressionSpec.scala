@@ -44,6 +44,14 @@ class GeoCodeExpressionSpec extends SparkSpec {
       // native registration: the plan contains the expression, not a UDF
       val plan = s2.sql("SELECT SUDAN_GeoCode('x')").queryExecution
         .analyzed.toString
+      // catalog docs parity (function_builder.hpp): usage visible in SQL
+      val desc = s2.sql("DESCRIBE FUNCTION EXTENDED SUDAN_GeoCode")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("ISO 3166-2:SD"), desc)
+      assert(desc.contains("SUDAN_GeoCode('Khartoum')"), desc)
+      // analysis-time implicit cast: non-string input coerces, not crashes
+      assert(s2.sql("SELECT SUDAN_GeoCode(123) AS c").collect()(0)
+        .getString(0) === "")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)

@@ -81,6 +81,15 @@ class SourcesSpec extends SparkSpec {
     assert(!tasks(YearRange()).head.pagedBase.get.contains("date="))
   }
 
+  test("WB catalog: pagination (2 pages) — rows span both fixture pages") {
+    // wb_indicators.cpp:87-126 loops catalog pages exactly like the data
+    // scan; the fixture is split 2+2 with pages=2 metadata, so getting all
+    // 4 rows (ids from both halves) proves the loop followed page 2.
+    val ids = Sudan.wbIndicators(spark, fetcher = fx("worldbank"))
+      .select("indicator_id").collect().map(_.getString(0)).toSet
+    assert(ids === Set("SP.POP.TOTL", "SP.POP.GROW", "NY.GDP.MKTP.CD", "SH.DYN.MORT"))
+  }
+
   test("WB catalog: search filter ci on id+name; '' sourceNote → NULL") {
     val all = Sudan.wbIndicators(spark, fetcher = fx("worldbank"))
     assert(all.count() === 4)

@@ -62,6 +62,38 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late in-watermark event cannot move a session's bounds backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapMs = 10 * 60 * 1000L,
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(8), 100, "view", 2.0))
+      query.processAllAvailable()
+      // late event (minute 4 < last-seen minute 8) in a later micro-batch:
+      // must extend counts but keep lastMs at minute 8, NOT regress to 4
+      input.addData(Event(3, ts(4), 100, "click", 3.0))
+      query.processAllAvailable()
+      // far-future event from another user advances the watermark past the
+      // session's gap so the (correct) timeout fires and emits it
+      input.addData(Event(4, ts(59), 200, "click", 0.5))
+      query.processAllAvailable()
+      input.addData(Event(5, ts(59), 201, "view", 0.5))
+      query.processAllAvailable()
+      val sess = spark.table("late_sessions")
+        .filter(col("user_id") === 100L).collect()
+      assert(sess.length === 1)
+      assert(sess(0).getTimestamp(1) === ts(1)) // start stays min
+      assert(sess(0).getTimestamp(2) === ts(8)) // end stays max, not 4
+      assert(sess(0).getInt(3) === 3)           // late event still counted
+    } finally query.stop()
+  }
+
   test("batch sessionization matches the same session definition") {
     import spark.implicits._
     val df = Seq(
