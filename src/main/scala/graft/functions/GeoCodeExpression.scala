@@ -93,5 +93,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "SUDAN_GeoCode takes exactly one argument")
         GeoCodeExpression(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(
+        classOf[SimHashExpression].getName,
+        null,
+        "simhash",
+        "simhash(text) - Returns the 64-bit SimHash of the text's " +
+          "whitespace tokens (near-duplicate signature; NULL yields 0).",
+        """
+    Examples:
+      > SELECT simhash('the quick brown fox');
+       [64-bit signature]
+  """),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash takes exactly one argument")
+        SimHashExpression(children.head)
+      }))
   }
 }

@@ -198,11 +198,13 @@ object Dedup {
     out
   }
 
-  /** SimHash per document. */
-  def simHashes(spark: SparkSession, dir: String): DataFrame = {
-    val shUdf = udf((t: String) => simHash64(t))
-    docs(spark, dir).select(col("doc_id"), shUdf(col("text")).as("simhash"))
-  }
+  /** SimHash per document — computed by the native codegen expression
+    * ([[graft.functions.SimHashExpression]]), not a UDF, so the signature
+    * pass stays inside WholeStageCodegen (equivalence to the Scala
+    * function is spec-pinned). */
+  def simHashes(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      graft.functions.SimHashExpression.native(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
     * within Hamming distance 3 shares at least one full band), bucketed
