@@ -84,6 +84,7 @@ object SparkEntry {
     "q_geocode" -> (geocodeGolden _),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(s, d)),
     "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
@@ -354,6 +355,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, " +
         "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"),
+    // exact word-3-gram Jaccard, consecutive doc pairs: the same shingle +
+    // intersect/union computation as Dedup.shingleArray/jaccardExpr,
+    // written with DuckDB's list functions
+    "q_jaccard" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> " +
+        "array_to_string(w[i:i+2], ' ')) END) AS sh " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) " +
+        "AS jaccard FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"),
     "q_text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the core of a
@@ -104,6 +104,42 @@ object Dedup {
     if (a.isEmpty && b.isEmpty) 1.0
     else (a & b).size.toDouble / (a | b).size.toDouble
 
+  /** Column twin of [[shingles]]: word k-gram shingle set as a pure array
+    * expression (split → transform/slice → array_distinct) — codegen'd, no
+    * UDF, and expressible verbatim in any engine with list functions (the
+    * `q_jaccard` DuckDB oracle is the same computation). */
+  def shingleArray(textCol: Column, k: Int = 3): Column = {
+    val words = filter(split(textCol, "\\s+"), w => length(w) > 0)
+    val n = size(words)
+    array_distinct(
+      when(n < k, array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(1), n - (k - 1)), i =>
+          concat_ws(" ", slice(words, i, lit(k))))))
+  }
+
+  /** Exact Jaccard of two shingle-array columns (both-empty → 1.0),
+    * column twin of [[jaccard]]. */
+  def jaccardExpr(a: Column, b: Column): Column = {
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / uni.cast("double"))
+  }
+
+  /** Exact 3-gram Jaccard for each consecutive doc-id pair — the oracle-
+    * backed demonstration of the exact-similarity path (the same
+    * expressions verify LSH candidates in [[minHashPairs]]). One narrow
+    * shuffle-free map per side + an equi-join on doc_id. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = d.select((col("doc_id") - 1).as("doc_a"),
+      col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardExpr(shingleArray(col("text_a")),
+          shingleArray(col("text_b"))), 4).as("jaccard"))
+  }
+
   /** MinHash signatures per document: (doc_id, sig: array<bigint>). */
   def minHashSignatures(spark: SparkSession, dir: String,
       numHashes: Int = 64): DataFrame = {
@@ -150,8 +186,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
 
-    // exact verify: join texts back, compute true n-gram Jaccard
-    val jacUdf = udf((a: String, b: String) => jaccard(shingles(a), shingles(b)))
+    // exact verify: join texts back, compute true n-gram Jaccard with the
+    // codegen'd array expressions (no UDF in the verify stage either)
     val texts = docs(spark, dir).select(col("doc_id"), col("text"))
     candidates
       .join(texts.withColumnRenamed("doc_id", "doc_a")
@@ -159,7 +195,8 @@ object Dedup {
       .join(texts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("text", "text_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jacUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
+        round(jaccardExpr(shingleArray(col("text_a")),
+          shingleArray(col("text_b"))), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -109,6 +109,34 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("shingleArray/jaccardExpr equal the Scala set functions") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e",            // normal
+      "a b",                  // shorter than k → single joined shingle
+      "x",                    // single word
+      " a  b c ",             // messy whitespace
+      ("w" + (1 to 40).mkString(" w")))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), col("text"), Dedup.shingleArray(col("text")).as("sh"))
+    df.collect().foreach { r =>
+      val expect = Dedup.shingles(r.getString(1))
+      assert(r.getSeq[String](2).toSet === expect, s"text='${r.getString(1)}'")
+    }
+    // pairwise jaccardExpr == jaccard over the cross product
+    val a = df.select(col("id").as("ia"), col("sh").as("sa"),
+      col("text").as("ta"))
+    val b = df.select(col("id").as("ib"), col("sh").as("sb"),
+      col("text").as("tb"))
+    a.crossJoin(b).select(col("ta"), col("tb"),
+      Dedup.jaccardExpr(col("sa"), col("sb")).as("j")).collect().foreach { r =>
+        val expect = Dedup.jaccard(Dedup.shingles(r.getString(0)),
+          Dedup.shingles(r.getString(1)))
+        assert(math.abs(r.getDouble(2) - expect) < 1e-12)
+      }
+  }
+
   test("maxBucket caps degenerate hot bands (boilerplate corpus)") {
     import spark.implicits._
     // 100 identical boilerplate docs (every band collides → one 100-doc
