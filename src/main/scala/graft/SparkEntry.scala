@@ -94,9 +94,11 @@ object SparkEntry {
     "q_lang_profile" -> (TextOps.langProfile _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_stopword_quality" -> (TextOps.stopwordQuality _),
+    // event_id is the unique row id: salting by it spreads even
+    // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
       graft.operators.Skew.saltedCountSum(Relational.events(s, d),
-        "event_type", "value")),
+        "event_type", "value", idCol = Some("event_id"))),
     "q_kmv_distinct" -> ((s, d) => Relational.events(s, d)
       .groupBy("event_type")
       .agg(graft.functions.KmvSketch.approxDistinct(
@@ -188,6 +190,42 @@ object SparkEntry {
     s"('$iso', '$en', '$ar', $lon, $lat, $n, " +
       "'{\"type\":\"MultiPolygon\"')"
   }.mkString(", ")
+
+  /** Word-3-gram shingle sets per document, as a DuckDB CTE — the list-
+    * function twin of `Dedup.shingleArray` (same \s+ tokenization, same
+    * empty-token filter, same short-text branch). */
+  private val shingleCte: String =
+    "WITH s AS (SELECT doc_id, list_distinct(" +
+      "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(1, len(w) - 1), i -> " +
+      "array_to_string(w[i:i+2], ' ')) END) AS sh " +
+      "FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> len(x) > 0) AS w FROM documents)) "
+
+  /** Exact Jaccard of two shingle CTE rows `a`/`b` (DuckDB list algebra),
+    * twin of `Dedup.jaccardExpr`. */
+  private val jaccardSqlExpr: String =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+
+  /** The LSH bucket id of `Similarity.withBucket`, as DuckDB SQL over a
+    * column `e` = CAST(embedding AS DOUBLE[]): the SAME deterministic
+    * hyperplane constants are embedded as literals, and both engines
+    * compute the dot product as a sequential fold over doubles, so the sign
+    * pattern — hence the bucket — is bit-identical. This makes the
+    * LSH-bucketed join itself oracle-checkable, not just its output shape. */
+  private def bucketSqlExpr(numPlanes: Int): String =
+    graft.operators.Similarity.hyperplanes(numPlanes, 64).zipWithIndex
+      .map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+
+  /** DuckDB cosine between shingle-CTE-style embedding columns. */
+  private def cosineSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))), 4)"
 
   def oracleSql: Map[String, String] = Map(
     "q_projection" ->
@@ -357,17 +395,34 @@ object SparkEntry {
         "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"),
     // exact word-3-gram Jaccard, consecutive doc pairs: the same shingle +
     // intersect/union computation as Dedup.shingleArray/jaccardExpr,
-    // written with DuckDB's list functions
+    // written with DuckDB's list functions (shingleCte tokenizes with the
+    // same \s+ split + empty-token filter as the Spark expression)
     "q_jaccard" ->
-      ("WITH s AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
-        "ELSE list_transform(range(1, len(w) - 1), i -> " +
-        "array_to_string(w[i:i+2], ' ')) END) AS sh " +
-        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)) " +
+      (shingleCte +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) " +
+        s"round($jaccardSqlExpr, 4) " +
         "AS jaccard FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"),
+    // MinHash-LSH near-dup pairs vs EXACT all-pairs Jaccard: on this corpus
+    // every true pair has J >= 0.98 (nothing between 0.2 and 0.98), so at
+    // threshold 0.5 the 16x4 banding's per-pair miss probability is
+    // ~(1-0.98^4)^16 < 1e-22 — LSH provably finds the full exact answer,
+    // and the exact all-pairs join IS the oracle (500 docs at the oracle SF
+    // → 125k pairs, trivially in DuckDB's reach; at 100 TB only the LSH
+    // side exists, which is the point of the operator).
+    "q_minhash_pairs" ->
+      (shingleCte +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        s"round($jaccardSqlExpr, 4) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5"),
+    // keep-filter twin: documents minus the higher-id side of each pair
+    "q_minhash_keep" ->
+      (shingleCte +
+        ", drops AS (SELECT DISTINCT b.doc_id FROM s a JOIN s b " +
+        "ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5) " +
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars " +
+        "FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"),
     "q_text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
@@ -534,9 +589,45 @@ object SparkEntry {
             s"CAST(ord(text[i+$j]) AS BIGINT) * $p"
           }.mkString(" + ") +
         ") % 1000000007) AS h FROM documents) " +
+        // short-text branches mirror fingerprintSet exactly: no k-gram
+        // (len(text) < 8) → no rows; fewer hashes than one window
+        // (len(h) < 4) → the single global min
         "SELECT doc_id, CAST(unnest(list_distinct(" +
-        "list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))) " +
-        "AS BIGINT) AS fp_hash FROM hs"),
+        "CASE WHEN len(h) = 0 THEN [] " +
+        "WHEN len(h) < 4 THEN [list_min(h)] " +
+        "ELSE list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])) " +
+        "END)) AS BIGINT) AS fp_hash FROM hs"),
+    // KMV sketch: EXACT below k by construction (it keeps all hashes until
+    // k distinct are seen — the contract KmvSketchSpec pins). The oracle SF
+    // has 150 distinct users per event_type < k=256, so count(DISTINCT) is
+    // a true oracle of the sketch here; the estimator regime (1500 > k at
+    // the bench SF) is covered by the spec's error-bound test.
+    "q_kmv_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS approx_users " +
+        "FROM events GROUP BY event_type"),
+    // LSH-bucketed k-NN join, fully re-derived in DuckDB: identical
+    // hyperplane constants → identical buckets (see bucketSqlExpr), then
+    // the same per-vector top-5 window over in-bucket cosine
+    "q_knn_join" ->
+      ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings) t0), " +
+        "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
+        cosineSql("a.e", "c.e") + " AS cosine " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id) " +
+        "SELECT vec_a, vec_b, cosine, rank FROM " +
+        "(SELECT vec_a, vec_b, cosine, CAST(row_number() OVER " +
+        "(PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS INTEGER) " +
+        "AS rank FROM p) t WHERE rank <= 5"),
+    // embedding near-dup pairs: same bucket re-derivation, threshold filter
+    "q_embed_neardup" ->
+      ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings) t0) " +
+        "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
+        cosineSql("a.e", "c.e") + " AS cosine " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3"),
     "q_sessionize" ->
       ("WITH m AS (SELECT user_id, ts, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
@@ -550,10 +641,29 @@ object SparkEntry {
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, " +
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM g GROUP BY user_id, session_no")
-    // q_minhash_pairs / q_simhash_pairs / q_embed_neardup / q_knn_join /
-    // q_kmv_distinct / q_minhash_keep: not ANSI-SQL-expressible
-    // (signature UDFs / LSH bucketing / sketch state) → rows-only check;
-    // pinned instead by ScalaTest specs.
+        "FROM g GROUP BY user_id, session_no"),
+    // q_simhash_pairs: the murmur3-based simhash itself is not expressible
+    // in DuckDB; the entry is pinned by a golden VALUES oracle (the output
+    // is a deterministic function of the fixed corpus — 4-band pigeonhole
+    // makes the Hamming<=3 pair set EXACT given the simhash values, whose
+    // semantics DedupSpec + SimHashExpressionSpec pin independently).
+    "q_simhash_pairs" -> simhashGolden
   )
+
+  /** Golden for q_simhash_pairs at the oracle SF (see comment above):
+    * the 30 Hamming<=3 pairs. Sanity anchors: the corpus's 24 exact-dup +
+    * 1 J=0.9891 near-dup pairs (q_minhash_pairs' exact-Jaccard oracle) all
+    * reappear here with hamming 0-2, as SimHash semantics require. */
+  private val simhashGolden: String =
+    "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, " +
+      "CAST(hamming AS INTEGER) AS hamming FROM (VALUES " +
+      Seq((8, 245, 2), (9, 429, 3), (22, 218, 3), (31, 383, 1), (44, 446, 2),
+        (45, 267, 1), (45, 413, 1), (58, 293, 1), (61, 185, 2), (66, 311, 3),
+        (66, 352, 2), (70, 447, 0), (87, 134, 1), (92, 450, 3), (98, 290, 0),
+        (107, 387, 3), (120, 332, 2), (166, 323, 0), (194, 315, 3),
+        (264, 315, 3), (267, 413, 0), (271, 306, 3), (271, 328, 2),
+        (285, 301, 1), (295, 374, 1), (310, 389, 2), (315, 429, 3),
+        (326, 457, 2), (435, 486, 2), (458, 462, 2))
+        .map { case (a, b, h) => s"($a, $b, $h)" }.mkString(", ") +
+      ") AS t(doc_a, doc_b, hamming)"
 }

@@ -24,20 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The (band, band_key) buckets holding more than `maxBucket` docs —
+    * i.e. what [[pruneHotBuckets]] WOULD drop. Run this alongside a capped
+    * dedup to see what pruning costs: a non-empty result means recall was
+    * traded for boundedness on those buckets (legitimate >maxBucket
+    * near-dup clusters lose pairs; boilerplate/exact-dup clusters lose
+    * nothing that [[exact]] dedup wouldn't catch). */
+  private[operators] def hotBuckets(bandKeys: DataFrame,
+      maxBucket: Int): DataFrame =
+    bandKeys.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** Drop (band, band_key) buckets holding more than `maxBucket` docs.
     * The hot-bucket list is tiny by construction (≤ N/maxBucket entries),
     * so it broadcasts; the pre-aggregation is one map-side-combined shuffle
-    * on the same key the self-join uses. `maxBucket <= 0` disables. */
+    * on the same key the self-join uses. `maxBucket <= 0` disables.
+    * Pruning is SILENT in the pair output — use [[minHashHotBuckets]] /
+    * [[simHashHotBuckets]] to audit what a cap dropped. */
   private[operators] def pruneHotBuckets(bandKeys: DataFrame,
       maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bandKeys
-    else {
-      val hot = bandKeys.groupBy("band", "band_key")
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") > maxBucket)
-        .select("band", "band_key")
-      bandKeys.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
-    }
+    else bandKeys.join(
+      broadcast(hotBuckets(bandKeys, maxBucket).select("band", "band_key")),
+      Seq("band", "band_key"), "left_anti")
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -158,24 +168,35 @@ object Dedup {
     *   branches). Default OFF: persisted frames outlive the query and
     *   pollute later queries sharing the session (observed 4-5x bench
     *   drift); at real scale, materialize signatures to parquet instead. */
-  def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5,
-      persistSignatures: Boolean = false,
-      maxBucket: Int = 1000): DataFrame = {
+  /** One row per (doc, band): band key = hash of the band's sig slice. */
+  private def minHashBandKeys(spark: SparkSession, dir: String,
+      numHashes: Int, bands: Int, persistSignatures: Boolean): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigsRaw = minHashSignatures(spark, dir, numHashes)
     val sigs = if (persistSignatures)
       sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sigsRaw
+    sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
+          .as("band_key"))
+  }
 
-    // one row per (doc, band): band key = hash of the band's sig slice
+  /** Audit query: the MinHash band buckets a `maxBucket` cap prunes
+    * (band, band_key, bucket_n). Empty → the cap dropped nothing. */
+  def minHashHotBuckets(spark: SparkSession, dir: String, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    hotBuckets(minHashBandKeys(spark, dir, numHashes, bands,
+      persistSignatures = false), maxBucket)
+
+  def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      persistSignatures: Boolean = false,
+      maxBucket: Int = 1000): DataFrame = {
     val bandKeys = pruneHotBuckets(
-      sigs.select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"))
-        .select(col("doc_id"), col("band"),
-          hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
-            .as("band_key")),
+      minHashBandKeys(spark, dir, numHashes, bands, persistSignatures),
       maxBucket)
 
     val left = bandKeys.select(col("band"), col("band_key"),
@@ -246,16 +267,23 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
     * within Hamming distance 3 shares at least one full band), bucketed
     * self-join per band, then exact Hamming check via bit_count(xor). */
+  /** One row per (doc, band): the 64-bit simhash split into 4×16-bit keys. */
+  private def simHashBandKeys(spark: SparkSession, dir: String): DataFrame =
+    simHashes(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("shiftrightunsigned(simhash, band * 16)")
+          .bitwiseAND(lit(0xffffL)).as("band_key"))
+
+  /** Audit query: the SimHash band buckets a `maxBucket` cap prunes. */
+  def simHashHotBuckets(spark: SparkSession, dir: String,
+      maxBucket: Int = 1000): DataFrame =
+    hotBuckets(simHashBandKeys(spark, dir), maxBucket)
+
   def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sh = simHashes(spark, dir)
-    val banded = pruneHotBuckets(
-      sh.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .select(col("doc_id"), col("simhash"), col("band"),
-          expr("shiftrightunsigned(simhash, band * 16)")
-            .bitwiseAND(lit(0xffffL)).as("band_key")),
-      maxBucket)
+    val banded = pruneHotBuckets(simHashBandKeys(spark, dir), maxBucket)
     val l = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("band_key"),

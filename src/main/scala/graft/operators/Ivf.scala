@@ -83,25 +83,38 @@ object Ivf {
   }
 
   /** Session-scoped registry of materialized indexes: built once per
-    * (corpus dir, nlist), probed many times. At real scale this is a
-    * managed table location, not a temp dir. */
+    * (corpus dir, nlist, trainSample), probed many times. At real scale
+    * this is a managed table location, not a temp dir. The cache assumes an
+    * immutable corpus under `dir` for the session (the norm for snapshot
+    * parquet); if the corpus is rewritten, call [[clearIndexCache]] or the
+    * probe serves the stale index. */
   private val indexCache =
-    new ConcurrentHashMap[(String, Int), (String, Array[Array[Double]])]()
+    new ConcurrentHashMap[(String, Int, Int), (String, Array[Array[Double]])]()
 
   /** Build-once: tag the corpus and write it PARTITIONED BY cluster, so a
     * probe's `cluster IN (...)` filter prunes whole partitions at the scan.
-    * Idempotent per (dir, nlist) within the session. */
+    * Idempotent per (dir, nlist, trainSample) within the session. */
   def materializeIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       trainSample: Int = 4096): (String, Array[Array[Double]]) =
-    indexCache.computeIfAbsent((dir, nlist), { _ =>
+    indexCache.computeIfAbsent((dir, nlist, trainSample), { _ =>
       val (indexed, centroids) = buildIndex(spark, dir, nlist, trainSample)
       val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
       indexed.write.mode("overwrite").partitionBy("cluster").parquet(path)
       (path, centroids)
     })
 
-  /** Drop materialized indexes (test hygiene). */
-  def clearIndexCache(): Unit = indexCache.clear()
+  /** Drop materialized indexes AND delete their temp directories (test
+    * hygiene / corpus-changed invalidation). */
+  def clearIndexCache(): Unit = {
+    indexCache.values.forEach { case (path, _) => deleteRecursively(new java.io.File(path)) }
+    indexCache.clear()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** The `nprobe` cells whose centroids are nearest to the query (driver
     * side — nlist is tiny by construction). */

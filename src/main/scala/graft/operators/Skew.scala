@@ -9,21 +9,31 @@ import org.apache.spark.sql.functions._
   *
   * Two-phase salted aggregation: phase 1 groups on (key, salt) so the hot
   * key's rows spread over `salts` reducers; phase 2 merges the partials.
-  * Works for any algebraic aggregate (sum/count/min/max); the salt is a
-  * hash of ALL the row's columns — a pure function of row content, so the
-  * assignment is stable under task retry/recomputation (no RNG, no
-  * partition-order dependence). Rows that are full duplicates share a salt;
-  * residual skew is bounded by duplicate multiplicity (with a unique id
-  * column in the row, spreading is uniform). At 100 TB: pick
-  * salts ≈ hot-key rows / target-partition rows.
+  * Works for any algebraic aggregate (sum/count/min/max).
+  *
+  * Salt assignment must be BOTH deterministic (stable under task retry /
+  * recomputation — `monotonically_increasing_id`/`rand` are not, the
+  * SPARK-23207 class of bug) AND uniform over a hot key's rows. A content
+  * hash alone fails the second half exactly when skew bites hardest: a hot
+  * key whose rows are FULL duplicates (same (key,value) repeated millions
+  * of times) all hash to ONE salt bucket. So: pass `idCol` — any unique
+  * column (primary key, offset, line id) — and the salt is a hash of that
+  * id, which spreads duplicate rows uniformly AND deterministically. With
+  * no unique column available the salt falls back to hashing all columns,
+  * and the duplicate-multiplicity caveat applies (residual skew is bounded
+  * by the max multiplicity of a fully-duplicate row).
+  * At 100 TB: pick salts ≈ hot-key rows / target-partition rows.
   */
 object Skew {
 
-  /** count + sum aggregation over `key`, salted across `salts` partials. */
+  /** count + sum aggregation over `key`, salted across `salts` partials.
+    * @param idCol unique row-id column to salt by (uniform + deterministic);
+    *   None → content hash of all columns (see caveat in object doc). */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
-      salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
+      salts: Int = 16, idCol: Option[String] = None): DataFrame = {
+    val saltSrc = idCol.map(c => Seq(col(c)))
+      .getOrElse(df.columns.map(col).toSeq)
+    val salted = df.withColumn("_salt", pmod(hash(saltSrc: _*), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"),

@@ -165,5 +165,15 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(200L) && !kept.contains(201L))
     assert((1 to 100).forall(i => kept.contains(i.toLong)))
+
+    // pruning is auditable: the hot-bucket query names exactly what the cap
+    // dropped (the boilerplate cluster's 16 band buckets of size 100), and
+    // reports empty when nothing is pruned
+    val audited = Dedup.minHashHotBuckets(spark, tmp, maxBucket = 16)
+      .collect()
+    assert(audited.length === 16) // one hot bucket per band
+    assert(audited.forall(_.getLong(2) === 100L))
+    assert(Dedup.minHashHotBuckets(spark, tmp, maxBucket = 100).count() === 0)
+    assert(Dedup.simHashHotBuckets(spark, tmp, maxBucket = 16).count() === 4)
   }
 }

@@ -70,6 +70,14 @@ class IvfSpec extends SparkSpec {
     // build-once: a second topK over the same (dir, nlist) reuses the index
     val (path2, _) = Ivf.materializeIndex(spark, sfDir, nlist = 16)
     assert(path2 === path)
+    // a different trainSample is a DIFFERENT index (cache keys on it)
+    val (path3, _) = Ivf.materializeIndex(spark, sfDir, nlist = 16,
+      trainSample = 128)
+    assert(path3 !== path, "trainSample must be part of the cache key")
+    // clearIndexCache deletes the materialized temp directories
+    Ivf.clearIndexCache()
+    assert(!new java.io.File(path).exists(), "clear must delete index dirs")
+    assert(!new java.io.File(path3).exists(), "clear must delete index dirs")
   }
 
   test("probing is selective: fewer rows scanned than brute force") {
