@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.Sudan
-import graft.operators.{Dedup, Ivf, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Ivf, Multimodal, RangeJoin, Relational,
+  Similarity, TextOps}
 import graft.functions.GeoCode
 import graft.geo.SudanGeo
 
@@ -105,6 +106,9 @@ object SparkEntry {
         col("user_id").cast("string")).as("approx_users"))),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprints" -> (TextOps.fingerprints _),
+    "q_tfidf" -> (TextOps.tfIdf _),
+    "q_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
+    "q_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     // LLM-pipeline: similarity family
     "q_embed_norms" -> (Similarity.norms _),
     "q_ann_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d, queryId = 0L)),
@@ -143,6 +147,10 @@ object SparkEntry {
       Sudan.ilo(s, "EMP_TEMP_SEX_ECO_NB", fetcher = fixtures("ilo10"))),
     "q_src_search" -> ((s, _) =>
       Sudan.search(s, "mortality", fetcher = fixtures("search"))),
+    // temporal joins (beyond the reference): as-of enrichment and a
+    // no-equality-key proximity range join, both scale-safe rewrites
+    "q_asof_join" -> (AsOf.eventsAsOfLastPurchase _),
+    "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
     // streaming twin: gap-based sessionization (batch form; the streaming
     // form is pinned by EventStreamSpec against the same definition)
     "q_sessionize" -> ((s, d) =>
@@ -226,6 +234,39 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b))), 4)"
+
+  /** Winnowing fingerprints as a DuckDB CTE (`fp`: doc_id, fp_hash), twin
+    * of `TextOps.fingerprintSet` with k=8, window=4. The Karp-Rabin k-gram
+    * hash is the fixed polynomial sum(ord(c_j) * 131^(k-1-j)) mod 1e9+7 —
+    * powers spelled out as constants; window minima + distinct reproduce
+    * the winnow. Short-text branches mirror the Scala exactly: no k-gram
+    * (len(text) < 8) → no rows; fewer hashes than one window (len(h) < 4)
+    * → the single global min. ASCII corpus → DuckDB codepoints == JVM
+    * UTF-16 units, so ord() matches charAt. */
+  private val fpCte: String =
+    "WITH hs AS (SELECT doc_id, " +
+      "list_transform(range(1, length(text) - 6), i -> (" +
+      Seq(617266377L, 913108910L, 579489385L, 294499921L,
+        2248091L, 17161L, 131L, 1L).zipWithIndex.map { case (p, j) =>
+          s"CAST(ord(text[i+$j]) AS BIGINT) * $p"
+        }.mkString(" + ") +
+      ") % 1000000007) AS h FROM documents), " +
+      "fp AS (SELECT doc_id, CAST(unnest(list_distinct(" +
+      "CASE WHEN len(h) = 0 THEN [] " +
+      "WHEN len(h) < 4 THEN [list_min(h)] " +
+      "ELSE list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])) " +
+      "END)) AS BIGINT) AS fp_hash FROM hs)"
+
+  /** Containment score over the pruned fingerprint universe (CTE aliases
+    * sh/sa/sb from q_containment). */
+  private val containSqlExpr: String =
+    "CAST(sh.shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)"
+
+  /** Exploded word stream (doc_id, lang, word), twin of `TextOps.words`. */
+  private val wordCte: String =
+    "WITH w AS (SELECT doc_id, lang, " +
+      "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> len(x) > 0)) AS word FROM documents)"
 
   def oracleSql: Map[String, String] = Map(
     "q_projection" ->
@@ -576,27 +617,47 @@ object SparkEntry {
               "THEN 1 ELSE 0 END").mkString(" + ") + s"), 'l': '$lang'}"
         }.mkString(", ") +
         "]) AS m FROM documents)"),
-    // winnowing fingerprints (Schleimer et al., SIGMOD'03), k=8, window=4:
-    // the Karp-Rabin k-gram hash is the fixed polynomial
-    // sum(ord(c_j) * 131^(k-1-j)) mod 1e9+7, so the oracle spells the powers
-    // out as constants; window minima + distinct reproduce the winnow. ASCII
-    // corpus → DuckDB codepoints == JVM UTF-16 units, so ord() matches charAt.
+    // winnowing fingerprints (Schleimer et al., SIGMOD'03): see fpCte
     "q_fingerprints" ->
-      ("WITH hs AS (SELECT doc_id, " +
-        "list_transform(range(1, length(text) - 6), i -> (" +
-        Seq(617266377L, 913108910L, 579489385L, 294499921L,
-          2248091L, 17161L, 131L, 1L).zipWithIndex.map { case (p, j) =>
-            s"CAST(ord(text[i+$j]) AS BIGINT) * $p"
-          }.mkString(" + ") +
-        ") % 1000000007) AS h FROM documents) " +
-        // short-text branches mirror fingerprintSet exactly: no k-gram
-        // (len(text) < 8) → no rows; fewer hashes than one window
-        // (len(h) < 4) → the single global min
-        "SELECT doc_id, CAST(unnest(list_distinct(" +
-        "CASE WHEN len(h) = 0 THEN [] " +
-        "WHEN len(h) < 4 THEN [list_min(h)] " +
-        "ELSE list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])) " +
-        "END)) AS BIGINT) AS fp_hash FROM hs"),
+      (fpCte + " SELECT doc_id, fp_hash FROM fp"),
+    // cross-document containment: the fingerprint pipeline re-derived in
+    // DuckDB end-to-end (hash → winnow → hot-gram prune → pair join →
+    // shared / min-size score), same >100-df cap and >=0.5 cutoff
+    "q_containment" ->
+      (fpCte +
+        ", hotf AS (SELECT fp_hash FROM fp GROUP BY fp_hash " +
+        "HAVING count(*) > 100), " +
+        "p AS (SELECT doc_id, fp_hash FROM fp " +
+        "WHERE fp_hash NOT IN (SELECT fp_hash FROM hotf)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id), " +
+        "sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "count(*) AS shared FROM p a JOIN p b ON a.fp_hash = b.fp_hash " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT sh.doc_a, sh.doc_b, sh.shared, " +
+        s"round($containSqlExpr, 4) AS containment " +
+        "FROM sh JOIN sz sa ON sh.doc_a = sa.doc_id " +
+        "JOIN sz sb ON sh.doc_b = sb.doc_id " +
+        s"WHERE round($containSqlExpr, 4) >= 0.5"),
+    // TF-IDF: unnest words → tf/df aggregates → smoothed idf; ln over
+    // doubles is the same correctly-rounded libm call in both engines
+    "q_tfidf" ->
+      (wordCte +
+        ", tf AS (SELECT doc_id, word, count(*) AS tf FROM w " +
+        "GROUP BY doc_id, word), " +
+        "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT tf.doc_id, tf.word, tf.tf, df.df, " +
+        "round(CAST(tf.tf AS DOUBLE) * (ln(CAST(n.n_docs + 1 AS DOUBLE) / " +
+        "CAST(df.df + 1 AS DOUBLE)) + 1.0), 4) AS tfidf " +
+        "FROM tf JOIN df ON tf.word = df.word CROSS JOIN n"),
+    "q_top_terms" ->
+      (wordCte +
+        ", c AS (SELECT lang, word, count(*) AS n FROM w " +
+        "GROUP BY lang, word) " +
+        "SELECT lang, word, n, rank FROM " +
+        "(SELECT lang, word, n, CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY n DESC, word ASC) AS INTEGER) AS rank FROM c) t " +
+        "WHERE rank <= 10"),
     // KMV sketch: EXACT below k by construction (it keeps all hashes until
     // k distinct are seen — the contract KmvSketchSpec pins). The oracle SF
     // has 150 distinct users per event_type < k=256, so count(DISTINCT) is
@@ -628,6 +689,27 @@ object SparkEntry {
         cosineSql("a.e", "c.e") + " AS cosine " +
         "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
         "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3"),
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
+    // union+window rewrite (purchases deduped per (user_id, ts) on both
+    // sides so the as-of match is unique)
+    "q_asof_join" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    // range join: the binned equi-join rewrite must equal the plain
+    // inequality join (which DuckDB runs natively as an IEJoin)
+    "q_range_join" ->
+      ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "epoch_ms(c.ts) - epoch_ms(e.ts) AS gap_ms " +
+        "FROM events e JOIN events c ON e.event_type = 'error' " +
+        "AND c.event_type = 'click' " +
+        "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
+        "AND e.ts + INTERVAL 60 SECOND"),
     "q_sessionize" ->
       ("WITH m AS (SELECT user_id, ts, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +

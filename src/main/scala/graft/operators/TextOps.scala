@@ -171,4 +171,83 @@ object TextOps {
     docs(spark, dir)
       .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"))
       .withColumn("n_grams", size(col("fingerprint")))
+
+  /** One row per (doc, token), \s+ split, empty tokens dropped — the
+    * exploded word stream the frequency operators share. Narrow map +
+    * generator; the shuffle happens in the consumer's aggregation. */
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("lang"),
+      explode(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+        .as("word"))
+
+  /** TF-IDF term weighting — the classic relevance/quality signal of a
+    * text pipeline. Plan: tf = one partial-agg shuffle on (doc, word);
+    * df = a COUNT WINDOW over word on the tf frame (tf is unique per
+    * (doc, word), so rows-per-word IS the document frequency) — single
+    * lineage, so the scan+explode runs once (a tf⋈df self-join would
+    * recompute it on both sides); the doc count joins in as a broadcast
+    * 1-row frame (no driver-side collect). idf uses the smoothed
+    * ln((N+1)/(df+1)) + 1 so unseen-term weights stay finite. */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = words(spark, dir).groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("word")))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    withDf.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")) + 1.0), 4).as("tfidf"))
+  }
+
+  /** Per-language top-k terms by corpus frequency (heavy hitters) — ties
+    * broken by word for determinism. One shuffle on (lang, word) with
+    * map-side combine, then the rank's shuffle on lang; Spark pushes the
+    * rank<=k limit into the sort (WindowGroupLimit). */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("word").asc)
+    words(spark, dir).groupBy("lang", "word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Cross-document containment via winnowing fingerprints: pairs of
+    * documents sharing fingerprint hashes, scored by
+    * shared / min(|fp(a)|, |fp(b)|) — the copy/quotation detector of
+    * Schleimer et al. (SIGMOD'03 §5), and the cross-corpus twin of the
+    * MinHash near-dup pass (catches containment, which Jaccard dilutes).
+    *
+    * Scale shape: the candidate generator is an equi-join on fp_hash —
+    * never all-pairs. Hashes shared by more than `maxDf` documents
+    * (boilerplate grams) are pruned first via a broadcast anti-join, the
+    * same hot-bucket cap as Dedup: a gram in thousands of docs carries no
+    * pair signal but O(df²) join cost. Sizes use the pruned universe so
+    * numerator and denominator agree (exact dups still score 1.0). */
+  def containmentPairs(spark: SparkSession, dir: String,
+      maxDf: Int = 100, minContainment: Double = 0.5): DataFrame = {
+    val fp = fingerprints(spark, dir)
+    val hot = fp.groupBy("fp_hash").agg(count(lit(1)).as("hash_df"))
+      .filter(col("hash_df") > maxDf).select("fp_hash")
+    val pruned = fp.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val shared = pruned.as("a")
+      .join(pruned.as("b"), col("a.fp_hash") === col("b.fp_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 4).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+
+  test("backward as-of semantics: latest right ts <= left ts, ties match") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L), (3L, "k", 30L),
+      (4L, "other", 15L)).toDF("id", "key", "t")
+    val right = Seq(("k", 10L, "a"), ("k", 25L, "b"), ("zzz", 1L, "x"))
+      .toDF("key", "t", "state")
+    val out = AsOf.asOfJoin(left, right, keys = Seq("key"), ts = "t",
+        payload = Seq("state"), rename = s => s"right_$s")
+      .select("id", "right_state").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("a"), "equal ts must match (>= semantics)")
+    assert(out(2L) === Some("a"), "latest earlier right row carries forward")
+    assert(out(3L) === Some("b"))
+    assert(out(4L) === None, "no right row for the key → null")
+  }
+
+  test("as-of join is ONE shuffle on the key — no range explosion") {
+    val df = AsOf.eventsAsOfLastPurchase(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // purchases dedup (user_id, ts) + the as-of window both hash by
+    // user_id; nothing else may shuffle, and nothing may nested-loop
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}")
+    assert(plan.toString.contains("Window"))
+    assert(!plan.toString.contains("CartesianProduct"))
+    assert(!plan.toString.contains("BroadcastNestedLoop"))
+  }
+
+  test("matches per-row recomputation on the events table") {
+    // independent oracle: correlated max-ts lookup via a self-join
+    val events = Relational.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    val expected = events.as("l")
+      .join(purchases.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.ts") >= col("r.ts"),
+        "left")
+      .groupBy(col("l.event_id"))
+      .agg(max(struct(col("r.ts"), col("r.p_value"))).as("m"))
+      .select(col("event_id"), col("m.ts").as("e_pts"),
+        col("m.p_value").as("e_pval"))
+    val actual = AsOf.eventsAsOfLastPurchase(spark, sfDir)
+      .select(col("event_id"), col("purchase_ts"), col("purchase_value"))
+    val joined = actual.join(expected, Seq("event_id"))
+    val mismatches = joined.filter(
+      !(col("purchase_ts").isNull && col("e_pts").isNull) &&
+        (col("purchase_ts") =!= date_format(col("e_pts"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS") ||
+          col("purchase_value") =!= col("e_pval"))).count()
+    assert(mismatches === 0)
+    assert(actual.count() === events.count(), "left join keeps every event")
+  }
+}

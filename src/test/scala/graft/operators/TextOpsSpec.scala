@@ -73,4 +73,50 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(a0 === e0)
   }
+
+  test("tfidf: rare terms outweigh common ones; df counts documents") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq((1L, "alpha beta beta", "en"), (2L, "alpha gamma", "en"),
+      (3L, "alpha delta", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.tfIdf(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, "alpha"))._2 === 3L, "df(alpha) = all 3 docs")
+    assert(out((1L, "beta"))._1 === 2L, "tf counts occurrences")
+    assert(out((1L, "beta"))._2 === 1L)
+    // beta (rare, tf 2) must outweigh alpha (ubiquitous, tf 1) in doc 1
+    assert(out((1L, "beta"))._3 > out((1L, "alpha"))._3)
+    // idf formula: tf * (ln((N+1)/(df+1)) + 1)
+    val expected = 1.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert(math.abs(out((2L, "gamma"))._3 -
+      math.rint(expected * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("top terms: per-language ranks, deterministic tie-break") {
+    val top = TextOps.topTerms(spark, sfDir, k = 5)
+    val langs = top.select("lang").distinct().count()
+    assert(top.groupBy("lang").count().filter(col("count") =!= 5)
+      .count() === 0, s"every lang gets exactly k rows ($langs langs)")
+    assert(top.filter(col("rank") > 5).count() === 0)
+  }
+
+  test("containment: a quoted document scores 1.0 against its source") {
+    import spark.implicits._
+    val body = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val quote = (21 to 60).map(i => s"tok$i").mkString(" ") // strict subset
+    val other = (200 to 280).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, body, "en"), (2L, quote, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.containmentPairs(spark, tmp, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.length === 1, s"only the quote pair survives: ${rows.toSeq}")
+    val (a, b, c) = rows(0)
+    assert(a === 1L && b === 2L)
+    assert(c === 1.0, "every fingerprint of the quote appears in the body")
+  }
 }
