@@ -95,6 +95,20 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** In-flight exact dedup of an at-least-once stream: duplicate
+    * deliveries of the same `event_id` are dropped as long as they arrive
+    * within the watermark of the first copy —
+    * `dropDuplicatesWithinWatermark`, the streaming twin of
+    * [[graft.operators.Dedup.exactKeep]]. State is one compact key per
+    * in-watermark event, evicted as event time advances: bounded by
+    * (ingest rate × watermark), not by stream length — the property that
+    * makes it safe at 100 TB/day. Dedup keys can equally be a content
+    * hash (`md5(text)`) for document streams; `keyCols` chooses. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours",
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Batch-mode sessionization of the static events table via window functions —
     * the offline twin of [[sessionize]] (same session definition), used to
     * backfill or verify streaming output. */

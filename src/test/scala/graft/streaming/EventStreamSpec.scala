@@ -34,6 +34,31 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = dedupStream(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // at-least-once delivery: event 1 arrives twice in one batch,
+      // event 2's duplicate arrives a batch later (still in watermark)
+      input.addData(
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(2), 100, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(2, ts(2), 100, "view", 2.0),
+        Event(3, ts(3), 101, "click", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("streaming sessionization closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
