@@ -110,5 +110,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "simhash takes exactly one argument")
         SimHashExpression(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(
+        classOf[MinHashExpression].getName,
+        null,
+        "minhash_signature",
+        "minhash_signature(text[, numHashes]) - Returns the MinHash " +
+          "signature (array of numHashes bigints, default 64) of the " +
+          "text's word 3-shingles; NULL yields the empty-set signature.",
+        """
+    Examples:
+      > SELECT minhash_signature('the quick brown fox', 16);
+       [array of 16 signature values]
+  """),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => MinHashExpression(text, 64)
+        case Seq(text, n) =>
+          val v = n.eval(null)
+          require(v != null, "numHashes must be a literal integer")
+          MinHashExpression(text, v.asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature takes (text[, numHashes])")
+      }))
   }
 }

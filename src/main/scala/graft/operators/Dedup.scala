@@ -92,10 +92,18 @@ object Dedup {
     (a, b)
   }
 
+  /** Per-numHashes memo of the hash family — the parameters are a pure
+    * function of the index, but re-deriving 64 splitmix walks per ROW was
+    * measurable in the signature pass. */
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  private def cachedParams(numHashes: Int): Array[(Long, Long)] =
+    paramCache.computeIfAbsent(numHashes, n => Array.tabulate(n)(hashParams))
+
   /** MinHash signature: numHashes permutations approximated by
     * (a*x + b) mod p over shingle hashes. */
   def minHashSignature(sh: Set[String], numHashes: Int): Array[Long] = {
-    val params = Array.tabulate(numHashes)(hashParams)
+    val params = cachedParams(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { s =>
       val x = Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, Prime)
@@ -150,13 +158,16 @@ object Dedup {
           shingleArray(col("text_b"))), 4).as("jaccard"))
   }
 
-  /** MinHash signatures per document: (doc_id, sig: array<bigint>). */
+  /** MinHash signatures per document: (doc_id, sig: array<bigint>) —
+    * computed by the native codegen expression
+    * ([[graft.functions.MinHashExpression]]), not a UDF, so the signature
+    * pass stays inside WholeStageCodegen (equivalence to the Scala
+    * function is spec-pinned in `MinHashExpressionSpec`). */
   def minHashSignatures(spark: SparkSession, dir: String,
-      numHashes: Int = 64): DataFrame = {
-    val sigUdf = udf((t: String) => minHashSignature(shingles(t), numHashes))
+      numHashes: Int = 64): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("text"),
-      sigUdf(col("text")).as("sig"))
-  }
+      graft.functions.MinHashExpression.native(col("text"), numHashes)
+        .as("sig"))
 
   /** MinHash-LSH near-duplicate pairs.
     * signatures → band keys (explode bands×docs) → bucketed self-join on

@@ -230,21 +230,25 @@ object TextOps {
     * numerator and denominator agree (exact dups still score 1.0). */
   def containmentPairs(spark: SparkSession, dir: String,
       maxDf: Int = 100, minContainment: Double = 0.5): DataFrame = {
-    val fp = fingerprints(spark, dir)
-    val hot = fp.groupBy("fp_hash").agg(count(lit(1)).as("hash_df"))
-      .filter(col("hash_df") > maxDf).select("fp_hash")
-    val pruned = fp.join(broadcast(hot), Seq("fp_hash"), "left_anti")
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    val shared = pruned.as("a")
-      .join(pruned.as("b"), col("a.fp_hash") === col("b.fp_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
-        Seq("doc_b"))
+    import org.apache.spark.sql.expressions.Window
+    // hot-gram df and per-doc size as COUNT WINDOWS, not join-backs: the
+    // fingerprint UDF then runs once per self-join side (2 lineage
+    // branches) instead of once per audit/size branch (4) — the windows
+    // reuse the shuffles the pipeline needs anyway
+    val pruned = fingerprints(spark, dir)
+      .withColumn("hash_df",
+        count(lit(1)).over(Window.partitionBy("fp_hash")))
+      .filter(col("hash_df") <= maxDf)
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "fp_hash", "n_fp")
+    val a = pruned.select(col("fp_hash"), col("doc_id").as("doc_a"),
+      col("n_fp").as("n_a"))
+    val b = pruned.select(col("fp_hash"), col("doc_id").as("doc_b"),
+      col("n_fp").as("n_b"))
+    a.join(b, Seq("fp_hash")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 4).as("containment"))
