@@ -70,7 +70,9 @@ object SparkEntry {
     "q_string_fns" -> (Relational.stringFns _),
     "q_datetime_agg" -> (Relational.datetimeAgg _),
     "q_window_topn" -> (Relational.windowTopN _),
+    "q_window_offsets" -> (Relational.windowOffsets _),
     "q_rollup" -> (Relational.rollupAgg _),
+    "q_cube" -> (Relational.cubeAgg _),
     "q_sql_cte" -> (Relational.sqlCte _),
     "q_sql_exists" -> (Relational.sqlExists _),
     "q_pivot" -> (Relational.pivotEvents _),
@@ -367,6 +369,17 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+    "q_window_offsets" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+        "lag(c_acctbal, 1) OVER w AS prev_bal, " +
+        "lead(c_acctbal, 1) OVER w AS next_bal, " +
+        "CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+        "round(cume_dist() OVER w, 6) AS cdist FROM customer " +
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey ASC)"),
     // identical SQL text runs on both engines — the string IS the oracle
     "q_sql_cte" -> Relational.cteSql,
     "q_sql_exists" -> Relational.existsSql,

@@ -31,6 +31,15 @@ object SudanExtension {
     SudanGeo.boundariesDf(spark, "locality")
       .createOrReplaceTempView("sudan_boundaries_locality")
     spark.udf.register("SUDAN_GeoCode", udf((name: String) => GeoCode.lookup(name)))
+    // pipeline scalar functions for stock sessions (the GraftExtensions
+    // path registers the codegen'd native forms of the same functions)
+    spark.udf.register("simhash",
+      udf((t: String) => graft.operators.Dedup.simHash64(t)))
+    spark.udf.register("minhash_signature",
+      udf((t: String) => graft.operators.Dedup.minHashSignature(
+        graft.operators.Dedup.shingles(t), 64)))
+    spark.udf.register("winnow_fingerprints",
+      udf((t: String) => graft.operators.TextOps.fingerprintSet(t).sorted))
   }
 
   /** Scala-facing factories (the idiomatic API, SURVEY §7.3). */

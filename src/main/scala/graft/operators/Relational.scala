@@ -307,4 +307,26 @@ object Relational {
         row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
   }
+
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus) —
+    * completes the grouping-set family next to [[rollupAgg]]. Plans as one
+    * Expand + the usual partial/final aggregate pair. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+
+  /** Window offset/distribution battery: lag/lead/ntile/cume_dist per
+    * market segment ordered by custkey — one shuffle on the partition key,
+    * one in-partition sort shared by all four functions. */
+  def windowOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_custkey").asc)
+    table(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        lag(col("c_acctbal"), 1).over(w).as("prev_bal"),
+        lead(col("c_acctbal"), 1).over(w).as("next_bal"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"))
+  }
 }
