@@ -51,4 +51,27 @@ class DdlSpec extends SparkSpec {
       src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.count() === src.count())
   }
+
+  test("partitioned parquet write: a lang filter prunes at file listing") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("pqpart").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val q = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    // lang=... must be a PARTITION filter (pruned when listing files),
+    // not a post-scan data filter — the layout decision that makes a
+    // language-sliced 100 TB corpus readable per-language
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"expected partition filter on lang, got ${scan.partitionFilters}")
+    val langs = spark.read.parquet(out).select("lang").distinct().count()
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values.toString).distinct.length
+    assert(listed === 1 && langs > 1,
+      s"listing must touch 1 of $langs lang partitions, got $listed")
+    assert(q.count() > 0)
+  }
 }
