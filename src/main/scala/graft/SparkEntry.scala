@@ -20,9 +20,12 @@ import graft.geo.SudanGeo
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end corpus clean (exact dedup ∘ MinHash near-dedup ∘
+    * quality filter ∘ token accounting) — the composition this engine
+    * exists for; oracle-checked as `q_clean_corpus`. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggQ1(spark, "/root/testdata/sf0.001")
+    graft.operators.Pipeline.cleanCorpus(spark, "/root/testdata/sf0.001")
 
   // ------------------------------------------------------------ geo helpers
 
@@ -85,6 +88,8 @@ object SparkEntry {
     "q_providers" -> ((s, _) => SudanGeo.providers(s)),
     "q_boundary_country" -> (boundaryCountry _),
     "q_geocode" -> (geocodeGolden _),
+    // LLM-pipeline: the flagship end-to-end cleaning composition
+    "q_clean_corpus" -> ((s, d) => graft.operators.Pipeline.cleanCorpus(s, d)),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_jaccard" -> (Dedup.jaccardPairs _),
@@ -447,6 +452,23 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, " +
         "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"),
+    // the full cleaning composition, re-derived: exact-keep semi ∘
+    // near-dup anti (exact all-pairs Jaccard stands in for LSH — recall 1
+    // on this corpus, see q_minhash_pairs) ∘ min-words filter ∘ token stats
+    "q_clean_corpus" ->
+      (shingleCte +
+        ", drops AS (SELECT DISTINCT b.doc_id FROM s a JOIN s b " +
+        "ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "ek AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        "GROUP BY md5(text)) " +
+        "SELECT d.doc_id, d.lang, " +
+        s"$wordsExpr AS n_words, " +
+        "CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) " +
+        "AS approx_bpe_tokens FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM ek) " +
+        "AND d.doc_id NOT IN (SELECT doc_id FROM drops) " +
+        s"AND $wordsExpr >= 30"),
     // exact word-3-gram Jaccard, consecutive doc pairs: the same shingle +
     // intersect/union computation as Dedup.shingleArray/jaccardExpr,
     // written with DuckDB's list functions (shingleCte tokenizes with the
