@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_union" -> (Relational.unionDistinct _),
     "q_union_all" -> (Relational.unionAll _),
+    "q_except_intersect" -> (Relational.exceptIntersect _),
     "q_conditional" -> (Relational.conditional _),
     "q_string_fns" -> (Relational.stringFns _),
     "q_datetime_agg" -> (Relational.datetimeAgg _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
+    "q_label_centroids" -> (Similarity.labelCentroidCosine _),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     // networked DSv2 sources (§2A S1-S9), driven by recorded fixtures —
@@ -346,6 +348,25 @@ object SparkEntry {
       ("SELECT nk, count(*) AS n_rows FROM " +
         "(SELECT c_nationkey AS nk FROM customer " +
         "UNION ALL SELECT s_nationkey AS nk FROM supplier) t GROUP BY nk"),
+    "q_except_intersect" ->
+      ("SELECT 'cust_only' AS kind, nk FROM " +
+        "(SELECT c_nationkey AS nk FROM customer " +
+        "EXCEPT SELECT s_nationkey AS nk FROM supplier) e " +
+        "UNION ALL SELECT 'both' AS kind, nk FROM " +
+        "(SELECT c_nationkey AS nk FROM customer " +
+        "INTERSECT SELECT s_nationkey AS nk FROM supplier) i"),
+    // per-label centroid cosine: an indexed-lambda unnest re-derives the
+    // posexplode/avg pipeline; final round(4) absorbs summation-order noise
+    "q_label_centroids" ->
+      ("WITH dims AS (SELECT label, u['i'] - 1 AS dim, avg(u['x']) AS m " +
+        "FROM (SELECT label, unnest(list_transform(" +
+        "CAST(embedding AS DOUBLE[]), (x, i) -> {'x': x, 'i': i})) AS u " +
+        "FROM embeddings) t GROUP BY 1, 2) " +
+        "SELECT a.label AS label_a, b.label AS label_b, " +
+        "round(sum(a.m * b.m) / (sqrt(sum(a.m * a.m)) * " +
+        "sqrt(sum(b.m * b.m))), 4) AS centroid_cosine " +
+        "FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label " +
+        "GROUP BY a.label, b.label"),
     "q_conditional" ->
       ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' " +
         "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, " +

@@ -308,6 +308,21 @@ object Relational {
       .filter(col("rn") <= 3)
   }
 
+  /** EXCEPT / INTERSECT (distinct semantics, as in SQL): nation keys with
+    * customers but no suppliers, and with both — completing the set-op
+    * family next to UNION/UNION ALL. Both plan as aggregates over a
+    * single shuffle (Spark rewrites them to left-anti/left-semi joins). */
+  def exceptIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nk"))
+    val suppNations = table(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nk"))
+    custNations.except(suppNations)
+      .select(lit("cust_only").as("kind"), col("nk"))
+      .unionAll(custNations.intersect(suppNations)
+        .select(lit("both").as("kind"), col("nk")))
+  }
+
   /** CUBE: all grouping-set combinations of (returnflag, linestatus) —
     * completes the grouping-set family next to [[rollupAgg]]. Plans as one
     * Expand + the usual partial/final aggregate pair. */

@@ -174,6 +174,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-label centroid similarity: mean embedding per label (via
+    * posexplode → one partial-agg shuffle on (label, dim) — no arrays
+    * cross the shuffle), then pairwise centroid cosine across labels via
+    * an equi-join on dim. Label count is small by definition, so the
+    * pairwise stage is tiny; the heavy stage is the linear scan+agg. The
+    * cluster-separation / drift diagnostic of an embedding pipeline. */
+  def labelCentroidCosine(spark: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg(col("x").cast("double")).as("m"))
+    val a = dims.select(col("label").as("label_a"), col("dim"),
+      col("m").as("ma"))
+    val b = dims.select(col("label").as("label_b"), col("dim"),
+      col("m").as("mb"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na"),
+        sum(col("mb") * col("mb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+          .as("centroid_cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucketed self-join (same LSH
     * bucket) + cosine threshold — the embedding analogue of MinHash dedup.
     * Never all-pairs: the join key is the bucket id. */
