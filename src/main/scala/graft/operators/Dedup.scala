@@ -180,19 +180,68 @@ object Dedup {
     *   pollute later queries sharing the session (observed 4-5x bench
     *   drift); at real scale, materialize signatures to parquet instead. */
   /** One row per (doc, band): band key = hash of the band's sig slice. */
-  private def minHashBandKeys(spark: SparkSession, dir: String,
-      numHashes: Int, bands: Int, persistSignatures: Boolean): DataFrame = {
+  private def bandKeysOf(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigsRaw = minHashSignatures(spark, dir, numHashes)
-    val sigs = if (persistSignatures)
-      sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sigsRaw
     sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
           .as("band_key"))
+  }
+
+  private def minHashBandKeys(spark: SparkSession, dir: String,
+      numHashes: Int, bands: Int, persistSignatures: Boolean): DataFrame = {
+    val sigsRaw = minHashSignatures(spark, dir, numHashes)
+    val sigs = if (persistSignatures)
+      sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigsRaw
+    bandKeysOf(sigs, numHashes, bands)
+  }
+
+  /** Session-scoped registry of materialized signature tables (the same
+    * build-once pattern as `Ivf.materializeIndex`): compute the signatures
+    * ONCE, write them to parquet, and let every downstream pass — both
+    * sides of the banded self-join, keep-filters, cross-run comparisons —
+    * SCAN them instead of recomputing the shingle+minhash pipeline per
+    * lineage branch. At 100 TB this is the difference between hashing the
+    * corpus once and hashing it once per plan branch. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  def materializeSignatures(spark: SparkSession, dir: String,
+      numHashes: Int = 64): String =
+    sigCache.computeIfAbsent((dir, numHashes), { _ =>
+      val path = java.nio.file.Files.createTempDirectory("minhash_sigs")
+        .toString
+      minHashSignatures(spark, dir, numHashes)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Drop materialized signature tables AND delete their directories. */
+  def clearSignatureCache(): Unit = {
+    sigCache.values.forEach { path =>
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    sigCache.clear()
+  }
+
+  /** [[minHashPairs]] reading a materialized signature table — the 100 TB
+    * shape (signatures scanned, not recomputed, on both self-join sides).
+    * Results are identical to the recomputing form (spec-pinned). */
+  def minHashPairsMaterialized(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
+    pairsFromBandKeys(spark, dir,
+      pruneHotBuckets(bandKeysOf(sigs, numHashes, bands), maxBucket),
+      threshold)
   }
 
   /** Audit query: the MinHash band buckets a `maxBucket` cap prunes
@@ -205,15 +254,25 @@ object Dedup {
   def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       persistSignatures: Boolean = false,
-      maxBucket: Int = 1000): DataFrame = {
-    val bandKeys = pruneHotBuckets(
-      minHashBandKeys(spark, dir, numHashes, bands, persistSignatures),
-      maxBucket)
+      maxBucket: Int = 1000): DataFrame =
+    pairsFromBandKeys(spark, dir,
+      pruneHotBuckets(
+        minHashBandKeys(spark, dir, numHashes, bands, persistSignatures),
+        maxBucket),
+      threshold)
 
+  /** Banded self-join + exact-Jaccard verify over a band-key frame. */
+  private def pairsFromBandKeys(spark: SparkSession, dir: String,
+      bandKeys: DataFrame, threshold: Double): DataFrame = {
     val left = bandKeys.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"))
     val right = bandKeys.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"))
+    // NOTE measured, not assumed: forcing a shuffle join here in the hope
+    // of ReuseExchange collapsing the two identical sides does NOT fire
+    // (the pruning anti-join subtree defeats canonical matching) and the
+    // extra sort costs ~50%. The at-scale answer to the double signature
+    // computation is [[materializeSignatures]], not join-side reuse.
     val candidates = left.join(right, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")

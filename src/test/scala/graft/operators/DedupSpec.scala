@@ -176,4 +176,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minHashHotBuckets(spark, tmp, maxBucket = 100).count() === 0)
     assert(Dedup.simHashHotBuckets(spark, tmp, maxBucket = 16).count() === 4)
   }
+
+  test("materialized signatures: identical pairs, no recompute in plan") {
+    Dedup.clearSignatureCache()
+    val recomputed = Dedup.minHashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mat = Dedup.minHashPairsMaterialized(spark, sfDir)
+    val materialized = mat.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(materialized === recomputed)
+    // the signature expression must be GONE from the materialized plan —
+    // both self-join sides scan the parquet signature table instead
+    val plan = mat.queryExecution.executedPlan.toString
+    assert(!plan.contains("minhash_signature"), "plan must not re-hash")
+    // build-once: same path on re-request; clear deletes the directory
+    val p1 = Dedup.materializeSignatures(spark, sfDir)
+    assert(p1 === Dedup.materializeSignatures(spark, sfDir))
+    Dedup.clearSignatureCache()
+    assert(!new java.io.File(p1).exists())
+  }
 }
