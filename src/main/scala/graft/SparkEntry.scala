@@ -91,6 +91,7 @@ object SparkEntry {
     "q_geocode" -> (geocodeGolden _),
     // LLM-pipeline: the flagship end-to-end cleaning composition
     "q_clean_corpus" -> ((s, d) => graft.operators.Pipeline.cleanCorpus(s, d)),
+    "q_train_val_split" -> ((s, d) => graft.operators.Pipeline.trainValSplit(s, d)),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_jaccard" -> (Dedup.jaccardPairs _),
@@ -473,6 +474,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, " +
         "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"),
+    // deterministic split: md5 hex agrees byte-for-byte across engines
+    "q_train_val_split" ->
+      ("SELECT doc_id, lang, bucket, CASE WHEN bucket IN ('0', '1') " +
+        "THEN 'val' WHEN bucket = '2' THEN 'test' ELSE 'train' END AS split " +
+        "FROM (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| 'graft-v1'), 1, 1) AS bucket FROM documents) t"),
     // the full cleaning composition, re-derived: exact-keep semi ∘
     // near-dup anti (exact all-pairs Jaccard stands in for LSH — recall 1
     // on this corpus, see q_minhash_pairs) ∘ min-words filter ∘ token stats
@@ -761,7 +768,7 @@ object SparkEntry {
     // inequality join (which DuckDB runs natively as an IEJoin)
     "q_range_join" ->
       ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
-        "epoch_ms(c.ts) - epoch_ms(e.ts) AS gap_ms " +
+        "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
         "FROM events e JOIN events c ON e.event_type = 'error' " +
         "AND c.event_type = 'click' " +
         "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +

@@ -127,9 +127,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(text) => MinHashExpression(text, 64)
         case Seq(text, n) =>
-          val v = n.eval(null)
-          require(v != null, "numHashes must be a literal integer")
-          MinHashExpression(text, v.asInstanceOf[Number].intValue())
+          require(n.foldable, "numHashes must be a literal integer")
+          n.eval(null) match {
+            case v: Number => MinHashExpression(text, v.intValue())
+            case other => throw new IllegalArgumentException(
+              s"numHashes must be a literal integer, got $other")
+          }
         case _ => throw new IllegalArgumentException(
           "minhash_signature takes (text[, numHashes])")
       }))

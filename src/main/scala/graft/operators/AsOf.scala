@@ -42,26 +42,34 @@ object AsOf {
     val carried = payload.map(rename)
     require(carried.intersect(leftCols).isEmpty,
       s"renamed payload collides with left columns: ${carried.intersect(leftCols)}")
+    // The carried payload is ONE struct, not per-column lasts: a NULL
+    // FIELD inside the matched right row must be carried as NULL (as the
+    // native ASOF join would), not skipped in favor of an older row's
+    // value — per-column last(ignoreNulls) would mix fields from
+    // different right rows. The struct itself is non-null exactly on
+    // right rows, so ignoreNulls skips only the left rows interleaved in
+    // the union, never a legitimate all-NULL payload.
+    val payloadStruct = struct(payload.map(p => col(p).as(rename(p))): _*)
     // right rows sort first (side 0) at equal ts → `>=` tie semantics
     val l = left.withColumn("_side", lit(1))
-      .select((leftCols.map(col) :+ col("_side")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType)
-          .as(rename(p))): _*)
-    val r = right.select(((keys :+ ts).map(col) :+ lit(0).as("_side")) ++
-      payload.map(p => col(p).as(rename(p))): _*)
+    val r = right.select(((keys :+ ts).map(col) :+ lit(0).as("_side")) :+
+      payloadStruct.as("_payload"): _*)
     // align schemas: right contributes nulls for left-only columns
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) :+ col("_side")) ++ carried.map(col): _*)
+    }.select((leftCols.map(col) :+ col("_side")) :+ col("_payload"): _*)
+    val lAligned = l.select((leftCols.map(col) :+ col("_side")) :+
+      lit(null).cast(r.schema("_payload").dataType).as("_payload"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l.unionByName(rAligned)
-      .select(leftCols.map(col) ++ Seq(col("_side")) ++
-        carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    filled.filter(col("_side") === 1).drop("_side")
+    val filled = lAligned.unionByName(rAligned)
+      .withColumn("_carried", last(col("_payload"), ignoreNulls = true).over(w))
+    filled.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        carried.map(c => col(s"_carried.$c").as(c)): _*)
   }
 
   /** Demo entry: every event enriched with the user's most recent purchase

@@ -215,20 +215,19 @@ object Dedup {
     sigCache.computeIfAbsent((dir, numHashes), { _ =>
       val path = java.nio.file.Files.createTempDirectory("minhash_sigs")
         .toString
-      minHashSignatures(spark, dir, numHashes)
+      // (doc_id, sig) ONLY — persisting the text column here would
+      // rewrite the whole corpus into the signature table; the banded
+      // join consumes just ids and signatures, and the verify stage
+      // re-reads texts from the corpus itself
+      minHashSignatures(spark, dir, numHashes).select("doc_id", "sig")
         .write.mode("overwrite").parquet(path)
       path
     })
 
   /** Drop materialized signature tables AND delete their directories. */
   def clearSignatureCache(): Unit = {
-    sigCache.values.forEach { path =>
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(path))
-    }
+    sigCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
     sigCache.clear()
   }
 

@@ -110,7 +110,7 @@ object Ivf {
     indexCache.clear()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[operators] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit

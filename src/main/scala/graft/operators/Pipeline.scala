@@ -22,18 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Deterministic train/val/test assignment by content-free hash: split
+    * on the first hex digit of md5(doc_id ++ salt) — 16 equiprobable
+    * buckets, mapped 13/2/1 to train/val/test. Reproducible across runs,
+    * engines, and cluster layouts (no RNG, no partition dependence — the
+    * properties `sample()` does NOT give you), stable under corpus
+    * append, and a narrow codegen'd map: the split of a 100 TB corpus is
+    * a free column, not a job. */
+  def trainValSplit(spark: SparkSession, dir: String,
+      salt: String = "graft-v1"): DataFrame = {
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 1)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket.isin("0", "1"), "val")
+          .when(bucket === "2", "test")
+          .otherwise("train").as("split"))
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String, minWords: Int = 30,
       threshold: Double = 0.5): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-    // stage 1: canonical representative per distinct text
-    val exactKeepIds = d.groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    // stage 1: canonical representative per distinct text — THE
+    // Dedup.exactKeep operator, not a re-derivation (one keep rule)
+    val kept = Dedup.exactKeep(spark, dir)
     // stage 2: near-dup drop set (greedy keep-lowest-id)
     val nearDrops = Dedup.minHashPairs(spark, dir, threshold = threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val nWords = (length(col("text")) -
       length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
-    d.join(exactKeepIds, Seq("doc_id"), "left_semi")
+    kept
       .join(nearDrops, Seq("doc_id"), "left_anti")
       .withColumn("n_words", nWords)
       .filter(col("n_words") >= minWords)

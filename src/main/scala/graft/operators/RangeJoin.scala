@@ -44,19 +44,21 @@ object RangeJoin {
   /** Demo entry: temporal proximity join with NO equality key — every
     * (error, click) event pair within ±60 s of each other, regardless of
     * user. Bin width = the tolerance, so each error probes ≤ 3 bins.
-    * Output gap is exact integer milliseconds (click − error, signed). */
+    * The range check runs at FULL microsecond precision (the native
+    * resolution of the timestamps — truncating to ms would over-include
+    * boundary pairs by up to 1 ms vs a timestamp-interval oracle);
+    * output gap is exact integer microseconds (click − error, signed). */
   def errorClickProximity(spark: SparkSession, dir: String,
-      toleranceMs: Long = 60000L): DataFrame = {
+      toleranceUs: Long = 60000000L): DataFrame = {
     val events = Relational.events(spark, dir)
-    val ms = (c: Column) => (unix_micros(c) / 1000L).cast("long")
     val errors = events.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), ms(col("ts")).as("e_ms"))
+      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("e_us"))
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), ms(col("ts")).as("c_ms"))
+      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
     intervalJoin(
-      errors, col("e_ms") - toleranceMs, col("e_ms") + toleranceMs,
-      clicks, col("c_ms"), binWidth = toleranceMs)
+      errors, col("e_us") - toleranceUs, col("e_us") + toleranceUs,
+      clicks, col("c_us"), binWidth = toleranceUs)
       .select(col("error_id"), col("click_id"),
-        (col("c_ms") - col("e_ms")).as("gap_ms"))
+        (col("c_us") - col("e_us")).as("gap_us"))
   }
 }

@@ -105,8 +105,9 @@ object EventStream {
     * makes it safe at 100 TB/day. Dedup keys can equally be a content
     * hash (`md5(text)`) for document streams; `keyCols` chooses. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours",
-      keyCols: Seq[String] = Seq("event_id")): DataFrame =
-    events.withWatermark("ts", watermark)
+      keyCols: Seq[String] = Seq("event_id"),
+      tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Batch-mode sessionization of the static events table via window functions —

@@ -22,6 +22,21 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L) === None, "no right row for the key → null")
   }
 
+  test("NULL payload in the matched right row is carried as NULL") {
+    import spark.implicits._
+    // the matched row's fields must come from ONE right row: per-column
+    // ignoreNulls carry would resurrect "a" for the ts=20 match
+    val left = Seq((1L, "k", 25L)).toDF("id", "key", "t")
+    val right = Seq(("k", 10L, Some("a")), ("k", 20L, None))
+      .toDF("key", "t", "state")
+    val out = AsOf.asOfJoin(left, right, keys = Seq("key"), ts = "t",
+        payload = Seq("t", "state"),
+        rename = { case "t" => "r_t"; case o => s"r_$o" })
+      .select("r_t", "r_state").collect()(0)
+    assert(out.getLong(0) === 20L, "matches the newest right row")
+    assert(out.isNullAt(1), "and carries ITS null field, not an older value")
+  }
+
   test("as-of join is ONE shuffle on the key — no range explosion") {
     val df = AsOf.eventsAsOfLastPurchase(spark, sfDir)
     val plan = df.queryExecution.executedPlan

@@ -28,4 +28,21 @@ class PipelineSpec extends SparkSpec {
   test("flagship entry() returns rows at the smoke SF") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("train/val split: deterministic, exhaustive, salt-sensitive") {
+    val s1 = Pipeline.trainValSplit(spark, sfDir)
+    val s2 = Pipeline.trainValSplit(spark, sfDir)
+    assert(s1.exceptAll(s2).count() === 0, "identical across invocations")
+    val bySplit = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val"),
+      "13/16 buckets to train must dominate")
+    assert(bySplit.values.sum ===
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // a different salt reshuffles assignments (split is salt-keyed)
+    val other = Pipeline.trainValSplit(spark, sfDir, salt = "other")
+    assert(s1.join(other, Seq("doc_id"))
+      .filter(s1("split") =!= other("split")).count() > 0)
+  }
 }

@@ -29,7 +29,7 @@ class RangeJoinSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoop"))
-    // the ±60 s tolerance must actually bound the gap
-    assert(df.filter(abs(col("gap_ms")) > 60000L).count() === 0)
+    // the ±60 s tolerance must actually bound the gap (microsecond-exact)
+    assert(df.filter(abs(col("gap_us")) > 60000000L).count() === 0)
   }
 }
