@@ -29,15 +29,22 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left-as-of-join `right` onto `left`.
-    * @param keys     equality key columns (present in both sides)
-    * @param ts       event-time column name (present in both sides,
-    *                 same orderable type)
-    * @param payload  right-side columns to carry (renamed via `rename`)
-    * @param rename   output name for each carried payload column
-    *                 (right's `ts` may itself be carried, e.g. "asof_ts") */
+    * @param keys      equality key columns (present in both sides)
+    * @param ts        event-time column name (present in both sides,
+    *                  same orderable type)
+    * @param payload   right-side columns to carry (renamed via `rename`)
+    * @param rename    output name for each carried payload column
+    *                  (right's `ts` may itself be carried, e.g. "asof_ts")
+    * @param direction "backward" (default): greatest right ts <= left ts;
+    *                  "forward": smallest right ts >= left ts. Forward
+    *                  reverses the window order (ts desc, right rows
+    *                  still first), so the carried row is the nearest
+    *                  LATER one — same single shuffle, same state. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      ts: String, payload: Seq[String], rename: String => String)
-      : DataFrame = {
+      ts: String, payload: Seq[String], rename: String => String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val leftCols = left.columns.toSeq
     val carried = payload.map(rename)
     require(carried.intersect(leftCols).isEmpty,
@@ -62,8 +69,9 @@ object AsOf {
     val lAligned = l.select((leftCols.map(col) :+ col("_side")) :+
       lit(null).cast(r.schema("_payload").dataType).as("_payload"): _*)
 
+    val tsOrder = if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("_side").asc)
+      .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lAligned.unionByName(rAligned)
       .withColumn("_carried", last(col("_payload"), ignoreNulls = true).over(w))

@@ -22,6 +22,22 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L) === None, "no right row for the key → null")
   }
 
+  test("forward direction picks the nearest LATER right row") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 10L), (2L, "k", 26L), (3L, "k", 99L))
+      .toDF("id", "key", "t")
+    val right = Seq(("k", 10L, "a"), ("k", 25L, "b"), ("k", 40L, "c"))
+      .toDF("key", "t", "state")
+    val out = AsOf.asOfJoin(left, right, keys = Seq("key"), ts = "t",
+        payload = Seq("state"), rename = s => s"r_$s",
+        direction = "forward")
+      .select("id", "r_state").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("a"), "equal ts matches (>= in forward terms)")
+    assert(out(2L) === Some("c"), "nearest later row, not an earlier one")
+    assert(out(3L) === None, "nothing after → null")
+  }
+
   test("NULL payload in the matched right row is carried as NULL") {
     import spark.implicits._
     // the matched row's fields must come from ONE right row: per-column
