@@ -95,6 +95,7 @@ object SparkEntry {
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_jaccard" -> (Dedup.jaccardPairs _),
+    "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(s, d)),
     "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_lang_profile" -> (TextOps.langProfile _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_stopword_quality" -> (TextOps.stopwordQuality _),
+    "q_charclass_quality" -> (TextOps.charClassQuality _),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
@@ -506,6 +508,27 @@ object SparkEntry {
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         s"round($jaccardSqlExpr, 4) " +
         "AS jaccard FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"),
+    // character-5-gram twin of q_jaccard (substr is 1-based in both
+    // engines; ASCII corpus → UTF-16 units == codepoints)
+    "q_char_jaccard" ->
+      ("WITH cs AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN length(text) <= 5 THEN [text] " +
+        "ELSE list_transform(range(1, length(text) - 3), i -> " +
+        "substr(text, i, 5)) END) AS sh FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        s"round($jaccardSqlExpr, 4) AS jaccard " +
+        "FROM cs a JOIN cs b ON b.doc_id = a.doc_id + 1"),
+    // char-class ratios: DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default
+    "q_charclass_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        Seq("punct_ratio" -> "[.,;:!?]", "upper_ratio" -> "[A-Z]",
+          "digit_ratio" -> "[0-9]").map { case (name, pat) =>
+            "round(CAST(length(text) - length(regexp_replace(text, " +
+              s"'$pat', '', 'g')) AS DOUBLE) / " +
+              s"CAST(length(text) AS DOUBLE), 4) AS $name"
+          }.mkString(", ") +
+        " FROM documents"),
     // MinHash-LSH near-dup pairs vs EXACT all-pairs Jaccard: on this corpus
     // every true pair has J >= 0.98 (nothing between 0.2 and 0.98), so at
     // threshold 0.5 the 16x4 banding's per-pair miss probability is

@@ -135,6 +135,19 @@ object Dedup {
           concat_ws(" ", slice(words, i, lit(k))))))
   }
 
+  /** Character n-gram shingle set (n=5 default) as a pure array
+    * expression — the character-level twin of [[shingleArray]]: robust to
+    * tokenization differences (CJK, code, no-whitespace scripts) where
+    * word shingles fail. substring is 1-based; texts shorter than n
+    * collapse to a single whole-text shingle. */
+  def charShingleArray(textCol: Column, n: Int = 5): Column = {
+    val len = length(textCol)
+    array_distinct(
+      when(len <= n, array(textCol))
+        .otherwise(transform(sequence(lit(1), len - (n - 1)), i =>
+          textCol.substr(i, lit(n)))))
+  }
+
   /** Exact Jaccard of two shingle-array columns (both-empty → 1.0),
     * column twin of [[jaccard]]. */
   def jaccardExpr(a: Column, b: Column): Column = {
@@ -156,6 +169,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(jaccardExpr(shingleArray(col("text_a")),
           shingleArray(col("text_b"))), 4).as("jaccard"))
+  }
+
+  /** Exact character-5-gram Jaccard for each consecutive doc-id pair —
+    * the character-level twin of [[jaccardPairs]] (same join shape, the
+    * tokenization-free similarity a multilingual corpus needs). */
+  def charJaccardPairs(spark: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = d.select((col("doc_id") - 1).as("doc_a"),
+      col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardExpr(charShingleArray(col("text_a"), n),
+          charShingleArray(col("text_b"), n)), 4).as("jaccard"))
   }
 
   /** MinHash signatures per document: (doc_id, sig: array<bigint>) —

@@ -80,6 +80,25 @@ object TextOps {
       round(hits.cast("double") / nWords.cast("double"), 4).as("stop_ratio"))
   }
 
+  /** Character-class quality signals — the punct/caps/digit ratios that,
+    * with [[stopwordQuality]]'s stopword ratio and [[qualityScore]]'s
+    * length score, make up the classic "is this natural prose" filter
+    * (boilerplate/code/tables skew punct+digit high; shouting skews caps).
+    * Pure regexp_replace + length arithmetic: codegen'd, shuffle-free,
+    * and expressible verbatim in the oracle. */
+  def charClassQuality(spark: SparkSession, dir: String): DataFrame = {
+    def ratio(pattern: String) =
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("double") /
+        length(col("text")).cast("double"), 4)
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      ratio("[.,;:!?]").as("punct_ratio"),
+      ratio("[A-Z]").as("upper_ratio"),
+      ratio("[0-9]").as("digit_ratio"))
+  }
+
   /** N-gram heuristic language ID. Scores each language by hits of its most
     * frequent words/character patterns in the document; deterministic and
     * driver-free (pure column expressions, codegen'd — no UDF).

@@ -18,7 +18,11 @@ class SparkEntrySpec extends AnyFunSuite {
   test("oracle SQL is non-empty and single-statement") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
-      assert(!sql.contains(";"), s"$name: oracle must be one statement")
+      // statement separator check must ignore ';' inside string literals
+      // (e.g. regex character classes like '[.,;:!?]')
+      val outsideLiterals = sql.replaceAll("'[^']*'", "''")
+      assert(!outsideLiterals.contains(";"),
+        s"$name: oracle must be one statement")
     }
   }
 }

@@ -177,6 +177,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simHashHotBuckets(spark, tmp, maxBucket = 16).count() === 4)
   }
 
+  test("charShingleArray: 5-grams, short-text collapse, jaccard semantics") {
+    import spark.implicits._
+    val df = Seq(("abcdefg", "abcdefg", "xyz", "abcdefgh"))
+      .toDF("a", "b", "c", "d")
+      .select(
+        Dedup.jaccardExpr(Dedup.charShingleArray(col("a")),
+          Dedup.charShingleArray(col("b"))).as("same"),
+        Dedup.jaccardExpr(Dedup.charShingleArray(col("a")),
+          Dedup.charShingleArray(col("c"))).as("disjoint"),
+        size(Dedup.charShingleArray(col("c"))).as("short_n"),
+        size(Dedup.charShingleArray(col("d"))).as("long_n"))
+      .collect()(0)
+    assert(df.getDouble(0) === 1.0)
+    assert(df.getDouble(1) === 0.0)
+    assert(df.getInt(2) === 1, "text shorter than n = one whole-text shingle")
+    assert(df.getInt(3) === 4, "len 8 → 8-5+1 distinct 5-grams")
+  }
+
   test("materialized signatures: identical pairs, no recompute in plan") {
     Dedup.clearSignatureCache()
     val recomputed = Dedup.minHashPairs(spark, sfDir).collect()

@@ -74,6 +74,18 @@ class TextOpsSpec extends SparkSpec {
     assert(a0 === e0)
   }
 
+  test("char-class ratios: punct/upper/digit arithmetic is exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("charclass").toString
+    Seq((1L, "Ab, cd! 12", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.charClassQuality(spark, tmp).collect()(0)
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 0.2, "2 punct chars of 10")
+    assert(r.getDouble(3) === 0.1, "1 uppercase of 10")
+    assert(r.getDouble(4) === 0.2, "2 digits of 10")
+  }
+
   test("tfidf: rare terms outweigh common ones; df counts documents") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
