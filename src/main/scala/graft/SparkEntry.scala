@@ -79,6 +79,7 @@ object SparkEntry {
     "q_cube" -> (Relational.cubeAgg _),
     "q_sql_cte" -> (Relational.sqlCte _),
     "q_sql_exists" -> (Relational.sqlExists _),
+    "q_sql_grouping_sets" -> (Relational.sqlGroupingSets _),
     "q_pivot" -> (Relational.pivotEvents _),
     "q_unpivot" -> (Relational.unpivotPart _),
     "q_collect_agg" -> (Relational.collectAgg _),
@@ -412,6 +413,7 @@ object SparkEntry {
     // identical SQL text runs on both engines — the string IS the oracle
     "q_sql_cte" -> Relational.cteSql,
     "q_sql_exists" -> Relational.existsSql,
+    "q_sql_grouping_sets" -> Relational.groupingSetsSql,
     "q_pivot" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
         Seq("click", "view", "purchase", "signup", "error").map(t =>

@@ -296,6 +296,20 @@ object Relational {
     spark.sql(existsSql)
   }
 
+  /** SQL-text surface: explicit GROUPING SETS (the general form ROLLUP and
+    * CUBE specialize) — per-flag, per-status, and grand-total rows in one
+    * aggregate, verbatim on both engines. */
+  val groupingSetsSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem GROUP BY GROUPING SETS " +
+      "((l_returnflag), (l_linestatus), ())"
+
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
   /** Window function: top-3 customers per market segment by balance.
     * Beyond the reference's surface (no OVER anywhere in its corpus) but a
     * first-class capability of this engine. */
