@@ -526,9 +526,10 @@ object SparkEntry {
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         Seq("punct_ratio" -> "[.,;:!?]", "upper_ratio" -> "[A-Z]",
           "digit_ratio" -> "[0-9]").map { case (name, pat) =>
-            "round(CAST(length(text) - length(regexp_replace(text, " +
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+              "round(CAST(length(text) - length(regexp_replace(text, " +
               s"'$pat', '', 'g')) AS DOUBLE) / " +
-              s"CAST(length(text) AS DOUBLE), 4) AS $name"
+              s"CAST(length(text) AS DOUBLE), 4) END AS $name"
           }.mkString(", ") +
         " FROM documents"),
     // MinHash-LSH near-dup pairs vs EXACT all-pairs Jaccard: on this corpus

@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (temporal backward) join: each left row picks the single right row
-  * with the same key and the greatest right timestamp <= the left timestamp
-  * — the "state as of this moment" lookup every event-enrichment pipeline
-  * needs (latest price at trade time, last purchase before this event).
+/** As-of (temporal) join: each left row picks the single right row with
+  * the same key and the nearest right timestamp — backward (greatest
+  * right ts <= left ts, the default) or forward (smallest right ts >=
+  * left ts) — the "state as of this moment" lookup every event-enrichment
+  * pipeline needs (latest price at trade time, last purchase before this
+  * event, next maintenance after a failure).
   *
   * Spark-first plan — the UNION + WINDOW trick, not a range join:
   * tag both sides, union them, and run ONE window over (key) ordered by
@@ -69,7 +71,12 @@ object AsOf {
     val lAligned = l.select((leftCols.map(col) :+ col("_side")) :+
       lit(null).cast(r.schema("_payload").dataType).as("_payload"): _*)
 
-    val tsOrder = if (direction == "backward") col(ts).asc else col(ts).desc
+    // NULLS FIRST in both directions: backward's asc defaults to it, but
+    // desc defaults to NULLS LAST — which would put a null-ts left row at
+    // the frame END, handing it every right row's carry instead of the
+    // no-match NULL that null-comparison semantics require
+    val tsOrder =
+      if (direction == "backward") col(ts).asc else col(ts).desc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -156,35 +156,33 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / uni.cast("double"))
   }
 
-  /** Exact 3-gram Jaccard for each consecutive doc-id pair — the oracle-
-    * backed demonstration of the exact-similarity path (the same
-    * expressions verify LSH candidates in [[minHashPairs]]). One narrow
-    * shuffle-free map per side + an equi-join on doc_id. */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Consecutive-pair exact Jaccard scaffold shared by the word- and
+    * character-shingle demonstrations: one narrow shuffle-free map per
+    * side + an equi-join on doc_id, scored by `shingle` over both texts. */
+  private def consecutivePairJaccard(spark: SparkSession, dir: String,
+      shingle: Column => Column): DataFrame = {
     val d = docs(spark, dir)
     val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val b = d.select((col("doc_id") - 1).as("doc_a"),
       col("doc_id").as("doc_b"), col("text").as("text_b"))
     a.join(b, Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccardExpr(shingleArray(col("text_a")),
-          shingleArray(col("text_b"))), 4).as("jaccard"))
+        round(jaccardExpr(shingle(col("text_a")),
+          shingle(col("text_b"))), 4).as("jaccard"))
   }
+
+  /** Exact 3-gram Jaccard for each consecutive doc-id pair — the oracle-
+    * backed demonstration of the exact-similarity path (the same
+    * expressions verify LSH candidates in [[minHashPairs]]). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    consecutivePairJaccard(spark, dir, shingleArray(_))
 
   /** Exact character-5-gram Jaccard for each consecutive doc-id pair —
     * the character-level twin of [[jaccardPairs]] (same join shape, the
     * tokenization-free similarity a multilingual corpus needs). */
   def charJaccardPairs(spark: SparkSession, dir: String,
-      n: Int = 5): DataFrame = {
-    val d = docs(spark, dir)
-    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = d.select((col("doc_id") - 1).as("doc_a"),
-      col("doc_id").as("doc_b"), col("text").as("text_b"))
-    a.join(b, Seq("doc_a"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardExpr(charShingleArray(col("text_a"), n),
-          charShingleArray(col("text_b"), n)), 4).as("jaccard"))
-  }
+      n: Int = 5): DataFrame =
+    consecutivePairJaccard(spark, dir, charShingleArray(_, n))
 
   /** MinHash signatures per document: (doc_id, sig: array<bigint>) —
     * computed by the native codegen expression

@@ -87,10 +87,13 @@ object TextOps {
     * Pure regexp_replace + length arithmetic: codegen'd, shuffle-free,
     * and expressible verbatim in the oracle. */
   def charClassQuality(spark: SparkSession, dir: String): DataFrame = {
+    // empty text → 0.0 ratios (not a division by zero, which ANSI mode
+    // throws on and which would diverge from the oracle's same guard)
     def ratio(pattern: String) =
-      round((length(col("text")) -
-        length(regexp_replace(col("text"), pattern, ""))).cast("double") /
-        length(col("text")).cast("double"), 4)
+      when(length(col("text")) === 0, lit(0.0)).otherwise(
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), pattern, ""))).cast("double") /
+          length(col("text")).cast("double"), 4))
     docs(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),

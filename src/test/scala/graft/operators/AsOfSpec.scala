@@ -38,6 +38,20 @@ class AsOfSpec extends SparkSpec {
     assert(out(3L) === None, "nothing after → null")
   }
 
+  test("NULL left timestamp matches nothing in EITHER direction") {
+    import spark.implicits._
+    val left = Seq((1L, "k", Some(25L)), (2L, "k", None))
+      .toDF("id", "key", "t")
+    val right = Seq(("k", 10L, "a"), ("k", 40L, "c")).toDF("key", "t", "state")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOf.asOfJoin(left, right, keys = Seq("key"), ts = "t",
+          payload = Seq("state"), rename = s => s"r_$s", direction = dir)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      assert(out(2L) === None, s"$dir: null ts must not match any row")
+      assert(out(1L).nonEmpty, s"$dir: non-null ts still matches")
+    }
+  }
+
   test("NULL payload in the matched right row is carried as NULL") {
     import spark.implicits._
     // the matched row's fields must come from ONE right row: per-column

@@ -84,6 +84,13 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.2, "2 punct chars of 10")
     assert(r.getDouble(3) === 0.1, "1 uppercase of 10")
     assert(r.getDouble(4) === 0.2, "2 digits of 10")
+    // empty text: 0.0 ratios, not a divide-by-zero (ANSI) or NULL
+    val tmp2 = java.nio.file.Files.createTempDirectory("charclass0").toString
+    Seq((1L, "", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val r0 = TextOps.charClassQuality(spark, tmp2).collect()(0)
+    assert(r0.getDouble(2) === 0.0 && r0.getDouble(3) === 0.0 &&
+      r0.getDouble(4) === 0.0)
   }
 
   test("tfidf: rare terms outweigh common ones; df counts documents") {
