@@ -107,6 +107,7 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_stopword_quality" -> (TextOps.stopwordQuality _),
     "q_charclass_quality" -> (TextOps.charClassQuality _),
+    "q_repetition" -> (TextOps.repetition _),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
@@ -532,6 +533,15 @@ object SparkEntry {
               s"CAST(length(text) AS DOUBLE), 4) END AS $name"
           }.mkString(", ") +
         " FROM documents"),
+    // duplicate-token fraction (Gopher-style repetition rule)
+    "q_repetition" ->
+      ("SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, " +
+        "CASE WHEN len(w) = 0 THEN 0.0 ELSE " +
+        "round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / " +
+        "CAST(len(w) AS DOUBLE), 4) END AS rep_ratio FROM " +
+        "(SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0) AS w FROM documents) t"),
     // MinHash-LSH near-dup pairs vs EXACT all-pairs Jaccard: on this corpus
     // every true pair has J >= 0.98 (nothing between 0.2 and 0.98), so at
     // threshold 0.5 the 16x4 banding's per-pair miss probability is

@@ -80,6 +80,23 @@ object TextOps {
       round(hits.cast("double") / nWords.cast("double"), 4).as("stop_ratio"))
   }
 
+  /** Repetition ratio — the duplicate-token fraction of each document
+    * (1 − distinct/total words), the boilerplate/spam signal in
+    * Gopher-style quality rule sets: machine-generated and template text
+    * repeats tokens far above prose rates. Pure array expressions over
+    * one split — codegen'd, shuffle-free. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val n = size(words)
+    docs(spark, dir).select(
+      col("doc_id"),
+      n.cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      when(n === 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(words)).cast("double") /
+          n.cast("double"), 4)).as("rep_ratio"))
+  }
+
   /** Character-class quality signals — the punct/caps/digit ratios that,
     * with [[stopwordQuality]]'s stopword ratio and [[qualityScore]]'s
     * length score, make up the classic "is this natural prose" filter

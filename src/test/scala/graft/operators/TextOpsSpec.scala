@@ -74,6 +74,20 @@ class TextOpsSpec extends SparkSpec {
     assert(a0 === e0)
   }
 
+  test("repetition ratio: duplicate-token fraction, empty-safe") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq((1L, "spam spam spam spam", "en"), (2L, "all words differ here", "en"),
+      (3L, "", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.repetition(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) === ((4L, 1L, 0.75)), "4 tokens, 1 distinct → 0.75")
+    assert(out(2L) === ((4L, 4L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)), "empty text is 0, not NaN/err")
+  }
+
   test("char-class ratios: punct/upper/digit arithmetic is exact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("charclass").toString
