@@ -91,14 +91,19 @@ object SparkEntry {
     "q_boundary_country" -> (boundaryCountry _),
     "q_geocode" -> (geocodeGolden _),
     // LLM-pipeline: the flagship end-to-end cleaning composition
-    "q_clean_corpus" -> ((s, d) => graft.operators.Pipeline.cleanCorpus(s, d)),
+    "q_clean_corpus" -> ((s, d) =>
+      graft.operators.Pipeline.cleanCorpus(s, d, materialized = true)),
     "q_train_val_split" -> ((s, d) => graft.operators.Pipeline.trainValSplit(s, d)),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
-    "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(s, d)),
-    "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d)),
+    // the entries run the build-once/probe-many shape (signatures read
+    // from the materialized parquet table, not recomputed per join side —
+    // same principle as the IVF index; output spec-pinned identical to
+    // the recomputing form)
+    "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairsMaterialized(s, d)),
+    "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d, materialized = true)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
     // LLM-pipeline: text analysis family
     "q_text_stats" -> (TextOps.textStats _),

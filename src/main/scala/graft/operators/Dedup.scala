@@ -319,13 +319,20 @@ object Dedup {
   /** End-to-end near-dedup filter: drop every document that near-duplicates
     * a lower-id document (greedy keep-lowest-id over the MinHash pairs).
     * This is the operator a pretraining pipeline actually ends with; the
-    * anti-join is the same bucketed shape, no extra shuffle class. */
+    * anti-join is the same bucketed shape, no extra shuffle class.
+    * @param materialized read signatures from the build-once parquet table
+    *   ([[materializeSignatures]]) instead of recomputing them per join
+    *   side — the steady-state production shape. */
   def minHashKeep(spark: SparkSession, dir: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val drop = minHashPairs(spark, dir, numHashes, bands, threshold,
+      maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
+    val pairs =
+      if (materialized)
+        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+          maxBucket)
+      else minHashPairs(spark, dir, numHashes, bands, threshold,
         maxBucket = maxBucket)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
     docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
 

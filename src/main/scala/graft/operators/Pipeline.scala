@@ -41,13 +41,17 @@ object Pipeline {
   }
 
   def cleanCorpus(spark: SparkSession, dir: String, minWords: Int = 30,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
     // stage 1: canonical representative per distinct text — THE
     // Dedup.exactKeep operator, not a re-derivation (one keep rule)
     val kept = Dedup.exactKeep(spark, dir)
-    // stage 2: near-dup drop set (greedy keep-lowest-id)
-    val nearDrops = Dedup.minHashPairs(spark, dir, threshold = threshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // stage 2: near-dup drop set (greedy keep-lowest-id); `materialized`
+    // reads the build-once signature table (steady-state shape)
+    val pairs =
+      if (materialized)
+        Dedup.minHashPairsMaterialized(spark, dir, threshold = threshold)
+      else Dedup.minHashPairs(spark, dir, threshold = threshold)
+    val nearDrops = pairs.select(col("doc_b").as("doc_id")).distinct()
     val nWords = (length(col("text")) -
       length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
     kept
