@@ -104,6 +104,9 @@ object SparkEntry {
     // the recomputing form)
     "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairsMaterialized(s, d)),
     "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d, materialized = true)),
+    // transitive dedup: connected components over the near-dup pair graph
+    "q_dedup_clusters" -> ((s, d) => Dedup.minHashClusters(s, d)),
+    "q_cluster_keep" -> ((s, d) => Dedup.minHashClusterKeep(s, d)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
     // LLM-pipeline: text analysis family
     "q_text_stats" -> (TextOps.textStats _),
@@ -568,6 +571,39 @@ object SparkEntry {
         s"WHERE round($jaccardSqlExpr, 4) >= 0.5) " +
         "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars " +
         "FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"),
+    // transitive near-dup clusters vs a DuckDB RECURSIVE closure over the
+    // same exact all-pairs Jaccard graph the pair oracle uses: walk is the
+    // reachability set of each vertex, cluster_id = min reachable id (incl.
+    // self), cluster_n a count window — the oracle literally computes the
+    // definition the Spark operator implements iteratively
+    "q_dedup_clusters" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.u), " +
+        "comp AS (SELECT v AS doc_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v) " +
+        "SELECT doc_id, cluster_id, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_n FROM comp"),
+    // transitive keep-filter: documents minus non-canonical cluster members
+    "q_cluster_keep" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.u), " +
+        "comp AS (SELECT v AS doc_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v) " +
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars " +
+        "FROM documents d WHERE NOT EXISTS (SELECT 1 FROM comp c " +
+        "WHERE c.doc_id = d.doc_id AND c.cluster_id <> d.doc_id)"),
     "q_text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +

@@ -336,6 +336,95 @@ object Dedup {
     docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
 
+  // ----------------------------------------------- Connected components
+
+  /** Connected components of an undirected pair graph: one row per vertex,
+    * labeled with the MINIMUM vertex id of its component. This is the
+    * missing piece between near-dup PAIRS and production dedup: pair-wise
+    * greedy drops are not transitive (in a component {1,2,3} with edges
+    * (2,3),(1,3) only, doc 2 never appears as a pair's `doc_b` and
+    * survives a greedy drop even though it near-duplicates the cluster),
+    * while component labeling keeps exactly one representative per
+    * transitive cluster.
+    *
+    * Algorithm: iterative min-label propagation (label(v) ← min over self
+    * and neighbors) with a path-halving step (label(v) ← label(label(v)))
+    * per round, so chains converge in O(log diameter) rounds rather than
+    * O(diameter). Each round is two keyed shuffles; the loop is
+    * driver-side but every step is distributed, and near-dup components
+    * are near-cliques in practice (diameter ≤ 3 — one LSH band hit per
+    * pair), so typical runs converge in 2-3 rounds. Convergence is
+    * detected by the label sum (labels are positive ids and strictly
+    * decrease until fixpoint), a scalar aggregate per round.
+    *
+    * Lineage is cut per round with `localCheckpoint` (labels would
+    * otherwise re-derive the whole candidate pipeline each iteration); on
+    * a real cluster point `spark.sparkContext.setCheckpointDir` at
+    * reliable storage and swap to `checkpoint` — the shape is identical.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      // min over self + neighbors (one shuffle on v)
+      val neighborMin = edges.join(labels, edges("src") === labels("v"))
+        .select(edges("dst").as("v"), col("label"))
+        .union(labels.select(col("v"), col("label")))
+        .groupBy("v").agg(min("label").as("label"))
+      // path-halving: label(v) ← label(label(v)); every label value is a
+      // vertex id, so the self-join is total
+      val hop = neighborMin.select(col("v").as("pv"), col("label").as("pl"))
+      val next = neighborMin.join(hop, neighborMin("label") === hop("pv"))
+        .select(neighborMin("v"), hop("pl").as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      done = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the MinHash pair graph: (doc_id, cluster_id,
+    * cluster_n) for every document that has at least one near-duplicate,
+    * cluster_id = min doc_id of the transitive component. Reads the
+    * build-once signature table ([[materializeSignatures]]). */
+  def minHashClusters(spark: SparkSession, dir: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val labels = connectedComponents(
+      minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+        maxBucket))
+    labels.withColumn("cluster_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")))
+  }
+
+  /** Transitive near-dedup filter: keep the minimum-id representative of
+    * every near-dup component (plus all singletons) — the strictly
+    * stronger form of [[minHashKeep]] (see [[connectedComponents]] for
+    * why greedy pair drops under-delete). Anti-join on the non-canonical
+    * members; same bucketed shuffle class as the pair pipeline. */
+  def minHashClusterKeep(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val drop = connectedComponents(
+      minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+        maxBucket))
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word hashes (unweighted). */

@@ -213,4 +213,40 @@ class DedupSpec extends SparkSpec {
     Dedup.clearSignatureCache()
     assert(!new java.io.File(p1).exists())
   }
+
+  test("connectedComponents: transitive chains, min label, diameter > 2") {
+    import spark.implicits._
+    // components: {1,2,3} (path via 3 — doc 2 is invisible to a greedy
+    // pair drop), {10,11}, {20..26} a 7-long chain (diameter 6 exercises
+    // multiple propagation rounds + path halving)
+    val pairs = (Seq((2L, 3L), (1L, 3L), (10L, 11L)) ++
+      (20L to 25L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(10L) === 10L && got(11L) === 10L)
+    (20L to 26L).foreach(v => assert(got(v) === 20L, s"chain member $v"))
+    assert(got.size === 12)
+  }
+
+  test("cluster keep is transitively correct where greedy pair-drop isn't") {
+    import spark.implicits._
+    // three mutually-near texts, but built so the LSH pair (1,2) may be
+    // absent from doc_b position for 2 — the cluster form must still keep
+    // exactly one representative
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base + " x"), (2L, base + " y"), (3L, base + " z"),
+      (9L, (200 to 260).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ccdedup").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Dedup.clearSignatureCache()
+    val clusters = Dedup.minHashClusters(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+    val kept = Dedup.minHashClusterKeep(spark, tmp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 9L))
+    Dedup.clearSignatureCache()
+  }
 }
