@@ -116,6 +116,7 @@ object SparkEntry {
     "q_stopword_quality" -> (TextOps.stopwordQuality _),
     "q_charclass_quality" -> (TextOps.charClassQuality _),
     "q_repetition" -> (TextOps.repetition _),
+    "q_gopher_repetition" -> (TextOps.gopherRepetition _),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
@@ -550,6 +551,30 @@ object SparkEntry {
         "CAST(len(w) AS DOUBLE), 4) END AS rep_ratio FROM " +
         "(SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> len(x) > 0) AS w FROM documents) t"),
+    // Gopher §A1.1 repetition signals: dup-line fraction + top word/2-gram
+    // token share, re-derived with DuckDB list/group algebra (unnest → mode
+    // count; only the top COUNT is used, so no tie-break divergence)
+    "q_gopher_repetition" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) " +
+        "AS w, string_split(text, chr(10)) AS lines FROM documents), " +
+        "wc AS (SELECT doc_id, g, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(w) AS g FROM w) GROUP BY doc_id, g), " +
+        "wtop AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / " +
+        "CAST(sum(c) AS DOUBLE), 4) AS twf FROM wc GROUP BY doc_id), " +
+        "bc AS (SELECT doc_id, g, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i + 1])) AS g FROM w WHERE len(w) >= 2) " +
+        "GROUP BY doc_id, g), " +
+        "btop AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / " +
+        "CAST(sum(c) AS DOUBLE), 4) AS tbf FROM bc GROUP BY doc_id) " +
+        "SELECT w.doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE " +
+        "round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / " +
+        "CAST(len(lines) AS DOUBLE), 4) END AS dup_line_frac, " +
+        "coalesce(wtop.twf, 0.0) AS top_word_frac, " +
+        "coalesce(btop.tbf, 0.0) AS top_bigram_frac " +
+        "FROM w LEFT JOIN wtop ON wtop.doc_id = w.doc_id " +
+        "LEFT JOIN btop ON btop.doc_id = w.doc_id"),
     // MinHash-LSH near-dup pairs vs EXACT all-pairs Jaccard: on this corpus
     // every true pair has J >= 0.98 (nothing between 0.2 and 0.98), so at
     // threshold 0.5 the 16x4 banding's per-pair miss probability is

@@ -97,6 +97,46 @@ object TextOps {
           n.cast("double"), 4)).as("rep_ratio"))
   }
 
+  /** Gopher-rule repetition signals (Rae et al. 2021 §A1.1): the
+    * duplicate-line fraction and the share of tokens taken by the single
+    * most frequent word / 2-gram — the filters that catch templated and
+    * machine-generated text that per-token ratios miss.
+    *
+    * Shape at scale: the line signal is a narrow split/distinct per row;
+    * the n-gram modes are explode → partial-agg on (doc_id, gram) →
+    * final agg on doc_id — two keyed shuffles with map-side combine, so
+    * the exploded token stream never materializes unreduced. Only the
+    * top COUNT is needed (not the winning gram), so there is no
+    * tie-break nondeterminism. Docs with no words / no bigrams fall out
+    * of the aggregation and re-enter via left join as 0.0. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val base = docs(spark, dir).select(col("doc_id"), words.as("w"),
+      split(col("text"), "\n").as("lines"))
+    val dupLines = base.select(col("doc_id"),
+      when(size(col("lines")) === 0, lit(0.0)).otherwise(
+        round(lit(1.0) -
+          size(array_distinct(col("lines"))).cast("double") /
+          size(col("lines")).cast("double"), 4)).as("dup_line_frac"))
+    def topFrac(grams: DataFrame, out: String): DataFrame =
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast("double") / sum("c").cast("double"), 4)
+          .as(out))
+    val wordTop = topFrac(
+      base.select(col("doc_id"), explode(col("w")).as("g")), "twf")
+    val bigramTop = topFrac(
+      base.filter(size(col("w")) >= 2).select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat_ws(" ", slice(col("w"), i, lit(2))))).as("g")), "tbf")
+    dupLines
+      .join(wordTop, Seq("doc_id"), "left")
+      .join(bigramTop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_line_frac"),
+        coalesce(col("twf"), lit(0.0)).as("top_word_frac"),
+        coalesce(col("tbf"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Character-class quality signals — the punct/caps/digit ratios that,
     * with [[stopwordQuality]]'s stopword ratio and [[qualityScore]]'s
     * length score, make up the classic "is this natural prose" filter

@@ -152,4 +152,23 @@ class TextOpsSpec extends SparkSpec {
     assert(a === 1L && b === 2L)
     assert(c === 1.0, "every fingerprint of the quote appears in the body")
   }
+
+  test("gopher repetition: dup lines, top word/bigram token shares") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    Seq(
+      (1L, "a a a a b"),          // top word 4/5, top bigram "a a" 3/4
+      (2L, "x\nx\ny"),            // 3 lines, 2 distinct → dup 1/3
+      (3L, "one"),                // no bigrams → 0.0
+      (4L, "p q r s"))            // all unique: word 1/4, bigram 1/3
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.gopherRepetition(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((0.0, 0.8, 0.75)))
+    assert(got(2L) === ((0.3333, 0.6667, 0.5)))
+    assert(got(3L) === ((0.0, 1.0, 0.0)))
+    assert(got(4L) === ((0.0, 0.25, 0.3333)))
+  }
 }
