@@ -94,6 +94,9 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, d) =>
       graft.operators.Pipeline.cleanCorpus(s, d, materialized = true)),
     "q_train_val_split" -> ((s, d) => graft.operators.Pipeline.trainValSplit(s, d)),
+    // rebalance the language mix: halve en, quarter de, keep the tail
+    "q_stratified_sample" -> ((s, d) => graft.operators.Pipeline
+      .stratifiedSample(s, d, Map("en" -> 0.5, "de" -> 0.25))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_jaccard" -> (Dedup.jaccardPairs _),
@@ -117,6 +120,8 @@ object SparkEntry {
     "q_charclass_quality" -> (TextOps.charClassQuality _),
     "q_repetition" -> (TextOps.repetition _),
     "q_gopher_repetition" -> (TextOps.gopherRepetition _),
+    "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
+    "q_pii_redact" -> (TextOps.piiRedact _),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
@@ -494,6 +499,36 @@ object SparkEntry {
         "THEN 'val' WHEN bucket = '2' THEN 'test' ELSE 'train' END AS split " +
         "FROM (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR) " +
         "|| 'graft-v1'), 1, 1) AS bucket FROM documents) t"),
+    // stratified hash sampling: the SAME fixed-width-hex string comparison
+    // (lexicographic == numeric for lowercase hex; thresholds are shared
+    // constants from Pipeline.hexThreshold, 'g' = keep-all sentinel)
+    "q_stratified_sample" ->
+      ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft-sample-v1'), " +
+        "1, 4) < CASE " +
+        s"WHEN lang = 'en' THEN '${graft.operators.Pipeline.hexThreshold(0.5)}' " +
+        s"WHEN lang = 'de' THEN '${graft.operators.Pipeline.hexThreshold(0.25)}' " +
+        s"ELSE '${graft.operators.Pipeline.hexThreshold(1.0)}' END"),
+    // corpus bigram frequencies (the BPE merge statistic), deterministic
+    // top-k via (count DESC, gram) — both engines select the same set
+    "q_bigram_vocab" ->
+      ("SELECT g AS gram, count(*) AS n FROM (SELECT unnest(" +
+        "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) " +
+        "AS g FROM (SELECT list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0) AS w FROM documents) WHERE len(w) >= 2) " +
+        "GROUP BY g ORDER BY n DESC, g LIMIT 50"),
+    // PII scrub: same Java∩RE2 regex constants, same email-first cascade;
+    // DuckDB regexp_replace needs the 'g' flag for replace-all
+    "q_pii_redact" -> {
+      val e = graft.operators.TextOps.EmailRe
+      val p = graft.operators.TextOps.PhoneRe
+      "SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), " +
+        s"'$p', '<PHONE>', 'g') AS redacted, " +
+        s"CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(regexp_replace(text, '$e', " +
+        s"'<EMAIL>', 'g'), '$p')) AS BIGINT) AS n_phones FROM documents"
+    },
     // the full cleaning composition, re-derived: exact-keep semi ∘
     // near-dup anti (exact all-pairs Jaccard stands in for LSH — recall 1
     // on this corpus, see q_minhash_pairs) ∘ min-words filter ∘ token stats

@@ -40,6 +40,39 @@ object Pipeline {
           .otherwise("train").as("split"))
   }
 
+  /** Floor(rate * 16^width) rendered as a zero-padded lowercase hex
+    * literal: fixed-width lowercase hex compares lexicographically in
+    * numeric order ('0'<'9'<'a'<'f' in ASCII), so `hex_prefix < threshold`
+    * is a pure STRING comparison any engine evaluates identically — no
+    * hex-to-int conversion to disagree on. */
+  private[graft] def hexThreshold(rate: Double, width: Int = 4): String = {
+    val cells = 1L << (4 * width)
+    val t = math.min(cells, math.max(0L, math.floor(rate * cells).toLong))
+    // rate 1.0 → "g": lexicographically above every hex digit, keeps all
+    if (t == cells) "g" else s"%0${width}x".format(t)
+  }
+
+  /** Deterministic stratified downsampling: keep a document iff the first
+    * 4 hex digits of md5(doc_id ++ salt) fall under its stratum's rate
+    * threshold (≈rate of 65536 equiprobable cells). The per-language rate
+    * map is how a pretraining mix is rebalanced (downsample the dominant
+    * language, keep the tail); hash gating makes the sample reproducible
+    * across runs/engines/partitionings and stable under corpus append —
+    * none of which `DataFrame.sample` guarantees. Narrow codegen'd
+    * filter: sampling 100 TB is a scan predicate, not a job. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "graft-sample-v1"): DataFrame = {
+    val cell = substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 4)
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit(hexThreshold(r))).otherwise(acc)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(cell < threshold)
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String, minWords: Int = 30,
       threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
     // stage 1: canonical representative per distinct text — THE

@@ -295,6 +295,48 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus bigram vocabulary: the k most frequent word 2-grams with
+    * counts — the statistic a BPE/tokenizer-training pass starts from
+    * (pair frequencies ARE the BPE merge criterion). Explode → one
+    * partial-agg shuffle on the gram (map-side combine collapses the
+    * token stream) → TakeOrdered top-k; ties broken by gram text so the
+    * selected SET is deterministic. */
+  def bigramVocab(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val w = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    docs(spark, dir)
+      .select(w.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        concat_ws(" ", slice(col("w"), i, lit(2))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Email/phone regexes shared verbatim with the DuckDB oracle: the
+    * common Java-regex ∩ RE2 subset (no backrefs, no lookaround), so both
+    * engines match identically. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scrub: replace emails and phone-number-shaped spans with typed
+    * placeholders and count what was redacted (counts from the ORIGINAL
+    * text; emails are replaced first so their digits can't double-count
+    * as phones). Pure regexp column arithmetic — codegen'd, shuffle-free,
+    * a narrow map over 100 TB. A production scrubber adds locale packs;
+    * the operator shape (ordered regex cascade + audit counts) is this. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"))
+
   /** Cross-document containment via winnowing fingerprints: pairs of
     * documents sharing fingerprint hashes, scored by
     * shared / min(|fp(a)|, |fp(b)|) — the copy/quotation detector of

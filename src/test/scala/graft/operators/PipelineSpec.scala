@@ -45,4 +45,37 @@ class PipelineSpec extends SparkSpec {
     assert(s1.join(other, Seq("doc_id"))
       .filter(s1("split") =!= other("split")).count() > 0)
   }
+
+  test("hexThreshold: zero-padded, ordered, keep-all sentinel") {
+    assert(Pipeline.hexThreshold(0.0) === "0000")
+    assert(Pipeline.hexThreshold(0.25) === "4000")
+    assert(Pipeline.hexThreshold(0.5) === "8000")
+    assert(Pipeline.hexThreshold(1.0 / 4096) === "0010", "zero padding")
+    assert(Pipeline.hexThreshold(1.0) === "g",
+      "'g' sorts above every hex digit → keeps all rows")
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, append-stable") {
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val s1 = Pipeline.stratifiedSample(spark, sfDir, rates)
+    assert(s1.exceptAll(Pipeline.stratifiedSample(spark, sfDir, rates))
+      .count() === 0, "identical across invocations")
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untouched strata keep every row; sampled strata land near rate·n
+    all.keys.filterNot(rates.contains)
+      .foreach(l => assert(kept(l) === all(l), s"lang $l must keep all"))
+    rates.foreach { case (l, r) =>
+      val frac = kept.getOrElse(l, 0L).toDouble / all(l)
+      assert(math.abs(frac - r) < 0.2, s"lang $l kept $frac, want ≈$r")
+    }
+    // append stability: membership is per-row, so the kept set over a
+    // filtered corpus is exactly the filtered kept set
+    assert(s1.filter(col("doc_id") < 100).exceptAll(
+      Pipeline.stratifiedSample(spark, sfDir, rates)
+        .filter(col("doc_id") < 100)).count() === 0)
+  }
 }

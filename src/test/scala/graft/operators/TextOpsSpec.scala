@@ -171,4 +171,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((0.0, 1.0, 0.0)))
     assert(got(4L) === ((0.0, 0.25, 0.3333)))
   }
+
+  test("bigram vocab: corpus pair counts, deterministic top-k ties") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bigram").toString
+    Seq((1L, "to be or not to be"), (2L, "to be is to do"), (3L, "do"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.bigramVocab(spark, tmp, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // "to be" ×3; then the 1-count ties resolve alphabetically
+    assert(got(0) === (("to be", 3L)))
+    assert(got.drop(1).map(_._1).toSeq === got.drop(1).map(_._1).sorted.toSeq)
+    assert(got.forall(_._2 >= 1L) && got.length === 3)
+  }
+
+  test("pii redact: planted emails/phones, cascade order, counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq(
+      (1L, "mail a.user+tag@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "two addrs: x@y.org z@w.io"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.piiRedact(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._2 === 1L && got(1L)._3 === 1L)
+    assert(got(1L)._1 === "mail <EMAIL> or call <PHONE> now")
+    assert(got(2L) === (("two addrs: <EMAIL> <EMAIL>", 2L, 0L)))
+    assert(got(3L) === (("no pii here at all", 0L, 0L)))
+  }
 }
