@@ -8,17 +8,20 @@ import org.apache.spark.sql.functions._
   * SimHash, and exact n-gram Jaccard verification.
   *
   * Scale design (the part that must survive 100 TB):
-  *  - NOTHING here is all-pairs. Candidate generation is always a bucketed
-  *    equi-join (LSH band key or SimHash band key), so the shuffle is
-  *    keyed and linear in data size; only within-bucket pairs are compared.
-  *  - Signatures are computed in one narrow pass (UDF per doc, no shuffle).
-  *  - The band self-join uses `doc_a < doc_b` inside the bucket to halve the
-  *    pair space and `dropDuplicates` to collapse multi-band hits.
+  *  - NOTHING here is all-pairs. Candidate generation is grouped-bucket
+  *    LSH ([[bucketPairs]]): ONE keyed shuffle collects each (band,
+  *    band_key) bucket, and within-bucket pairs are emitted by an array
+  *    expression — linear in data size, pairs only inside buckets.
+  *  - Signatures are computed in one narrow codegen pass (no shuffle),
+  *    or scanned from a build-once parquet table
+  *    ([[materializeSignatures]]).
+  *  - Sorted bucket ids give `doc_a < doc_b` for free; `dropDuplicates`
+  *    collapses multi-band hits.
   *  - Hot buckets (e.g. boilerplate/empty docs) are the classic skew killer
-  *    at scale: one degenerate band shared by H documents is a single
-  *    reducer partition doing O(H²) comparisons. `maxBucket` drops band
-  *    buckets above that size before the self-join (doc-frequency pruning —
-  *    see [[pruneHotBuckets]]): a band shared by thousands of documents
+  *    at scale: one degenerate band shared by H documents is one bucket
+  *    doing O(H²) comparisons. `maxBucket` filters buckets above that size
+  *    on the grouped array — which also bounds per-bucket executor memory
+  *    by construction: a band shared by thousands of documents
   *    carries no near-dup signal boilerplate/exact-dedup wouldn't catch,
   *    and mass-identical clusters belong to [[exact]] dedup anyway.
   */
@@ -36,18 +39,32 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
-  /** Drop (band, band_key) buckets holding more than `maxBucket` docs.
-    * The hot-bucket list is tiny by construction (≤ N/maxBucket entries),
-    * so it broadcasts; the pre-aggregation is one map-side-combined shuffle
-    * on the same key the self-join uses. `maxBucket <= 0` disables.
-    * Pruning is SILENT in the pair output — use [[minHashHotBuckets]] /
-    * [[simHashHotBuckets]] to audit what a cap dropped. */
-  private[operators] def pruneHotBuckets(bandKeys: DataFrame,
-      maxBucket: Int): DataFrame =
-    if (maxBucket <= 0) bandKeys
-    else bandKeys.join(
-      broadcast(hotBuckets(bandKeys, maxBucket).select("band", "band_key")),
-      Seq("band", "band_key"), "left_anti")
+  /** Candidate pairs by grouped-bucket expansion — the classic LSH shape:
+    * ONE shuffle groups band keys into buckets (`collect_list`, map-side
+    * combined), the `maxBucket` cap is an inline `size` filter on the
+    * grouped array (subsuming the former hot-bucket aggregation + anti-
+    * join — two extra passes over the band keys), and within-bucket pairs
+    * are emitted by a pure array expression over the sorted ids (i < j ⇒
+    * doc_a < doc_b). Bucket arrays are bounded by `maxBucket`, so executor
+    * memory is bounded by construction; `maxBucket <= 0` disables the cap
+    * AND that bound. Pruning is SILENT in the pair output — use
+    * [[minHashHotBuckets]] / [[simHashHotBuckets]] to audit what a cap
+    * dropped. Measured at sf0.1: ~2× faster than the self-join form, and
+    * one pass over the signatures instead of three. */
+  private[operators] def bucketPairs(bandKeys: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val sized = bandKeys.groupBy("band", "band_key")
+      .agg(array_sort(collect_list("doc_id")).as("ids"))
+    val capped =
+      if (maxBucket > 0) sized.filter(size(col("ids")).between(2, maxBucket))
+      else sized.filter(size(col("ids")) >= 2)
+    val ids = col("ids")
+    capped.select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids)), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -264,9 +281,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val sigs = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
-    pairsFromBandKeys(spark, dir,
-      pruneHotBuckets(bandKeysOf(sigs, numHashes, bands), maxBucket),
-      threshold)
+    verifyPairs(spark, dir,
+      bucketPairs(bandKeysOf(sigs, numHashes, bands), maxBucket), threshold)
   }
 
   /** Audit query: the MinHash band buckets a `maxBucket` cap prunes
@@ -280,30 +296,17 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5,
       persistSignatures: Boolean = false,
       maxBucket: Int = 1000): DataFrame =
-    pairsFromBandKeys(spark, dir,
-      pruneHotBuckets(
+    verifyPairs(spark, dir,
+      bucketPairs(
         minHashBandKeys(spark, dir, numHashes, bands, persistSignatures),
         maxBucket),
       threshold)
 
-  /** Banded self-join + exact-Jaccard verify over a band-key frame. */
-  private def pairsFromBandKeys(spark: SparkSession, dir: String,
-      bandKeys: DataFrame, threshold: Double): DataFrame = {
-    val left = bandKeys.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"))
-    val right = bandKeys.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"))
-    // NOTE measured, not assumed: forcing a shuffle join here in the hope
-    // of ReuseExchange collapsing the two identical sides does NOT fire
-    // (the pruning anti-join subtree defeats canonical matching) and the
-    // extra sort costs ~50%. The at-scale answer to the double signature
-    // computation is [[materializeSignatures]], not join-side reuse.
-    val candidates = left.join(right, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-
-    // exact verify: join texts back, compute true n-gram Jaccard with the
-    // codegen'd array expressions (no UDF in the verify stage either)
+  /** Exact-Jaccard verify of a candidate pair frame: join texts back,
+    * compute true n-gram Jaccard with the codegen'd array expressions
+    * (no UDF in the verify stage either). */
+  private def verifyPairs(spark: SparkSession, dir: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     val texts = docs(spark, dir).select(col("doc_id"), col("text"))
     candidates
       .join(texts.withColumnRenamed("doc_id", "doc_a")
@@ -474,15 +477,24 @@ object Dedup {
 
   def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val banded = pruneHotBuckets(simHashBandKeys(spark, dir), maxBucket)
-    val l = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // same grouped-bucket expansion as [[bucketPairs]], carrying the
+    // simhash alongside the id (struct sort orders by doc_id first, so
+    // i < j still implies doc_a < doc_b)
+    val sized = simHashBandKeys(spark, dir).groupBy("band", "band_key")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+    val capped =
+      if (maxBucket > 0) sized.filter(size(col("ds")).between(2, maxBucket))
+      else sized.filter(size(col("ds")) >= 2)
+    val ds = col("ds")
+    capped.select(explode(flatten(transform(ds, (a, i) =>
+        transform(slice(ds, i + lit(2), size(ds)), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("simhash")
+              .bitwiseXOR(b.getField("simhash"))).as("hamming"))))))
+        .as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"), col("pr.hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
