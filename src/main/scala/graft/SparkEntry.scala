@@ -122,11 +122,25 @@ object SparkEntry {
     "q_gopher_repetition" -> (TextOps.gopherRepetition _),
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
     "q_pii_redact" -> (TextOps.piiRedact _),
+    "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
+    "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
       graft.operators.Skew.saltedCountSum(Relational.events(s, d),
         "event_type", "value", idCol = Some("event_id"))),
+    // salted fact⋈dim join, rolled up — hash-matches the PLAIN join SQL
+    // (the equivalence IS the contract, like q_salted_agg)
+    "q_salted_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
     "q_kmv_distinct" -> ((s, d) => Relational.events(s, d)
       .groupBy("event_type")
       .agg(graft.functions.KmvSketch.approxDistinct(
@@ -690,6 +704,30 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n_rows, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY event_type"),
+    // the PLAIN join — the salted rewrite must be indistinguishable
+    "q_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_rows, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS revenue FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderpriority"),
+    // fixed-width length histogram (floor-div binning, no global sort)
+    "q_length_histogram" ->
+      ("SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bin, " +
+        "count(*) AS n_docs, " +
+        "CAST(min(length(text)) AS BIGINT) AS min_chars, " +
+        "CAST(max(length(text)) AS BIGINT) AS max_chars " +
+        "FROM documents GROUP BY 1"),
+    // per-source provenance mix with exact dup ratio
+    "q_source_report" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "count(DISTINCT md5(text)) AS n_distinct_texts, " +
+        "round(avg(length(text)), 2) AS avg_chars, " +
+        "CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) " +
+        "AS approx_bpe_tokens, " +
+        "round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 4) AS dup_ratio FROM documents " +
+        "GROUP BY source"),
     "q_stopword_quality" ->
       ("WITH h AS (SELECT doc_id, " +
         Seq(" the ", " and ", " of ", " a ").map { w =>

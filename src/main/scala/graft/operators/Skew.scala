@@ -48,4 +48,29 @@ object Skew {
     df.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Salted equi-join for a skewed fact ⋈ dim: fact rows are salted by a
+    * deterministic row hash (same `idCol` contract as [[saltedCountSum]]),
+    * the dim side is replicated `salts`× by an explode, and the join key
+    * becomes (key, salt) — a hot fact key's rows now land on `salts`
+    * reducers instead of one. Result is EXACTLY the plain join (the
+    * equivalence is the oracle contract of `q_salted_join`).
+    *
+    * This is the manual form of what AQE's skew-join split does at
+    * runtime; it exists for the cases AQE can't reach — a skewed key
+    * known in advance, deterministic layout requirements, or an engine
+    * without runtime re-planning. Cost model at 100 TB: dim shuffle
+    * volume × `salts` buys hot-key parallelism `salts`; size `salts` ≈
+    * hot-key rows / target-partition rows, and keep the dim side the
+    * SMALL side (the replication is the price). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 16, idCol: Option[String] = None): DataFrame = {
+    val saltSrc = idCol.map(c => Seq(col(c)))
+      .getOrElse(fact.columns.map(col).toSeq)
+    val saltedFact =
+      fact.withColumn("_salt", pmod(hash(saltSrc: _*), lit(salts)))
+    val replicatedDim =
+      dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -295,6 +295,19 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Document-length histogram over fixed-width bins — the corpus shape
+    * report a pipeline run starts and ends with. Fixed-width binning
+    * (`floor(n_chars / width)`) deliberately instead of ntile/decile: a
+    * global ntile needs a total sort (single-reducer at 100 TB), while a
+    * fixed bin is a narrow map + one low-cardinality partial agg. */
+  def lengthHistogram(spark: SparkSession, dir: String,
+      width: Int = 50): DataFrame =
+    docs(spark, dir)
+      .groupBy(floor(length(col("text")) / width).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(length(col("text"))).cast("long").as("min_chars"),
+        max(length(col("text"))).cast("long").as("max_chars"))
+
   /** Corpus bigram vocabulary: the k most frequent word 2-grams with
     * counts — the statistic a BPE/tokenizer-training pass starts from
     * (pair frequencies ARE the BPE merge criterion). Explode → one

@@ -56,4 +56,24 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted === direct)
   }
+
+  test("salted join equals the plain join, dim replicated exactly salts×") {
+    import spark.implicits._
+    // skewed fact: one hot key with 900 of 1000 rows
+    val fact = ((1L to 900L).map(i => (i, 1L, 1.0)) ++
+      (901L to 1000L).map(i => (i, i, 2.0))).toDF("id", "k", "v")
+    val dim = ((1L to 1000L).map(i => (i, s"name$i"))).toDF("k", "k_name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8,
+        idCol = Some("id"))
+      .select("id", "k", "v", "k_name")
+    val plain = fact.join(dim, Seq("k")).select("id", "k", "v", "k_name")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.count() === 1000L)
+    // the hot key's fact rows must actually spread across salt buckets
+    val spread = fact.filter(col("k") === 1L)
+      .withColumn("_salt", pmod(hash(col("id")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(spread === 8L, s"hot key must span all salts, got $spread")
+  }
 }
