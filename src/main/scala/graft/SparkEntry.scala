@@ -193,6 +193,14 @@ object SparkEntry {
     // no-equality-key proximity range join, both scale-safe rewrites
     "q_asof_join" -> (AsOf.eventsAsOfLastPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
+    // batch twin of the stream-stream interval join (same operator code;
+    // the streaming semantics are pinned in EventStreamSpec)
+    "q_attribution" -> ((s, d) => {
+      val ev = Relational.events(s, d)
+      graft.streaming.EventStream.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+    }),
     // streaming twin: gap-based sessionization (batch form; the streaming
     // form is pinned by EventStreamSpec against the same definition)
     "q_sessionize" -> ((s, d) =>
@@ -939,6 +947,15 @@ object SparkEntry {
         "(SELECT user_id, ts, max(value) AS value FROM events " +
         "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    // attribution interval join (batch twin of the stream-stream join):
+    // inclusive [click, click + 30 min] bounds on both engines
+    "q_attribution" ->
+      ("SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+        "c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us, " +
+        "p.value AS purchase_value FROM events c JOIN events p " +
+        "ON c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.user_id = c.user_id " +
+        "AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE"),
     // range join: the binned equi-join rewrite must equal the plain
     // inequality join (which DuckDB runs natively as an IEJoin)
     "q_range_join" ->

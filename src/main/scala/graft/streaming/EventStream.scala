@@ -40,6 +40,39 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Stream-stream interval join (click→purchase attribution): each click
+    * joined to the same user's purchases landing within `[click_ts,
+    * click_ts + maxDelayMin]` — the canonical watermarked two-stream join.
+    * Both sides carry a watermark and the join condition bounds event time
+    * on BOTH ends, so Spark's symmetric hash join can evict buffered rows
+    * once the watermark passes `ts + maxDelay` — state is bounded by
+    * (watermark delay + attribution window) × arrival rate, never the
+    * whole stream. Works unchanged on batch frames (watermarks are
+    * streaming-only and skipped), which is what the `q_attribution`
+    * oracle checks.
+    *
+    * Shuffle topology: one exchange per side on `user_id` — identical to
+    * a batch equi-join; the interval predicate is evaluated post-match. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      maxDelayMin: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    val c = if (c0.isStreaming) c0.withWatermark("click_ts", watermark) else c0
+    val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", watermark)
+      else p0
+    c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $maxDelayMin MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"),
+        col("purchase_value"))
+  }
+
   /** Gap-based sessionization per user via flatMapGroupsWithState — the
     * custom-state path the DataFrame API can't express. A session closes
     * when the next event arrives more than `gapMs` after the previous one,

@@ -143,4 +143,44 @@ class EventStreamSpec extends SparkSpec {
     // every session is internally consistent
     assert(sessions.filter(col("session_end") < col("session_start")).count() === 0)
   }
+
+  test("stream-stream attribution join over two memory streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = attributionJoin(clicks.toDF(), purchases.toDF(),
+      maxDelayMin = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts(0), 100, "click", 0.0),
+        Event(2, ts(5), 200, "click", 0.0))
+      purchases.addData(
+        Event(10, ts(10), 100, "purchase", 9.99), // 10 min after click 1 ✓
+        Event(11, ts(50), 100, "purchase", 5.00), // 50 min after → outside
+        Event(12, ts(4), 200, "purchase", 1.00))  // BEFORE click 2 → out
+      query.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("click_id", "purchase_id", "gap_us", "purchase_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set((1L, 10L, 600000000L, 9.99)))
+    } finally query.stop()
+  }
+
+  test("attribution join batch twin: same operator, inclusive bounds") {
+    import spark.implicits._
+    val clicks = Seq(Event(1, ts(0), 100, "click", 0.0)).toDF()
+    val purchases = Seq(
+      Event(10, ts(0), 100, "purchase", 1.0),   // gap 0 → inclusive lower
+      Event(11, ts(30), 100, "purchase", 2.0),  // exactly +30min → inclusive
+      Event(12, ts(31), 100, "purchase", 3.0))  // +31min → out
+      .toDF()
+    val got = attributionJoin(clicks, purchases).select("purchase_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 11L))
+  }
 }
