@@ -124,6 +124,8 @@ object SparkEntry {
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
+    "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
+    "q_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
@@ -725,6 +727,27 @@ object SparkEntry {
         "CAST(min(length(text)) AS BIGINT) AS min_chars, " +
         "CAST(max(length(text)) AS BIGINT) AS max_chars " +
         "FROM documents GROUP BY 1"),
+    // overlapping 200-char chunks, step 150 (Spark sequence is stop-
+    // inclusive; DuckDB range is stop-exclusive, hence the +1)
+    "q_chunk_docs" ->
+      ("SELECT doc_id, CAST((s - 1) / 150 AS BIGINT) AS chunk_id, " +
+        "CAST(s AS BIGINT) AS start_pos, " +
+        "substr(text, s, 200) AS chunk_text, " +
+        "CAST(length(substr(text, s, 200)) AS BIGINT) AS chunk_chars " +
+        "FROM (SELECT doc_id, text, " +
+        "unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS s " +
+        "FROM documents)"),
+    // greedy contiguous packing by prefix token count (ROWS frame is
+    // explicit; Spark's default RANGE frame is identical because the
+    // order key is unique)
+    "q_pack_sequences" ->
+      ("SELECT doc_id, lang, " +
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens, " +
+        "CAST(floor((sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) " +
+        "OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - " +
+        "CAST(ceil(length(text) / 4.0) AS BIGINT)) / 2048.0) AS BIGINT) " +
+        "AS pack_id FROM documents"),
     // per-source provenance mix with exact dup ratio
     "q_source_report" ->
       ("SELECT source, count(*) AS n_docs, " +

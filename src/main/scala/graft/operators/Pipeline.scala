@@ -93,6 +93,57 @@ object Pipeline {
         round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
           count(lit(1)).cast("double"), 4).as("dup_ratio"))
 
+  /** Split documents into overlapping fixed-size character chunks — the
+    * context-window preparation step of a training pipeline. Start
+    * offsets are an arithmetic sequence (step = chunk − overlap), so
+    * chunk_id is derivable from the offset — no ordinality needed, and
+    * the whole operator is one `explode` of a generated sequence +
+    * `substring`: a narrow codegen map whose output size is
+    * Σ ceil(len/step), no shuffle at all. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      chunkChars: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap >= 0 && overlap < chunkChars, "0 <= overlap < chunkChars")
+    val step = chunkChars - overlap
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - overlap, lit(1)), lit(step)))
+          .as("start_pos"))
+      .select(col("doc_id"),
+        // offsets are exact multiples of step, so the double division is
+        // integral and the cast is lossless
+        ((col("start_pos") - 1) / step).cast("long").as("chunk_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("text").substr(col("start_pos"), lit(chunkChars))
+          .as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Greedy contiguous sequence packing: assign documents (in doc_id
+    * order, per language) to fixed-capacity training packs by prefix
+    * token count — pack_id = floor(tokens-before-this-doc / capacity),
+    * the standard "fill until the boundary, overflow starts the next
+    * pack" approximation (a straddling document belongs to the pack it
+    * STARTS in, so packs can exceed capacity by at most one document).
+    * Deterministic: the order key (doc_id) is unique.
+    *
+    * Scale: one running-sum window per language partition — a keyed
+    * shuffle + linear scan. At 100 TB partition the window key finer
+    * ((lang, shard) with per-shard capacity) so no single language
+    * serializes through one task; the assignment rule is unchanged. */
+  def packSequences(spark: SparkSession, dir: String,
+      capacityTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), tokens.as("n_tokens"))
+      .withColumn("pack_id",
+        floor(((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(capacityTokens.toDouble))).cast("long"))
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String, minWords: Int = 30,
       threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
     // stage 1: canonical representative per distinct text — THE

@@ -78,4 +78,39 @@ class PipelineSpec extends SparkSpec {
       Pipeline.stratifiedSample(spark, sfDir, rates)
         .filter(col("doc_id") < 100)).count() === 0)
   }
+
+  test("chunking: overlap arithmetic, short-text single chunk, coverage") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunk").toString
+    val long = "x" * 297
+    Seq((1L, long), (2L, "short")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.chunkDocuments(spark, tmp, chunkChars = 200,
+        overlap = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1 (297 chars): starts 1 and 151 → chunks of 200 and 147 chars
+    assert(got.toSeq === Seq((1L, 0L, 1L, 200L), (1L, 1L, 151L, 147L),
+      (2L, 0L, 1L, 5L)))
+    // consecutive chunks overlap by exactly `overlap` characters
+    val texts = Pipeline.chunkDocuments(spark, tmp, 200, 50)
+      .filter(col("doc_id") === 1L).orderBy("chunk_id")
+      .collect().map(_.getString(3))
+    assert(texts(0).takeRight(50) === texts(1).take(50))
+  }
+
+  test("packing: prefix-sum bins, per-lang reset, straddle overflow") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pack").toString
+    // 100-token docs (400 chars): capacity 250 → docs 1,2 start in pack 0
+    // (prefix 0, 100), doc 3 starts at prefix 200 < 250 → still pack 0
+    // (straddle), doc 4 at prefix 300 → pack 1
+    val docs = (1L to 4L).map(i => (i, "en", "y" * 400)) :+
+      ((9L, "de", "z" * 400))
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.packSequences(spark, tmp, capacityTokens = 250L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 9L -> 0L))
+  }
 }
