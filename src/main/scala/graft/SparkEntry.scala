@@ -111,6 +111,13 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => Dedup.minHashClusters(s, d)),
     "q_cluster_keep" -> ((s, d) => Dedup.minHashClusterKeep(s, d)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
+    // batch twin of the stream-static ingest dedup (streaming semantics
+    // pinned in DedupSpec); self-matches excluded — the operator's use
+    // case is matching NEW docs against history
+    "q_stream_neardup" -> ((s, d) =>
+      Dedup.streamNearDupCandidates(
+          s.read.parquet(s"$d/documents.parquet"), s, d)
+        .filter(col("new_id") =!= col("hist_id"))),
     // LLM-pipeline: text analysis family
     "q_text_stats" -> (TextOps.textStats _),
     "q_token_count" -> (TextOps.tokenCount _),
@@ -1007,8 +1014,36 @@ object SparkEntry {
     // is a deterministic function of the fixed corpus — 4-band pigeonhole
     // makes the Hamming<=3 pair set EXACT given the simhash values, whose
     // semantics DedupSpec + SimHashExpressionSpec pin independently).
-    "q_simhash_pairs" -> simhashGolden
+    "q_simhash_pairs" -> simhashGolden,
+    // q_stream_neardup: the murmur3 MinHash signature estimate is not
+    // expressible in DuckDB; golden VALUES (deterministic function of the
+    // fixed corpus + fixed hash family). Consistency anchor: exactly the
+    // 25 q_minhash_pairs pairs, symmetric (50 rows), estimates within
+    // MinHash error of the exact Jaccards the pair oracle computes live.
+    "q_stream_neardup" -> streamNearDupGolden
   )
+
+  /** Golden for q_stream_neardup at the oracle SF (see comment above). */
+  private val streamNearDupGolden: String =
+    "SELECT CAST(new_id AS BIGINT) AS new_id, " +
+      "CAST(hist_id AS BIGINT) AS hist_id, " +
+      "CAST(sim_est AS DOUBLE) AS sim_est FROM (VALUES " +
+      Seq[(Int, Int, Double)](
+        (8, 245, 1.0), (26, 455, 0.8906), (31, 383, 0.9531), (44, 446, 0.9531),
+        (45, 267, 1.0), (45, 413, 1.0), (58, 293, 1.0), (61, 185, 1.0),
+        (70, 447, 0.9844), (72, 377, 1.0), (87, 134, 0.9219), (92, 450, 0.9375),
+        (98, 290, 0.9688), (107, 387, 0.9688), (120, 332, 0.9688), (134, 87, 0.9219),
+        (152, 178, 0.9375), (166, 323, 1.0), (178, 152, 0.9375), (185, 61, 1.0),
+        (245, 8, 1.0), (267, 45, 1.0), (267, 413, 1.0), (285, 301, 1.0),
+        (290, 98, 0.9688), (293, 58, 1.0), (295, 374, 0.9219), (301, 285, 1.0),
+        (310, 389, 0.9531), (323, 166, 1.0), (326, 457, 1.0), (332, 120, 0.9688),
+        (374, 295, 0.9219), (377, 72, 1.0), (383, 31, 0.9531), (387, 107, 0.9688),
+        (389, 310, 0.9531), (393, 420, 0.9844), (413, 45, 1.0), (413, 267, 1.0),
+        (420, 393, 0.9844), (435, 486, 0.9688), (446, 44, 0.9531), (447, 70, 0.9844),
+        (450, 92, 0.9375), (455, 26, 0.8906), (457, 326, 1.0), (458, 462, 1.0),
+        (462, 458, 1.0), (486, 435, 0.9688))
+        .map { case (a, b, e) => s"($a, $b, $e)" }.mkString(", ") +
+      ") AS t(new_id, hist_id, sim_est)"
 
   /** Golden for q_simhash_pairs at the oracle SF (see comment above):
     * the 30 Hamming<=3 pairs. Sanity anchors: the corpus's 24 exact-dup +

@@ -339,6 +339,58 @@ object Dedup {
     docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Stream-static near-dup detection: match a (possibly streaming) frame
+    * of documents against the HISTORICAL corpus's materialized signature
+    * table — the shape of continuous ingest dedup ("is this incoming page
+    * a near-copy of anything already crawled?"). Incoming docs compute
+    * their signature inline (native codegen expression, narrow), explode
+    * band keys, equi-join the static band-key table, then estimate
+    * similarity as the matching-position fraction of the two FULL
+    * signatures (the unbiased MinHash Jaccard estimator) — no text join
+    * against history needed, which is what makes this viable at 100 TB:
+    * the stream touches only the (doc_id, sig) index, never the corpus.
+    *
+    * Streaming semantics: a stream-static equi-join is stateless on the
+    * stream side (the static side is just scanned/broadcast per batch),
+    * so this runs under any output mode with no watermark requirement.
+    * In streaming mode a pair surfaces once per colliding band
+    * (at-least-once flag semantics — a stateful distinct would hold
+    * unbounded state); in batch mode the operator dedups pairs exactly.
+    */
+  def streamNearDupCandidates(stream: DataFrame, spark: SparkSession,
+      dir: String, numHashes: Int = 64, bands: Int = 16,
+      minEstimate: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val hist = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
+    val histBands = bandKeysOf(hist, numHashes, bands)
+      .select(col("band"), col("band_key"), col("doc_id").as("hist_id"))
+    val histSigs = hist.select(col("doc_id").as("hist_id"),
+      col("sig").as("hist_sig"))
+    val s = stream.select(col("doc_id").as("new_id"),
+      graft.functions.MinHashExpression.native(col("text"), numHashes)
+        .as("sig"))
+    val matched = s
+      .select(col("new_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("new_id"), col("sig"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1,
+          lit(rows))).as("band_key"))
+      .join(histBands, Seq("band", "band_key"))
+      .select("new_id", "hist_id", "sig")
+    val paired = if (matched.isStreaming) matched
+      else matched.dropDuplicates("new_id", "hist_id")
+    paired
+      .join(histSigs, Seq("hist_id"))
+      .withColumn("sim_est",
+        aggregate(zip_with(col("sig"), col("hist_sig"),
+            (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("sim_est") >= minEstimate)
+      .select(col("new_id"), col("hist_id"),
+        round(col("sim_est"), 4).as("sim_est"))
+  }
+
   // ----------------------------------------------- Connected components
 
   /** Connected components of an undirected pair graph: one row per vertex,

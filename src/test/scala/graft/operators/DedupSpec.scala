@@ -214,6 +214,40 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(p1).exists())
   }
 
+  test("stream-static near-dup: live docs matched against the sig index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val other = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("streamdedup").toString
+    Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Dedup.clearSignatureCache()
+    // batch mode: a near-copy matches its source exactly once, estimate
+    // close to the true Jaccard; a novel doc matches nothing
+    val probe = Seq((100L, base + " extra tail"), (101L, "совсем novel"))
+      .toDF("doc_id", "text")
+    val batch = Dedup.streamNearDupCandidates(probe, spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length === 1)
+    assert(batch(0)._1 === 100L && batch(0)._2 === 1L && batch(0)._3 > 0.7)
+    // streaming mode: same matches through a MemoryStream (at-least-once:
+    // collapse per-band repeats with toSet)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = Dedup.streamNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), spark, tmp)
+      .writeStream.format("memory").queryName("neardup_stream").start()
+    try {
+      input.addData((100L, base + " extra tail"), (101L, "совсем novel"))
+      query.processAllAvailable()
+      val got = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((100L, 1L)))
+    } finally query.stop()
+    Dedup.clearSignatureCache()
+  }
+
   test("connectedComponents: transitive chains, min label, diameter > 2") {
     import spark.implicits._
     // components: {1,2,3} (path via 3 — doc 2 is invisible to a greedy
