@@ -136,5 +136,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_signature takes (text[, numHashes])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(
+        classOf[WinnowExpression].getName,
+        null,
+        "winnow_fingerprints",
+        "winnow_fingerprints(text) - Returns the sorted winnowing " +
+          "fingerprint set (Schleimer et al. SIGMOD'03; k=8 char grams, " +
+          "window 4) of the text; NULL or short text yields [].",
+        """
+    Examples:
+      > SELECT winnow_fingerprints('the quick brown fox jumps');
+       [array of rolling-hash fingerprints]
+  """),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "winnow_fingerprints takes exactly one argument")
+        WinnowExpression(children.head, 8, 4)
+      }))
   }
 }

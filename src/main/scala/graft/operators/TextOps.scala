@@ -233,22 +233,26 @@ object TextOps {
     out.toSeq
   }
 
-  private val fpUdf = udf((t: String) => fingerprintSet(t).sorted)
+  /** Native codegen fingerprint column ([[graft.functions.WinnowExpression]]
+    * — no UDF serialization boundary; equivalence to [[fingerprintSet]] is
+    * spec-pinned in `WinnowExpressionSpec`). */
+  private def fpNative = graft.functions.WinnowExpression.native(col("text"))
 
   /** Fingerprint operator, exploded to scalar rows (doc_id, fp_hash) — one
     * row per distinct winnowed hash. The scalar shape is directly
     * comparable/joinable (and is what a containment-overlap join between
-    * two corpora consumes); the UDF runs once per document (the generator
-    * consumes the single materialized array). */
+    * two corpora consumes); the expression runs once per document (the
+    * generator consumes the single materialized array). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
-      col("doc_id"), explode(fpUdf(col("text"))).as("fp_hash"))
+      col("doc_id"), explode(fpNative).as("fp_hash"))
 
-  /** Array-shaped fingerprints: doc_id → sorted hash set + count. The UDF is
-    * computed once; `n_grams` derives from the materialized column. */
+  /** Array-shaped fingerprints: doc_id → sorted hash set + count. The
+    * expression is computed once; `n_grams` derives from the materialized
+    * column. */
   def fingerprintArrays(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"))
+      .select(col("doc_id"), fpNative.as("fingerprint"))
       .withColumn("n_grams", size(col("fingerprint")))
 
   /** One row per (doc, token), \s+ split, empty tokens dropped — the
