@@ -161,6 +161,7 @@ object SparkEntry {
     "q_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     // LLM-pipeline: similarity family
     "q_embed_norms" -> (Similarity.norms _),
+    "q_quantize_embed" -> (Similarity.quantizeEmbeddings _),
     "q_ann_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d, queryId = 0L)),
     // recall@k vs the brute-force baseline: deterministic constant (fixed
     // hyperplanes/centroids/corpus) → VALUES-oracle hash compare; the
@@ -789,6 +790,18 @@ object SparkEntry {
       ("SELECT vec_id, round(sqrt(list_dot_product(" +
         "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) " +
         "AS norm, label FROM embeddings"),
+    // int8 scalar quantization: same double arithmetic, same floor+clamp
+    // (DuckDB unnest-with-index is 1-based, hence the -1)
+    "q_quantize_embed" ->
+      ("WITH f AS (SELECT vec_id, u.i - 1 AS dim, CAST(u.x AS DOUBLE) AS v " +
+        "FROM (SELECT vec_id, unnest(list_transform(embedding, " +
+        "(x, i) -> {'x': x, 'i': i})) AS u FROM embeddings)), " +
+        "s AS (SELECT dim, min(v) AS d_min, max(v) AS d_max " +
+        "FROM f GROUP BY dim) " +
+        "SELECT f.vec_id, CAST(f.dim AS BIGINT) AS dim, " +
+        "CAST(CASE WHEN s.d_max = s.d_min THEN 0 ELSE " +
+        "least(255, floor((f.v - s.d_min) * 255.0 / (s.d_max - s.d_min))) " +
+        "END AS BIGINT) AS q FROM f JOIN s ON s.dim = f.dim"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
         "WHERE vec_id = 0) " +

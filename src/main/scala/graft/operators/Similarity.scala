@@ -37,6 +37,32 @@ object Similarity {
       round(sqrt(dot("embedding", "embedding")), 4).as("norm"),
       col("label"))
 
+  /** Per-dimension int8 scalar quantization — the storage-compression
+    * prep of an ANN index build (a 64-dim float vector becomes 64 bytes;
+    * 4× smaller scans before any product quantization). Two passes:
+    * (1) per-dimension min/max — posexplode + a 64-group aggregate, tiny
+    * result broadcast back; (2) a narrow codegen'd map computing
+    * `least(255, floor((v − min) · 255 / (max − min)))` (floor, not
+    * round — round's half-way tie-breaking differs between engines;
+    * floor is unambiguous, and the max value clamps via `least`).
+    * Constant dimensions quantize to 0. Output is exploded to
+    * (vec_id, dim, q) scalars: directly oracle-comparable, and the shape
+    * a column-oriented index writer consumes. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val flat = embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val stats = flat.groupBy("dim")
+      .agg(min("v").as("d_min"), max("v").as("d_max"))
+    flat.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("d_max") === col("d_min"), lit(0L)).otherwise(
+          least(lit(255L),
+            floor((col("v") - col("d_min")) * 255.0 /
+              (col("d_max") - col("d_min"))))).cast("long").as("q"))
+  }
+
   /** Exact cosine top-k for one query vector (by vec_id). The 1-row query
     * side is broadcast; the plan is scan → codegen'd map → TakeOrdered. */
   def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
@@ -88,5 +89,31 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.2).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.2))
+  }
+
+  test("int8 quantization: range, extremes, reconstruction error bound") {
+    val q = Similarity.quantizeEmbeddings(spark, sfDir)
+    val rows = q.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, v) => v >= 0L && v <= 255L })
+    // every dimension must use both ends of the code range (min → 0 and,
+    // via the floor+clamp, max → 255)
+    val byDim = rows.groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2) }
+    byDim.foreach { case (d, vs) =>
+      assert(vs.min === 0L, s"dim $d min code")
+      assert(vs.max === 255L, s"dim $d max code")
+    }
+    // reconstruction: |v − dequant(q)| ≤ one quantization step per dim
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val stats = emb.groupBy("dim")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    val err = q.join(emb, Seq("vec_id", "dim")).join(stats, Seq("dim"))
+      .select((abs(col("v") - (col("lo") +
+        col("q").cast("double") / 255.0 * (col("hi") - col("lo")))) -
+        ((col("hi") - col("lo")) / 255.0)).as("excess"))
+      .filter(col("excess") > 1e-9).count()
+    assert(err === 0L, "all values within one quantization step")
   }
 }
