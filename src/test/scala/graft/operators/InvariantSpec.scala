@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** Randomized (seeded, deterministic) invariant tests for the pure cores
+  * of the dedup/fingerprint operators — the algebraic laws the
+  * distributed pipelines rely on, checked over many generated inputs
+  * rather than single fixtures. */
+class InvariantSpec extends SparkSpec {
+
+  private def randWords(rnd: Random, n: Int): Seq[String] =
+    Seq.fill(n)(s"w${rnd.nextInt(50)}")
+
+  test("minhash merge law: sig(A ∪ B) = elementwise min(sig A, sig B)") {
+    val rnd = new Random(42)
+    (1 to 50).foreach { _ =>
+      val a = randWords(rnd, 5 + rnd.nextInt(60)).mkString(" ")
+      val b = randWords(rnd, 5 + rnd.nextInt(60)).mkString(" ")
+      val sa = Dedup.minHashSignature(Dedup.shingles(a), 32)
+      val sb = Dedup.minHashSignature(Dedup.shingles(b), 32)
+      val su = Dedup.minHashSignature(
+        Dedup.shingles(a) ++ Dedup.shingles(b), 32)
+      assert(su.toSeq === sa.zip(sb).map(p => math.min(p._1, p._2)).toSeq)
+    }
+  }
+
+  test("minhash estimator is exact for identical and disjoint sets") {
+    val rnd = new Random(7)
+    (1 to 20).foreach { _ =>
+      val words = (0 until 30).map(i => s"uniq${rnd.nextInt(1000)}x$i")
+      val sa = Dedup.minHashSignature(Dedup.shingles(words.mkString(" ")), 64)
+      assert(sa.toSeq === Dedup.minHashSignature(
+        Dedup.shingles(words.mkString(" ")), 64).toSeq)
+    }
+  }
+
+  test("simhash is invariant under word permutation") {
+    val rnd = new Random(11)
+    (1 to 50).foreach { _ =>
+      val words = randWords(rnd, 3 + rnd.nextInt(40))
+      val h1 = Dedup.simHash64(words.mkString(" "))
+      val h2 = Dedup.simHash64(rnd.shuffle(words).mkString(" "))
+      assert(h1 === h2)
+    }
+  }
+
+  test("winnowing guarantee: shared substring ≥ k+w−1 ⇒ shared fingerprint") {
+    // Schleimer et al. theorem: any match of length ≥ window + k − 1
+    // (= 11 for k=8, w=4) is caught by at least one shared fingerprint
+    val rnd = new Random(23)
+    (1 to 50).foreach { _ =>
+      val base = Seq.fill(40 + rnd.nextInt(100))(
+        ('a' + rnd.nextInt(26)).toChar).mkString
+      val start = rnd.nextInt(base.length - 11)
+      val len = 11 + rnd.nextInt(base.length - start - 11 + 1)
+      val sub = base.substring(start, start + len)
+      val shared = TextOps.fingerprintSet(base).toSet
+        .intersect(TextOps.fingerprintSet(sub).toSet)
+      assert(shared.nonEmpty,
+        s"match of length $len must share a fingerprint")
+    }
+  }
+
+  test("jaccard: symmetry, bounds, identity") {
+    val rnd = new Random(31)
+    (1 to 50).foreach { _ =>
+      val a = Dedup.shingles(randWords(rnd, 4 + rnd.nextInt(30)).mkString(" "))
+      val b = Dedup.shingles(randWords(rnd, 4 + rnd.nextInt(30)).mkString(" "))
+      val j = Dedup.jaccard(a, b)
+      assert(j === Dedup.jaccard(b, a))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(Dedup.jaccard(a, a) === 1.0)
+    }
+  }
+
+  test("connectedComponents equals a union-find reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(57)
+    (1 to 5).foreach { _ =>
+      val nVerts = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(10 + rnd.nextInt(40))(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter(e => e._1 != e._2)
+      // reference: plain driver-side union-find with path compression
+      val parent = Array.tabulate(nVerts)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min vertex of the component
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+        val members = (0 until nVerts)
+          .filter(u => find(u) == find(v.toInt)).map(_.toLong)
+        // min over members that appear in the edge list (graph vertices)
+        val graphVerts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        v -> members.filter(graphVerts.contains).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+}
