@@ -73,6 +73,7 @@ object SparkEntry {
     "q_conditional" -> (Relational.conditional _),
     "q_string_fns" -> (Relational.stringFns _),
     "q_datetime_agg" -> (Relational.datetimeAgg _),
+    "q_funnel" -> (Relational.funnel _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_window_offsets" -> (Relational.windowOffsets _),
     "q_rollup" -> (Relational.rollupAgg _),
@@ -436,6 +437,24 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2"),
+    // sequential conversion funnel: min-after-previous-stage semantics
+    "q_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +
+        "JOIN v ON v.user_id = e.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.view_ts " +
+        "GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e " +
+        "JOIN c ON c.user_id = e.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.click_ts " +
+        "GROUP BY e.user_id) " +
+        "SELECT CAST(stage AS INTEGER) AS stage, event, " +
+        "count(DISTINCT user_id) AS n_users FROM (" +
+        "SELECT 1 AS stage, 'view' AS event, user_id FROM v " +
+        "UNION ALL SELECT 2, 'click', user_id FROM c " +
+        "UNION ALL SELECT 3, 'purchase', user_id FROM p) t " +
+        "GROUP BY stage, event"),
     "q_window_topn" ->
       ("SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM " +
         "(SELECT c_mktsegment, c_custkey, c_acctbal, " +

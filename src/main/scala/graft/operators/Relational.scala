@@ -211,6 +211,34 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** Per-user conversion funnel view → click → purchase: each stage is
+    * the earliest qualifying event AFTER the previous stage's timestamp
+    * (strict ordering, min-after semantics), reported as per-stage user
+    * counts. Three keyed aggregations on user_id + two joins that reuse
+    * the same partitioning — the canonical sequential-pattern analysis
+    * without a serial scan: every stage is a parallel min-aggregate, so
+    * the funnel over 100 TB of events is three shuffles, not a
+    * per-user event sort. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    views.select(lit(1).as("stage"), lit("view").as("event"),
+        col("user_id"))
+      .union(clicks.select(lit(2), lit("click"), col("user_id")))
+      .union(purchases.select(lit(3), lit("purchase"), col("user_id")))
+      .groupBy("stage", "event")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** ROLLUP: per-(returnflag, linestatus) with subtotals and grand total —
     * beyond the reference's surface, standard in Spark and DuckDB. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =

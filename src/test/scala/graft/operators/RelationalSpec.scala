@@ -68,4 +68,25 @@ class RelationalSpec extends SparkSpec {
       .select("day").distinct().collect().map(_.getString(0))
     assert(days.forall(_.startsWith("2024-01")))
   }
+
+  test("funnel: stages monotone non-increasing, strict-after semantics") {
+    val rows = Relational.funnel(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows.keySet.subsetOf(Set(1, 2, 3)))
+    assert(rows(1) > 0)
+    // each stage requires the previous one, so counts can only shrink
+    assert(rows.getOrElse(2, 0L) <= rows(1))
+    assert(rows.getOrElse(3, 0L) <= rows.getOrElse(2, 0L))
+  }
+
+  test("column pruning reaches the parquet scans of the narrow operators") {
+    // a 2-column report over a 5-column table must not scan the text-heavy
+    // columns it doesn't use
+    val hist = graft.operators.TextOps.lengthHistogram(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(hist.contains("ReadSchema: struct<text:string>"), hist)
+    val quant = Similarity.quantizeEmbeddings(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!quant.contains("label"), "quantization must not scan label")
+  }
 }
