@@ -140,15 +140,18 @@ object SparkEntry {
       graft.operators.Skew.saltedCountSum(Relational.events(s, d),
         "event_type", "value", idCol = Some("event_id"))),
     // salted fact⋈dim join, rolled up — hash-matches the PLAIN join SQL
-    // (the equivalence IS the contract, like q_salted_agg)
+    // (the equivalence IS the contract, like q_salted_agg). Dim side =
+    // customer (the SMALL side — its ×salts replication is the price of
+    // the hot-key spread; replicating a large dim would be the anti-
+    // pattern the operator's scaladoc warns about)
     "q_salted_join" -> ((s, d) => {
-      val li = s.read.parquet(s"$d/lineitem.parquet")
       val ord = s.read.parquet(s"$d/orders.parquet")
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey")
-        .groupBy("o_orderpriority")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(ord, cust, "o_custkey")
+        .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
     }),
     "q_kmv_distinct" -> ((s, d) => Relational.events(s, d)
@@ -743,10 +746,10 @@ object SparkEntry {
         "FROM events GROUP BY event_type"),
     // the PLAIN join — the salted rewrite must be indistinguishable
     "q_salted_join" ->
-      ("SELECT o_orderpriority, count(*) AS n_rows, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) " +
-        "AS revenue FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
-        "GROUP BY o_orderpriority"),
+      ("SELECT c_mktsegment, count(*) AS n_rows, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS revenue FROM orders JOIN customer ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment"),
     // fixed-width length histogram (floor-div binning, no global sort)
     "q_length_histogram" ->
       ("SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bin, " +
