@@ -131,6 +131,8 @@ object SparkEntry {
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
+    "q_unigram_logprob" -> (TextOps.unigramLogProb _),
+    "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
@@ -750,6 +752,30 @@ object SparkEntry {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS revenue FROM orders JOIN customer ON c_custkey = o_custkey " +
         "GROUP BY c_mktsegment"),
+    // unigram LM score: same tokenization, ln, and broadcast-total shape
+    "q_unigram_logprob" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0)) AS word FROM documents), " +
+        "c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t) " +
+        "SELECT doc_id, count(*) AS n_words, " +
+        "round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob " +
+        "FROM t JOIN c USING (word) CROSS JOIN tot GROUP BY doc_id"),
+    // decontamination: word 8-gram overlap vs the doc_id<10 stand-in
+    // benchmark (same shingle semantics as Dedup.shingleArray at k=8)
+    "q_decontaminate" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) " +
+        "AS w FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 6), i -> " +
+        "array_to_string(w[i:i+7], ' ')) END)) AS gram FROM w), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10) " +
+        "SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams " +
+        "FROM g JOIN b ON b.gram = g.gram WHERE g.doc_id >= 10 " +
+        "GROUP BY g.doc_id"),
     // fixed-width length histogram (floor-div binning, no global sort)
     "q_length_histogram" ->
       ("SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bin, " +

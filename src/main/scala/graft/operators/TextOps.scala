@@ -263,6 +263,52 @@ object TextOps {
       explode(filter(split(col("text"), "\\s+"), w => length(w) > 0))
         .as("word"))
 
+  /** Unigram log-probability scoring — the poor-man's LM quality filter
+    * (the CCNet recipe's shape with a unigram model instead of a trained
+    * LM): score each document by the mean log corpus-frequency of its
+    * words; gibberish and rare-token spam score far below prose.
+    * Plan: unigram counts = one partial-agg shuffle on word; the corpus
+    * total rides in as a broadcast 1-row cross join (declarative — no
+    * driver-side action, no single-partition window); per-doc mean = one
+    * shuffle on doc_id. All column arithmetic, no UDF. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir).select("doc_id", "word")
+    val counts = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = w.agg(count(lit(1)).cast("double").as("total"))
+    w.join(counts, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+  }
+
+  /** Benchmark decontamination — flag corpus documents sharing any word
+    * `n`-gram with an evaluation set (here: the docs below
+    * `benchmarkMaxId`, standing in for an external benchmark table) and
+    * count the shared grams. THE pre-training hygiene op: a training doc
+    * that contains an eval question verbatim poisons the benchmark.
+    * Scale shape: the eval side is SMALL by nature (benchmarks are
+    * thousands of items, not terabytes) — its distinct gram set
+    * broadcasts, so the corpus side is one narrow explode + a broadcast
+    * semi-ish join + per-doc agg; the 100 TB side never shuffles its
+    * gram stream. Short docs (< n words) collapse to a whole-text gram
+    * ([[graft.operators.Dedup.shingleArray]] semantics). */
+  def decontaminate(spark: SparkSession, dir: String,
+      benchmarkMaxId: Long = 10L, n: Int = 8): DataFrame = {
+    val d = docs(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingleArray(col("text"), n))
+          .as("gram"))
+    val bench = grams(d.filter(col("doc_id") < benchmarkMaxId))
+      .select("gram").distinct()
+    grams(d.filter(col("doc_id") >= benchmarkMaxId))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
   /** TF-IDF term weighting — the classic relevance/quality signal of a
     * text pipeline. Plan: tf = one partial-agg shuffle on (doc, word);
     * df = a COUNT WINDOW over word on the tf frame (tf is unique per

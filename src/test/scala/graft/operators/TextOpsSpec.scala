@@ -186,6 +186,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2 >= 1L) && got.length === 3)
   }
 
+  test("unigram logprob: common prose outscores rare-token gibberish") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("unigram").toString
+    val common = "the cat sat on the mat the cat sat"
+    Seq((1L, "en", common), (2L, "en", common), (3L, "en", common),
+      (4L, "en", "zqx9 vbn7 qwerty0 plm8 okn6"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.unigramLogProb(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === got(2L), "identical docs score identically")
+    assert(got(1L) > got(4L), "gibberish must score lower")
+  }
+
+  test("decontaminate: verbatim 8-gram inclusion flagged, clean doc not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("decon").toString
+    val evalQ = (1 to 12).map(i => s"eval$i").mkString(" ")
+    val leaky = "prefix words here " + evalQ + " suffix tail"
+    val clean = (50 to 70).map(i => s"w$i").mkString(" ")
+    Seq((1L, evalQ), (100L, leaky), (101L, clean))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.decontaminate(spark, tmp, benchmarkMaxId = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(100L) && got(100L) >= 5L,
+      s"leaky doc must share the eval 8-grams: $got")
+    assert(!got.contains(101L), "clean doc must not be flagged")
+  }
+
   test("pii redact: planted emails/phones, cascade order, counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pii").toString
