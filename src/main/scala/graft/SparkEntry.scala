@@ -81,6 +81,8 @@ object SparkEntry {
     "q_sql_cte" -> (Relational.sqlCte _),
     "q_sql_exists" -> (Relational.sqlExists _),
     "q_sql_grouping_sets" -> (Relational.sqlGroupingSets _),
+    "q_sql_lateral" -> (Relational.sqlLateral _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_pivot" -> (Relational.pivotEvents _),
     "q_unpivot" -> (Relational.unpivotPart _),
     "q_collect_agg" -> (Relational.collectAgg _),
@@ -485,6 +487,17 @@ object SparkEntry {
     "q_sql_cte" -> Relational.cteSql,
     "q_sql_exists" -> Relational.existsSql,
     "q_sql_grouping_sets" -> Relational.groupingSetsSql,
+    // verbatim correlated LATERAL (same text both engines)
+    "q_sql_lateral" -> Relational.lateralSql,
+    // approximate-distinct CONTRACT: each engine runs its OWN HLL-family
+    // estimator; the compared value is the within-5% boolean, not the
+    // estimate (which legitimately differs per sketch implementation)
+    "q_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "(abs(CAST(approx_count_distinct(user_id) AS DOUBLE) - " +
+        "CAST(count(DISTINCT user_id) AS DOUBLE)) / " +
+        "CAST(count(DISTINCT user_id) AS DOUBLE)) <= 0.05 AS within_tol " +
+        "FROM events GROUP BY event_type"),
     "q_pivot" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
         Seq("click", "view", "purchase", "signup", "error").map(t =>

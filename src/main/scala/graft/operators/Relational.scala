@@ -338,6 +338,38 @@ object Relational {
     spark.sql(groupingSetsSql)
   }
 
+  /** SQL-text surface: correlated LATERAL subquery — per-region top-2
+    * nations by name, verbatim on both engines (Spark ≥3.2 and DuckDB
+    * both bind the outer column inside the LATERAL body; the ORDER BY +
+    * LIMIT makes the correlation non-trivial, i.e. not just a rewritten
+    * join). Spark plans it as a window-ranked join — same shuffle class
+    * as `windowTopN`, no per-row re-execution. */
+  val lateralSql: String =
+    "SELECT r.r_name, t.n_name FROM region r, LATERAL (" +
+      "SELECT n_name FROM nation WHERE n_regionkey = r.r_regionkey " +
+      "ORDER BY n_name LIMIT 2) t"
+
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "region").createOrReplaceTempView("region")
+    table(spark, dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(lateralSql)
+  }
+
+  /** Approximate distinct-count CONTRACT query: per event type, the exact
+    * user count plus whether this engine's own approximate counter
+    * (HLL-family) lands within 5% of it. The boolean contract — not the
+    * raw estimate, which legitimately differs per engine/sketch — is the
+    * cross-engine oracle, the same pattern as the KMV exactness regime.
+    * At 100 TB the approximate form is one constant-size mergeable state
+    * per group vs the exact form's distinct shuffle. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        (abs(approx_count_distinct("user_id").cast("double") -
+          countDistinct("user_id").cast("double")) /
+          countDistinct("user_id").cast("double") <= 0.05)
+          .as("within_tol"))
+
   /** Window function: top-3 customers per market segment by balance.
     * Beyond the reference's surface (no OVER anywhere in its corpus) but a
     * first-class capability of this engine. */

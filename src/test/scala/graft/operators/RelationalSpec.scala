@@ -79,6 +79,15 @@ class RelationalSpec extends SparkSpec {
     assert(rows.getOrElse(3, 0L) <= rows.getOrElse(2, 0L))
   }
 
+  test("lateral subquery plans as a ranked join, not row-at-a-time") {
+    val plan = Relational.sqlLateral(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = Relational.sqlLateral(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === 10, "5 regions × top-2 nations")
+  }
+
   test("column pruning reaches the parquet scans of the narrow operators") {
     // a 2-column report over a 5-column table must not scan the text-heavy
     // columns it doesn't use
