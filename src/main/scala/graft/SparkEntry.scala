@@ -182,6 +182,8 @@ object SparkEntry {
     "q_label_centroids" -> (Similarity.labelCentroidCosine _),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
+    "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)
+      .select(col("asset_id"), col("frame_no"), col("frame_len"))),
     // networked DSv2 sources (§2A S1-S9), driven by recorded fixtures —
     // the full read path (options → URL → fetch → decode) runs for real;
     // only the HTTP transport is recorded, as in the reference's own
@@ -839,6 +841,17 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT doc_id, CAST(stop_hits AS BIGINT) AS stop_hits, n_words, " +
         "round(CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS stop_ratio FROM h"),
+    // frame sampling: the byte-slice arithmetic (step = len DIV n, start
+    // = min(i·step, len−1), end = min(start+step, len)) re-derived from
+    // strlen alone — no blob functions needed to check the sampler
+    "q_frame_sample" ->
+      ("SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_no, " +
+        "CAST(least(least(i * step, len - 1) + step, len) - " +
+        "least(i * step, len - 1) AS INTEGER) AS frame_len FROM " +
+        "(SELECT doc_id, len, greatest(1, len // 4) AS step, " +
+        "unnest(range(0, 4)) AS i FROM " +
+        "(SELECT doc_id, strlen(text) AS len FROM documents " +
+        "WHERE doc_id % 3 = 2)) t WHERE len > 0"),
     "q_multimodal_meta" ->
       ("SELECT doc_id AS asset_id, " +
         "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' " +
