@@ -83,6 +83,7 @@ object SparkEntry {
     "q_sql_grouping_sets" -> (Relational.sqlGroupingSets _),
     "q_sql_lateral" -> (Relational.sqlLateral _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_approx_quantile" -> (Relational.approxQuantileContract _),
     "q_pivot" -> (Relational.pivotEvents _),
     "q_unpivot" -> (Relational.unpivotPart _),
     "q_collect_agg" -> (Relational.collectAgg _),
@@ -162,6 +163,11 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(graft.functions.KmvSketch.approxDistinct(
         col("user_id").cast("string")).as("approx_users"))),
+    "q_heavy_hitters" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .agg(graft.functions.HeavyHitters.topItems(col("source"), 64).as("hh"))
+        .select(explode(arrays_zip(col("hh.items"), col("hh.counts"))).as("x"))
+        .select(col("x.items").as("source"), col("x.counts").as("n_docs"))),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprints" -> (TextOps.fingerprints _),
     "q_tfidf" -> (TextOps.tfIdf _),
@@ -516,6 +522,14 @@ object SparkEntry {
         "string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses, " +
         "count(DISTINCT l_linestatus) AS n_statuses FROM lineitem " +
         "GROUP BY l_returnflag"),
+    // approximate-quantile CONTRACT: each engine's OWN sketch, compared
+    // only through the within-5%-of-spread boolean
+    "q_approx_quantile" ->
+      ("SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS exact_p50, " +
+        "(abs(CAST(approx_quantile(n_chars, 0.5) AS DOUBLE) - " +
+        "quantile_cont(n_chars, 0.5)) / " +
+        "CAST(max(n_chars) - min(n_chars) AS DOUBLE)) <= 0.05 " +
+        "AS within_tol FROM documents GROUP BY lang"),
     "q_percentiles" ->
       ("SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS p50_chars, " +
         "round(quantile_cont(n_chars, 0.9), 2) AS p90_chars, " +
@@ -1029,6 +1043,12 @@ object SparkEntry {
     "q_kmv_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS approx_users " +
         "FROM events GROUP BY event_type"),
+    // Misra-Gries heavy hitters, exact-below-k regime (distinct sources
+    // <= k=64, so no decrement/truncation ever fires and the sketch IS
+    // the histogram — same oracle pattern as q_kmv_distinct; the
+    // estimate-regime N/(k+1) bounds are pinned in HeavyHittersSpec)
+    "q_heavy_hitters" ->
+      "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
     // LSH-bucketed k-NN join, fully re-derived in DuckDB: identical
     // hyperplane constants → identical buckets (see bucketSqlExpr), then
     // the same per-vector top-5 window over in-bucket cosine

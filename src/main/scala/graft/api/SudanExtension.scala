@@ -47,4 +47,23 @@ object SudanExtension {
   def boundaries(spark: SparkSession, level: String): DataFrame =
     SudanGeo.boundariesDf(spark, level)
   def providers(spark: SparkSession): DataFrame = SudanGeo.providers(spark)
+
+  /** Register the LLM-pipeline surface over a corpus directory as SQL
+    * temp views, so a SQL-only user can run the cleaning/analysis stack
+    * (`SELECT * FROM corpus_clean WHERE lang = 'en'`, join
+    * `corpus_quality` to `corpus_stats`, …) without touching the Scala
+    * API. Views are lazy plans — nothing executes at registration. */
+  def registerPipeline(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Dedup, Pipeline, TextOps}
+    Seq(
+      "corpus_clean" -> Pipeline.cleanCorpus(spark, dir),
+      "corpus_split" -> Pipeline.trainValSplit(spark, dir),
+      "corpus_sources" -> Pipeline.sourceReport(spark, dir),
+      "corpus_stats" -> TextOps.textStats(spark, dir),
+      "corpus_quality" -> TextOps.qualityScore(spark, dir),
+      "corpus_lang_id" -> TextOps.langId(spark, dir),
+      "corpus_neardup_pairs" -> Dedup.minHashPairs(spark, dir),
+      "corpus_dedup_clusters" -> Dedup.minHashClusters(spark, dir))
+      .foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
 }

@@ -256,6 +256,24 @@ object Relational {
         round(expr("percentile(n_chars, 0.9)"), 2).as("p90_chars"),
         round(expr("percentile(n_chars, 0.99)"), 2).as("p99_chars"))
 
+  /** Approximate-quantile CONTRACT query (the [[approxDistinct]] pattern
+    * for percentiles): per language, the exact median doc length plus
+    * whether this engine's own approximate-quantile sketch lands within
+    * 5% of the group's value spread. Each engine runs its OWN sketch
+    * (Spark: approx_percentile/KLL-family; DuckDB: approx_quantile/
+    * t-digest) — the boolean tolerance, not the estimate, is the
+    * cross-engine oracle. At 100 TB the sketch is constant-size mergeable
+    * state per group vs the exact form's full-sort. */
+  def approxQuantileContract(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 2).as("exact_p50"),
+        ((abs(expr("approx_percentile(n_chars, 0.5)").cast("double") -
+          expr("percentile(n_chars, 0.5)")) /
+          (max("n_chars") - min("n_chars")).cast("double")) <= 0.05)
+          .as("within_tol"))
+
   /** LEFT SEMI / LEFT ANTI joins: customers with vs without orders. */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")

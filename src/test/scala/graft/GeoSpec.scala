@@ -89,4 +89,18 @@ class GeoSpec extends SparkSpec {
     assert(r.getString(0) === "SD-KH")
     assert(r.getString(1) === "")
   }
+
+  test("SQL surface: pipeline views over a corpus dir answer plain SQL") {
+    SudanExtension.registerPipeline(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) FROM corpus_clean WHERE lang = 'en'")
+      .collect()(0).getLong(0)
+    assert(n > 0, "cleaned corpus has English docs")
+    val joined = spark.sql(
+      "SELECT count(*) FROM corpus_stats s JOIN corpus_quality q " +
+        "ON q.doc_id = s.doc_id WHERE s.n_words >= 30 AND q.quality > 0")
+      .collect()(0).getLong(0)
+    assert(joined > 0, "stats⋈quality join over the views")
+    assert(spark.sql("SELECT * FROM corpus_sources").count() > 0)
+  }
 }
