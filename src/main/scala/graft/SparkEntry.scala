@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.Sudan
-import graft.operators.{AsOf, Dedup, Ivf, Multimodal, RangeJoin, Relational,
-  Similarity, TextOps}
+import graft.operators.{AsOf, BloomFilterJoin, Dedup, Ivf, Multimodal,
+  RangeJoin, Relational, Similarity, TextOps}
 import graft.functions.GeoCode
 import graft.geo.SudanGeo
 
@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sql_exists" -> (Relational.sqlExists _),
     "q_sql_grouping_sets" -> (Relational.sqlGroupingSets _),
     "q_sql_lateral" -> (Relational.sqlLateral _),
+    "q_sql_rolling_window" -> (Relational.sqlRollingWindow _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_approx_quantile" -> (Relational.approxQuantileContract _),
     "q_pivot" -> (Relational.pivotEvents _),
@@ -103,6 +104,12 @@ object SparkEntry {
       .stratifiedSample(s, d, Map("en" -> 0.5, "de" -> 0.25))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
+    "q_bloom_join" -> ((s, d) => BloomFilterJoin.urgentOrderRevenue(s, d)),
+    "q_source_cap" -> ((s, d) =>
+      graft.operators.Pipeline.sourceCap(s, d, cap = 20)),
+    "q_resample_sources" -> ((s, d) => graft.operators.Pipeline
+      .resampleSources(s, d, Map("src0" -> 2.5, "src1" -> 0.25))),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -363,6 +370,13 @@ object SparkEntry {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment"),
+    // Bloom-pruned SMJ equals the plain join (no false negatives + the
+    // exact join behind the filter) — the equivalence IS the contract
+    "q_bloom_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority"),
     "q_join_left" ->
       ("SELECT n_nationkey, n_name, count(c_custkey) AS n_customers " +
         "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey " +
@@ -495,6 +509,8 @@ object SparkEntry {
     "q_sql_cte" -> Relational.cteSql,
     "q_sql_exists" -> Relational.existsSql,
     "q_sql_grouping_sets" -> Relational.groupingSetsSql,
+    // verbatim RANGE-BETWEEN-INTERVAL window frame on both engines
+    "q_sql_rolling_window" -> Relational.rollingWindowSql,
     // verbatim correlated LATERAL (same text both engines)
     "q_sql_lateral" -> Relational.lateralSql,
     // approximate-distinct CONTRACT: each engine runs its OWN HLL-family
@@ -578,6 +594,31 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, " +
         "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"),
+    // C4-style span dedup re-derived end-to-end: 10-word windows, global
+    // keep-first (min (doc_id, pos)), reassemble surviving spans in order.
+    // Tokenization mirrors Dedup.spanDedup: \s+ split, empty-token filter.
+    "q_span_dedup" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w " +
+        "FROM documents), " +
+        "sp AS (SELECT doc_id, u.i AS pos, u.s AS span FROM (" +
+        "SELECT doc_id, unnest(list_transform(" +
+        "range(0, CAST(ceil(len(w) / 10.0) AS INT)), " +
+        "i -> {'i': i, 's': array_to_string(" +
+        "list_slice(w, i * 10 + 1, i * 10 + 10), ' ')})) AS u " +
+        "FROM toks WHERE len(w) > 0)), " +
+        "win AS (SELECT span, min(doc_id) AS kd FROM sp GROUP BY span), " +
+        "win2 AS (SELECT sp.span, sp.doc_id, min(sp.pos) AS kp FROM sp " +
+        "JOIN win ON sp.span = win.span AND sp.doc_id = win.kd " +
+        "GROUP BY sp.span, sp.doc_id), " +
+        "kept AS (SELECT sp.doc_id, sp.pos, sp.span FROM sp JOIN win2 " +
+        "ON sp.span = win2.span AND sp.doc_id = win2.doc_id " +
+        "AND sp.pos = win2.kp), " +
+        "agg AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) " +
+        "AS text_clean, count(*) AS n_spans_kept FROM kept GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean, " +
+        "coalesce(a.n_spans_kept, 0) AS n_spans_kept " +
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
     // deterministic split: md5 hex agrees byte-for-byte across engines
     "q_train_val_split" ->
       ("SELECT doc_id, lang, bucket, CASE WHEN bucket IN ('0', '1') " +
@@ -594,6 +635,25 @@ object SparkEntry {
         s"WHEN lang = 'en' THEN '${graft.operators.Pipeline.hexThreshold(0.5)}' " +
         s"WHEN lang = 'de' THEN '${graft.operators.Pipeline.hexThreshold(0.25)}' " +
         s"ELSE '${graft.operators.Pipeline.hexThreshold(1.0)}' END"),
+    // per-source quota cap: deterministic top-`cap` by (n_chars DESC,
+    // doc_id) — the total-order tiebreak makes the kept set unique
+    "q_source_cap" ->
+      ("SELECT doc_id, source, n_chars, rnk FROM (SELECT doc_id, source, " +
+        "n_chars, row_number() OVER (PARTITION BY source " +
+        "ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) t " +
+        "WHERE rnk <= 20"),
+    // source-mixture resampling: whole-part copies + md5-gated fractional
+    // copy, thresholds are the shared hexThreshold constants (src0 w=2.5
+    // -> 2 + gate<'8000'; src1 w=0.25 -> 0 + gate<'4000'; default w=1.0)
+    "q_resample_sources" ->
+      ("SELECT doc_id, source, unnest(range(1, c + 1)) AS copy_idx FROM (" +
+        "SELECT doc_id, source, (CASE WHEN source = 'src0' THEN 2 " +
+        "WHEN source = 'src1' THEN 0 ELSE 1 END) + (CASE WHEN " +
+        "substr(md5(CAST(doc_id AS VARCHAR) || 'graft-resample-v1'), 1, 4) " +
+        s"< CASE WHEN source = 'src0' THEN '${graft.operators.Pipeline.hexThreshold(0.5)}' " +
+        s"WHEN source = 'src1' THEN '${graft.operators.Pipeline.hexThreshold(0.25)}' " +
+        s"ELSE '${graft.operators.Pipeline.hexThreshold(0.0)}' END " +
+        "THEN 1 ELSE 0 END) AS c FROM documents) t"),
     // corpus bigram frequencies (the BPE merge statistic), deterministic
     // top-k via (count DESC, gram) — both engines select the same set
     "q_bigram_vocab" ->

@@ -550,4 +550,60 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** C4-style span-level dedup (Raffel et al., JMLR'20 §2.2 — C4 drops
+    * every repeated three-sentence span corpus-wide, keeping one
+    * occurrence): documents are cut into fixed `spanWords`-word windows
+    * (pseudo-sentences — this corpus has no sentence punctuation), each
+    * distinct span keeps only its FIRST occurrence (lexicographic min of
+    * (doc_id, position)), and documents are reassembled from their
+    * surviving spans. A document that is a full exact duplicate loses
+    * all spans and comes back as ''.
+    *
+    * Scale shape: tokenize+window is one narrow codegen pass; the winner
+    * per span is `min(struct(doc_id, pos))` — a partial-aggregable
+    * GROUP BY, so a boilerplate span repeated a billion times is combined
+    * map-side instead of sorting on one reducer (the reason this is NOT a
+    * row_number window); reassembly groups by doc_id with an array sort.
+    * Two keyed shuffles total (span, doc_id), both linear. At 100 TB
+    * shuffle bytes are dominated by the span strings themselves; shuffling
+    * `xxhash64(span)` instead (8 bytes) trades exactness for volume —
+    * collisions would merge unrelated spans, so the exact string is the
+    * default.
+    */
+  def spanDedup(spark: SparkSession, dir: String,
+      spanWords: Int = 10): DataFrame = {
+    val d = docs(spark, dir)
+    val tokens = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val spans = d
+      .select(col("doc_id"), tokens.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          ceil(size(col("w")) / lit(spanWords.toDouble)).cast("int") - 1))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          slice(col("w"), col("pos") * spanWords + 1, lit(spanWords)))
+          .as("span"))
+    val winners = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
+      .select(col("span").as("w_span"),
+        col("win.doc_id").as("w_doc"), col("win.pos").as("w_pos"))
+    val kept = spans.join(winners,
+      col("span") === col("w_span") && col("doc_id") === col("w_doc") &&
+        col("pos") === col("w_pos"))
+      .select(col("doc_id"), col("pos"), col("span"))
+    val reassembled = kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span"))).as("text_clean"),
+        count(lit(1)).as("n_spans_kept"))
+    d.select(col("doc_id"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
+  }
 }

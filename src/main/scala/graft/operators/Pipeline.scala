@@ -144,6 +144,57 @@ object Pipeline {
           lit(capacityTokens.toDouble))).cast("long"))
   }
 
+  /** Per-source quota cap — the curation rule that stops any single
+    * domain/source from dominating the mix: keep at most `cap` documents
+    * per source, preferring a deterministic quality proxy (longest first,
+    * doc_id as the total-order tiebreak, so the kept set is unique).
+    *
+    * Scale: one row_number window keyed by source. A mega-source
+    * serializes through one task here; at 100 TB pre-aggregate with a
+    * per-partition top-`cap` (the [[Similarity]] WindowGroupLimit push-
+    * down does this automatically for rank filters) so each source ships
+    * at most `cap` rows per map partition into the final window. */
+  def sourceCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+  }
+
+  /** Source-mixture resampling — the "epoch weighting" step of a
+    * pretraining mix (upsample curated sources, downsample bulk crawl):
+    * each document appears `floor(weight)` times plus one more iff its
+    * content-free hash gate falls under the weight's fractional part, so
+    * the expected multiplicity IS the weight, exactly reproducible across
+    * runs/engines/partitionings (same md5 gate as [[stratifiedSample]]).
+    * Output carries `copy_idx` so downstream shuffles can mix copies.
+    *
+    * Scale: narrow map + explode — no shuffle at all; data volume scales
+    * by the mean weight, which is the point. */
+  def resampleSources(spark: SparkSession, dir: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "graft-resample-v1"): DataFrame = {
+    def whole(w: Double): Int = math.floor(w).toInt
+    def fracThr(w: Double): String = hexThreshold(w - math.floor(w))
+    val base = weights.foldLeft(lit(whole(defaultWeight))) {
+      case (acc, (s, w)) => when(col("source") === s, lit(whole(w))).otherwise(acc)
+    }
+    val thr = weights.foldLeft(lit(fracThr(defaultWeight))) {
+      case (acc, (s, w)) => when(col("source") === s, lit(fracThr(w))).otherwise(acc)
+    }
+    val gate = substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 4)
+    val copies = (base + when(gate < thr, 1).otherwise(0)).as("n_copies")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), copies)
+      .select(col("doc_id"), col("source"),
+        explode(when(col("n_copies") > 0,
+          sequence(lit(1), col("n_copies")))
+          .otherwise(array().cast("array<int>"))).as("copy_idx"))
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String, minWords: Int = 30,
       threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
     // stage 1: canonical representative per distinct text — THE

@@ -356,6 +356,26 @@ object Relational {
     spark.sql(groupingSetsSql)
   }
 
+  /** SQL-text surface: event-time rolling window with a RANGE frame over
+    * an INTERVAL — per user, the peak 1-hour trailing spend. Verbatim on
+    * both engines (Spark and DuckDB both bound RANGE frames by calendar
+    * intervals over a timestamp ORDER BY). Unlike a ROWS frame, RANGE
+    * bounds by event TIME, so irregular event spacing is handled
+    * correctly. Plan: one shuffle on user_id, in-partition sort, then a
+    * sliding frame — state is O(events inside the hour), the batch twin
+    * of a watermarked sliding-window stream aggregate. */
+  val rollingWindowSql: String =
+    "SELECT user_id, CAST(max(r) AS DOUBLE) AS peak_1h FROM (" +
+      "SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) OVER (" +
+      "PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS r " +
+      "FROM events) t GROUP BY user_id"
+
+  def sqlRollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(rollingWindowSql)
+  }
+
   /** SQL-text surface: correlated LATERAL subquery — per-region top-2
     * nations by name, verbatim on both engines (Spark ≥3.2 and DuckDB
     * both bind the outer column inside the LATERAL body; the ORDER BY +

@@ -283,4 +283,31 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 9L))
     Dedup.clearSignatureCache()
   }
+
+  test("spanDedup: repeated span kept once, exact dup collapses to empty") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one full window
+    val tail1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val tail2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler $tail1"), // first occurrence: keeps boiler + tail
+      (2L, s"$boiler $tail2"), // boiler span dropped, tail kept
+      (3L, s"$boiler $tail1"), // exact dup of doc 1 -> everything dropped
+      (4L, "short doc"), // partial window, unique -> unchanged
+      (5L, "")).toDF("doc_id", "text") // empty -> empty
+    val tmp = java.nio.file.Files.createTempDirectory("spandedup").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.spanDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((s"$boiler $tail1", 2L)))
+    assert(out(2L) === ((tail2, 1L)))
+    assert(out(3L) === (("", 0L)))
+    assert(out(4L) === (("short doc", 1L)))
+    assert(out(5L) === (("", 0L)))
+    // scale guard: winner selection is a partial-aggregable GROUP BY
+    // (map-side combine on hot spans), never a per-span row_number sort
+    val plan = Dedup.spanDedup(spark, tmp).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"))
+  }
 }

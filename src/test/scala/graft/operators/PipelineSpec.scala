@@ -113,4 +113,41 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 9L -> 0L))
   }
+
+  test("sourceCap: at most cap docs per source, longest-first, unique set") {
+    val out = Pipeline.sourceCap(spark, sfDir, cap = 20)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.values.forall(_ <= 20L))
+    // the kept set is exactly the deterministic top-20 per source
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(20).map(_._1).toSeq
+    }.toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expect)
+  }
+
+  test("resampleSources: multiplicity = floor(w) + hash-gated fraction") {
+    val out = Pipeline.resampleSources(spark, sfDir,
+      Map("src0" -> 2.5, "src1" -> 0.25))
+    val copies = out.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    copies.foreach {
+      case ("src0", n) => assert(n === 2L || n === 3L)
+      case ("src1", n) => assert(n === 1L) // 0-copy docs never appear
+      case (_, n) => assert(n === 1L)
+    }
+    // deterministic: identical output across runs
+    val again = Pipeline.resampleSources(spark, sfDir,
+      Map("src0" -> 2.5, "src1" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(again === out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    // expected multiplicity tracks the weight (md5 gate ~ Uniform)
+    val src0Total = out.filter(col("source") === "src0").count().toDouble
+    val src0Docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source") === "src0").count().toDouble
+    assert(src0Total / src0Docs >= 2.0 && src0Total / src0Docs <= 3.0)
+  }
 }
