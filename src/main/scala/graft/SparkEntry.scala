@@ -73,6 +73,7 @@ object SparkEntry {
     "q_conditional" -> (Relational.conditional _),
     "q_string_fns" -> (Relational.stringFns _),
     "q_datetime_agg" -> (Relational.datetimeAgg _),
+    "q_json_extract" -> (Relational.jsonExtract _),
     "q_funnel" -> (Relational.funnel _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_window_offsets" -> (Relational.windowOffsets _),
@@ -178,6 +179,8 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprints" -> (TextOps.fingerprints _),
     "q_tfidf" -> (TextOps.tfIdf _),
+    "q_char_entropy" -> (TextOps.charEntropy _),
+    "q_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "q_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "q_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     // LLM-pipeline: similarity family
@@ -192,6 +195,9 @@ object SparkEntry {
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
+    // SemDeDup-style semantic clustering + keep over the same pair graph
+    "q_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
+    "q_embed_cluster_keep" -> ((s, d) => Similarity.embedClusterKeep(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroidCosine _),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
@@ -466,6 +472,13 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2"),
+    // JSON extraction: typed path extract + group on the extracted key
+    // (Spark from_json ≡ DuckDB json_extract for a flat integer field)
+    "q_json_extract" ->
+      ("SELECT CAST(json_extract(props, '$.k') AS INT) AS prop_k, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1"),
     // sequential conversion funnel: min-after-previous-stage semantics
     "q_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events " +
@@ -1087,6 +1100,38 @@ object SparkEntry {
         "round(CAST(tf.tf AS DOUBLE) * (ln(CAST(n.n_docs + 1 AS DOUBLE) / " +
         "CAST(df.df + 1 AS DOUBLE)) + 1.0), 4) AS tfidf " +
         "FROM tf JOIN df ON tf.word = df.word CROSS JOIN n"),
+    // Shannon char entropy, same sorted-distinct fold on both engines:
+    // list_sort fixes the summation order, so the double arithmetic is
+    // the identical IEEE sequence (DuckDB codepoints == JVM UTF-16 units
+    // on this ASCII corpus). Spark's split keeps a trailing '' — both
+    // sides filter empties; length(text) is the denominator on both.
+    "q_char_entropy" -> {
+      val p = "(CAST(len(list_filter(string_split(text, ''), " +
+        "x -> x = c)) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+      "SELECT doc_id, round(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "0.0 - list_aggregate(list_transform(list_sort(list_distinct(" +
+        s"string_split(text, ''))), c -> $p * log2($p)), 'sum') END, 4) " +
+        "AS char_entropy FROM documents"
+    },
+    // Okapi BM25 (k1=1.2, b=0.75) over fixed query terms, re-derived
+    // end-to-end: every intermediate (tf, df, dl, avgdl) is an exact
+    // integer-valued double, so only the final ≤3-term sum is
+    // order-sensitive (round 4 absorbs the ulp)
+    "q_bm25" ->
+      (wordCte.replace(", lang,", ",") +
+        ", dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1), " +
+        "stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl, " +
+        "CAST(count(*) AS DOUBLE) AS n_docs FROM dl), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM w " +
+        "WHERE word IN ('join', 'scan', 'filter') GROUP BY 1, 2), " +
+        "df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf " +
+        "GROUP BY 1) " +
+        "SELECT tf.doc_id, round(sum(" +
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+        "CAST(tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf AS DOUBLE) + " +
+        "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4) " +
+        "AS bm25 FROM tf JOIN df USING (word) JOIN dl USING (doc_id) " +
+        "CROSS JOIN stats GROUP BY tf.doc_id"),
     "q_top_terms" ->
       (wordCte +
         ", c AS (SELECT lang, word, count(*) AS n FROM w " +
@@ -1132,6 +1177,43 @@ object SparkEntry {
         cosineSql("a.e", "c.e") + " AS cosine " +
         "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
         "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3"),
+    // SemDeDup clusters: RECURSIVE transitive closure over the exact same
+    // bucketed cosine pair graph (cluster_id = min reachable vec_id),
+    // mirroring the q_dedup_clusters oracle pattern
+    "q_embed_clusters" ->
+      ("WITH RECURSIVE b AS (SELECT vec_id, e, " + bucketSqlExpr(8) +
+        " AS bucket FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings) t0), " +
+        "pairs AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3), " +
+        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs " +
+        "UNION ALL SELECT vec_b, vec_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e2.dst FROM walk w JOIN edges e2 " +
+        "ON e2.src = w.u), " +
+        "comp AS (SELECT v AS vec_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v) " +
+        "SELECT vec_id, cluster_id, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_n FROM comp"),
+    // keep-filter twin: embeddings minus non-canonical cluster members
+    "q_embed_cluster_keep" ->
+      ("WITH RECURSIVE b AS (SELECT vec_id, e, " + bucketSqlExpr(8) +
+        " AS bucket FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings) t0), " +
+        "pairs AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3), " +
+        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs " +
+        "UNION ALL SELECT vec_b, vec_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e2.dst FROM walk w JOIN edges e2 " +
+        "ON e2.src = w.u), " +
+        "comp AS (SELECT v AS vec_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v) " +
+        "SELECT emb.vec_id, emb.label FROM embeddings emb " +
+        "WHERE NOT EXISTS (SELECT 1 FROM comp c " +
+        "WHERE c.vec_id = emb.vec_id AND c.cluster_id <> emb.vec_id)"),
     // as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
     // union+window rewrite (purchases deduped per (user_id, ts) on both
     // sides so the as-of match is unique)

@@ -456,4 +456,21 @@ object Relational {
         ntile(4).over(w).as("quartile"),
         round(cume_dist().over(w), 6).as("cdist"))
   }
+
+  /** Semi-structured extraction: parse the JSON `props` column with a
+    * declared schema (`from_json` — typed, codegen'd, corrupt records
+    * become NULL instead of throwing) and aggregate on the extracted
+    * field. The universal log-analytics shape: at 100 TB the parse is a
+    * narrow map fused into the scan, and the only shuffle is the
+    * low-cardinality group-by on the extracted key. Sum is exact decimal
+    * (see [[moneySum]]) so the result is engine-independent. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("prop_k"),
+        col("value"))
+      .groupBy("prop_k")
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
 }

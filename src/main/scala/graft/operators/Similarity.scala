@@ -242,4 +242,38 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** SemDeDup-style semantic clusters: transitive components over the
+    * embedding near-dup graph ([[nearDupPairs]]), labeled by min vec_id —
+    * the embedding analogue of `Dedup.minHashClusters`. Near-duplicate
+    * *meaning* (high cosine) is clustered even when the surface text
+    * shares no n-grams, which is exactly the regime MinHash misses.
+    * Same distributed min-label propagation ([[Dedup.connectedComponents]]);
+    * the pair graph is LSH-bucketed, never all-pairs, so the whole
+    * pipeline is keyed shuffles at 100 TB. */
+  def embedClusters(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3, numPlanes: Int = 8): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      nearDupPairs(spark, dir, minCosine, numPlanes),
+      aCol = "vec_a", bCol = "vec_b")
+    labels.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .withColumn("cluster_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+  }
+
+  /** Semantic dedup keep-filter: every embedding except non-canonical
+    * members of a semantic cluster (the min-id vector represents its
+    * cluster; vectors with no near-dup pass through untouched). The
+    * SemDeDup (Abbas et al., 2023) pruning step as a left-anti join. */
+  def embedClusterKeep(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3, numPlanes: Int = 8): DataFrame = {
+    val drop = Dedup.connectedComponents(
+      nearDupPairs(spark, dir, minCosine, numPlanes),
+      aCol = "vec_a", bCol = "vec_b")
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings(spark, dir).join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
 }

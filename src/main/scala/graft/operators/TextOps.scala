@@ -438,4 +438,61 @@ object TextOps {
           least(col("n_a"), col("n_b")).cast("double"), 4).as("containment"))
       .filter(col("containment") >= minContainment)
   }
+
+  /** Shannon character entropy per document — the cheapest gibberish /
+    * binary-spill / base64-blob detector in a curation pipeline (prose
+    * sits ≈ 4.0-4.5 bits/char; single-char spam ≈ 0, random base64 ≈ 6).
+    *
+    * Shape: a pure per-row map over codegen'd higher-order functions —
+    * NO shuffle, no UDF; the per-char frequency scan is
+    * O(distinct · len) per row, which for natural text (≤ ~100 distinct
+    * chars) beats materializing an exploded (doc, char) stream through a
+    * shuffle at 100 TB. The distinct-char list is sorted so the fold's
+    * summation order is deterministic and identical to the oracle's.
+    * Spark's `split(text, '')` keeps a trailing '' (Java regex,
+    * limit = -1) — filtered before use. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = "filter(split(text, ''), c -> c <> '')"
+    val p = s"(CAST(size(filter($chars, x -> x = c)) AS DOUBLE) / " +
+      "CAST(length(text) AS DOUBLE))"
+    // 0.0 − sum, not −sum: a degenerate doc's sum is +0.0 and unary minus
+    // would yield IEEE −0.0, whose bit pattern differs from the oracle's
+    docs(spark, dir).select(col("doc_id"),
+      expr("round(CASE WHEN length(text) = 0 THEN 0.0D ELSE " +
+        s"0.0D - aggregate(transform(array_sort(array_distinct($chars)), " +
+        s"c -> $p * log2($p)), 0.0D, (acc, x) -> acc + x) END, 4)")
+        .as("char_entropy"))
+  }
+
+  /** Okapi BM25 relevance scoring against a fixed term set — the ranking
+    * function of every classic retrieval stage (and of retrieval-based
+    * decontamination). Plan: the exploded word stream feeds (1) per-doc
+    * lengths (shuffle on doc_id), (2) tf over query terms only — the
+    * `isin` filter prunes the stream BEFORE its shuffle, so the heavy
+    * (doc, word) aggregation touches query-term rows only; df and the
+    * (avgdl, N) scalars ride in as broadcasts. At 100 TB the only large
+    * shuffles are the two doc_id-keyed aggregations — linear, skew-free
+    * (doc_id is unique). */
+  def bm25(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("join", "scan", "filter"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = words(spark, dir).select("doc_id", "word")
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val tf = w.filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .groupBy("doc_id")
+      .agg(round(sum(col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("avgdl")))), 4)
+        .as("bm25"))
+  }
 }

@@ -98,4 +98,23 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!quant.contains("label"), "quantization must not scan label")
   }
+
+  test("json extract: typed parse partitions all events, corrupt rows → NULL") {
+    val total = Relational.events(spark, sfDir).count()
+    val rows = Relational.jsonExtract(spark, sfDir).collect()
+    // the group-by partitions the table exactly: every event lands in a
+    // prop_k group (the generator always emits {"k": int})
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(rows.forall(!_.isNullAt(0)), "well-formed props must parse")
+    // corrupt / schema-mismatched JSON degrades to the NULL group
+    import spark.implicits._
+    val bad = Seq("""{"k": 1}""", "not json at all", """{"other": 2}""")
+      .toDF("props").withColumn("value", lit(1.0))
+    val parsed = bad.select(
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(parsed === Array(Some(1), None, None))
+  }
 }

@@ -116,4 +116,35 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("excess") > 1e-9).count()
     assert(err === 0L, "all values within one quantization step")
   }
+
+  test("semantic clusters: labels are component minima, consistent with pairs") {
+    val pairs = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "corpus has at least one near-dup pair")
+    val labels = Similarity.embedClusters(spark, sfDir, minCosine = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each pair's endpoints share one label, and the label is the min
+    // vec_id of its component (so it labels itself)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.values.foreach { cid =>
+      assert(labels(cid) === cid, s"cluster root $cid not self-labeled")
+    }
+    assert(labels.forall { case (v, cid) => cid <= v })
+  }
+
+  test("semantic keep-filter: drops exactly the non-canonical members") {
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val labels = Similarity.embedClusters(spark, sfDir, minCosine = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = labels.count { case (v, cid) => v != cid }
+    val kept = Similarity.embedClusterKeep(spark, sfDir, minCosine = 0.2)
+    assert(kept.count() === n - dropped)
+    // survivors include every cluster root and no dropped member
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    labels.foreach { case (v, cid) =>
+      if (v == cid) assert(keptIds.contains(v)) else assert(!keptIds.contains(v))
+    }
+  }
 }

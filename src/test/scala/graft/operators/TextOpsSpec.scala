@@ -233,4 +233,41 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === (("two addrs: <EMAIL> <EMAIL>", 2L, 0L)))
     assert(got(3L) === (("no pii here at all", 0L, 0L)))
   }
+
+  test("char entropy: known values, degenerate texts, bounds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq((1L, "aabb"),       // two equiprobable symbols → exactly 1 bit
+      (2L, "abcd"),         // four equiprobable → exactly 2 bits
+      (3L, "aaaa"),         // single symbol → 0
+      (4L, ""),             // empty → 0 by definition (guard path)
+      (5L, "aab"))          // p=(2/3,1/3) → 0.9183
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.charEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 2.0)
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 0.0)
+    assert(got(5L) === 0.9183)
+    // real corpus: entropy of n distinct chars is bounded by log2(n)
+    val corpus = TextOps.charEntropy(spark, sfDir).collect()
+    assert(corpus.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) < 8.0))
+  }
+
+  test("bm25: term-frequency saturating rank order, non-matching docs absent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    Seq((1L, "join join join scan x", "en"), // most query mass
+      (2L, "join y z w v", "en"),            // one term, same length
+      (3L, "nothing relevant here", "en"))   // no query terms → no row
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.bm25(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) > got(2L), s"tf-heavier doc must outrank: $got")
+    assert(got.values.forall(_ > 0.0))
+  }
 }
