@@ -98,10 +98,20 @@ final class ApiScanBuilder(
     schema: StructType,
     tasks: YearRange => Seq[FetchTask],
     decoder: RowDecoder,
-    fetcherSpec: FetcherSpec) extends ScanBuilder with SupportsPushDownFilters {
+    fetcherSpec: FetcherSpec) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var yearRange: YearRange = YearRange()
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown as a fetch-size optimization: each partition stops
+    * fetching once it has `limit` rows — for paged protocols (World Bank)
+    * later pages are never requested. Returns false (partial pushdown):
+    * Spark still applies the global limit above the scan, so semantics
+    * are unchanged — the same safe-double-application contract as the
+    * year-range filters. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     yearRange = YearRange.fromFilters(filters)
@@ -120,17 +130,20 @@ final class ApiScanBuilder(
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = schema
     override def toBatch: Batch = this
-    override def description(): String = s"$tableName year=$yearRange"
+    override def description(): String =
+      s"$tableName year=$yearRange limit=$limit"
 
     override def planInputPartitions(): Array[InputPartition] =
-      tasks(yearRange).map(t => ApiInputPartition(t): InputPartition).toArray
+      tasks(yearRange).map(t => ApiInputPartition(t, limit): InputPartition)
+        .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new ApiReaderFactory(schema, decoder, fetcherSpec)
   }
 }
 
-final case class ApiInputPartition(task: FetchTask) extends InputPartition
+final case class ApiInputPartition(task: FetchTask,
+    limit: Option[Int] = None) extends InputPartition
 
 final class ApiReaderFactory(
     schema: StructType,
@@ -138,8 +151,8 @@ final class ApiReaderFactory(
     fetcherSpec: FetcherSpec) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val task = partition.asInstanceOf[ApiInputPartition].task
-    new ApiPartitionReader(task, decoder, fetcherSpec.build())
+    val p = partition.asInstanceOf[ApiInputPartition]
+    new ApiPartitionReader(p.task, decoder, fetcherSpec.build(), p.limit)
   }
 }
 
@@ -149,9 +162,13 @@ final class ApiReaderFactory(
 final class ApiPartitionReader(
     task: FetchTask,
     decoder: RowDecoder,
-    fetcher: HttpFetcher) extends PartitionReader[InternalRow] {
+    fetcher: HttpFetcher,
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
 
-  private val rows: Iterator[Seq[Any]] = fetchAll()
+  // take() is lazy over the lazily-paged iterator below, so a pushed
+  // LIMIT satisfied by page 1 never issues the page-2 request
+  private val rows: Iterator[Seq[Any]] =
+    limit.fold(fetchAll())(fetchAll().take)
   private var current: Seq[Any] = _
 
   private def fetchAll(): Iterator[Seq[Any]] = {

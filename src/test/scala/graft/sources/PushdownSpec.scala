@@ -51,6 +51,50 @@ class PushdownSpec extends SparkSpec {
     assert(task.firstSuccessOnly)
   }
 
+  test("LIMIT pushdown stops pagination: page 2 never fetched") {
+    // counting fetcher over a 2-page World Bank-shaped protocol
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fetcher = new graft.core.HttpFetcher {
+      def get(url: String): Either[graft.core.FetchError, String] = {
+        fetched += url
+        val page = "page=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+        Right(s"""[{"page":$page,"pages":2},[{"v":${page}1},{"v":${page}2}]]""")
+      }
+    }
+    val decoder = new RowDecoder {
+      def decode(body: String, task: FetchTask): Iterator[Seq[Any]] =
+        "\"v\":(\\d+)".r.findAllMatchIn(body).map(m => Seq[Any](m.group(1).toInt))
+      override def totalPages(body: String): Option[Int] =
+        "\"pages\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    }
+    val task = FetchTask(pagedBase = Some("http://x/api?fmt=json"))
+    def rows(limit: Option[Int]): Seq[Int] = {
+      fetched.clear()
+      val r = new ApiPartitionReader(task, decoder, fetcher, limit)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (r.next()) out += r.get().getInt(0)
+      out.toSeq
+    }
+    // no limit: both pages fetched, 4 rows
+    assert(rows(None) === Seq(11, 12, 21, 22) && fetched.length === 2)
+    // limit satisfied by page 1: ONE fetch, page 2 never requested
+    assert(rows(Some(2)) === Seq(11, 12) && fetched.length === 1)
+    assert(rows(Some(1)) === Seq(11) && fetched.length === 1)
+    // limit beyond page 1 spills into page 2, but truncates there
+    assert(rows(Some(3)) === Seq(11, 12, 21) && fetched.length === 2)
+  }
+
+  test("Spark pushes LIMIT into the v2 scan (visible in scan description)") {
+    val df = graft.api.Sudan.worldBank(spark, "SP.POP.TOTL",
+      fetcher = graft.api.Sudan.Fetcher("fixtures", "graft/fixtures/worldbank"))
+    val limited = df.limit(1)
+    assert(limited.queryExecution.executedPlan.toString
+      .contains("limit=Some(1)"), limited.queryExecution.executedPlan.toString)
+    assert(limited.count() === 1)
+    // and an un-limited read still reports limit=None
+    assert(df.queryExecution.executedPlan.toString.contains("limit=None"))
+  }
+
   test("YearRange extraction from Catalyst filters incl. strict bounds") {
     import org.apache.spark.sql.sources._
     assert(YearRange.fromFilters(Array(GreaterThan("year", 2014), LessThan("year", 2021)))
