@@ -127,11 +127,35 @@ final class ApiScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with SupportsReportStatistics {
     override def readSchema(): StructType = schema
     override def toBatch: Batch = this
     override def description(): String =
       s"$tableName year=$yearRange limit=$limit"
+
+    /** Size estimate so the optimizer treats API tables as what they are:
+      * tiny. Without reported statistics a DSv2 relation defaults to
+      * `spark.sql.defaultSizeInBytes` (effectively infinite), so joining
+      * an API series against a large fact would plan a sort-merge join —
+      * at 100 TB that shuffles the fact table to co-locate with a few
+      * hundred rows. A bounded honest estimate (these APIs return
+      * year-bounded per-country series and paged catalogs, ≤ a few
+      * hundred rows per fetch task) keeps the API side under the
+      * broadcast threshold, and a pushed LIMIT tightens it further. */
+    override def estimateStatistics(): Statistics = {
+      val rowsPerTask = 256L
+      val nTasks = tasks(yearRange).size.toLong max 1L
+      val estRows = nTasks * limit.fold(rowsPerTask)(l =>
+        math.min(l.toLong, rowsPerTask))
+      val rowBytes = schema.defaultSize.toLong max 1L
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(estRows * rowBytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(estRows)
+      }
+    }
 
     override def planInputPartitions(): Array[InputPartition] =
       tasks(yearRange).map(t => ApiInputPartition(t, limit): InputPartition)

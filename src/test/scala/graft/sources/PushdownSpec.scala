@@ -95,6 +95,24 @@ class PushdownSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("limit=None"))
   }
 
+  test("reported statistics make an API⋈fact join broadcast the API side") {
+    import org.apache.spark.sql.functions._
+    val wb = graft.api.Sudan.worldBank(spark, "SP.POP.TOTL",
+      fetcher = graft.api.Sudan.Fetcher("fixtures", "graft/fixtures/worldbank"))
+    // optimizer-visible size comes from estimateStatistics, not the
+    // defaultSizeInBytes fallback (which would force a sort-merge join)
+    val stats = wb.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < 10L * 1024 * 1024, stats.sizeInBytes.toString)
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("year", year(col("l_shipdate")))
+    val joined = fact.join(wb, Seq("year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.indexOf("BatchScan") > plan.indexOf("BroadcastExchange"),
+      "API scan must be the broadcast build side:\n" + plan.take(2000))
+  }
+
   test("YearRange extraction from Catalyst filters incl. strict bounds") {
     import org.apache.spark.sql.sources._
     assert(YearRange.fromFilters(Array(GreaterThan("year", 2014), LessThan("year", 2021)))
