@@ -142,6 +142,7 @@ object SparkEntry {
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
+    "q_length_trim" -> ((s, d) => graft.operators.Pipeline.lengthTrim(s, d)),
     "q_unigram_logprob" -> (TextOps.unigramLogProb _),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
@@ -885,6 +886,13 @@ object SparkEntry {
         "CAST(min(length(text)) AS BIGINT) AS min_chars, " +
         "CAST(max(length(text)) AS BIGINT) AS max_chars " +
         "FROM documents GROUP BY 1"),
+    // percentile-window outlier trim: quantile_cont interpolation matches
+    // Spark's exact percentile (equivalence pinned by q_percentiles)
+    "q_length_trim" ->
+      ("WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p_lo, " +
+        "quantile_cont(n_chars, 0.95) AS p_hi FROM documents) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents, b " +
+        "WHERE n_chars >= p_lo AND n_chars <= p_hi"),
     // overlapping 200-char chunks, step 150 (Spark sequence is stop-
     // inclusive; DuckDB range is stop-exclusive, hence the +1)
     "q_chunk_docs" ->

@@ -217,4 +217,26 @@ object Pipeline {
         ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
           .as("approx_bpe_tokens"))
   }
+
+  /** Length-outlier trim: keep documents whose size sits inside the
+    * corpus's [lo, hi] percentile window — the standard "drop truncated
+    * fragments and concatenation blobs" curation pass. The exact
+    * percentile bounds are ONE tiny aggregate (two doubles) broadcast
+    * back over the scan; the filter itself is a narrow codegen'd
+    * comparison, so at 100 TB this is two linear passes and no
+    * data-sized shuffle. (Exact `percentile` matches the oracle's
+    * `quantile_cont` interpolation — the equivalence `q_percentiles`
+    * already pins; for sketched bounds at extreme scale swap in
+    * `approxQuantileContract`'s tolerance pattern.) */
+  def lengthTrim(spark: SparkSession, dir: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val bounds = d.agg(
+      percentile(col("n_chars"), lit(lo)).as("p_lo"),
+      percentile(col("n_chars"), lit(hi)).as("p_hi"))
+    d.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("p_lo") &&
+        col("n_chars") <= col("p_hi"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
 }

@@ -108,4 +108,69 @@ class InvariantSpec extends SparkSpec {
       assert(got === expected)
     }
   }
+
+  test("char entropy matches a plain-Scala Shannon computation") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val alphabet = "abcdefgh XYZ.,"
+    val docs = (0L until 40L).map { i =>
+      val len = rnd.nextInt(120) // includes 0 → the empty-text guard path
+      (i, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("entinv").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.charEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (id, text) =>
+      val expected = if (text.isEmpty) 0.0 else {
+        val n = text.length.toDouble
+        // same summation order as the operator: sorted distinct chars
+        val s = text.distinct.sorted.map { c =>
+          val p = text.count(_ == c) / n
+          p * (math.log(p) / math.log(2.0))
+        }.sum
+        math.rint((0.0 - s) * 1e4) / 1e4
+      }
+      assert(math.abs(got(id) - expected) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("bm25 matches a plain-Scala Okapi computation on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val vocab = Vector("join", "scan", "filter", "agg", "sort", "x", "y", "z")
+    (1 to 5).foreach { round =>
+      val docs = (0L until 25L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "), "en")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"bm25inv$round")
+        .toString
+      docs.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val terms = Seq("join", "scan", "filter")
+      val got = TextOps.bm25(spark, tmp, terms).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // reference: direct Okapi BM25 over the tokenized corpus
+      val toks = docs.map { case (id, t, _) => id -> t.split("\\s+").toSeq }
+      val nDocs = toks.size.toDouble
+      val avgdl = toks.map(_._2.size).sum.toDouble / nDocs
+      val df = terms.map(t =>
+        t -> toks.count(_._2.contains(t)).toDouble).toMap
+      val (k1, b) = (1.2, 0.75)
+      toks.foreach { case (id, words) =>
+        val score = terms.map { t =>
+          val tf = words.count(_ == t).toDouble
+          if (tf == 0.0) 0.0
+          else math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+            tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * words.size.toDouble / avgdl))
+        }.sum
+        if (terms.exists(words.contains))
+          assert(math.abs(got(id) - score) < 1e-3, s"doc $id round $round")
+        else assert(!got.contains(id), s"doc $id should be absent")
+      }
+    }
+  }
 }
