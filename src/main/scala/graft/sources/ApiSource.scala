@@ -99,11 +99,23 @@ final class ApiScanBuilder(
     tasks: YearRange => Seq[FetchTask],
     decoder: RowDecoder,
     fetcherSpec: FetcherSpec) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
 
   private var yearRange: YearRange = YearRange()
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var required: StructType = schema
+
+  /** Column pruning: the HTTP body is fetched whole regardless (these
+    * APIs have no field selection), but the reader materializes ONLY the
+    * requested fields into InternalRows — a 2-column projection over a
+    * 6-column source moves 1/3 of the cells through the scan, and the
+    * plan's ReadSchema tells the truth about what is read. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source field order (decoders emit in schema order)
+    required = StructType(schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
 
   /** LIMIT pushdown as a fetch-size optimization: each partition stops
     * fetching once it has `limit` rows — for paged protocols (World Bank)
@@ -129,7 +141,7 @@ final class ApiScanBuilder(
 
   override def build(): Scan = new Scan with Batch
       with SupportsReportStatistics {
-    override def readSchema(): StructType = schema
+    override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"$tableName year=$yearRange limit=$limit"
@@ -148,7 +160,7 @@ final class ApiScanBuilder(
       val nTasks = tasks(yearRange).size.toLong max 1L
       val estRows = nTasks * limit.fold(rowsPerTask)(l =>
         math.min(l.toLong, rowsPerTask))
-      val rowBytes = schema.defaultSize.toLong max 1L
+      val rowBytes = required.defaultSize.toLong max 1L
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(estRows * rowBytes)
@@ -162,7 +174,7 @@ final class ApiScanBuilder(
         .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ApiReaderFactory(schema, decoder, fetcherSpec)
+      new ApiReaderFactory(schema, required, decoder, fetcherSpec)
   }
 }
 
@@ -170,13 +182,19 @@ final case class ApiInputPartition(task: FetchTask,
     limit: Option[Int] = None) extends InputPartition
 
 final class ApiReaderFactory(
-    schema: StructType,
+    fullSchema: StructType,
+    requiredSchema: StructType,
     decoder: RowDecoder,
     fetcherSpec: FetcherSpec) extends PartitionReaderFactory {
 
+  // decoder rows arrive in full-schema order; project to the pruned set
+  private val keepIdx: Array[Int] =
+    requiredSchema.fieldNames.map(fullSchema.fieldIndex)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ApiInputPartition]
-    new ApiPartitionReader(p.task, decoder, fetcherSpec.build(), p.limit)
+    new ApiPartitionReader(p.task, decoder, fetcherSpec.build(), p.limit,
+      keepIdx)
   }
 }
 
@@ -187,7 +205,8 @@ final class ApiPartitionReader(
     task: FetchTask,
     decoder: RowDecoder,
     fetcher: HttpFetcher,
-    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
+    limit: Option[Int] = None,
+    keepIdx: Array[Int] = null) extends PartitionReader[InternalRow] {
 
   // take() is lazy over the lazily-paged iterator below, so a pushed
   // LIMIT satisfied by page 1 never issues the page-2 request
@@ -240,11 +259,15 @@ final class ApiPartitionReader(
     if (rows.hasNext) { current = rows.next(); true } else false
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(current.map {
+  override def get(): InternalRow = {
+    val projected =
+      if (keepIdx == null) current
+      else keepIdx.toSeq.map(current)
+    InternalRow.fromSeq(projected.map {
       case s: String => UTF8String.fromString(s)
       case other => other
     })
+  }
 
   override def close(): Unit = ()
 }

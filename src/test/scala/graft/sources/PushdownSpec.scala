@@ -113,6 +113,27 @@ class PushdownSpec extends SparkSpec {
       "API scan must be the broadcast build side:\n" + plan.take(2000))
   }
 
+  test("column pruning reaches the v2 scan: projection shrinks ReadSchema") {
+    import org.apache.spark.sql.functions._
+    val wb = graft.api.Sudan.worldBank(spark, "SP.POP.TOTL",
+      fetcher = graft.api.Sudan.Fetcher("fixtures", "graft/fixtures/worldbank"))
+    val narrow = wb.select("year", "value")
+    val scan = narrow.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b
+      }.get
+    assert(scan.output.map(_.name) === Seq("year", "value"),
+      scan.output.map(_.name).mkString(","))
+    // pruned read still decodes the right values
+    val rows = narrow.filter(col("value").isNotNull)
+      .orderBy(desc("year")).collect()
+    assert(rows.head.getInt(0) === 2020 &&
+      rows.head.getDouble(1) === 44440486.0)
+    // full-width read is untouched
+    assert(wb.columns.length === 6 && wb.count() === 3)
+  }
+
   test("YearRange extraction from Catalyst filters incl. strict bounds") {
     import org.apache.spark.sql.sources._
     assert(YearRange.fromFilters(Array(GreaterThan("year", 2014), LessThan("year", 2021)))
