@@ -183,4 +183,44 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(10L, 11L))
   }
+
+  test("idempotent sink: replayed batches skip, torn writes rewrite") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ingest").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // first delivery writes
+    assert(idempotentBatchSink(out)(b0, 0L))
+    // at-least-once replay of the same batch id is a no-op — even with
+    // different content (replays re-derive the same logical batch)
+    assert(!idempotentBatchSink(out)(b0.limit(1), 0L))
+    assert(spark.read.parquet(s"$out/batch=0").count() === 2)
+    // torn write (no _SUCCESS marker) is rewritten on replay
+    assert(new java.io.File(s"$out/batch=1").mkdirs())
+    assert(idempotentBatchSink(out)(Seq((3L, "c")).toDF("id", "v"), 1L))
+    assert(spark.read.parquet(s"$out/batch=1").count() === 1)
+    // downstream readers see each row exactly once across the root
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming ingest end-to-end: two micro-batches land exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val out = java.nio.file.Files.createTempDirectory("ingest2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val q = startIngest(input.toDF(), out, ckpt)
+    try {
+      input.addData(Event(1, ts(0), 100, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(1), 100, "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.select("event_id").collect().map(_.getLong(0)).sorted
+        .toSeq === Seq(1L, 2L))
+      // batch directories are the idempotence unit
+      assert(new java.io.File(out).listFiles()
+        .count(_.getName.startsWith("batch=")) >= 1)
+    } finally q.stop()
+  }
 }
