@@ -63,7 +63,10 @@ object SudanExtension {
       "corpus_quality" -> TextOps.qualityScore(spark, dir),
       "corpus_lang_id" -> TextOps.langId(spark, dir),
       "corpus_neardup_pairs" -> Dedup.minHashPairs(spark, dir),
-      "corpus_dedup_clusters" -> Dedup.minHashClusters(spark, dir))
+      "corpus_dedup_clusters" -> Dedup.minHashClusters(spark, dir),
+      "corpus_entropy" -> TextOps.charEntropy(spark, dir),
+      "corpus_bm25" -> TextOps.bm25(spark, dir),
+      "corpus_length_trim" -> Pipeline.lengthTrim(spark, dir))
       .foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 }

@@ -239,4 +239,25 @@ object Pipeline {
         col("n_chars") <= col("p_hi"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  /** Target output-file count for [[compact]]: optimizer-visible bytes
+    * over the target file size. Exposed for specs/ops tooling. */
+  def compactionPartitions(df: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes + targetBytes - 1).toLong./(targetBytes).toInt.max(1)
+  }
+
+  /** Small-file compaction — the standing maintenance job of any
+    * long-running ingest: a streaming sink or over-parallel write leaves
+    * thousands of KB-sized files, and at 100 TB scan cost is dominated
+    * by per-file open/footer overhead long before row count matters.
+    * Round-robin `repartition` to ceil(bytes / targetBytes) partitions
+    * rewrites the data into uniformly-sized ~targetBytes files (one
+    * shuffle, linear; no skew because round-robin ignores keys). Pair
+    * with `sortWithinPartitions` upstream if a clustering key should
+    * survive compaction. */
+  def compact(df: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame =
+    df.repartition(compactionPartitions(df, targetBytes))
 }

@@ -150,4 +150,37 @@ class PipelineSpec extends SparkSpec {
       .filter(col("source") === "src0").count().toDouble
     assert(src0Total / src0Docs >= 2.0 && src0Total / src0Docs <= 3.0)
   }
+
+  test("length trim: bounds are the exact percentiles, outliers dropped") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lens = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    // exact interpolated percentile, same definition both engines use
+    def pct(p: Double): Double = {
+      val idx = p * (lens.length - 1)
+      val (lo, hi) = (math.floor(idx).toInt, math.ceil(idx).toInt)
+      lens(lo) + (idx - lo) * (lens(hi) - lens(lo))
+    }
+    val kept = Pipeline.lengthTrim(spark, sfDir).collect()
+      .map(_.getLong(3))
+    assert(kept.forall(n => n >= pct(0.05) && n <= pct(0.95)))
+    val expectedKept = lens.count(n => n >= pct(0.05) && n <= pct(0.95))
+    assert(kept.length === expectedKept)
+  }
+
+  test("compaction: file count tracks bytes / targetBytes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // sf0.001 documents ≈ 65 KB on disk → 16 KB target ⇒ several files
+    val n = Pipeline.compactionPartitions(docs, targetBytes = 16L * 1024)
+    assert(n >= 3 && n <= 8, n.toString)
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    Pipeline.compact(docs, targetBytes = 16L * 1024)
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(files === n, s"$files files for $n partitions")
+    // a huge target always compacts to a single file
+    assert(Pipeline.compactionPartitions(docs, 1L << 40) === 1)
+    // rows survive the rewrite
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
 }
