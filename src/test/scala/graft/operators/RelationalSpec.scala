@@ -116,5 +116,11 @@ class RelationalSpec extends SparkSpec {
         .getField("k").as("k")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(parsed === Array(Some(1), None, None))
+    // the parse is a codegen'd expression fused into the scan stage — the
+    // only exchange in the plan is the group-by's
+    val plan = Relational.jsonExtract(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 3, plan.take(1500)) // ≤2 (AQE reuse)
+    assert(!plan.contains("ScalaUDF"), plan.take(1500))
   }
 }

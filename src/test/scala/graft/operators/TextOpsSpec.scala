@@ -254,6 +254,13 @@ class TextOpsSpec extends SparkSpec {
     // real corpus: entropy of n distinct chars is bounded by log2(n)
     val corpus = TextOps.charEntropy(spark, sfDir).collect()
     assert(corpus.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) < 8.0))
+    // scale guard: a per-row signal must stay a narrow map — no shuffle,
+    // no UDF, one codegen span over the scan
+    val plan = TextOps.charEntropy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(1500))
   }
 
   test("bm25: term-frequency saturating rank order, non-matching docs absent") {
