@@ -143,6 +143,8 @@ object SparkEntry {
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_length_trim" -> ((s, d) => graft.operators.Pipeline.lengthTrim(s, d)),
+    "q_clean_audit" -> ((s, d) =>
+      graft.operators.Pipeline.cleanCorpusAudit(s, d)),
     "q_unigram_logprob" -> (TextOps.unigramLogProb _),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
@@ -705,6 +707,23 @@ object SparkEntry {
         "WHERE d.doc_id IN (SELECT doc_id FROM ek) " +
         "AND d.doc_id NOT IN (SELECT doc_id FROM drops) " +
         s"AND $wordsExpr >= 30"),
+    // drop-audit twin of q_clean_corpus: same CTEs, inverted predicate,
+    // first-matching reason precedence (exact → near → short)
+    "q_clean_audit" ->
+      (shingleCte +
+        ", drops AS (SELECT DISTINCT b.doc_id FROM s a JOIN s b " +
+        "ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "ek AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        "GROUP BY md5(text)) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM ek) " +
+        "THEN 'exact_dup' " +
+        "WHEN d.doc_id IN (SELECT doc_id FROM drops) THEN 'near_dup' " +
+        "ELSE 'short' END AS reason FROM documents d " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM ek) " +
+        "OR d.doc_id IN (SELECT doc_id FROM drops) " +
+        s"OR $wordsExpr < 30"),
     // exact word-3-gram Jaccard, consecutive doc pairs: the same shingle +
     // intersect/union computation as Dedup.shingleArray/jaccardExpr,
     // written with DuckDB's list functions (shingleCte tokenizes with the

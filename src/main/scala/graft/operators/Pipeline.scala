@@ -240,6 +240,36 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Drop-audit of [[cleanCorpus]]: one row per REMOVED document with
+    * the (first-matching) removal reason — `exact_dup` (not the
+    * canonical copy of its byte-identical group), `near_dup` (higher-id
+    * side of a MinHash pair), or `short` (under `minWords`). The
+    * observability half of a cleaning pipeline: at 100 TB you never ship
+    * a filter without the report of what it deleted. Same stage
+    * operators and precedence as cleanCorpus, so
+    * audit ∪ cleanCorpus ≡ documents (spec-pinned). */
+  def cleanCorpusAudit(spark: SparkSession, dir: String, minWords: Int = 30,
+      threshold: Double = 0.5): DataFrame = {
+    val nWords = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
+    val exactKept = Dedup.exactKeep(spark, dir).select("doc_id")
+      .withColumn("_ek", lit(1))
+    val nearDrops = Dedup.minHashPairs(spark, dir, threshold = threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("_nd", lit(1))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), nWords.as("n_words"))
+      .join(exactKept, Seq("doc_id"), "left")
+      .join(nearDrops, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("_ek").isNull, "exact_dup")
+          .when(col("_nd").isNotNull, "near_dup")
+          .when(col("n_words") < minWords, "short")
+          .otherwise("kept"))
+      .filter(col("reason") =!= "kept")
+      .select(col("doc_id"), col("reason"))
+  }
+
   /** Target output-file count for [[compact]]: optimizer-visible bytes
     * over the target file size. Exposed for specs/ops tooling. */
   def compactionPartitions(df: DataFrame,

@@ -151,6 +151,17 @@ class PipelineSpec extends SparkSpec {
     assert(src0Total / src0Docs >= 2.0 && src0Total / src0Docs <= 3.0)
   }
 
+  test("clean audit partitions the corpus: kept ⊎ dropped = documents") {
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val kept = Pipeline.cleanCorpus(spark, sfDir).select("doc_id")
+    val dropped = Pipeline.cleanCorpusAudit(spark, sfDir)
+    assert(kept.count() + dropped.count() === total)
+    assert(kept.intersect(dropped.select("doc_id")).count() === 0L)
+    val reasons = dropped.select("reason").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(reasons.subsetOf(Set("exact_dup", "near_dup", "short")), reasons)
+  }
+
   test("length trim: bounds are the exact percentiles, outliers dropped") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val lens = docs.select("n_chars").collect().map(_.getLong(0)).sorted
