@@ -144,7 +144,7 @@ object SparkEntry {
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_length_trim" -> ((s, d) => graft.operators.Pipeline.lengthTrim(s, d)),
     "q_clean_audit" -> ((s, d) =>
-      graft.operators.Pipeline.cleanCorpusAudit(s, d)),
+      graft.operators.Pipeline.cleanCorpusAudit(s, d, materialized = true)),
     "q_unigram_logprob" -> (TextOps.unigramLogProb _),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),

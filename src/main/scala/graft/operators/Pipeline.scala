@@ -249,12 +249,18 @@ object Pipeline {
     * operators and precedence as cleanCorpus, so
     * audit ∪ cleanCorpus ≡ documents (spec-pinned). */
   def cleanCorpusAudit(spark: SparkSession, dir: String, minWords: Int = 30,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
     val nWords = (length(col("text")) -
       length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
     val exactKept = Dedup.exactKeep(spark, dir).select("doc_id")
       .withColumn("_ek", lit(1))
-    val nearDrops = Dedup.minHashPairs(spark, dir, threshold = threshold)
+    // `materialized` reads the build-once signature table — the
+    // steady-state shape, same switch as cleanCorpus
+    val pairs =
+      if (materialized)
+        Dedup.minHashPairsMaterialized(spark, dir, threshold = threshold)
+      else Dedup.minHashPairs(spark, dir, threshold = threshold)
+    val nearDrops = pairs
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("_nd", lit(1))
     spark.read.parquet(s"$dir/documents.parquet")
