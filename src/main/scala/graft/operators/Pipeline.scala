@@ -120,25 +120,39 @@ object Pipeline {
   }
 
   /** Greedy contiguous sequence packing: assign documents (in doc_id
-    * order, per language) to fixed-capacity training packs by prefix
-    * token count — pack_id = floor(tokens-before-this-doc / capacity),
-    * the standard "fill until the boundary, overflow starts the next
-    * pack" approximation (a straddling document belongs to the pack it
-    * STARTS in, so packs can exceed capacity by at most one document).
-    * Deterministic: the order key (doc_id) is unique.
+    * order, per (lang, shard)) to fixed-capacity training packs by
+    * prefix token count — pack_id = floor(tokens-before-this-doc /
+    * capacity), the standard "fill until the boundary, overflow starts
+    * the next pack" approximation (a straddling document belongs to the
+    * pack it STARTS in, so packs can exceed capacity by at most one
+    * document). Deterministic: the order key (doc_id) is unique and the
+    * shard is a content-free md5 hex prefix of doc_id (same hash-gate
+    * idiom as [[trainValSplit]] — reproducible across runs, engines,
+    * and cluster layouts). A pack is identified by (lang, shard,
+    * pack_id); each shard fills its packs independently.
     *
-    * Scale: one running-sum window per language partition — a keyed
-    * shuffle + linear scan. At 100 TB partition the window key finer
-    * ((lang, shard) with per-shard capacity) so no single language
-    * serializes through one task; the assignment rule is unchanged. */
+    * Scale: the running-sum window is keyed (lang, shard), so a
+    * dominant language fans out over 16^`shardHexDigits` parallel
+    * window partitions instead of serializing through one task. At
+    * 100 TB raise `shardHexDigits` to 3-4 (4096-65536 shards); per-pack
+    * capacity semantics are unchanged because packs never cross shards.
+    * `shardHexDigits = 0` degenerates to one shard per language (the
+    * strict global-prefix rule) for corpora small enough to serialize. */
   def packSequences(spark: SparkSession, dir: String,
-      capacityTokens: Long = 2048L): DataFrame = {
+      capacityTokens: Long = 2048L, shardHexDigits: Int = 1,
+      salt: String = "graft-pack-v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(shardHexDigits >= 0 && shardHexDigits <= 8,
+      "0 <= shardHexDigits <= 8")
     val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
       .cast("long")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val shard = substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))),
+      1, shardHexDigits)
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("lang"), tokens.as("n_tokens"))
+      .select(col("doc_id"), col("lang"), shard.as("shard"),
+        tokens.as("n_tokens"))
       .withColumn("pack_id",
         floor(((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           lit(capacityTokens.toDouble))).cast("long"))

@@ -101,24 +101,15 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket id of each vector against `numPlanes` fixed
-    * hyperplanes (bit i = sign of dot with plane i). */
+    * hyperplanes (bit i = sign of dot with plane i). A native codegen'd
+    * expression ([[graft.functions.HyperplaneBucketExpression]]) — the
+    * bucket assignment feeds every ANN self-join, so it must not be the
+    * one serialization boundary in an otherwise WholeStageCodegen'd
+    * scan → bucket → shuffle pipeline. */
   def withBucket(spark: SparkSession, dir: String,
-      numPlanes: Int = 12): DataFrame = {
-    val planes = hyperplanes(numPlanes, 64)
-    val bucketUdf = udf((v: Seq[Float]) => {
-      var bucket = 0L
-      var i = 0
-      while (i < planes.length) {
-        var d = 0.0; var j = 0
-        val p = planes(i)
-        while (j < p.length && j < v.length) { d += p(j) * v(j); j += 1 }
-        if (d >= 0) bucket |= (1L << i)
-        i += 1
-      }
-      bucket
-    })
-    embeddings(spark, dir).withColumn("bucket", bucketUdf(col("embedding")))
-  }
+      numPlanes: Int = 12): DataFrame =
+    embeddings(spark, dir).withColumn("bucket",
+      graft.functions.HyperplaneBucketExpression.native(col("embedding"), numPlanes))
 
   /** ANN top-k via LSH buckets with 1-bit multiprobe: search the query's
     * bucket plus all buckets at Hamming distance 1 (numPlanes+1 probes),

@@ -80,6 +80,50 @@ class IvfSpec extends SparkSpec {
     assert(!new java.io.File(path3).exists(), "clear must delete index dirs")
   }
 
+  test("training sample is layout-independent: covers a sorted-by-label " +
+      "corpus uniformly and keeps cells balanced") {
+    import spark.implicits._
+    // the bias repro: two tight, well-separated blobs written SORTED by
+    // label (at 100 TB "the first parquet files are one source"), so a
+    // bare limit(n) would train on blob A only and blob B would crowd
+    // into whichever A-centroid is nearest — one hot cell with half the
+    // corpus. The hash-ordered sample must see both blobs.
+    def blob(axis: Int, seed: Long): Array[Float] = {
+      val v = new Array[Float](16)
+      v(axis) = 1f
+      // tiny deterministic jitter so the blob isn't a single point
+      (0 until 16).foreach { j =>
+        v(j) = v(j) + (((seed * 16 + j) * 2654435761L % 97).toFloat / 9700f)
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0L until 256L).map(i => (i, blob(0, i), 0)) ++
+      (256L until 512L).map(i => (i, blob(8, i), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfbias").toString
+    rows.toDF("vec_id", "embedding", "label").repartition(1)
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+    // 1) the sample itself spans both halves, roughly proportionally
+    val sampleIds = Ivf.uniformSample(emb, 64).select("vec_id")
+      .collect().map(_.getLong(0))
+    val fromB = sampleIds.count(_ >= 256L)
+    assert(fromB >= 16 && fromB <= 48,
+      s"sample must cover both halves ~equally, got $fromB/64 from blob B")
+    // determinism: same sample every invocation
+    assert(Ivf.uniformSample(emb, 64).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq === sampleIds.toSeq)
+    // 2) downstream effect: trained cells stay balanced — no cell holds
+    // an entire blob (the limit(n) failure mode puts ≥50% in one cell)
+    val (indexed, _) = Ivf.buildIndex(spark, tmp, nlist = 4,
+      trainSample = 64)
+    val sizes = indexed.groupBy("cluster").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max.toDouble / 512.0 < 0.45,
+      s"hot cell holds ${sizes.max}/512 vectors — biased quantizer")
+  }
+
   test("probing is selective: fewer rows scanned than brute force") {
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val (indexed, _) = Ivf.buildIndex(spark, sfDir, nlist = 16)

@@ -104,14 +104,46 @@ class PipelineSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("pack").toString
     // 100-token docs (400 chars): capacity 250 → docs 1,2 start in pack 0
     // (prefix 0, 100), doc 3 starts at prefix 200 < 250 → still pack 0
-    // (straddle), doc 4 at prefix 300 → pack 1
+    // (straddle), doc 4 at prefix 300 → pack 1. shardHexDigits = 0 pins
+    // the strict global-prefix rule (one shard per language).
     val docs = (1L to 4L).map(i => (i, "en", "y" * 400)) :+
       ((9L, "de", "z" * 400))
     docs.toDF("doc_id", "lang", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val got = Pipeline.packSequences(spark, tmp, capacityTokens = 250L)
-      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val got = Pipeline.packSequences(spark, tmp, capacityTokens = 250L,
+        shardHexDigits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 9L -> 0L))
+  }
+
+  test("packing: sharded window fans a language out and keeps the rule") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Pipeline.packSequences(spark, sfDir, capacityTokens = 512L)
+    // plan guard: the running-sum window is keyed (lang, shard), never
+    // lang alone — a dominant language must not serialize into one task
+    val windows = out.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a WindowExec in the plan")
+    windows.foreach(w => assert(w.partitionSpec.size === 2,
+      s"window keyed by ${w.partitionSpec} — want (lang, shard)"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // exhaustive: every document is packed exactly once
+    assert(rows.length ===
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // shards spread: >1 shard for the corpus (16 hex cells, 500 docs)
+    assert(rows.map(_._3).distinct.length > 1)
+    // the assignment rule holds within every (lang, shard): pack_id =
+    // floor(prefix-tokens-before / capacity) in doc_id order
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, grp) =>
+      var prefix = 0L
+      grp.sortBy(_._1).foreach { case (_, _, _, nTok, packId) =>
+        assert(packId === prefix / 512L)
+        prefix += nTok
+      }
+    }
   }
 
   test("sourceCap: at most cap docs per source, longest-first, unique set") {

@@ -26,6 +26,42 @@ class SimilaritySpec extends SparkSpec {
     assert(a.flatten.toSeq === b.flatten.toSeq)
   }
 
+  test("native bucket expression: bit-identical to the UDF it replaced, " +
+      "inside WholeStageCodegen") {
+    // reference implementation = the pre-r5 UDF, verbatim: any arithmetic
+    // drift (widening, accumulation order, sign convention) fails here
+    val planes = Similarity.hyperplanes(12, 64)
+    val bucketUdf = udf((v: Seq[Float]) => {
+      var bucket = 0L
+      var i = 0
+      while (i < planes.length) {
+        var d = 0.0; var j = 0
+        val p = planes(i)
+        while (j < p.length && j < v.length) { d += p(j) * v(j); j += 1 }
+        if (d >= 0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    })
+    val df = Similarity.withBucket(spark, sfDir, numPlanes = 12)
+      .withColumn("bucket_udf", bucketUdf(col("embedding")))
+    assert(df.filter(col("bucket") =!= col("bucket_udf")).count() === 0L)
+    // null-safety: NULL embedding → NULL bucket (UDF would have thrown)
+    import spark.implicits._
+    val nullRow = Seq((1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+      .select(graft.functions.HyperplaneBucketExpression
+        .native(col("embedding"), 12).as("bucket"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+    // plan guard: the production path carries no ScalaUDF — the bucket is
+    // a codegen'd projection over the scan ("*(n) Project [... hyperplane")
+    val prodPlan = Similarity.withBucket(spark, sfDir, numPlanes = 12)
+      .queryExecution.executedPlan.toString
+    assert(!prodPlan.contains("ScalaUDF"), prodPlan)
+    assert(prodPlan.contains("hyperplane_bucket"), prodPlan)
+    assert(prodPlan.contains("*(1)"), prodPlan)
+  }
+
   test("LSH finds planted near-neighbors (recall where locality exists)") {
     // Uniform random vectors have no locality (sf0.001 max cosine ≈ 0.37) —
     // LSH legitimately can't beat chance there. Plant true neighbors:
