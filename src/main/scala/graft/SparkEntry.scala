@@ -164,7 +164,9 @@ object SparkEntry {
       val ord = s.read.parquet(s"$d/orders.parquet")
       val cust = s.read.parquet(s"$d/customer.parquet")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      graft.operators.Skew.saltedJoin(ord, cust, "o_custkey")
+      // o_orderkey is the fact side's primary key — the idCol contract
+      graft.operators.Skew.saltedJoin(ord, cust, "o_custkey",
+          idCol = Some("o_orderkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -261,8 +263,11 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
+  // the corpus-wide word count: \s+ tokens with empties dropped — the
+  // oracle twin of TextOps.nWords (same list_filter idiom as q_repetition)
   private val wordsExpr =
-    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> len(x) > 0)) AS BIGINT)"
 
   /** Golden VALUES for the 18-state table (iso, names, centroid, geometry
     * length + MultiPolygon prefix) — from the embedded resource, matching
@@ -355,10 +360,15 @@ object SparkEntry {
     "CAST(sh.shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)"
 
   /** Exploded word stream (doc_id, lang, word), twin of `TextOps.words`. */
-  private val wordCte: String =
-    "WITH w AS (SELECT doc_id, lang, " +
-      "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+  /** One-row-per-word CTE, parameterized by the carried columns so
+    * variants are built, not string-edited (a silent no-op `.replace`
+    * on drifted CTE text was the failure mode this removes). */
+  private def wordCteWith(extraCols: String*): String =
+    "WITH w AS (SELECT " + (Seq("doc_id") ++ extraCols).mkString(", ") +
+      ", unnest(list_filter(string_split_regex(text, '\\s+'), " +
       "x -> len(x) > 0)) AS word FROM documents)"
+
+  private val wordCte: String = wordCteWith("lang")
 
   def oracleSql: Map[String, String] = Map(
     "q_projection" ->
@@ -846,7 +856,7 @@ object SparkEntry {
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
         s"$wordsExpr AS n_words, " +
-        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / " +
+        "round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / " +
         s"CAST($wordsExpr AS DOUBLE), 4) AS avg_word_len FROM documents"),
     "q_token_count" ->
       (s"SELECT doc_id, $wordsExpr AS ws_tokens, " +
@@ -954,7 +964,7 @@ object SparkEntry {
             s"length(replace(concat(' ', text, ' '), '$w', ''))) // ${w.length}"
         }.mkString("(", " + ", ")") +
         " AS stop_hits, " +
-        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words " +
+        s"$wordsExpr AS n_words " +
         "FROM documents) " +
         "SELECT doc_id, CAST(stop_hits AS BIGINT) AS stop_hits, n_words, " +
         "round(CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS stop_ratio FROM h"),
@@ -1152,7 +1162,7 @@ object SparkEntry {
     // integer-valued double, so only the final ≤3-term sum is
     // order-sensitive (round 4 absorbs the ulp)
     "q_bm25" ->
-      (wordCte.replace(", lang,", ",") +
+      (wordCteWith() +
         ", dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1), " +
         "stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl, " +
         "CAST(count(*) AS DOUBLE) AS n_docs FROM dl), " +

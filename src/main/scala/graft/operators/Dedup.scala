@@ -51,12 +51,75 @@ object Dedup {
     * [[minHashHotBuckets]] / [[simHashHotBuckets]] to audit what a cap
     * dropped. Measured at sf0.1: ~2× faster than the self-join form, and
     * one pass over the signatures instead of three. */
+  private val pruneMetricSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Last prune counts per observation name — (pruned_buckets,
+    * pruned_docs), updated asynchronously by the per-session listener
+    * [[ensurePruneListener]] installs. Test hook + ops surface. */
+  private[operators] val lastPrune =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private val pruneListenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Install (once per session) the listener that surfaces hot-bucket
+    * pruning INLINE: when a capped dedup query finishes and its
+    * `graft_bucket_prune_*` observation shows the `maxBucket` cap
+    * actually dropped buckets, WARN with the counts — production runs
+    * see the recall trade without running a second audit query. */
+  private def ensurePruneListener(spark: SparkSession): Unit =
+    if (pruneListenerInstalled.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_bucket_prune")) {
+                val buckets = row.getAs[Long]("pruned_buckets")
+                val docsDropped = row.getAs[Long]("pruned_docs")
+                lastPrune.put(name, (buckets, docsDropped))
+                if (buckets > 0)
+                  log.warn(s"$name: maxBucket cap pruned $buckets LSH " +
+                    s"bucket(s) holding $docsDropped docs — near-dup " +
+                    "recall was traded for boundedness on those buckets " +
+                    "(run minHashHotBuckets/simHashHotBuckets to see which)")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[operators] def bucketPairs(bandKeys: DataFrame,
       maxBucket: Int): DataFrame = {
     val sized = bandKeys.groupBy("band", "band_key")
       .agg(array_sort(collect_list("doc_id")).as("ids"))
+    val metricsOn = bandKeys.sparkSession.conf
+      .get("spark.graft.dedup.pruneMetrics", "true").toBoolean
     val capped =
-      if (maxBucket > 0) sized.filter(size(col("ids")).between(2, maxBucket))
+      if (maxBucket > 0 && metricsOn) {
+        // inline prune accounting: an `observe` (CollectMetrics) node —
+        // the declarative form of a LongAccumulator, zero extra passes.
+        // Unique name per call site: observation names must not collide
+        // within one query (e.g. clean-corpus composes several dedups).
+        // Kill switch: spark.graft.dedup.pruneMetrics=false.
+        ensurePruneListener(bandKeys.sparkSession)
+        val name = s"graft_bucket_prune_${pruneMetricSeq.incrementAndGet()}"
+        val over = size(col("ids")) > maxBucket
+        sized.observe(name,
+            coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L))
+              .as("pruned_buckets"),
+            coalesce(sum(when(over, size(col("ids")).cast("long"))
+              .otherwise(0L)), lit(0L)).as("pruned_docs"))
+          .filter(size(col("ids")).between(2, maxBucket))
+      }
+      else if (maxBucket > 0)
+        sized.filter(size(col("ids")).between(2, maxBucket))
       else sized.filter(size(col("ids")) >= 2)
     val ids = col("ids")
     capped.select(explode(flatten(transform(ids, (a, i) =>
@@ -412,19 +475,27 @@ object Dedup {
     * detected by the label sum (labels are positive ids and strictly
     * decrease until fixpoint), a scalar aggregate per round.
     *
-    * Lineage is cut per round with `localCheckpoint` (labels would
-    * otherwise re-derive the whole candidate pipeline each iteration); on
-    * a real cluster point `spark.sparkContext.setCheckpointDir` at
-    * reliable storage and swap to `checkpoint` — the shape is identical.
+    * Lineage is cut per round (labels would otherwise re-derive the whole
+    * candidate pipeline each iteration). The cut follows the session's
+    * checkpoint configuration: when `spark.sparkContext.setCheckpointDir`
+    * points at reliable storage, rounds use `checkpoint` (executor loss
+    * mid-loop recovers from storage — the 100 TB cluster mode); with no
+    * checkpoint dir set, `localCheckpoint` (executor-local blocks, the
+    * right trade on a single node / small job). The swap is a session
+    * flag, not a code edit.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    val cut: DataFrame => DataFrame =
+      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df => df.checkpoint()
+      else df => df.localCheckpoint()
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    val edges = half.union(half.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
+    val edges = cut(half.union(half.select(col("dst").as("src"),
+      col("src").as("dst"))))
+    var labels = cut(edges.select(col("src").as("v"))
+      .distinct().withColumn("label", col("v")))
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
@@ -437,9 +508,9 @@ object Dedup {
       // path-halving: label(v) ← label(label(v)); every label value is a
       // vertex id, so the self-join is total
       val hop = neighborMin.select(col("v").as("pv"), col("label").as("pl"))
-      val next = neighborMin.join(hop, neighborMin("label") === hop("pv"))
-        .select(neighborMin("v"), hop("pl").as("label"))
-        .localCheckpoint()
+      val next = cut(
+        neighborMin.join(hop, neighborMin("label") === hop("pv"))
+          .select(neighborMin("v"), hop("pl").as("label")))
       val s = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head.getDecimal(0)
       done = prevSum != null && s.compareTo(prevSum) == 0

@@ -221,8 +221,8 @@ object Pipeline {
         Dedup.minHashPairsMaterialized(spark, dir, threshold = threshold)
       else Dedup.minHashPairs(spark, dir, threshold = threshold)
     val nearDrops = pairs.select(col("doc_b").as("doc_id")).distinct()
-    val nWords = (length(col("text")) -
-      length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
+    // the corpus-wide word-count definition (one semantics everywhere)
+    val nWords = TextOps.nWords
     kept
       .join(nearDrops, Seq("doc_id"), "left_anti")
       .withColumn("n_words", nWords)
@@ -264,8 +264,7 @@ object Pipeline {
     * audit ∪ cleanCorpus ≡ documents (spec-pinned). */
   def cleanCorpusAudit(spark: SparkSession, dir: String, minWords: Int = 30,
       threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
-    val nWords = (length(col("text")) -
-      length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
+    val nWords = TextOps.nWords
     val exactKept = Dedup.exactKeep(spark, dir).select("doc_id")
       .withColumn("_ek", lit(1))
     // `materialized` reads the build-once signature table — the
@@ -291,11 +290,18 @@ object Pipeline {
   }
 
   /** Target output-file count for [[compact]]: optimizer-visible bytes
-    * over the target file size. Exposed for specs/ops tooling. */
+    * over the target file size. Exposed for specs/ops tooling.
+    * The ceiling division stays in BigInt: `sizeInBytes` can be the
+    * no-stats sentinel (Long.MaxValue) or a join-stat product beyond
+    * Long range, where a narrowing `.toLong` wraps negative and the
+    * old `max(1)` would silently repartition(1) an arbitrarily large
+    * DataFrame. Clamped to Int.MaxValue (the repartition limit). */
   def compactionPartitions(df: DataFrame,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    (bytes + targetBytes - 1).toLong./(targetBytes).toInt.max(1)
+    ((bytes + targetBytes - 1) / targetBytes)
+      .min(BigInt(Int.MaxValue)).toInt.max(1)
   }
 
   /** Small-file compaction — the standing maintenance job of any

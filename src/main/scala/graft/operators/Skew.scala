@@ -26,13 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The salt source, with the contract made loud: no `idCol` falls back
+    * to a content hash of every column and WARNS — fully-duplicate rows
+    * of a hot key then share one salt bucket, which defeats the salting
+    * exactly when skew is worst (see object doc). Callers that have any
+    * unique column should always pass it. */
+  private def saltSource(df: DataFrame, idCol: Option[String],
+      op: String): Seq[Column] =
+    idCol.map(c => Seq(col(c))).getOrElse {
+      log.warn(s"$op: no idCol passed — salting by content hash of all " +
+        "columns; fully-duplicate rows of a hot key will share one salt " +
+        "bucket (residual skew = max duplicate multiplicity). Pass any " +
+        "unique column (primary key, offset, line id) as idCol.")
+      df.columns.map(col).toSeq
+    }
+
   /** count + sum aggregation over `key`, salted across `salts` partials.
     * @param idCol unique row-id column to salt by (uniform + deterministic);
-    *   None → content hash of all columns (see caveat in object doc). */
+    *   None → content hash of all columns, with a logged warning. */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16, idCol: Option[String] = None): DataFrame = {
-    val saltSrc = idCol.map(c => Seq(col(c)))
-      .getOrElse(df.columns.map(col).toSeq)
+    val saltSrc = saltSource(df, idCol, "saltedCountSum")
     val salted = df.withColumn("_salt", pmod(hash(saltSrc: _*), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
@@ -65,8 +81,7 @@ object Skew {
     * SMALL side (the replication is the price). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 16, idCol: Option[String] = None): DataFrame = {
-    val saltSrc = idCol.map(c => Seq(col(c)))
-      .getOrElse(fact.columns.map(col).toSeq)
+    val saltSrc = saltSource(fact, idCol, "saltedJoin")
     val saltedFact =
       fact.withColumn("_salt", pmod(hash(saltSrc: _*), lit(salts)))
     val replicatedDim =

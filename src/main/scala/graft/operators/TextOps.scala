@@ -17,11 +17,15 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Whitespace word count as a pure-arithmetic expression (identical
-    * semantics in any ANSI engine, unlike regex splits): texts are
-    * single-space separated, so words = spaces + 1. */
-  private val nWords = (length(col("text")) -
-    length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
+  /** Whitespace word count — ONE definition corpus-wide: tokens of a
+    * `\s+` split with empties dropped, the same tokenization
+    * [[words]]/shingling uses. (The previous spaces+1 arithmetic agreed
+    * on this corpus's single-space texts but silently diverged from the
+    * split-based operators on real text with tabs/newlines — n_words
+    * must mean the same thing in qualityScore, gopherRepetition, and
+    * cleanCorpus. Spec-pinned on a tab/newline fixture in TextOpsSpec.) */
+  private[operators] val nWords =
+    size(filter(split(col("text"), "\\s+"), w => length(w) > 0)).cast("long")
 
   /** Per-document size statistics: chars, bytes, words, avg word length. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -30,7 +34,7 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars"),
       octet_length(col("text")).cast("long").as("n_bytes"),
       nWords.as("n_words"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
         nWords.cast("double"), 4).as("avg_word_len"))
 
   /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate (the

@@ -76,13 +76,19 @@ trait RowDecoder extends Serializable {
   def totalPages(body: String): Option[Int] = None
 }
 
-/** Generic DSv2 table over an HTTP+JSON API. */
+/** Generic DSv2 table over an HTTP+JSON API.
+  * @param rowsPerTask per-protocol upper bound on rows one fetch task
+  *   returns, used ONLY for reported statistics (the broadcast decision).
+  *   Per-country year series default to 256; full-catalog protocols must
+  *   pass their honest bound — a shared constant here is exactly how an
+  *   oversized build side sneaks into a BroadcastHashJoin. */
 final class ApiTable(
     tableName: String,
     dataSchema: StructType,
     tasks: YearRange => Seq[FetchTask],
     decoder: RowDecoder,
-    fetcherSpec: FetcherSpec) extends Table with SupportsRead {
+    fetcherSpec: FetcherSpec,
+    rowsPerTask: Long = 256L) extends Table with SupportsRead {
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema
@@ -90,7 +96,8 @@ final class ApiTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ApiScanBuilder(tableName, dataSchema, tasks, decoder, fetcherSpec)
+    new ApiScanBuilder(tableName, dataSchema, tasks, decoder, fetcherSpec,
+      rowsPerTask)
 }
 
 final class ApiScanBuilder(
@@ -98,7 +105,8 @@ final class ApiScanBuilder(
     schema: StructType,
     tasks: YearRange => Seq[FetchTask],
     decoder: RowDecoder,
-    fetcherSpec: FetcherSpec) extends ScanBuilder
+    fetcherSpec: FetcherSpec,
+    rowsPerTask: Long = 256L) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
 
@@ -152,11 +160,11 @@ final class ApiScanBuilder(
       * an API series against a large fact would plan a sort-merge join —
       * at 100 TB that shuffles the fact table to co-locate with a few
       * hundred rows. A bounded honest estimate (these APIs return
-      * year-bounded per-country series and paged catalogs, ≤ a few
-      * hundred rows per fetch task) keeps the API side under the
-      * broadcast threshold, and a pushed LIMIT tightens it further. */
+      * year-bounded per-country series and paged catalogs, with a
+      * PER-PROTOCOL `rowsPerTask` bound set by the concrete source)
+      * keeps the API side under the broadcast threshold, and a pushed
+      * LIMIT tightens it further. */
     override def estimateStatistics(): Statistics = {
-      val rowsPerTask = 256L
       val nTasks = tasks(yearRange).size.toLong max 1L
       val estRows = nTasks * limit.fold(rowsPerTask)(l =>
         math.min(l.toLong, rowsPerTask))
@@ -259,14 +267,27 @@ final class ApiPartitionReader(
     if (rows.hasNext) { current = rows.next(); true } else false
   }
 
+  /** Hot read path: project + convert with one pre-sized array and a
+    * while loop — no per-row Seq allocation, and decoder rows are viewed
+    * as IndexedSeq once so a List-shaped row doesn't pay O(width) per
+    * positional lookup (quadratic in column count otherwise). */
   override def get(): InternalRow = {
-    val projected =
-      if (keepIdx == null) current
-      else keepIdx.toSeq.map(current)
-    InternalRow.fromSeq(projected.map {
-      case s: String => UTF8String.fromString(s)
-      case other => other
-    })
+    val src: IndexedSeq[Any] = current match {
+      case ix: IndexedSeq[Any] => ix
+      case other => other.toIndexedSeq
+    }
+    val n = if (keepIdx == null) src.length else keepIdx.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (if (keepIdx == null) src(i) else src(keepIdx(i))) match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
   }
 
   override def close(): Unit = ()
@@ -280,6 +301,12 @@ abstract class ApiSourceBase extends TableProvider
   def buildTasks(options: CaseInsensitiveStringMap): YearRange => Seq[FetchTask]
   def decoder: RowDecoder
 
+  /** Per-protocol upper bound on rows one fetch task returns — feeds
+    * reported statistics only (the broadcast decision). Override in
+    * catalog-style sources whose single task pages through thousands of
+    * rows; the 256 default fits per-country year-series protocols. */
+  def rowsPerTaskHint: Long = 256L
+
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -289,7 +316,7 @@ abstract class ApiSourceBase extends TableProvider
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     new ApiTable(shortName(), tableSchema(options), buildTasks(options),
-      decoder, fetcherSpec(options))
+      decoder, fetcherSpec(options), rowsPerTaskHint)
   }
 
   protected def fetcherSpec(options: CaseInsensitiveStringMap): FetcherSpec =

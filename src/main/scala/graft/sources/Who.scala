@@ -105,6 +105,10 @@ final class WhoIndicatorsSource extends ApiSourceBase {
 
   override def decoder: RowDecoder = WhoDecoders.Catalog("")
 
+  /** One task fetches the FULL GHO indicator catalog (~4k rows
+    * published) — the honest stats bound for this protocol. */
+  override def rowsPerTaskHint: Long = 8192L
+
   override def getTable(schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
@@ -112,7 +116,7 @@ final class WhoIndicatorsSource extends ApiSourceBase {
     val options = new CaseInsensitiveStringMap(properties)
     val search = Option(options.get("search")).getOrElse("").toLowerCase
     new ApiTable(shortName(), tableSchema(options), buildTasks(options),
-      WhoDecoders.Catalog(search), fetcherSpec(options))
+      WhoDecoders.Catalog(search), fetcherSpec(options), rowsPerTaskHint)
   }
 
   override def buildTasks(options: CaseInsensitiveStringMap): YearRange => Seq[FetchTask] =

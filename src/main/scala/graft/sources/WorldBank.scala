@@ -115,6 +115,10 @@ final class WbIndicatorsSource extends ApiSourceBase {
 
   override def decoder: RowDecoder = WorldBankDecoders.Catalog("")
 
+  /** One task pages the FULL indicator catalog (~25k rows published) —
+    * the honest stats bound, not the per-country-series 256 default. */
+  override def rowsPerTaskHint: Long = 32768L
+
   override def getTable(schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
@@ -122,7 +126,8 @@ final class WbIndicatorsSource extends ApiSourceBase {
     val options = new CaseInsensitiveStringMap(properties)
     val search = Option(options.get("search")).getOrElse("").toLowerCase
     new ApiTable(shortName(), tableSchema(options), buildTasks(options),
-      WorldBankDecoders.Catalog(search), fetcherSpec(options))
+      WorldBankDecoders.Catalog(search), fetcherSpec(options),
+      rowsPerTaskHint)
   }
 
   override def buildTasks(options: CaseInsensitiveStringMap): YearRange => Seq[FetchTask] = {

@@ -176,11 +176,17 @@ object EventStream {
     * rewritten (overwrite) on replay. This is the standard idempotent-
     * sink recipe for sinks without native transactions; at 100 TB the
     * same pattern targets a transactional table format instead.
+    * Paths resolve through Hadoop's FileSystem API, so `outDir` may be
+    * any supported scheme (hdfs://, s3a://, file:, bare local path) —
+    * a java.io.File check would silently see "not written" on every
+    * remote URI and degrade the upgrade back to at-least-once overwrite.
     * Returns true if the batch was written, false if skipped. */
   def idempotentBatchSink(outDir: String)(df: DataFrame,
       batchId: Long): Boolean = {
-    val dir = new java.io.File(outDir, s"batch=$batchId")
-    if (dir.exists() && new java.io.File(dir, "_SUCCESS").exists()) false
+    val dir = new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId")
+    val fs = dir.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
     else {
       df.write.mode("overwrite").parquet(dir.toString)
       true

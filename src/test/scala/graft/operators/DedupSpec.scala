@@ -151,9 +151,25 @@ class DedupSpec extends SparkSpec {
 
     val uncapped = Dedup.minHashPairs(spark, tmp, maxBucket = 0).collect()
     assert(uncapped.length === 100 * 99 / 2 + 1) // O(hot²) — the scale killer
-    val capped = Dedup.minHashPairs(spark, tmp, maxBucket = 16).collect()
+    val cappedDf = Dedup.minHashPairs(spark, tmp, maxBucket = 16)
+    val capped = cappedDf.collect()
     assert(capped.length === 1) // boilerplate cluster pruned entirely...
     assert(capped(0).getLong(0) === 200L && capped(0).getLong(1) === 201L)
+
+    // the prune counter fires INLINE (observe metric on the same query):
+    // 16 bands × one 100-doc boilerplate bucket each
+    val pruneMetrics = cappedDf.queryExecution.observedMetrics
+      .filter { case (k, _) => k.startsWith("graft_bucket_prune") }
+    assert(pruneMetrics.size === 1, s"got ${pruneMetrics.keys}")
+    val m = pruneMetrics.values.head
+    assert(m.getAs[Long]("pruned_buckets") === 16L)
+    assert(m.getAs[Long]("pruned_docs") === 1600L)
+    // ...and reaches the async listener hook (the logged-warning path)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    val metricName = pruneMetrics.keys.head
+    while (!Dedup.lastPrune.containsKey(metricName) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(Dedup.lastPrune.get(metricName) === ((16L, 1600L)))
 
     // same contract for simhash banding
     val shCapped = Dedup.simHashPairs(spark, tmp, maxBucket = 16)
@@ -261,6 +277,38 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === 10L && got(11L) === 10L)
     (20L to 26L).foreach(v => assert(got(v) === 20L, s"chain member $v"))
     assert(got.size === 12)
+  }
+
+  test("connectedComponents honors a session checkpoint dir: reliable " +
+      "checkpoints, same labels") {
+    import spark.implicits._
+    val pairs = (Seq((2L, 3L), (1L, 3L), (10L, 11L)) ++
+      (20L to 25L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val expect = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite must start without a dir")
+    sc.setCheckpointDir(ckpt)
+    try {
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, "labels identical under reliable checkpointing")
+      // the rounds really wrote reliable checkpoints (the cluster mode:
+      // executor loss mid-loop recovers from storage, not from lineage)
+      def rddDirs(f: java.io.File): Int =
+        if (f.getName.startsWith("rdd-")) 1
+        else Option(f.listFiles()).fold(0)(_.map(rddDirs).sum)
+      assert(rddDirs(new java.io.File(ckpt)) >= 3,
+        "edges + initial labels + ≥1 round must checkpoint to the dir")
+    } finally {
+      // SparkContext has no unset API; null restores the no-dir default
+      // for the rest of the suite (field write, same thread-safety class
+      // as setCheckpointDir itself)
+      val fld = sc.getClass.getDeclaredField("checkpointDir")
+      fld.setAccessible(true)
+      fld.set(sc, None)
+    }
   }
 
   test("cluster keep is transitively correct where greedy pair-drop isn't") {

@@ -223,6 +223,11 @@ class PipelineSpec extends SparkSpec {
     assert(files === n, s"$files files for $n partitions")
     // a huge target always compacts to a single file
     assert(Pipeline.compactionPartitions(docs, 1L << 40) === 1)
+    // stats beyond Long range must not wrap negative: range(Long.MaxValue)
+    // reports ~7.4e19 optimizer bytes (> Long.MaxValue); the BigInt
+    // ceiling division clamps to Int.MaxValue instead of repartition(1)
+    val huge = spark.range(Long.MaxValue).toDF()
+    assert(Pipeline.compactionPartitions(huge) === Int.MaxValue)
     // rows survive the rewrite
     assert(spark.read.parquet(out).count() === docs.count())
   }

@@ -14,6 +14,34 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(3) === text.split(" ").length)
   }
 
+  test("word count is ONE definition corpus-wide: \\s+ tokens, agreeing " +
+      "across operators on text with tabs and newlines") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("nwords").toString
+    val texts = Seq(
+      (1L, "plain single space words here"),
+      (2L, "tab\tseparated\twords and\nnewlines\r\nmixed  double  spaces"),
+      (3L, " leading and trailing whitespace \t"),
+      (4L, "one"))
+    texts.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val expect = texts.map { case (id, t) =>
+      id -> t.split("\\s+").count(_.nonEmpty).toLong
+    }.toMap
+    val stats = TextOps.textStats(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val quality = TextOps.qualityScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stop = TextOps.stopwordQuality(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rep = TextOps.repetition(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats === expect, "textStats")
+    assert(quality === expect, "qualityScore")
+    assert(rep === expect, "repetition")
+    assert(stop === expect, "stopwordQuality")
+  }
+
   test("token count: bpe estimate = ceil(chars/4)") {
     val rows = TextOps.tokenCount(spark, sfDir).limit(20).collect()
     assert(rows.forall(r => r.getLong(2) >= 1))
