@@ -208,6 +208,13 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)
       .select(col("asset_id"), col("frame_no"), col("frame_len"))),
+    // REAL image codec path (JDK ImageIO): the oracle recomputes every
+    // value from the synthetic pixel rule WITHOUT a codec, so the hash
+    // compare proves the PNG encode→decode round trips are exact
+    "q_image_meta" -> (Multimodal.imageMeta _),
+    "q_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
+    "q_image_dhash" -> (Multimodal.imageDHash _),
+    "q_image_neardup" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
     // networked DSv2 sources (§2A S1-S9), driven by recorded fixtures —
     // the full read path (options → URL → fetch → decode) runs for real;
     // only the HTTP transport is recorded, as in the reference's own
@@ -369,6 +376,36 @@ object SparkEntry {
       "x -> len(x) > 0)) AS word FROM documents)"
 
   private val wordCte: String = wordCteWith("lang")
+
+  /** Synthetic image pixel stream — the codec-free twin of
+    * `Multimodal.pixelValue`/`imageDims`: one row per (asset, x, y) with
+    * the rule-derived gray value. Everything the real-PNG operators emit
+    * is re-derivable from this. */
+  private val imagePxCte: String =
+    "WITH px AS (SELECT d.doc_id AS asset_id, " +
+      "16 + d.doc_id % 16 AS w, 16 + d.doc_id % 8 AS h, " +
+      "x.x AS x, y.y AS y, " +
+      "(d.doc_id*31 + x.x*7 + y.y*13) % 256 AS g " +
+      "FROM documents d, " +
+      "unnest(range(0, 16 + d.doc_id % 16)) AS x(x), " +
+      "unnest(range(0, 16 + d.doc_id % 8)) AS y(y))"
+
+  /** dHash from the pixel stream: 9×8 integer average-pool cells, bit =
+    * right-neighbor strictly brighter, packed into two 32-bit halves
+    * (no BIGINT sign-bit hazards in either engine). Appended after
+    * [[imagePxCte]]. */
+  private val imageDHashCte: String =
+    "cell AS (SELECT asset_id, y*8//h AS v, x*9//w AS u, " +
+      "CAST(sum(g) AS DOUBLE)/count(*) AS c FROM px GROUP BY 1, 2, 3), " +
+      "bits AS (SELECT a.asset_id, a.v * 8 + a.u AS bit, " +
+      "CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bv " +
+      "FROM cell a JOIN cell b ON b.asset_id = a.asset_id " +
+      "AND b.v = a.v AND b.u = a.u + 1 WHERE a.u < 8), " +
+      "hs AS (SELECT asset_id, " +
+      "CAST(sum(CASE WHEN bit >= 32 THEN bv * (1::BIGINT << (bit - 32)) " +
+      "ELSE 0 END) AS BIGINT) AS dhash_hi, " +
+      "CAST(sum(CASE WHEN bit < 32 THEN bv * (1::BIGINT << bit) " +
+      "ELSE 0 END) AS BIGINT) AS dhash_lo FROM bits GROUP BY asset_id)"
 
   def oracleSql: Map[String, String] = Map(
     "q_projection" ->
@@ -987,6 +1024,39 @@ object SparkEntry {
         "CAST((doc_id * 7 + n_chars) % 1024 + 64 AS INTEGER) AS width, " +
         "CAST((doc_id * 13 + n_chars) % 768 + 64 AS INTEGER) AS height " +
         "FROM documents"),
+    // real-codec image family: the oracle re-derives pixels from the
+    // synthetic rule (pure integer arithmetic, no codec), pooled cells
+    // as ONE exact-integer IEEE division — every value the Spark side
+    // produces comes through TWO real PNG round-trips, so a hash match
+    // here is a codec-exactness proof, not a tautology
+    "q_image_meta" ->
+      (imagePxCte +
+        " SELECT asset_id, CAST(w AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, " +
+        "CAST(sum(g) AS DOUBLE) / count(*) AS mean_luma " +
+        "FROM px GROUP BY asset_id, w, h"),
+    "q_image_resize" ->
+      (imagePxCte +
+        ", cell AS (SELECT asset_id, y*8//h AS v, x*8//w AS u, " +
+        "CAST(floor(CAST(sum(g) AS DOUBLE)/count(*)) AS BIGINT) AS gray " +
+        "FROM px GROUP BY 1, 2, 3) " +
+        "SELECT asset_id, CAST(v AS BIGINT) AS v, CAST(u AS BIGINT) AS u, " +
+        "gray FROM cell"),
+    "q_image_dhash" ->
+      (imagePxCte + s", $imageDHashCte " +
+        "SELECT asset_id, dhash_hi, dhash_lo FROM hs"),
+    "q_image_neardup" ->
+      (imagePxCte + s", $imageDHashCte " +
+        "SELECT a.asset_id AS asset_a, b.asset_id AS asset_b, " +
+        "CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) + " +
+        "bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming " +
+        "FROM hs a JOIN hs b ON a.asset_id < b.asset_id AND " +
+        "(a.dhash_lo % 65536 = b.dhash_lo % 65536 OR " +
+        "a.dhash_lo // 65536 = b.dhash_lo // 65536 OR " +
+        "a.dhash_hi % 65536 = b.dhash_hi % 65536 OR " +
+        "a.dhash_hi // 65536 = b.dhash_hi // 65536) " +
+        "WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) + " +
+        "bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2"),
     "q_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_dot_product(" +
         "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) " +

@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * (decode → feature-extract → resize / frame-sample) run as distributed
   * per-row operators over those binary payloads.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries): `fakeDecode` below is a deterministic stand-in that derives
-  * "pixels" from the payload bytes. Everything around it — the schema, the
-  * binary column handling, partitioning, batch shape, and the operator
-  * signatures — is real Spark and is what matters at 100 TB: payloads stay
-  * on executors (never collected), transforms are narrow maps, and metadata
+  * Two tiers:
+  *  - The IMAGE path is REAL: payloads are genuine PNG bytes and the
+  *    decode/resize/fingerprint operators below run the JDK's own codec
+  *    (`javax.imageio` — part of Java SE, no external library). The
+  *    synthetic pixel rule is pure integer arithmetic, so the DuckDB
+  *    oracle re-derives every decoded value WITHOUT a codec: a hash match
+  *    proves the real PNG round-trip reproduces ground truth exactly.
+  *  - Audio/video remain deterministic byte-level stand-ins (`fakeDecode`,
+  *    `frameSample` slices) — those codecs genuinely aren't in the JDK.
+  *
+  * Scale shape for all of it: payloads stay on executors (never
+  * collected), every codec call is a narrow per-row map, and metadata
   * extraction is codegen'd column arithmetic wherever possible.
   */
 object Multimodal {
@@ -106,5 +112,220 @@ object Multimodal {
     assets(spark, dir).select(col("asset_id"), col("modality"),
       resizeUdf(col("payload")).as("payload_resized"))
       .withColumn("resized_len", octet_length(col("payload_resized")))
+  }
+
+  // ------------------------------------------------- real image pipeline
+
+  // javax.imageio writes a disk cache file per encode/decode by default —
+  // a per-row temp file on the executor hot path. Memory-only instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic synthetic grayscale: value of pixel (x, y) of asset
+    * `id`. Pure integer arithmetic — the SAME formula is written in SQL
+    * by the oracle, which is what lets DuckDB check a codec it doesn't
+    * have. */
+  @inline def pixelValue(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7L + y * 13L) % 256) + 256).toInt % 256
+
+  /** Image dimensions per asset (w 16..31, h 16..23 — non-square, varied,
+    * so resize pooling boxes are ragged and actually exercised). */
+  @inline def imageDims(id: Long): (Int, Int) =
+    ((16 + (id % 16)).toInt, (16 + (id % 8)).toInt)
+
+  /** Render + PNG-encode one synthetic image (REAL codec: the JDK PNG
+    * writer; lossless 8-bit gray, so decode returns the exact rule). */
+  def renderPng(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixelValue(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload to its grayscale pixel matrix. */
+  def decodeGray(payload: Array[Byte]): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val raster = img.getRaster
+    Array.tabulate(img.getHeight, img.getWidth)((y, x) =>
+      raster.getSample(x, y, 0))
+  }
+
+  /** Image corpus: one real PNG per document id — binary payloads born on
+    * executors (narrow map over the scan; nothing is collected). */
+  def imageAssets(spark: SparkSession, dir: String): DataFrame = {
+    val pngUdf = udf((id: Long) => renderPng(id))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("asset_id"), pngUdf(col("doc_id")).as("png"))
+  }
+
+  /** Decoded metadata — REAL `ImageIO.read` per row: dimensions and mean
+    * luminance from the decoded raster. The oracle recomputes mean luma
+    * from the pixel rule; a hash match proves the encode→decode round
+    * trip is exact. */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
+    val metaUdf = udf((payload: Array[Byte]) => {
+      val px = decodeGray(payload)
+      val h = px.length
+      val w = px(0).length
+      var sum = 0L
+      px.foreach(row => row.foreach(sum += _))
+      // ONE IEEE division of exact integers — bit-identical in any
+      // engine, so no rounding step is needed for the oracle compare
+      (w, h, sum.toDouble / (w.toLong * h))
+    })
+    imageAssets(spark, dir)
+      .select(col("asset_id"), metaUdf(col("png")).as("m"))
+      .select(col("asset_id"),
+        col("m._1").cast("long").as("width"),
+        col("m._2").cast("long").as("height"),
+        col("m._3").as("mean_luma"))
+  }
+
+  /** Integer average-pool of a pixel matrix to `tw`×`th`: source pixel
+    * (x, y) belongs to target cell (floor(x·tw/w), floor(y·th/h)). Sums
+    * and counts are exact integers, the final division is one IEEE op —
+    * bit-identical in any engine, which is what makes the resized pixels
+    * and the dHash below oracle-checkable. */
+  def avgPool(px: Array[Array[Int]], tw: Int, th: Int): Array[Array[Double]] = {
+    val h = px.length
+    val w = px(0).length
+    val sums = Array.fill(th, tw)(0L)
+    val counts = Array.fill(th, tw)(0L)
+    var y = 0
+    while (y < h) {
+      val v = y * th / h
+      var x = 0
+      while (x < w) {
+        val u = x * tw / w
+        sums(v)(u) += px(y)(x)
+        counts(v)(u) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(th, tw)((v, u) => sums(v)(u).toDouble / counts(v)(u))
+  }
+
+  /** Real resize: decode PNG → average-pool to `tw`×`th` (floor of each
+    * cell mean) → RE-ENCODE as PNG → decode AGAIN → emit pixels. Two full
+    * codec round-trips per row; output is scalar (asset_id, u, v, gray)
+    * rows the oracle recomputes from the rule alone. */
+  def imageResize(spark: SparkSession, dir: String, tw: Int = 8,
+      th: Int = 8): DataFrame = {
+    val resizeUdf = udf((payload: Array[Byte]) => {
+      val pooled = avgPool(decodeGray(payload), tw, th)
+      val img = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var v = 0
+      while (v < th) {
+        var u = 0
+        while (u < tw) {
+          raster.setSample(u, v, 0, math.floor(pooled(v)(u)).toInt)
+          u += 1
+        }
+        v += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      decodeGray(out.toByteArray).zipWithIndex.flatMap { case (row, vv) =>
+        row.zipWithIndex.map { case (g, uu) => (vv, uu, g) }
+      }
+    })
+    imageAssets(spark, dir)
+      .select(col("asset_id"), explode(resizeUdf(col("png"))).as("p"))
+      .select(col("asset_id"),
+        col("p._1").cast("long").as("v"),
+        col("p._2").cast("long").as("u"),
+        col("p._3").cast("long").as("gray"))
+  }
+
+  /** dHash perceptual fingerprint (the standard image near-dup signature):
+    * average-pool the decoded image to 9×8, set bit (v·8+u) iff
+    * cell(u+1, v) > cell(u, v). Emitted as two 32-bit halves in BIGINTs —
+    * no 64-bit sign-bit overflow in either engine, and Hamming distance
+    * is bit_count(xor(hi)) + bit_count(xor(lo)). */
+  def imageDHash(spark: SparkSession, dir: String): DataFrame = {
+    val dhashUdf = udf((payload: Array[Byte]) => {
+      val pooled = avgPool(decodeGray(payload), 9, 8)
+      var hi = 0L
+      var lo = 0L
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          val bit = v * 8 + u
+          if (pooled(v)(u + 1) > pooled(v)(u)) {
+            if (bit < 32) lo |= (1L << bit) else hi |= (1L << (bit - 32))
+          }
+          u += 1
+        }
+        v += 1
+      }
+      (hi, lo)
+    })
+    imageAssets(spark, dir)
+      .select(col("asset_id"), dhashUdf(col("png")).as("d"))
+      .select(col("asset_id"), col("d._1").as("dhash_hi"),
+        col("d._2").as("dhash_lo"))
+  }
+
+  /** Image near-duplicate pairs — the multimodal face of the dedup
+    * family: band the 64-bit dHash into four 16-bit keys, self-join on
+    * band equality (a bucketed equi-join, NEVER all-pairs — same LSH
+    * shape as MinHash/SimHash dedup; Hamming ≤ maxHamming guarantees ≥1
+    * of 4 bands collides by pigeonhole), then verify true Hamming
+    * distance. Scale: candidate volume is bounded by band-bucket sizes;
+    * at 100 TB the dHash table is the build-once artifact and this join
+    * is keyed shuffles only.
+    *
+    * On the synthetic corpus the pixel rule is periodic — assets with
+    * id ≡ id' (mod 256) and equal dims are pixel-IDENTICAL (planted
+    * exact-dup clusters, hamming 0); the default threshold keeps the
+    * result to those plus genuinely-near neighbors. */
+  def imageNearDupPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 2): DataFrame = {
+    // cut lineage: the self-join would otherwise re-run the codec UDF on
+    // BOTH sides (two full PNG decode passes). The hash table is 3 longs
+    // per asset — at 100 TB this is the build-once persisted artifact
+    // (same pattern as Dedup.materializeSignatures), locally checkpointed
+    // here.
+    val hashes = imageDHash(spark, dir).localCheckpoint()
+    val banded = hashes.select(col("asset_id"), col("dhash_hi"),
+        col("dhash_lo"),
+        explode(array(
+          struct(lit(0).as("band"),
+            (col("dhash_lo") % 65536).as("band_key")),
+          struct(lit(1).as("band"),
+            floor(col("dhash_lo") / 65536).as("band_key")),
+          struct(lit(2).as("band"),
+            (col("dhash_hi") % 65536).as("band_key")),
+          struct(lit(3).as("band"),
+            floor(col("dhash_hi") / 65536).as("band_key")))).as("bk"))
+      .select(col("asset_id"), col("dhash_hi"), col("dhash_lo"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val l = banded.select(col("band"), col("band_key"),
+      col("asset_id").as("asset_a"), col("dhash_hi").as("hi_a"),
+      col("dhash_lo").as("lo_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("asset_id").as("asset_b"), col("dhash_hi").as("hi_b"),
+      col("dhash_lo").as("lo_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("asset_a", "asset_b")
   }
 }

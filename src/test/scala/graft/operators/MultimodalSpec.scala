@@ -46,4 +46,66 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resize(spark, sfDir, targetBytes = 128)
     assert(out.filter(col("resized_len") =!= 128).count() === 0)
   }
+
+  // ---------------------------------------------- real image codec path
+
+  test("PNG round-trip is exact: decode(renderPng(id)) == pixel rule") {
+    Seq(0L, 1L, 7L, 255L, 256L, 12345L).foreach { id =>
+      val (w, h) = Multimodal.imageDims(id)
+      val px = Multimodal.decodeGray(Multimodal.renderPng(id))
+      assert(px.length === h && px(0).length === w, s"dims of asset $id")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y)(x) === Multimodal.pixelValue(id, x, y),
+          s"pixel ($x,$y) of asset $id survived the codec")
+    }
+    // the planted periodicity: id and id+256 render byte-identical images
+    assert(Multimodal.renderPng(3L).toSeq === Multimodal.renderPng(259L).toSeq)
+  }
+
+  test("avgPool: exact integer boxes on a known matrix") {
+    // 4×2 matrix pooled to 2×1: boxes are the left and right 2×2 quads
+    val m = Array(Array(0, 10, 20, 30), Array(40, 50, 60, 70))
+    val pooled = Multimodal.avgPool(m, 2, 1)
+    assert(pooled.length === 1 && pooled(0).length === 2)
+    assert(pooled(0)(0) === (0 + 10 + 40 + 50) / 4.0)
+    assert(pooled(0)(1) === (20 + 30 + 60 + 70) / 4.0)
+  }
+
+  test("imageMeta decodes real dimensions and mean luminance") {
+    val rows = Multimodal.imageMeta(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.imageDims(id)
+      assert(r.getLong(1) === w && r.getLong(2) === h)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 255.0)
+    }
+  }
+
+  test("dHash: deterministic, split halves in 32-bit range, and the " +
+      "planted identical images share a hash") {
+    val hs = Multimodal.imageDHash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hs.size === 500)
+    hs.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+    // pixel-identical images (id ≡ id' mod 256, equal dims) → same hash
+    assert(hs(3L) === hs(259L))
+  }
+
+  test("image near-dup: planted identical pairs surface at hamming 0; " +
+      "candidates come from a banded equi-join, not a cartesian product") {
+    val pairs = Multimodal.imageNearDupPairs(spark, sfDir, maxHamming = 2)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every id pair 256 apart (same image) must appear with hamming 0
+    val planted = got.filter(p => p._2 - p._1 === 256L)
+    assert(planted.nonEmpty)
+    planted.foreach(p => assert(p._3 === 0L, s"pair $p"))
+    // scale guard: no cartesian product in the plan (same contract as
+    // the MinHash pair pipeline)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
