@@ -143,6 +143,8 @@ object SparkEntry {
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_length_trim" -> ((s, d) => graft.operators.Pipeline.lengthTrim(s, d)),
+    "q_length_trim_lang" -> ((s, d) =>
+      graft.operators.Pipeline.lengthTrimByLang(s, d)),
     "q_clean_audit" -> ((s, d) =>
       graft.operators.Pipeline.cleanCorpusAudit(s, d, materialized = true)),
     "q_unigram_logprob" -> (TextOps.unigramLogProb _),
@@ -215,6 +217,9 @@ object SparkEntry {
     "q_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
     "q_image_dhash" -> (Multimodal.imageDHash _),
     "q_image_neardup" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
+    // REAL audio codec path (JDK javax.sound.sampled WAV): same
+    // codec-free-oracle contract as the image family
+    "q_audio_meta" -> (Multimodal.audioMeta _),
     // networked DSv2 sources (§2A S1-S9), driven by recorded fixtures —
     // the full read path (options → URL → fetch → decode) runs for real;
     // only the HTTP transport is recorded, as in the reference's own
@@ -959,6 +964,14 @@ object SparkEntry {
         "quantile_cont(n_chars, 0.95) AS p_hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, b " +
         "WHERE n_chars >= p_lo AND n_chars <= p_hi"),
+    // per-language percentile windows (same quantile_cont interpolation,
+    // one row of bounds per language joined back)
+    "q_length_trim_lang" ->
+      ("WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p_lo, " +
+        "quantile_cont(n_chars, 0.95) AS p_hi FROM documents GROUP BY lang) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars " +
+        "FROM documents d JOIN b ON d.lang = b.lang " +
+        "WHERE d.n_chars >= b.p_lo AND d.n_chars <= b.p_hi"),
     // overlapping 200-char chunks, step 150 (Spark sequence is stop-
     // inclusive; DuckDB range is stop-exclusive, hence the +1)
     "q_chunk_docs" ->
@@ -1057,6 +1070,22 @@ object SparkEntry {
         "a.dhash_hi // 65536 = b.dhash_hi // 65536) " +
         "WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) + " +
         "bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2"),
+    // real-codec audio family: sample rule re-derived in SQL; peak/rms/
+    // zero-crossings over the decoded PCM must match the rule exactly
+    // (WAV is uncompressed 16-bit PCM — lossless round trip)
+    "q_audio_meta" ->
+      ("WITH sm AS (SELECT d.doc_id AS asset_id, t.t AS t, " +
+        "(d.doc_id*31 + t.t*7) % 65536 - 32768 AS s " +
+        "FROM documents d, " +
+        "unnest(range(0, 256 + d.doc_id % 256)) AS t(t)), " +
+        "lagd AS (SELECT asset_id, t, s, " +
+        "lag(s) OVER (PARTITION BY asset_id ORDER BY t) AS prev FROM sm) " +
+        "SELECT asset_id, count(*) AS n_samples, " +
+        "CAST(max(abs(s)) AS BIGINT) AS peak, " +
+        "sqrt(CAST(sum(s*s) AS DOUBLE) / count(*)) AS rms, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0)) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings " +
+        "FROM lagd GROUP BY asset_id"),
     "q_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_dot_product(" +
         "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) " +

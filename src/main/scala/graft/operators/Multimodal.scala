@@ -249,6 +249,88 @@ object Multimodal {
         col("p._3").cast("long").as("gray"))
   }
 
+  // ------------------------------------------------- real audio pipeline
+
+  /** Deterministic synthetic 16-bit PCM: sample `t` of asset `id`.
+    * Pure integer arithmetic — SQL-expressible, same contract as
+    * [[pixelValue]]. */
+  @inline def sampleValue(id: Long, t: Int): Int =
+    (((id * 31 + t * 7L) % 65536) - 32768).toInt
+
+  /** Clip length per asset: 256..511 samples (ragged, so per-asset
+    * aggregates differ). */
+  @inline def audioLen(id: Long): Int = (256 + (id % 256)).toInt
+
+  private val pcmFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+
+  /** Render + WAV-encode one synthetic clip (REAL codec: the JDK WAV
+    * writer in javax.sound.sampled; uncompressed 16-bit PCM is lossless,
+    * so decode returns the exact sample rule). */
+  def renderWav(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = sampleValue(id, t)
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), pcmFormat, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload back to its int16 samples. */
+  def decodePcm(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val bytes = ais.readAllBytes()
+    Array.tabulate(bytes.length / 2)(t =>
+      ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xff)))
+  }
+
+  /** Audio corpus: one real WAV per document id (narrow executor-side
+    * map, same shape as [[imageAssets]]). */
+  def audioAssets(spark: SparkSession, dir: String): DataFrame = {
+    val wavUdf = udf((id: Long) => renderWav(id))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("asset_id"), wavUdf(col("doc_id")).as("wav"))
+  }
+
+  /** Decoded audio features — REAL WAV decode per row: sample count,
+    * peak amplitude, RMS energy, zero-crossing count (the standard
+    * cheap audio-quality signals). Sums of squares are exact in Long and
+    * the rms is one IEEE division + sqrt, so the codec-free oracle
+    * matches bit-for-bit. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val metaUdf = udf((payload: Array[Byte]) => {
+      val pcm = decodePcm(payload)
+      val n = pcm.length
+      var peak = 0L
+      var sumSq = 0L
+      var zcr = 0L
+      var t = 0
+      while (t < n) {
+        val s = pcm(t).toLong
+        if (math.abs(s) > peak) peak = math.abs(s)
+        sumSq += s * s
+        if (t > 0 && ((pcm(t - 1) < 0) != (s < 0))) zcr += 1
+        t += 1
+      }
+      (n.toLong, peak, math.sqrt(sumSq.toDouble / n), zcr)
+    })
+    audioAssets(spark, dir)
+      .select(col("asset_id"), metaUdf(col("wav")).as("m"))
+      .select(col("asset_id"), col("m._1").as("n_samples"),
+        col("m._2").as("peak"), col("m._3").as("rms"),
+        col("m._4").as("zero_crossings"))
+  }
+
   /** dHash perceptual fingerprint (the standard image near-dup signature):
     * average-pool the decoded image to 9×8, set bit (v·8+u) iff
     * cell(u+1, v) > cell(u, v). Emitted as two 32-bit halves in BIGINTs —

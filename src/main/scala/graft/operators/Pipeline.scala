@@ -254,6 +254,27 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Per-language length trim — the adaptive form of [[lengthTrim]]:
+    * each language gets its OWN [lo, hi] percentile window. A single
+    * global window over a multilingual corpus trims by the DOMINANT
+    * language's length distribution, so languages whose scripts run
+    * naturally longer or shorter lose their tails wholesale; per-stratum
+    * bounds are the curation rule a real pretraining mix uses. Bounds
+    * are one tiny per-language aggregate (|langs| rows — broadcast), the
+    * filter a narrow codegen'd comparison: still two linear passes and
+    * no data-sized shuffle at 100 TB. */
+  def lengthTrimByLang(spark: SparkSession, dir: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val bounds = d.groupBy("lang").agg(
+      percentile(col("n_chars"), lit(lo)).as("p_lo"),
+      percentile(col("n_chars"), lit(hi)).as("p_hi"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_chars") >= col("p_lo") &&
+        col("n_chars") <= col("p_hi"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Drop-audit of [[cleanCorpus]]: one row per REMOVED document with
     * the (first-matching) removal reason — `exact_dup` (not the
     * canonical copy of its byte-identical group), `near_dup` (higher-id

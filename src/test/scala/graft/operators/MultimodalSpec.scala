@@ -94,6 +94,34 @@ class MultimodalSpec extends SparkSpec {
     assert(hs(3L) === hs(259L))
   }
 
+  test("WAV round-trip is exact: decodePcm(renderWav(id)) == sample rule") {
+    Seq(0L, 1L, 255L, 256L, 9999L).foreach { id =>
+      val pcm = Multimodal.decodePcm(Multimodal.renderWav(id))
+      assert(pcm.length === Multimodal.audioLen(id), s"clip length of $id")
+      pcm.zipWithIndex.foreach { case (s, t) =>
+        assert(s === Multimodal.sampleValue(id, t),
+          s"sample $t of asset $id survived the codec")
+      }
+    }
+  }
+
+  test("audioMeta decodes real sample counts, peak, rms, zero crossings") {
+    val rows = Multimodal.audioMeta(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === Multimodal.audioLen(id))
+      assert(r.getLong(2) <= 32768L && r.getLong(2) >= 0L)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 32768.0)
+      assert(r.getLong(4) >= 0L && r.getLong(4) < r.getLong(1))
+    }
+    // spot-check one asset against a direct scalar computation
+    val pcm = Multimodal.decodePcm(Multimodal.renderWav(7L))
+    val expectRms = math.sqrt(pcm.map(s => s.toLong * s).sum.toDouble / pcm.length)
+    val got = rows.find(_.getLong(0) === 7L).get
+    assert(got.getDouble(3) === expectRms)
+  }
+
   test("image near-dup: planted identical pairs surface at hamming 0; " +
       "candidates come from a banded equi-join, not a cartesian product") {
     val pairs = Multimodal.imageNearDupPairs(spark, sfDir, maxHamming = 2)

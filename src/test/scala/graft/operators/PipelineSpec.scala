@@ -210,6 +210,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept.length === expectedKept)
   }
 
+  test("per-language trim: each language keeps its own percentile window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def pct(sorted: Array[Long], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val (lo, hi) = (math.floor(idx).toInt, math.ceil(idx).toInt)
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val lens = rows.map(_._3).sorted
+      rows.filter(r => r._3 >= pct(lens, 0.05) && r._3 <= pct(lens, 0.95))
+        .map(_._1).toSeq
+    }.toSet
+    val got = Pipeline.lengthTrimByLang(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // the per-language windows genuinely differ from the global one
+    val global = Pipeline.lengthTrim(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got !== global)
+  }
+
   test("compaction: file count tracks bytes / targetBytes") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // sf0.001 documents ≈ 65 KB on disk → 16 KB target ⇒ several files
