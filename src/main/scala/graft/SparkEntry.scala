@@ -1075,7 +1075,7 @@ object SparkEntry {
     // (WAV is uncompressed 16-bit PCM — lossless round trip)
     "q_audio_meta" ->
       ("WITH sm AS (SELECT d.doc_id AS asset_id, t.t AS t, " +
-        "(d.doc_id*31 + t.t*7) % 65536 - 32768 AS s " +
+        "(d.doc_id*31 + t.t*7919) % 65536 - 32768 AS s " +
         "FROM documents d, " +
         "unnest(range(0, 256 + d.doc_id % 256)) AS t(t)), " +
         "lagd AS (SELECT asset_id, t, s, " +

@@ -54,7 +54,7 @@ object SudanExtension {
     * `corpus_quality` to `corpus_stats`, …) without touching the Scala
     * API. Views are lazy plans — nothing executes at registration. */
   def registerPipeline(spark: SparkSession, dir: String): Unit = {
-    import graft.operators.{Dedup, Pipeline, TextOps}
+    import graft.operators.{Dedup, Multimodal, Pipeline, TextOps}
     Seq(
       "corpus_clean" -> Pipeline.cleanCorpus(spark, dir),
       "corpus_split" -> Pipeline.trainValSplit(spark, dir),
@@ -66,7 +66,13 @@ object SudanExtension {
       "corpus_dedup_clusters" -> Dedup.minHashClusters(spark, dir),
       "corpus_entropy" -> TextOps.charEntropy(spark, dir),
       "corpus_bm25" -> TextOps.bm25(spark, dir),
-      "corpus_length_trim" -> Pipeline.lengthTrim(spark, dir))
+      "corpus_length_trim" -> Pipeline.lengthTrim(spark, dir),
+      "corpus_length_trim_lang" -> Pipeline.lengthTrimByLang(spark, dir),
+      "corpus_packing" -> Pipeline.packSequences(spark, dir),
+      "corpus_image_meta" -> Multimodal.imageMeta(spark, dir),
+      "corpus_image_dhash" -> Multimodal.imageDHash(spark, dir),
+      "corpus_image_neardup" -> Multimodal.imageNearDupPairs(spark, dir),
+      "corpus_audio_meta" -> Multimodal.audioMeta(spark, dir))
       .foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 }

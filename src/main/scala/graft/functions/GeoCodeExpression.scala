@@ -155,5 +155,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_fingerprints takes exactly one argument")
         WinnowExpression(children.head, 8, 4)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(
+        classOf[HyperplaneBucketExpression].getName,
+        null,
+        "hyperplane_bucket",
+        "hyperplane_bucket(embedding[, numPlanes[, dim]]) - Returns the " +
+          "random-hyperplane LSH bucket id (bit i = sign of the dot " +
+          "product with deterministic plane i) of an ARRAY<FLOAT> " +
+          "embedding; defaults: 12 planes, dim 64. NULL yields NULL.",
+        """
+    Examples:
+      > SELECT hyperplane_bucket(embedding, 8) FROM embeddings;
+       [bucket ids in 0..255]
+  """),
+      (children: Seq[Expression]) => {
+        def litInt(e: Expression, what: String): Int = {
+          require(e.foldable, s"$what must be a literal integer")
+          e.eval(null) match {
+            case v: Number => v.intValue()
+            case other => throw new IllegalArgumentException(
+              s"$what must be a literal integer, got $other")
+          }
+        }
+        children match {
+          case Seq(emb) => HyperplaneBucketExpression(emb, 12, 64)
+          case Seq(emb, n) =>
+            HyperplaneBucketExpression(emb, litInt(n, "numPlanes"), 64)
+          case Seq(emb, n, d) => HyperplaneBucketExpression(emb,
+            litInt(n, "numPlanes"), litInt(d, "dim"))
+          case _ => throw new IllegalArgumentException(
+            "hyperplane_bucket takes (embedding[, numPlanes[, dim]])")
+        }
+      }))
   }
 }

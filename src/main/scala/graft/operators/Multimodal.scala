@@ -253,9 +253,11 @@ object Multimodal {
 
   /** Deterministic synthetic 16-bit PCM: sample `t` of asset `id`.
     * Pure integer arithmetic — SQL-expressible, same contract as
-    * [[pixelValue]]. */
+    * [[pixelValue]]. The 7919 step makes the ramp wrap the 16-bit range
+    * every ~8 samples, so every clip genuinely oscillates (a small step
+    * would leave short clips single-signed and zero-crossing-free). */
   @inline def sampleValue(id: Long, t: Int): Int =
-    (((id * 31 + t * 7L) % 65536) - 32768).toInt
+    (((id * 31 + t * 7919L) % 65536) - 32768).toInt
 
   /** Clip length per asset: 256..511 samples (ragged, so per-asset
     * aggregates differ). */

@@ -102,5 +102,20 @@ class GeoSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(joined > 0, "stats⋈quality join over the views")
     assert(spark.sql("SELECT * FROM corpus_sources").count() > 0)
+    // round-5 views: multimodal codec outputs and per-language trim
+    // answer plain SQL too
+    val audio = spark.sql(
+      "SELECT count(*) FROM corpus_audio_meta WHERE zero_crossings > 0")
+      .collect()(0).getLong(0)
+    assert(audio > 0, "decoded audio features via SQL")
+    val dupImages = spark.sql(
+      "SELECT count(*) FROM corpus_image_neardup WHERE hamming = 0")
+      .collect()(0).getLong(0)
+    assert(dupImages > 0, "planted identical images via SQL")
+    assert(spark.sql("SELECT count(*) FROM corpus_length_trim_lang")
+      .collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(DISTINCT shard) FROM corpus_packing")
+      .collect()(0).getLong(0) > 1, "sharded packing via SQL")
   }
 }

@@ -113,7 +113,9 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) === Multimodal.audioLen(id))
       assert(r.getLong(2) <= 32768L && r.getLong(2) >= 0L)
       assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 32768.0)
-      assert(r.getLong(4) >= 0L && r.getLong(4) < r.getLong(1))
+      // every clip oscillates: the wrap-every-~8-samples ramp guarantees
+      // sign flips in a ≥256-sample clip
+      assert(r.getLong(4) > 0L && r.getLong(4) < r.getLong(1))
     }
     // spot-check one asset against a direct scalar computation
     val pcm = Multimodal.decodePcm(Multimodal.renderWav(7L))

@@ -62,6 +62,36 @@ class SimilaritySpec extends SparkSpec {
     assert(prodPlan.contains("*(1)"), prodPlan)
   }
 
+  test("extension-registered SQL function hyperplane_bucket(...) matches " +
+      "the Column API") {
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .getOrCreate()
+    try {
+      s2.read.parquet(s"$sfDir/embeddings.parquet")
+        .createOrReplaceTempView("emb")
+      val viaSql = s2.sql(
+        "SELECT vec_id, hyperplane_bucket(embedding, 8) AS b FROM emb")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaApi = s2.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), graft.functions.HyperplaneBucketExpression
+          .native(col("embedding"), 8).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSql === viaApi)
+      assert(viaSql.values.forall(b => b >= 0L && b < 256L))
+      val desc = s2.sql("DESCRIBE FUNCTION hyperplane_bucket")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("hyperplane_bucket"), desc)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("LSH finds planted near-neighbors (recall where locality exists)") {
     // Uniform random vectors have no locality (sf0.001 max cosine ≈ 0.37) —
     // LSH legitimately can't beat chance there. Plant true neighbors:
