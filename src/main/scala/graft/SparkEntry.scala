@@ -199,6 +199,7 @@ object SparkEntry {
     // LSH/IVF top-k pipelines run in full as subplans
     "q_ann_lsh" -> ((s, d) => Similarity.annRecall(s, d, "lsh")),
     "q_ann_ivf" -> ((s, d) => Similarity.annRecall(s, d, "ivf")),
+    "q_ann_pq" -> ((s, d) => graft.operators.Pq.annRecall(s, d)),
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
@@ -1192,6 +1193,13 @@ object SparkEntry {
       ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
         "('ivf', 10, CAST(10 AS BIGINT), CAST(5 AS BIGINT), " +
         "CAST(0.5 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+    // PQ-ADC recall: 4-byte codes (m=8, k=16) of 256-byte vectors on an
+    // isotropic corpus — the pinned constant is re-derived whenever the
+    // deterministic codebook inputs change (same contract as lsh/ivf)
+    "q_ann_pq" ->
+      ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
+        "('pq', 10, CAST(10 AS BIGINT), CAST(4 AS BIGINT), " +
+        "CAST(0.4 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  test("codebooks: deterministic, m subspaces of k centroids of dim/m") {
+    val b1 = Pq.trainCodebooks(spark, sfDir, m = 8, k = 16)
+    val b2 = Pq.trainCodebooks(spark, sfDir, m = 8, k = 16)
+    assert(b1.length === 8)
+    b1.foreach { book =>
+      assert(book.length === 16)
+      book.foreach(c => assert(c.length === 8))
+    }
+    assert(b1.flatten.flatten.toSeq === b2.flatten.flatten.toSeq)
+  }
+
+  test("encode: every vector gets m codes in [0, k); 64× compression") {
+    val codes = Pq.encode(spark, sfDir, m = 8, k = 16).collect()
+    assert(codes.length === 500)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](2)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+    // 8 codes × 4 bits = 4 bytes vs 64 floats × 4 bytes = 256 bytes
+  }
+
+  test("reconstruction error is bounded and far below vector norm") {
+    val books = Pq.trainCodebooks(spark, sfDir, m = 8, k = 16)
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").limit(50).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val sub = 8
+    rows.foreach { v =>
+      val codes = Array.tabulate(8)(s =>
+        Ivf.nearest(books(s), v.slice(s * sub, (s + 1) * sub)))
+      val rec = Pq.reconstruct(books, codes)
+      val err = math.sqrt(v.zip(rec).map { case (a, b) =>
+        (a - b) * (a - b)
+      }.sum)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      // unit vectors; quantization must keep a meaningful fraction of
+      // the signal (k-means with 16 cells per 8-dim subspace)
+      assert(err < norm, s"reconstruction error $err vs norm $norm")
+    }
+  }
+
+  test("ADC finds planted near-neighbors (recall where locality exists)") {
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(64)(j =>
+        splitmix(seed * 64 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = unit(1L)
+    def perturb(seed: Long): Array[Float] = {
+      val noise = unit(seed)
+      val v = base.zip(noise).map { case (b, n) => b + (0.05 * n).toFloat }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val rows = Seq((0L, base, 0)) ++
+      (1L to 3L).map(i => (i, perturb(100 + i), 0)) ++
+      (10L to 80L).map(i => (i, unit(1000 + i), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val top = Pq.topK(spark, tmp, queryId = 0L, kNn = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(top === Set(1L, 2L, 3L), s"got $top")
+  }
+
+  test("ADC plan: codegen'd literal-table scoring, top-k via " +
+      "TakeOrderedAndProject, no join") {
+    val df = Pq.topK(spark, sfDir, queryId = 0L, kNn = 10)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), "ADC scoring must not join")
+    assert(df.count() === 10)
+  }
+}
