@@ -200,6 +200,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.annRecall(s, d, "lsh")),
     "q_ann_ivf" -> ((s, d) => Similarity.annRecall(s, d, "ivf")),
     "q_ann_pq" -> ((s, d) => graft.operators.Pq.annRecall(s, d)),
+    "q_ann_ivfpq" -> ((s, d) =>
+      graft.operators.Pq.annRecall(s, d, method = "ivfpq")),
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
@@ -1200,6 +1202,14 @@ object SparkEntry {
       ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
         "('pq', 10, CAST(10 AS BIGINT), CAST(4 AS BIGINT), " +
         "CAST(0.4 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+    // composed IVF-PQ two-stage (prune → ADC shortlist → exact re-rank):
+    // recall equals the plain-IVF entry above — the pruning stage sets
+    // the ceiling and the ADC shortlist + exact re-rank loses NOTHING
+    // that survived pruning, which is exactly the two-stage contract
+    "q_ann_ivfpq" ->
+      ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
+        "('ivfpq', 10, CAST(10 AS BIGINT), CAST(5 AS BIGINT), " +
+        "CAST(0.5 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

@@ -103,17 +103,122 @@ object Pq {
       .limit(kNn)
   }
 
-  /** Recall@k of PQ-ADC against the exact brute-force neighbors — same
+  // --------------------------------------------------- IVF+PQ composition
+
+  /** Session registry of materialized IVF+PQ indexes — the composed
+    * build-once artifact: vectors tagged with their IVF cell AND their
+    * PQ codes, written partitioned by cell. Same immutable-corpus cache
+    * contract as [[Ivf.materializeIndex]]. */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int),
+    (String, Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Build the composed index ONCE: IVF cell tags ([[Ivf.buildIndex]]) +
+    * PQ codes in the same table, partitioned by cluster — a probe prunes
+    * whole cell directories at the scan AND scores 4-byte codes instead
+    * of 256-byte vectors. This is the standard 100 TB ANN layout
+    * (IVF-PQ); the raw embedding rides along for the exact re-rank
+    * stage. */
+  def materializeIvfPqIndex(spark: SparkSession, dir: String,
+      nlist: Int = 16, m: Int = 8, k: Int = 16, trainSample: Int = 4096)
+      : (String, Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqCache.computeIfAbsent((dir, nlist, m, k, trainSample), { _ =>
+      val (indexed, centroids) = Ivf.buildIndex(spark, dir, nlist, trainSample)
+      val books = trainCodebooks(spark, dir, m, k, trainSample)
+      val bc = spark.sparkContext.broadcast(books)
+      val sub = 64 / m
+      val encodeUdf = udf((v: Seq[Float]) => {
+        val arr = v.toArray
+        Array.tabulate(m)(s =>
+          Ivf.nearest(bc.value(s), arr.slice(s * sub, (s + 1) * sub)))
+      })
+      val path = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+      indexed.withColumn("codes", encodeUdf(col("embedding")))
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (path, centroids, books)
+    })
+
+  /** Drop composed indexes and delete their directories (test hygiene /
+    * corpus-changed invalidation). */
+  def clearIvfPqCache(): Unit = {
+    ivfPqCache.values.forEach { case (path, _, _) =>
+      Ivf.deleteRecursively(new java.io.File(path))
+    }
+    ivfPqCache.clear()
+  }
+
+  /** Two-stage IVF-PQ search — the full production recipe:
+    *  1. PRUNE: read only the `nprobe` nearest cells (parquet partition
+    *     pruning, like [[Ivf.probe]]).
+    *  2. SHORTLIST: ADC over the 4-byte codes (codegen'd literal-table
+    *     fold) keeps the cheapest `kNn·rerank` candidates.
+    *  3. RE-RANK: exact cosine on the shortlist's raw embeddings →
+    *     final top-k. The expensive float math touches `kNn·rerank`
+    *     rows, not the corpus.
+    * Plan: pruned scan → codegen project → TakeOrdered(kNn·rerank) →
+    * exact-cosine project → TakeOrdered(kNn). No joins, no shuffles. */
+  def topKIvfPq(spark: SparkSession, dir: String, queryId: Long,
+      kNn: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      k: Int = 16, rerank: Int = 4): DataFrame = {
+    val (path, centroids, books) = materializeIvfPqIndex(spark, dir, nlist, m, k)
+    val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val cells = Ivf.nearestCells(centroids, qVec, nprobe)
+    val sub = 64 / m
+    val lut: Seq[Double] = (0 until m).flatMap { s =>
+      (0 until k).map { c =>
+        val cent = books(s)(c)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = cent(j) - qVec(s * sub + j); d += diff * diff; j += 1
+        }
+        d
+      }
+    }
+    val adc: Column = aggregate(
+      zip_with(col("codes"), typedlit((0 until m).map(_ * k)),
+        (c, base) => element_at(typedlit(lut), (base + c + 1).cast("int"))),
+      lit(0.0), (acc, v) => acc + v)
+    val q = qVec.map(_.toDouble)
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val dotQ: Column = aggregate(
+      zip_with(col("embedding").cast("array<double>"), typedlit(q.toSeq),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val dotSelf: Column = aggregate(
+      zip_with(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(cells: _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(kNn * rerank)
+      .select(col("vec_id"), col("label"),
+        round(dotQ / (sqrt(dotSelf) * lit(qnorm)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(kNn)
+  }
+
+  /** Recall@k of PQ-ADC (or the composed IVF-PQ two-stage search when
+    * `method = "ivfpq"`) against the exact brute-force neighbors — same
     * pinned-constant oracle treatment as the LSH/IVF recall entries. */
   def annRecall(spark: SparkSession, dir: String, queryId: Long = 0L,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, method: String = "pq"): DataFrame = {
     val truth = Similarity.bruteForceTopK(spark, dir, queryId, k)
       .select("vec_id")
-    val approx = topK(spark, dir, queryId, k).select("vec_id")
+    val approx = (method match {
+      case "pq" => topK(spark, dir, queryId, k)
+      case "ivfpq" => topKIvfPq(spark, dir, queryId, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown PQ method '$other' (expected 'pq' or 'ivfpq')")
+    }).select("vec_id")
     truth.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      .select(lit("pq").as("method"), lit(k).as("k"),
+      .select(lit(method).as("method"), lit(k).as("k"),
         col("n_true"), col("n_hit").cast("long").as("n_hit"),
         round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
           .as("recall"))

@@ -87,4 +87,33 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("Join"), "ADC scoring must not join")
     assert(df.count() === 10)
   }
+
+  test("IVF-PQ composed index: partition-pruned probe, build-once cache, " +
+      "re-rank stage equals exact cosine on the shortlist") {
+    Pq.clearIvfPqCache()
+    val (path, _, _) = Pq.materializeIvfPqIndex(spark, sfDir)
+    // the composed table carries cell partitions AND 4-byte codes
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet ===
+      Set("vec_id", "label", "embedding", "codes", "cluster"))
+    val probe = Pq.topKIvfPq(spark, sfDir, queryId = 0L, kNn = 10)
+    val rows = probe.collect()
+    assert(rows.length === 10)
+    // cosines are sorted desc — the re-rank output, not ADC order
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos === cos.sorted.reverse)
+    // the scan is partition-pruned to the probed cells
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters
+      .exists(_.references.exists(_.name == "cluster")),
+      s"cluster must prune partitions: ${scans.head.partitionFilters}")
+    // build-once: second call reuses the same directory
+    val (path2, _, _) = Pq.materializeIvfPqIndex(spark, sfDir)
+    assert(path2 === path)
+    Pq.clearIvfPqCache()
+    assert(!new java.io.File(path).exists(), "clear must delete index dirs")
+  }
 }
