@@ -140,6 +140,7 @@ object SparkEntry {
     "q_repetition" -> (TextOps.repetition _),
     "q_gopher_repetition" -> (TextOps.gopherRepetition _),
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
+    "q_bpe_merges" -> ((s, d) => TextOps.learnBpeMerges(s, d)),
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_length_trim" -> ((s, d) => graft.operators.Pipeline.lengthTrim(s, d)),
@@ -733,6 +734,25 @@ object SparkEntry {
         "AS g FROM (SELECT list_filter(string_split_regex(text, '\\s+'), " +
         "x -> len(x) > 0) AS w FROM documents) WHERE len(w) >= 2) " +
         "GROUP BY g ORDER BY n DESC, g LIMIT 50"),
+    // BPE merge learning: the merge loop is iterative (not expressible in
+    // SQL) but fully deterministic on a fixed corpus (max-freq pair,
+    // lexicographic tie-break) — golden VALUES, the q_simhash_pairs
+    // treatment; semantics are additionally spec-pinned on a
+    // hand-computed fixture in TextOpsSpec
+    "q_bpe_merges" ->
+      ("SELECT rank, merge_left, merge_right, pair_freq FROM (VALUES " +
+        Seq(
+          (0, "e", "r", 4568), (1, "e", "·", 4473), (2, "n", "·", 2834),
+          (3, "er", "·", 2779), (4, "o", "w", 2747), (5, "ow", "·", 2747),
+          (6, "o", "r", 2696), (7, "s", "t", 2676), (8, "h", "·", 1884),
+          (9, "a", "t", 1845), (10, "l", "u", 1831), (11, "i", "n", 1796),
+          (12, "a", "·", 1788), (13, "g", "·", 1777), (14, "y", "·", 1767),
+          (15, "a", "r", 1758), (16, "p", "ar", 1758), (17, "t", "·", 1750),
+          (18, "i", "n·", 964), (19, "j", "o", 964)
+        ).map { case (r, l, rt, f) =>
+          s"(CAST($r AS BIGINT), '$l', '$rt', CAST($f AS BIGINT))"
+        }.mkString(", ") +
+        ") AS t(rank, merge_left, merge_right, pair_freq)"),
     // PII scrub: same Java∩RE2 regex constants, same email-first cascade;
     // DuckDB regexp_replace needs the 'g' flag for replace-all
     "q_pii_redact" -> {

@@ -141,6 +141,71 @@ object TextOps {
         coalesce(col("tbf"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** BPE merge learning — tokenizer induction over the corpus (Sennrich
+    * et al., ACL 2016). The key scale fact: BPE training needs only the
+    * WORD-FREQUENCY dictionary, not the corpus — so the distributed part
+    * is ONE partial-agg shuffle (word counts, `minFreq`-pruned), and the
+    * merge loop runs driver-side over that bounded dictionary, exactly
+    * how production tokenizer trainers consume a 100 TB corpus (count
+    * distributed, induce centrally). Deterministic: the best pair is
+    * max-frequency with lexicographic (left, right) tie-break.
+    * Output: one row per learned merge (rank, left, right, pair_freq).
+    * Correctness: deterministic on a fixed corpus — golden-VALUES oracle
+    * (the loop is not expressible in SQL), spec-pinned semantics on a
+    * hand-computed fixture. */
+  def learnBpeMerges(spark: SparkSession, dir: String, numMerges: Int = 20,
+      minFreq: Long = 2L): DataFrame = {
+    val wordFreq: Array[(Array[String], Long)] =
+      words(spark, dir).groupBy("word").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= minFreq)
+        .collect()
+        // '·' marks the word end so merges can't cross word boundaries
+        .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "·",
+          r.getLong(1)))
+    var dict = wordFreq
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (symbols, f) =>
+        var i = 0
+        while (i < symbols.length - 1) {
+          val key = (symbols(i), symbols(i + 1))
+          pairCounts.update(key, pairCounts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max frequency; ties → lexicographically smallest (left, right)
+        val ((l, r), f) = pairCounts
+          .minBy { case ((pl, pr), pf) => (-pf, pl, pr) }
+        if (f < minFreq) done = true
+        else {
+          merges += ((rank, l, r, f))
+          val merged = l + r
+          dict = dict.map { case (symbols, wf) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < symbols.length) {
+              if (i < symbols.length - 1 && symbols(i) == l &&
+                  symbols(i + 1) == r) {
+                out += merged; i += 2
+              } else { out += symbols(i); i += 1 }
+            }
+            (out.toArray, wf)
+          }
+          rank += 1
+        }
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "merge_left", "merge_right", "pair_freq")
+      .select(col("rank").cast("long").as("rank"), col("merge_left"),
+        col("merge_right"), col("pair_freq"))
+  }
+
   /** Character-class quality signals — the punct/caps/digit ratios that,
     * with [[stopwordQuality]]'s stopword ratio and [[qualityScore]]'s
     * length score, make up the classic "is this natural prose" filter

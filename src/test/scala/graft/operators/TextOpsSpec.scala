@@ -244,6 +244,39 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(101L), "clean doc must not be flagged")
   }
 
+  test("bpe merges: hand-computed fixture, boundary marker, tie-break, " +
+      "determinism") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    // corpus: "low" ×5, "lower" ×2, "newest" ×6 — the Sennrich example.
+    // word-end marker '·' appended; char pair counts:
+    //   (w,e) = 2 (from lower) + 6 (from nEWEst) = 8  ← max
+    //   (l,o) = 7, (o,w) = 5+2, (n,e)=(e,w)=(e,s)=(s,t)=(t,·) = 6, …
+    // merge 0: (w,e)=8 → 'we'
+    // merge 1: recount — (l,o)=7 is now the max → 'lo'
+    // merge 2: five-way tie at 6: (e,we),(n,e),(s,t),(t,·),(we,s) →
+    //   lexicographic smallest left 'e' → (e,we)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).mkString(" ")
+    Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.learnBpeMerges(spark, tmp, numMerges = 3,
+        minFreq = 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, "w", "e", 8L),
+      (1L, "l", "o", 7L),
+      (2L, "e", "we", 6L)))
+    // deterministic across invocations
+    val again = TextOps.learnBpeMerges(spark, tmp, numMerges = 3,
+      minFreq = 1L).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+    // merges never cross the word boundary: no left symbol ends with '·'
+    assert(got.forall(m => !m._2.endsWith("·")))
+  }
+
   test("pii redact: planted emails/phones, cascade order, counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pii").toString
