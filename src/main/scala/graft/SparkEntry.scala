@@ -141,6 +141,7 @@ object SparkEntry {
     "q_gopher_repetition" -> (TextOps.gopherRepetition _),
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
     "q_bpe_merges" -> ((s, d) => TextOps.learnBpeMerges(s, d)),
+    "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenize(s, d)),
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_length_trim" -> ((s, d) => graft.operators.Pipeline.lengthTrim(s, d)),
@@ -753,6 +754,20 @@ object SparkEntry {
           s"(CAST($r AS BIGINT), '$l', '$rt', CAST($f AS BIGINT))"
         }.mkString(", ") +
         ") AS t(rank, merge_left, merge_right, pair_freq)"),
+    // apply half of the BPE pair: corpus token frequencies under the 20
+    // learned merges (deterministic encode + tie-broken top-k → golden
+    // VALUES; merged tokens e·/er·/ow·/or/st visibly in the vocabulary)
+    "q_bpe_tokens" ->
+      ("SELECT token, n FROM (VALUES " +
+        Seq(
+          ("a", 7259), ("l", 5525), ("s", 5481), ("·", 5366), ("c", 4653),
+          ("m", 4602), ("e·", 4473), ("t", 3593), ("er·", 2779),
+          ("ow·", 2747), ("o", 2746), ("d", 2732), ("b", 2721), ("r", 2709),
+          ("u", 2709), ("g", 2697), ("e", 2696), ("or", 2696), ("st", 2676),
+          ("h·", 1884)
+        ).map { case (t, n) => s"('$t', CAST($n AS BIGINT))" }
+          .mkString(", ") +
+        ") AS t(token, n)"),
     // PII scrub: same Java∩RE2 regex constants, same email-first cascade;
     // DuckDB regexp_replace needs the 'g' flag for replace-all
     "q_pii_redact" -> {

@@ -206,6 +206,49 @@ object TextOps {
         col("merge_right"), col("pair_freq"))
   }
 
+  /** Apply learned BPE merges to one word (greedy lowest-rank-first —
+    * the standard encoding algorithm). Exposed for specs. */
+  def applyBpe(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var symbols = word.split("").filter(_.nonEmpty) :+ "·"
+    var done = false
+    while (!done && symbols.length > 1) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < symbols.length - 1) {
+        val r = ranks.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i }
+        i += 1
+      }
+      if (at < 0) done = true
+      else symbols = (symbols.take(at) :+ (symbols(at) + symbols(at + 1))) ++
+        symbols.drop(at + 2)
+    }
+    symbols
+  }
+
+  /** Corpus token-frequency table under the LEARNED tokenizer — the
+    * apply half of [[learnBpeMerges]]: encode with the merge table and
+    * count. Scale shape: tokenization runs once per DISTINCT word (the
+    * word-count aggregate comes first, so the UDF touches the dictionary,
+    * not the token stream), then token counts ride a second small keyed
+    * shuffle weighted by word frequency. Top-k ties break on the token
+    * string, so the result is deterministic → golden-VALUES oracle. */
+  def bpeTokenize(spark: SparkSession, dir: String, numMerges: Int = 20,
+      minFreq: Long = 2L, topK: Int = 20): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      learnBpeMerges(spark, dir, numMerges, minFreq).collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt)
+        .toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val tokenizeUdf = udf((w: String) => applyBpe(w, bc.value))
+    words(spark, dir).groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(explode(tokenizeUdf(col("word"))).as("token"), col("freq"))
+      .groupBy("token").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Character-class quality signals — the punct/caps/digit ratios that,
     * with [[stopwordQuality]]'s stopword ratio and [[qualityScore]]'s
     * length score, make up the classic "is this natural prose" filter

@@ -277,6 +277,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(m => !m._2.endsWith("·")))
   }
 
+  test("applyBpe: greedy lowest-rank-first encoding on a known case") {
+    // ranks: (l,o)=0 (lo,w)=1 (e,r)=2 — "lower" must merge rank order:
+    // l o w e r · → lo w e r · → low e r · → low er ·
+    val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1, ("e", "r") -> 2)
+    assert(TextOps.applyBpe("lower", ranks).toSeq ===
+      Seq("low", "er", "·"))
+    // unknown word → characters + boundary marker, untouched
+    assert(TextOps.applyBpe("xyz", ranks).toSeq === Seq("x", "y", "z", "·"))
+    // encoding with the corpus-learned table round-trips concatenation
+    val learned = TextOps.learnBpeMerges(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt).toMap
+    Seq("lower", "growth", "analysis").foreach { w =>
+      assert(TextOps.applyBpe(w, learned).mkString === w + "·",
+        s"tokens of '$w' must concatenate back to the word")
+    }
+  }
+
   test("pii redact: planted emails/phones, cascade order, counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pii").toString
