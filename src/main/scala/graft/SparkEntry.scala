@@ -221,7 +221,8 @@ object SparkEntry {
     "q_image_meta" -> (Multimodal.imageMeta _),
     "q_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
     "q_image_dhash" -> (Multimodal.imageDHash _),
-    "q_image_neardup" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
+    "q_image_neardup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(s, d, materialized = true)),
     // REAL audio codec path (JDK javax.sound.sampled WAV): same
     // codec-free-oracle contract as the image family
     "q_audio_meta" -> (Multimodal.audioMeta _),

@@ -363,27 +363,54 @@ object Multimodal {
         col("d._2").as("dhash_lo"))
   }
 
+  /** Session registry of materialized dHash tables: built once per
+    * corpus dir, probed/joined many times — the image analogue of
+    * [[Dedup.materializeSignatures]] (same immutable-corpus contract). */
+  private val dHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once: run the codec + dHash over the corpus ONCE and persist
+    * the (asset_id, dhash_hi, dhash_lo) table as parquet. At 100 TB this
+    * is the durable index artifact every image-dedup run joins against —
+    * never re-decoding the corpus per query. */
+  def materializeDHashIndex(spark: SparkSession, dir: String): String =
+    dHashCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("dhash_index").toString
+      imageDHash(spark, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Drop materialized dHash tables and delete their directories. */
+  def clearDHashCache(): Unit = {
+    dHashCache.values.forEach(p =>
+      Ivf.deleteRecursively(new java.io.File(p)))
+    dHashCache.clear()
+  }
+
   /** Image near-duplicate pairs — the multimodal face of the dedup
     * family: band the 64-bit dHash into four 16-bit keys, self-join on
     * band equality (a bucketed equi-join, NEVER all-pairs — same LSH
     * shape as MinHash/SimHash dedup; Hamming ≤ maxHamming guarantees ≥1
     * of 4 bands collides by pigeonhole), then verify true Hamming
     * distance. Scale: candidate volume is bounded by band-bucket sizes;
-    * at 100 TB the dHash table is the build-once artifact and this join
-    * is keyed shuffles only.
+    * the join reads the dHash table, never the payloads.
+    *
+    * `materialized = true` joins against the build-once parquet index
+    * ([[materializeDHashIndex]]) — the steady-state 100 TB shape, same
+    * switch as `Dedup.minHashPairsMaterialized`. The default cuts
+    * lineage with a localCheckpoint (3 longs/asset in executor memory —
+    * right for one-shot jobs, not for a 10^11-asset corpus).
     *
     * On the synthetic corpus the pixel rule is periodic — assets with
     * id ≡ id' (mod 256) and equal dims are pixel-IDENTICAL (planted
     * exact-dup clusters, hamming 0); the default threshold keeps the
     * result to those plus genuinely-near neighbors. */
   def imageNearDupPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 2): DataFrame = {
-    // cut lineage: the self-join would otherwise re-run the codec UDF on
-    // BOTH sides (two full PNG decode passes). The hash table is 3 longs
-    // per asset — at 100 TB this is the build-once persisted artifact
-    // (same pattern as Dedup.materializeSignatures), locally checkpointed
-    // here.
-    val hashes = imageDHash(spark, dir).localCheckpoint()
+      maxHamming: Int = 2, materialized: Boolean = false): DataFrame = {
+    // either way the self-join must not re-run the codec UDF per side
+    val hashes =
+      if (materialized) spark.read.parquet(materializeDHashIndex(spark, dir))
+      else imageDHash(spark, dir).localCheckpoint()
     val banded = hashes.select(col("asset_id"), col("dhash_hi"),
         col("dhash_lo"),
         explode(array(

@@ -137,5 +137,19 @@ class MultimodalSpec extends SparkSpec {
     val plan = pairs.queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the materialized (build-once parquet index) path yields identical
+    // pairs, reuses its directory across calls, and never re-decodes:
+    // its plan carries no codec UDF, only the parquet scan of the index
+    Multimodal.clearDHashCache()
+    val mat = Multimodal.imageNearDupPairs(spark, sfDir, maxHamming = 2,
+      materialized = true)
+    assert(mat.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === got.sorted.toSeq)
+    assert(!mat.queryExecution.sparkPlan.toString.contains("UDF"),
+      "materialized join must read the index, not re-run the codec")
+    val p1 = Multimodal.materializeDHashIndex(spark, sfDir)
+    assert(Multimodal.materializeDHashIndex(spark, sfDir) === p1)
+    Multimodal.clearDHashCache()
+    assert(!new java.io.File(p1).exists())
   }
 }
