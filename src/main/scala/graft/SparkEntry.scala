@@ -226,6 +226,8 @@ object SparkEntry {
     // REAL audio codec path (JDK javax.sound.sampled WAV): same
     // codec-free-oracle contract as the image family
     "q_audio_meta" -> (Multimodal.audioMeta _),
+    // video: GFV1 container demux + REAL per-frame PNG decode
+    "q_video_frames" -> (Multimodal.videoFrameStats _),
     // networked DSv2 sources (§2A S1-S9), driven by recorded fixtures —
     // the full read path (options → URL → fetch → decode) runs for real;
     // only the HTTP transport is recorded, as in the reference's own
@@ -1109,6 +1111,21 @@ object SparkEntry {
         "a.dhash_hi // 65536 = b.dhash_hi // 65536) " +
         "WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) + " +
         "bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2"),
+    // per-frame video stats: frame rule re-derived in SQL (no codec) —
+    // the Spark side demuxes the GFV1 container and PNG-decodes every
+    // frame for real, so the hash match proves framing + codec exactness
+    "q_video_frames" ->
+      ("WITH px AS (SELECT d.doc_id AS asset_id, f.f AS f, " +
+        "16 + d.doc_id % 16 AS w, 16 + d.doc_id % 8 AS h, " +
+        "(d.doc_id*31 + f.f*17 + x.x*7 + y.y*13) % 256 AS g " +
+        "FROM documents d, " +
+        "unnest(range(0, 2 + d.doc_id % 4)) AS f(f), " +
+        "unnest(range(0, 16 + d.doc_id % 16)) AS x(x), " +
+        "unnest(range(0, 16 + d.doc_id % 8)) AS y(y)) " +
+        "SELECT asset_id, CAST(f AS BIGINT) AS frame_no, " +
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(sum(g) AS DOUBLE) / count(*) AS mean_luma " +
+        "FROM px GROUP BY asset_id, f, w, h"),
     // real-codec audio family: sample rule re-derived in SQL; peak/rms/
     // zero-crossings over the decoded PCM must match the rule exactly
     // (WAV is uncompressed 16-bit PCM — lossless round trip)

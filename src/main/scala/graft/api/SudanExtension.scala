@@ -72,7 +72,8 @@ object SudanExtension {
       "corpus_image_meta" -> Multimodal.imageMeta(spark, dir),
       "corpus_image_dhash" -> Multimodal.imageDHash(spark, dir),
       "corpus_image_neardup" -> Multimodal.imageNearDupPairs(spark, dir),
-      "corpus_audio_meta" -> Multimodal.audioMeta(spark, dir))
+      "corpus_audio_meta" -> Multimodal.audioMeta(spark, dir),
+      "corpus_video_frames" -> Multimodal.videoFrameStats(spark, dir))
       .foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 }

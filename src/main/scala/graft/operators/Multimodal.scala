@@ -249,6 +249,90 @@ object Multimodal {
         col("p._3").cast("long").as("gray"))
   }
 
+  // ------------------------------------------------- real video pipeline
+
+  /** Per-frame pixel rule: frame `f` of asset `id` shifts the base image
+    * rule by a frame term — SQL-expressible like [[pixelValue]]. */
+  @inline def framePixelValue(id: Long, f: Int, x: Int, y: Int): Int =
+    (((id * 31 + f * 17L + x * 7L + y * 13L) % 256) + 256).toInt % 256
+
+  /** Frames per clip: 2..5, varied per asset. */
+  @inline def videoFrames(id: Long): Int = (2 + (id % 4)).toInt
+
+  /** Render a clip in the GFV1 container: `[n_frames:int32][len:int32,
+    * png-bytes]*` — a minimal length-prefixed sequence of REAL PNG
+    * frames. The JDK carries no standard video codec, so the container
+    * is ours (documented, versioned magic); the per-frame image work —
+    * the part a training pipeline actually spends time in — is the real
+    * ImageIO codec. */
+  def renderVideo(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(0x47465631) // "GFV1"
+    val n = videoFrames(id)
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, framePixelValue(id, f, x, y)); x += 1
+        }
+        y += 1
+      }
+      val frame = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frame)
+      val bytes = frame.toByteArray
+      dos.writeInt(bytes.length)
+      dos.write(bytes)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Demux a GFV1 payload into its PNG frame payloads. */
+  def demuxVideo(payload: Array[Byte]): Array[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    require(in.readInt() == 0x47465631, "not a GFV1 payload")
+    Array.fill(in.readInt()) {
+      val buf = new Array[Byte](in.readInt())
+      in.readFully(buf)
+      buf
+    }
+  }
+
+  /** Per-frame decode stats — demux the container, run the REAL PNG
+    * decoder on every frame, emit (asset_id, frame_no, width, height,
+    * mean_luma). The oracle recomputes each frame's mean from the rule;
+    * the hash match proves container framing AND per-frame codec round
+    * trips exact. One narrow map; frames explode to scalar rows. */
+  def videoFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    val videoUdf = udf((id: Long) => renderVideo(id))
+    val statsUdf = udf((payload: Array[Byte]) =>
+      demuxVideo(payload).zipWithIndex.map { case (png, f) =>
+        val px = decodeGray(png)
+        val h = px.length
+        val w = px(0).length
+        var sum = 0L
+        px.foreach(row => row.foreach(sum += _))
+        (f, w, h, sum.toDouble / (w.toLong * h))
+      })
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("asset_id"),
+        explode(statsUdf(videoUdf(col("doc_id")))).as("fr"))
+      .select(col("asset_id"),
+        col("fr._1").cast("long").as("frame_no"),
+        col("fr._2").cast("long").as("width"),
+        col("fr._3").cast("long").as("height"),
+        col("fr._4").as("mean_luma"))
+  }
+
   // ------------------------------------------------- real audio pipeline
 
   /** Deterministic synthetic 16-bit PCM: sample `t` of asset `id`.

@@ -94,6 +94,36 @@ class MultimodalSpec extends SparkSpec {
     assert(hs(3L) === hs(259L))
   }
 
+  test("GFV1 video: demux recovers every frame, per-frame PNG decode " +
+      "matches the frame rule") {
+    Seq(0L, 3L, 257L).foreach { id =>
+      val frames = Multimodal.demuxVideo(Multimodal.renderVideo(id))
+      assert(frames.length === Multimodal.videoFrames(id))
+      val (w, h) = Multimodal.imageDims(id)
+      frames.zipWithIndex.foreach { case (png, f) =>
+        val px = Multimodal.decodeGray(png)
+        assert(px.length === h && px(0).length === w)
+        for (y <- 0 until h; x <- 0 until w)
+          assert(px(y)(x) === Multimodal.framePixelValue(id, f, x, y),
+            s"asset $id frame $f pixel ($x,$y)")
+      }
+    }
+    // corrupted magic is rejected loudly, not silently mis-parsed
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxVideo(Array[Byte](1, 2, 3, 4, 0, 0, 0, 0))
+    }
+  }
+
+  test("videoFrameStats: one row per (asset, frame), real decode stats") {
+    val rows = Multimodal.videoFrameStats(spark, sfDir)
+      .groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length === 500)
+    rows.foreach { case (id, n) =>
+      assert(n === Multimodal.videoFrames(id), s"asset $id")
+    }
+  }
+
   test("WAV round-trip is exact: decodePcm(renderWav(id)) == sample rule") {
     Seq(0L, 1L, 255L, 256L, 9999L).foreach { id =>
       val pcm = Multimodal.decodePcm(Multimodal.renderWav(id))
