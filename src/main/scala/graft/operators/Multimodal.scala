@@ -422,30 +422,11 @@ object Multimodal {
     * cell(u+1, v) > cell(u, v). Emitted as two 32-bit halves in BIGINTs —
     * no 64-bit sign-bit overflow in either engine, and Hamming distance
     * is bit_count(xor(hi)) + bit_count(xor(lo)). */
-  def imageDHash(spark: SparkSession, dir: String): DataFrame = {
-    val dhashUdf = udf((payload: Array[Byte]) => {
-      val pooled = avgPool(decodeGray(payload), 9, 8)
-      var hi = 0L
-      var lo = 0L
-      var v = 0
-      while (v < 8) {
-        var u = 0
-        while (u < 8) {
-          val bit = v * 8 + u
-          if (pooled(v)(u + 1) > pooled(v)(u)) {
-            if (bit < 32) lo |= (1L << bit) else hi |= (1L << (bit - 32))
-          }
-          u += 1
-        }
-        v += 1
-      }
-      (hi, lo)
-    })
+  def imageDHash(spark: SparkSession, dir: String): DataFrame =
     imageAssets(spark, dir)
-      .select(col("asset_id"), dhashUdf(col("png")).as("d"))
+      .select(col("asset_id"), dHashUdf(col("png")).as("d"))
       .select(col("asset_id"), col("d._1").as("dhash_hi"),
         col("d._2").as("dhash_lo"))
-  }
 
   /** Session registry of materialized dHash tables: built once per
     * corpus dir, probed/joined many times — the image analogue of
@@ -469,6 +450,74 @@ object Multimodal {
     dHashCache.values.forEach(p =>
       Ivf.deleteRecursively(new java.io.File(p)))
     dHashCache.clear()
+  }
+
+  /** The dHash UDF over a raw PNG payload column (decode → 9×8 pool →
+    * sign bits), shared by the batch and streaming dedup paths. */
+  private def dHashUdf = udf((payload: Array[Byte]) => {
+    val pooled = avgPool(decodeGray(payload), 9, 8)
+    var hi = 0L
+    var lo = 0L
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val bit = v * 8 + u
+        if (pooled(v)(u + 1) > pooled(v)(u)) {
+          if (bit < 32) lo |= (1L << bit) else hi |= (1L << (bit - 32))
+        }
+        u += 1
+      }
+      v += 1
+    }
+    (hi, lo)
+  })
+
+  /** Four 16-bit band keys of a split dHash — the LSH keys both dedup
+    * paths bucket on (Hamming ≤ 3 ⇒ ≥1 band equal, pigeonhole). */
+  private def dHashBands(hi: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(
+      struct(lit(0).as("band"), (lo % 65536).as("band_key")),
+      struct(lit(1).as("band"), floor(lo / 65536).as("band_key")),
+      struct(lit(2).as("band"), (hi % 65536).as("band_key")),
+      struct(lit(3).as("band"), floor(hi / 65536).as("band_key")))
+
+  /** Streaming image dedup: a live stream of (asset_id, png) payloads
+    * checked against the materialized dHash index — the multimodal twin
+    * of [[Dedup.streamNearDupCandidates]]. The stream side dHashes each
+    * incoming payload (one real PNG decode per event), bands it, and
+    * equi-joins the static band view of the build-once index; matches
+    * verify true Hamming distance. Stateless on the stream side (a
+    * stream-static join holds no state; no watermark needed), so at
+    * 100 TB the live path touches only the tiny hash index, never the
+    * historical payloads. In streaming mode a pair surfaces once per
+    * colliding band (at-least-once, same contract as the text twin);
+    * batch callers get exact pair dedup. */
+  def streamImageNearDup(stream: DataFrame, spark: SparkSession,
+      dir: String, maxHamming: Int = 2): DataFrame = {
+    val hist = spark.read.parquet(materializeDHashIndex(spark, dir))
+    val histBands = hist
+      .select(col("asset_id").as("hist_id"), col("dhash_hi").as("hist_hi"),
+        col("dhash_lo").as("hist_lo"),
+        explode(dHashBands(col("dhash_hi"), col("dhash_lo"))).as("bk"))
+      .select(col("hist_id"), col("hist_hi"), col("hist_lo"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val s = stream
+      .select(col("asset_id").as("new_id"), dHashUdf(col("png")).as("d"))
+      .select(col("new_id"), col("d._1").as("new_hi"), col("d._2").as("new_lo"))
+      .select(col("new_id"), col("new_hi"), col("new_lo"),
+        explode(dHashBands(col("new_hi"), col("new_lo"))).as("bk"))
+      .select(col("new_id"), col("new_hi"), col("new_lo"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val matched = s.join(histBands, Seq("band", "band_key"))
+      .select(col("new_id"), col("hist_id"),
+        (bit_count(col("new_hi").bitwiseXOR(col("hist_hi"))) +
+          bit_count(col("new_lo").bitwiseXOR(col("hist_lo")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    if (matched.isStreaming) matched
+    else matched.dropDuplicates("new_id", "hist_id")
   }
 
   /** Image near-duplicate pairs — the multimodal face of the dedup

@@ -124,6 +124,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streaming image dedup: live payloads matched against the " +
+      "materialized dHash index, batch twin agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Multimodal.clearDHashCache()
+    // probe: a pixel-identical re-upload of asset 3 under a new id, and
+    // a genuinely novel image. NOTE: the synthetic rule is fully periodic
+    // mod 256 and ids 0..499 cover every residue class, so ANY
+    // renderPng(id) duplicates some corpus asset — novelty needs a
+    // pattern the rule cannot produce (hard 0/255 vertical stripes vs
+    // the rule's diagonal ramps).
+    val dup = Multimodal.renderPng(3L)
+    val novel = {
+      val img = new java.awt.image.BufferedImage(
+        20, 20, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 20; x <- 0 until 20)
+        img.getRaster.setSample(x, y, 0, if (x % 2 == 0) 0 else 255)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // batch twin
+    val probe = Seq((9001L, dup), (9002L, novel)).toDF("asset_id", "png")
+    val batch = Multimodal.streamImageNearDup(probe, spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.exists(p => p._1 === 9001L && p._2 === 3L && p._3 === 0L),
+      s"re-upload must match its source at hamming 0: ${batch.toSeq}")
+    // the planted periodicity: asset 259 is pixel-identical to 3 → also 0
+    assert(batch.exists(p => p._1 === 9001L && p._2 === 259L && p._3 === 0L))
+    assert(!batch.exists(_._1 === 9002L), "novel image matches nothing")
+    // streaming mode through a MemoryStream (at-least-once per band:
+    // collapse repeats with toSet)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val query = Multimodal.streamImageNearDup(
+        input.toDF().toDF("asset_id", "png"), spark, sfDir)
+      .writeStream.format("memory").queryName("img_stream").start()
+    try {
+      input.addData((9001L, dup), (9002L, novel))
+      query.processAllAvailable()
+      val got = spark.table("img_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((9001L, 3L)) && !got.exists(_._1 == 9002L), got)
+    } finally query.stop()
+  }
+
   test("WAV round-trip is exact: decodePcm(renderWav(id)) == sample rule") {
     Seq(0L, 1L, 255L, 256L, 9999L).foreach { id =>
       val pcm = Multimodal.decodePcm(Multimodal.renderWav(id))
