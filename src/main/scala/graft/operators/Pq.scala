@@ -30,22 +30,33 @@ object Pq {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Session codebook registry: trained once per (dir, m, k,
+    * trainSample), reused by every encode/search — the training sample
+    * collect + Lloyd loop must not re-run per query. Same
+    * immutable-corpus contract as the other build-once caches. */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** Drop cached codebooks (test hygiene / corpus-changed invalidation). */
+  def clearCodebookCache(): Unit = codebookCache.clear()
+
   /** Per-subspace codebooks: `m` arrays of `k` centroids of dim/m floats.
     * Trains on the hash-ordered uniform sample ([[Ivf.uniformSample]] —
-    * layout-independent by the same argument). */
+    * layout-independent by the same argument); build-once per session. */
   def trainCodebooks(spark: SparkSession, dir: String, m: Int = 8,
-      k: Int = 16, trainSample: Int = 4096): Array[Array[Array[Double]]] = {
-    val sample = Ivf.uniformSample(embeddings(spark, dir), trainSample)
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty training sample")
-    val dim = sample(0).length
-    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
-    val sub = dim / m
-    Array.tabulate(m) { s =>
-      val slice = sample.map(v => v.slice(s * sub, (s + 1) * sub))
-      Ivf.trainCentroids(slice, k)
-    }
-  }
+      k: Int = 16, trainSample: Int = 4096): Array[Array[Array[Double]]] =
+    codebookCache.computeIfAbsent((dir, m, k, trainSample), { _ =>
+      val sample = Ivf.uniformSample(embeddings(spark, dir), trainSample)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      require(sample.nonEmpty, "empty training sample")
+      val dim = sample(0).length
+      require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+      val sub = dim / m
+      Array.tabulate(m) { s =>
+        val slice = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+        Ivf.trainCentroids(slice, k)
+      }
+    })
 
   /** Encode every vector: array of `m` codes, code s = index of the
     * nearest centroid of subspace s (ties → lowest, [[Ivf.nearest]]). */

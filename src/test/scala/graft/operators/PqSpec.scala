@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 class PqSpec extends SparkSpec {
 
   test("codebooks: deterministic, m subspaces of k centroids of dim/m") {
+    Pq.clearCodebookCache()
     val b1 = Pq.trainCodebooks(spark, sfDir, m = 8, k = 16)
+    // cache hit returns the same table; a cold retrain must reproduce it
+    assert(Pq.trainCodebooks(spark, sfDir, m = 8, k = 16) eq b1)
+    Pq.clearCodebookCache()
     val b2 = Pq.trainCodebooks(spark, sfDir, m = 8, k = 16)
     assert(b1.length === 8)
     b1.foreach { book =>
