@@ -55,13 +55,27 @@ object Dedup {
 
   /** Last prune counts per observation name — (pruned_buckets,
     * pruned_docs), updated asynchronously by the per-session listener
-    * [[ensurePruneListener]] installs. Test hook + ops surface. */
-  private[operators] val lastPrune =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    * [[ensurePruneListener]] installs. Test hook + ops surface. Bounded
+    * to the most recent [[MaxPruneEntries]] observations (each
+    * `bucketPairs` call mints a fresh name, so a long-lived driver would
+    * otherwise grow this map forever). */
+  private val MaxPruneEntries = 256
 
+  private[operators] val lastPrune: java.util.Map[String, (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long)](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+          size() > MaxPruneEntries
+      })
+
+  /** Weak keys: the set must not pin a closed SparkSession (its
+    * listenerManager — and our listener with it — dies with the
+    * session; only this install-once guard could otherwise leak it). */
   private val pruneListenerInstalled =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Install (once per session) the listener that surfaces hot-bucket
     * pruning INLINE: when a capped dedup query finishes and its

@@ -496,6 +496,9 @@ object Multimodal {
     * batch callers get exact pair dedup. */
   def streamImageNearDup(stream: DataFrame, spark: SparkSession,
       dir: String, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming: with 4 bands the pigeonhole recall " +
+        "guarantee only holds for maxHamming <= 3")
     val hist = spark.read.parquet(materializeDHashIndex(spark, dir))
     val histBands = hist
       .select(col("asset_id").as("hist_id"), col("dhash_hi").as("hist_hi"),
@@ -540,6 +543,9 @@ object Multimodal {
     * result to those plus genuinely-near neighbors. */
   def imageNearDupPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 2, materialized: Boolean = false): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming: with 4 bands the pigeonhole recall " +
+        "guarantee only holds for maxHamming <= 3")
     // either way the self-join must not re-run the codec UDF per side
     val hashes =
       if (materialized) spark.read.parquet(materializeDHashIndex(spark, dir))

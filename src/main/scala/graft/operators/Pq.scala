@@ -64,7 +64,7 @@ object Pq {
       trainSample: Int = 4096): DataFrame = {
     val books = trainCodebooks(spark, dir, m, k, trainSample)
     val bc = spark.sparkContext.broadcast(books)
-    val sub = 64 / m
+    val sub = books(0)(0).length
     val encodeUdf = udf((v: Seq[Float]) => {
       val arr = v.toArray
       Array.tabulate(m)(s =>
@@ -89,7 +89,7 @@ object Pq {
     val books = trainCodebooks(spark, dir, m, k)
     val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
-    val sub = 64 / m
+    val sub = books(0)(0).length
     // flat lookup table: entry s*k + c = squared L2 of query subvector s
     // to centroid c of subspace s
     val lut: Seq[Double] = (0 until m).flatMap { s =>
@@ -137,7 +137,7 @@ object Pq {
       val (indexed, centroids) = Ivf.buildIndex(spark, dir, nlist, trainSample)
       val books = trainCodebooks(spark, dir, m, k, trainSample)
       val bc = spark.sparkContext.broadcast(books)
-      val sub = 64 / m
+      val sub = books(0)(0).length
       val encodeUdf = udf((v: Seq[Float]) => {
         val arr = v.toArray
         Array.tabulate(m)(s =>
@@ -175,7 +175,7 @@ object Pq {
     val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val cells = Ivf.nearestCells(centroids, qVec, nprobe)
-    val sub = 64 / m
+    val sub = books(0)(0).length
     val lut: Seq[Double] = (0 until m).flatMap { s =>
       (0 until k).map { c =>
         val cent = books(s)(c)

@@ -302,13 +302,12 @@ class DedupSpec extends SparkSpec {
       assert(rddDirs(new java.io.File(ckpt)) >= 3,
         "edges + initial labels + ≥1 round must checkpoint to the dir")
     } finally {
-      // SparkContext has no unset API; null restores the no-dir default
-      // for the rest of the suite (field write, same thread-safety class
-      // as setCheckpointDir itself)
-      val fld = sc.getClass.getDeclaredField("checkpointDir")
-      fld.setAccessible(true)
-      fld.set(sc, None)
+      // public-API unset: setCheckpointDir goes through Option(directory),
+      // so null restores the no-dir default without touching private state
+      sc.setCheckpointDir(null)
     }
+    assert(sc.getCheckpointDir.isEmpty,
+      "checkpoint dir must be unset for the rest of the suite")
   }
 
   test("cluster keep is transitively correct where greedy pair-drop isn't") {

@@ -120,4 +120,30 @@ class PqSpec extends SparkSpec {
     Pq.clearIvfPqCache()
     assert(!new java.io.File(path).exists(), "clear must delete index dirs")
   }
+
+  test("encode derives the subspace dim from the codebooks (dim != 64)") {
+    import spark.implicits._
+    // 32-dim corpus: m=8 → 4-dim subspaces; a 64-dim assumption would
+    // slice past the vector end and mis-assign every code
+    val tmp = java.nio.file.Files.createTempDirectory("pqdim").toString
+    (0L until 64L).map { i =>
+      (i, s"l${i % 4}", Array.tabulate(32)(j =>
+        math.sin(i * 0.7 + j * 0.3).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    Pq.clearCodebookCache()
+    val books = Pq.trainCodebooks(spark, tmp, m = 8, k = 4)
+    books.foreach(book => book.foreach(c => assert(c.length === 4)))
+    val codes = Pq.encode(spark, tmp, m = 8, k = 4).collect()
+    assert(codes.length === 64)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](2)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 4))
+    }
+    // reconstruction round-trips at the corpus dim
+    val rec = Pq.reconstruct(books, codes.head.getSeq[Int](2).toArray)
+    assert(rec.length === 32)
+    Pq.clearCodebookCache()
+  }
 }
