@@ -154,6 +154,24 @@ object SparkEntry {
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
+    // weighted sampling without replacement (A-ES, deterministic draw)
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Pipeline.weightedSample(s, d)),
+    // deterministic training-order shuffle (shard + in-shard position)
+    "q_corpus_shuffle" -> ((s, d) =>
+      graft.operators.Pipeline.corpusShuffle(s, d)),
+    // inverted-index postings (hot-term pruned, rank-capped)
+    // maxDf sized to the synthetic corpus's tiny dense vocabulary (the
+    // default 50 would prune nearly every word at sf0.01)
+    "q_inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(s, d, maxDf = 5000)),
+    // Morton-curve key for 2-D data skipping (bit-exact oracle)
+    "q_zorder" -> ((s, d) => graft.operators.Zorder.docZValues(s, d)),
+    // model-based quality filter: Newton-IRLS logistic distillation;
+    // the oracle re-scores with the sf0.01-trained weights pinned as
+    // literals (exact-decimal sums make training deterministic)
+    "q_quality_classifier" -> ((s, d) =>
+      graft.operators.QualityModel.qualityClassifier(s, d)),
     // event_id is the unique row id: salting by it spreads even
     // fully-duplicate rows of a hot key uniformly (see Skew scaladoc)
     "q_salted_agg" -> ((s, d) =>
@@ -1037,6 +1055,76 @@ object SparkEntry {
         "AS pack_id FROM (SELECT doc_id, lang, text, " +
         "substr(md5(CAST(doc_id AS VARCHAR) || 'graft-pack-v1'), 1, 1) " +
         "AS shard FROM documents) t"),
+    // A-ES weighted sample: key = ln(u)/w, u from the two-round
+    // multiplicative hash (exact BIGINT arithmetic mod 1e9+7, products
+    // < 2^63 — both engines bit-identical), w = n_chars. Top-100 by key.
+    "q_weighted_sample" ->
+      ("WITH h1 AS (SELECT doc_id, lang, source, n_chars, " +
+        "(doc_id % 1000000007) * 2654435761 % 1000000007 + 1013904223 " +
+        "AS a FROM documents), " +
+        "h2 AS (SELECT doc_id, lang, source, n_chars, " +
+        "(a % 1000000007) * 1597334677 % 1000000007 + 362437 AS b FROM h1), " +
+        "k AS (SELECT doc_id, lang, source, n_chars, " +
+        "ln(CAST(b % 1000000007 + 1 AS DOUBLE) / 1000000008.0) / " +
+        "CAST(n_chars AS DOUBLE) AS raw_key FROM h2) " +
+        "SELECT doc_id, lang, source, n_chars, round(raw_key, 6) " +
+        "AS sample_key FROM k ORDER BY raw_key DESC, doc_id LIMIT 100"),
+    // deterministic corpus shuffle: shard = hash mod 64, pos = rank of
+    // the second-round hash within the shard (doc_id tiebreak)
+    "q_corpus_shuffle" ->
+      ("WITH h1 AS (SELECT doc_id, lang, " +
+        "(doc_id % 1000000007) * 2246822519 % 1000000007 + 374761393 " +
+        "AS a FROM documents), " +
+        "h2 AS (SELECT doc_id, lang, " +
+        "(a % 1000000007) * 3266489917 % 1000000007 + 668265263 AS b " +
+        "FROM h1), " +
+        "o AS (SELECT doc_id, lang, b % 1000000007 AS ord FROM h2) " +
+        "SELECT doc_id, lang, CAST(ord % 64 AS INT) AS shard, " +
+        "row_number() OVER (PARTITION BY ord % 64 ORDER BY ord, doc_id) " +
+        "AS pos FROM o"),
+    // inverted index: tf per (word, doc), df-pruned (<= 50), postings
+    // rank-capped (<= 10) by tf DESC with doc_id tiebreak
+    "q_inverted_index" ->
+      (wordCteWith() + ", t AS (SELECT word, doc_id, count(*) AS tf " +
+        "FROM w GROUP BY word, doc_id), " +
+        "d AS (SELECT word, count(*) AS df FROM t GROUP BY word " +
+        "HAVING count(*) <= 5000) " +
+        "SELECT word, df, doc_id, tf, rank FROM (" +
+        "SELECT t.word, d.df, t.doc_id, t.tf, row_number() OVER (" +
+        "PARTITION BY t.word ORDER BY t.tf DESC, t.doc_id) AS rank " +
+        "FROM t JOIN d ON t.word = d.word) r WHERE rank <= 10"),
+    // Morton curve: bit i of xb -> position 2i, of yb -> 2i+1; plain
+    // shift/mask arithmetic both engines evaluate identically
+    "q_zorder" ->
+      ("SELECT doc_id, xb, yb, " +
+        (0 until 8).map(i =>
+          s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ") +
+        " AS zval FROM (SELECT doc_id, (n_chars // 50) % 256 AS xb, " +
+        "doc_id % 256 AS yb FROM documents) t"),
+    // quality classifier: sigmoid(w·x) with the sf0.01-trained weights
+    // as full-precision literals; feature arithmetic and the z-sum are
+    // written in the EXACT evaluation order of QualityModel.features
+    // (IEEE association matters — (l*l)*w, not w*l*l), so score and
+    // decision agree bit-for-bit modulo the engines' exp()
+    "q_quality_classifier" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CAST(n_chars AS DOUBLE) / 1000.0 - 0.5 AS l, " +
+        Seq(" the ", " and ", " of ", " a ").map { w =>
+          s"(length(concat(' ', text, ' ')) - " +
+            s"length(replace(concat(' ', text, ' '), '$w', ''))) // ${w.length}"
+        }.mkString("(", " + ", ")") + " AS sh, " +
+        s"$wordsExpr AS nw FROM documents), " +
+        "z AS (SELECT doc_id, " +
+        "CASE WHEN nw >= 30 AND nw <= 150 THEN 1 ELSE 0 END AS teacher, " +
+        "1.0 * 30.22491366441738 + l * (-5.656690363442728) + " +
+        "(l * l) * (-289.40126661116653) + " +
+        "(CAST(sh AS DOUBLE) / greatest(CAST(nw AS DOUBLE), 1.0)) * " +
+        "19.88549518249624 AS zz FROM f) " +
+        "SELECT doc_id, CAST(teacher AS BIGINT) AS teacher, " +
+        "round(1.0 / (1.0 + exp(-zz)), 4) AS score, " +
+        "CAST(CASE WHEN 1.0 / (1.0 + exp(-zz)) >= 0.5 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS pred FROM z"),
     // per-source provenance mix with exact dup ratio
     "q_source_report" ->
       ("SELECT source, count(*) AS n_docs, " +

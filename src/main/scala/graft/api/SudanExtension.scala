@@ -73,7 +73,14 @@ object SudanExtension {
       "corpus_image_dhash" -> Multimodal.imageDHash(spark, dir),
       "corpus_image_neardup" -> Multimodal.imageNearDupPairs(spark, dir),
       "corpus_audio_meta" -> Multimodal.audioMeta(spark, dir),
-      "corpus_video_frames" -> Multimodal.videoFrameStats(spark, dir))
+      "corpus_video_frames" -> Multimodal.videoFrameStats(spark, dir),
+      "corpus_weighted_sample" -> Pipeline.weightedSample(spark, dir),
+      "corpus_shuffle" -> Pipeline.corpusShuffle(spark, dir),
+      "corpus_inverted_index" ->
+        TextOps.invertedIndex(spark, dir, maxDf = 5000),
+      "corpus_zorder" -> graft.operators.Zorder.docZValues(spark, dir),
+      "corpus_quality_model" ->
+        graft.operators.QualityModel.qualityClassifier(spark, dir))
       .foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus cleaning — the composite a pretraining pipeline
@@ -337,4 +337,73 @@ object Pipeline {
   def compact(df: DataFrame,
       targetBytes: Long = 128L * 1024 * 1024): DataFrame =
     df.repartition(compactionPartitions(df, targetBytes))
+
+  /** Two-round multiplicative hash → uniform in (0,1), exact BIGINT
+    * arithmetic mod 1e9+7 both engines reproduce bit-identically (the
+    * [[graft.SparkEntry]] fpCte precedent: products stay < 2^63, so no
+    * overflow under ANSI). Content-free and partition-independent, like
+    * the md5 gates — but NUMERIC, which the weighted draw needs. */
+  private def hashUniform(id: Column, a1: Long, b1: Long, a2: Long,
+      b2: Long): Column = {
+    val M = 1000000007L
+    val h1 = (id % lit(M)) * lit(a1) % lit(M) + lit(b1)
+    val h2 = (h1 % lit(M)) * lit(a2) % lit(M) + lit(b2)
+    ((h2 % lit(M)) + lit(1L)).cast("double") / lit(1000000008.0)
+  }
+
+  /** Weighted sampling WITHOUT replacement, probability ∝ weight —
+    * Efraimidis–Spirakis A-ES (IPL 2006): draw u_i uniform, keep the
+    * top-k by key_i = ln(u_i)/w_i (the log form of u_i^(1/w_i)).
+    * Weight here is `n_chars`: longer documents proportionally more
+    * likely, the importance-sampling knob a mixture pipeline turns.
+    *
+    * u_i is the deterministic [[hashUniform]] draw, so the sample is
+    * reproducible across runs, engines, and cluster layouts — the same
+    * reason the split/sample family uses md5 gates instead of `rand()`.
+    * Scale: a narrow codegen'd map feeding `TakeOrderedAndProject(k)` —
+    * per-partition top-k then a k-row driver merge; no global sort, no
+    * shuffle of the corpus. */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    val u = hashUniform(col("doc_id"),
+      2654435761L, 1013904223L, 1597334677L, 362437L)
+    val key = log(u) / col("n_chars").cast("double")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        key.as("raw_key"))
+      .orderBy(col("raw_key").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        round(col("raw_key"), 6).as("sample_key"))
+  }
+
+  /** Deterministic global corpus shuffle — the training-order pass: every
+    * epoch reads documents in a pseudo-random order that is REPRODUCIBLE
+    * (hash-derived, not `rand()`) and partition-independent. Each doc
+    * gets a shard (hash mod `nShards`) and a position within its shard
+    * (rank by a second-round hash), so a trainer streams shard files in
+    * order and gets a well-mixed sequence.
+    *
+    * Physical shape: one hash shuffle on `shard` + an in-partition sort —
+    * exactly the write pattern of a training-data shuffle job. At 100 TB
+    * the knob is `nShards`: size it so a shard fits one task
+    * (corpus/nShards ≈ 256 MB ⇒ nShards ≈ 400k), the same argument as
+    * [[packSequences]]' shard key — no per-key serialization because
+    * every shard is the same bounded size by the hash's uniformity. */
+  def corpusShuffle(spark: SparkSession, dir: String,
+      nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1000000007L
+    val h1 = (col("doc_id") % lit(M)) * lit(2246822519L) % lit(M) +
+      lit(374761393L)
+    val h2 = (h1 % lit(M)) * lit(3266489917L) % lit(M) + lit(668265263L)
+    val order = h2 % lit(M)
+    val shard = (order % lit(nShards.toLong)).cast("int")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), shard.as("shard"),
+        order.as("ord"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over the
@@ -66,17 +66,21 @@ object TextOps {
       when(nWords < 30, "short").when(nWords > 150, "long")
         .otherwise("ok").as("flag"))
 
+  /** Stopword hit count over `text` — shared with [[QualityModel]]'s
+    * feature vector so model and heuristic agree on the signal. */
+  private[operators] def stopHitsExpr: Column =
+    Seq(" the ", " and ", " of ", " a ").map { w =>
+      expr(s"(length(concat(' ', text, ' ')) - " +
+        s"length(replace(concat(' ', text, ' '), '$w', ''))) DIV ${w.length}")
+    }.reduce(_ + _)
+
   /** Stopword-based quality signals: stopword hit count and ratio — the
     * classic "is this natural language" pretraining filter. Pure portable
     * string arithmetic (replace + length), identical in any ANSI engine;
     * occurrence counting is leftmost non-overlapping in both Spark and
     * DuckDB so the oracle matches exactly. */
   def stopwordQuality(spark: SparkSession, dir: String): DataFrame = {
-    val stopwords = Seq(" the ", " and ", " of ", " a ")
-    val hits = stopwords.map { w =>
-      expr(s"(length(concat(' ', text, ' ')) - " +
-        s"length(replace(concat(' ', text, ' '), '$w', ''))) DIV ${w.length}")
-    }.reduce(_ + _)
+    val hits = stopHitsExpr
     docs(spark, dir).select(
       col("doc_id"),
       hits.cast("long").as("stop_hits"),
@@ -606,5 +610,39 @@ object TextOps {
           lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") / col("avgdl")))), 4)
         .as("bm25"))
+  }
+
+  /** Inverted-index construction — the search-side artifact a retrieval
+    * or decontamination pipeline materializes: one posting row per
+    * (term, doc) with term frequency, document frequency, and the
+    * term-local rank of the posting (tf-descending).
+    *
+    * Scale bounds, both load-bearing at 100 TB:
+    *  - `maxDf` drops stopword-grade terms BEFORE postings are ranked —
+    *    the hot-key prune [[containmentPairs]] uses, because a term in
+    *    every document carries no retrieval signal but all of the skew.
+    *  - `maxPostings` caps each kept term's posting list via a
+    *    rank-window filter — and the window only ever sees df-filtered
+    *    terms, so every window partition is ≤ maxDf rows by
+    *    construction. df itself comes from a partial-aggregable groupBy
+    *    (map-side combined), NOT an unordered count-window, because a
+    *    count-window over the raw posting stream would buffer the
+    *    hottest term's whole partition in one task.
+    * Three word-keyed exchanges — tf aggregation, df aggregation, the
+    * equi-join — all partial-agg or AQE-skew-safe; per-task memory is
+    * bounded everywhere. */
+  def invertedIndex(spark: SparkSession, dir: String, maxDf: Int = 50,
+      maxPostings: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = words(spark, dir).groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    tf.join(df, Seq("word"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("word")
+          .orderBy(col("tf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= maxPostings)
+      .select("word", "df", "doc_id", "tf", "rank")
   }
 }

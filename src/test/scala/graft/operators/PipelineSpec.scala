@@ -254,4 +254,51 @@ class PipelineSpec extends SparkSpec {
     // rows survive the rewrite
     assert(spark.read.parquet(out).count() === docs.count())
   }
+  test("weightedSample: reproducible A-ES draw, top-k plan, weight bias") {
+    val s1 = Pipeline.weightedSample(spark, sfDir, k = 50)
+    // TakeOrderedAndProject, not a global sort: per-partition top-k
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan a top-k, got:\n$plan")
+    val a = s1.collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.weightedSample(spark, sfDir, k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "deterministic draw")
+    assert(a.length === 50)
+    // probability ∝ n_chars: the sampled mean length must exceed the
+    // corpus mean (the point of weighting)
+    import org.apache.spark.sql.functions._
+    val corpusMean = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = Pipeline.weightedSample(spark, sfDir, k = 50)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted mean $sampleMean must exceed corpus mean $corpusMean")
+  }
+
+  test("corpusShuffle: a permutation — every doc exactly once, contiguous " +
+      "positions per shard, deterministic") {
+    import org.apache.spark.sql.functions._
+    val sh = Pipeline.corpusShuffle(spark, sfDir, nShards = 8)
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(sh.count() === n)
+    assert(sh.select("doc_id").distinct().count() === n, "a permutation")
+    // per shard: positions are 1..count(shard) (dense, no gaps)
+    val byShard = sh.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(byShard.length === 8, "all shards populated")
+    byShard.foreach { r =>
+      val c = r.getLong(1); val lo = r.getInt(2); val hi = r.getInt(3)
+      assert(lo === 1 && hi.toLong === c, s"dense positions: $lo..$hi of $c")
+    }
+    val a = sh.orderBy("shard", "pos").collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.corpusShuffle(spark, sfDir, nShards = 8)
+      .orderBy("shard", "pos").collect().map(_.getLong(0)).toSeq
+    assert(a === b, "deterministic order")
+    // and it actually shuffles: in-shard order differs from doc_id order
+    val firstShard = sh.filter(col("shard") === byShard.head.getInt(0))
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    assert(firstShard !== firstShard.sorted, "order must be permuted")
+  }
 }

@@ -355,4 +355,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) > got(2L), s"tf-heavier doc must outrank: $got")
     assert(got.values.forall(_ > 0.0))
   }
+  test("invertedIndex: df prune, rank cap, and bounded window partitions") {
+    import org.apache.spark.sql.functions._
+    val idx = TextOps.invertedIndex(spark, sfDir, maxDf = 5000,
+      maxPostings = 5)
+    val rows = idx.collect()
+    assert(rows.nonEmpty)
+    // every term's postings: <= maxPostings, ranks dense from 1,
+    // tf non-increasing along rank
+    rows.groupBy(_.getString(0)).foreach { case (w, ps) =>
+      val byRank = ps.sortBy(_.getInt(4))
+      assert(byRank.length <= 5, s"$w postings capped")
+      assert(byRank.map(_.getInt(4)).toSeq === (1 to byRank.length), w)
+      val tfs = byRank.map(_.getLong(3)).toSeq
+      assert(tfs === tfs.sorted.reverse, s"$w tf-descending")
+    }
+    // the df prune drops hot terms entirely
+    val pruned = TextOps.invertedIndex(spark, sfDir, maxDf = 1)
+    val maxDfKept = if (pruned.isEmpty) 0L
+      else pruned.agg(max("df")).head().getLong(0)
+    assert(maxDfKept <= 1L, "maxDf must prune hot terms")
+  }
 }

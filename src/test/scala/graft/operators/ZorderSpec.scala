@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZorderSpec extends SparkSpec {
+
+  test("zValue interleaves bits (known Morton values)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (255L, 0L),
+      (0L, 255L), (170L, 85L)).toDF("x", "y")
+      .select(col("x"), col("y"), Zorder.zValue(col("x"), col("y")).as("z"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum
+    got.foreach { case (x, y, z) => assert(z === morton(x, y), s"($x,$y)") }
+    // x=170 (10101010), y=85 (01010101): odd positions get y's bits
+    assert(morton(170L, 85L) === got.last._3)
+  }
+
+  test("2-D box queries touch far fewer z-ordered files than linearly " +
+      "sorted ones — the data-skipping contract") {
+    // full 64×64 grid, one row per cell: geometry is the only variable.
+    // 64 files ⇒ linear layout = 1×64 stripes, z-order ≈ 8×8 squares.
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("xb"),
+        (col("id") / 64).cast("long").as("yb"))
+    def touched(df: org.apache.spark.sql.DataFrame): Double = {
+      val tmp = java.nio.file.Files.createTempDirectory("zot").toString
+      df.write.mode("overwrite").parquet(tmp)
+      val stats = spark.read.parquet(tmp)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("xb").as("x0"), max("xb").as("x1"),
+          min("yb").as("y0"), max("yb").as("y1"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // every 8×8 box at stride-4 offsets: files whose footer stats
+      // intersect the box = files a stats-based reader must open
+      val boxes = for (bx <- 0 to 56 by 4; by <- 0 to 56 by 4)
+        yield (bx.toLong, bx + 7L, by.toLong, by + 7L)
+      boxes.map { case (qx0, qx1, qy0, qy1) =>
+        stats.count { case (x0, x1, y0, y1) =>
+          !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
+        }
+      }.sum.toDouble / boxes.length
+    }
+    val linear = touched(grid.repartitionByRange(64, col("xb"))
+      .sortWithinPartitions("xb"))
+    val z = touched(Zorder.zOrderLayout(grid, col("xb"), col("yb"), 64)
+      .drop("zval"))
+    info(s"mean files touched by an 8×8 box: linear=$linear zorder=$z")
+    // stripes must open ≥8 of 64 files; squares a handful
+    assert(z < linear / 2,
+      s"z-order ($z) must touch < half the files linear does ($linear)")
+  }
+
+  test("a 2-D box filter prunes files by footer stats under z-order") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        ((col("n_chars") / lit(50L)).cast("long") % 256).as("xb"),
+        (col("doc_id") % 256).as("yb"))
+    val tmp = java.nio.file.Files.createTempDirectory("zoq").toString
+    Zorder.zOrderLayout(docs, col("xb"), col("yb"), 8)
+      .drop("zval").write.mode("overwrite").parquet(tmp)
+    // files whose min/max box intersects the query box — what a
+    // stats-based reader must open
+    val stats = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("xb").as("x0"), max("xb").as("x1"),
+        min("yb").as("y0"), max("yb").as("y1"))
+      .collect()
+    val need = stats.count { r =>
+      val (x0, x1, y0, y1) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      !(x1 < 0 || x0 > 4 || y1 < 0 || y0 > 60)
+    }
+    info(s"box-filter files needed: $need of ${stats.length}")
+    assert(need < stats.length,
+      "at least one file must be skippable from its footer stats")
+  }
+}
