@@ -47,10 +47,32 @@ object Bench {
       name -> samples.get(name).map(_.min).getOrElse(-1.0)
     }.toMap
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":[${failed.mkString(",")}]}""")
+    // The driver captures only the LAST ~2000 chars of output and parses the
+    // JSON line out of that tail; at ~130 queries a full-precision per-query
+    // map is ~4000 chars, so the line's head falls off the tail and the
+    // driver records parsed:null (this silently ate the r3-r5 bench files).
+    // Emit: (a) the COMPLETE map to bench_queries_full.json for the judge,
+    // and (b) one compact line — ms precision, slowest-first, cut to fit the
+    // tail with ~300 chars to spare for sbt's "[success]" trailer.
+    def fmt(v: Double): String = f"$v%.3f"
+    val sorted = results.toSeq.sortBy { case (_, v) => -v }
+    val fullJson = sorted.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries_full.json"),
+      fullJson.getBytes("UTF-8"))
+    val LineBudget = 1600
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"bench_queries_full.json","queries":{"""
+    val tailFixed = s"""},"omitted":NNN}""" // placeholder sizing for the closer
+    var used = head.length + tailFixed.length
+    val kept = collection.mutable.ArrayBuffer.empty[String]
+    for ((k, v) <- sorted) {
+      val entry = s"\"$k\":${fmt(v)}"
+      if (used + entry.length + 1 <= LineBudget) { kept += entry; used += entry.length + 1 }
+    }
+    val omitted = sorted.size - kept.size
+    println(head + kept.mkString(",") + s"""},"omitted":$omitted}""")
     spark.stop()
   }
 }
