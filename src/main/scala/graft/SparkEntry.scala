@@ -91,6 +91,8 @@ object SparkEntry {
     "q_collect_agg" -> (Relational.collectAgg _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_semi_anti" -> (Relational.semiAnti _),
+    // per-column table profile (DuckDB SUMMARIZE parity), schema-derived
+    "q_summarize" -> (Relational.summarizeOrders _),
     // embedded geo sources + scalar (§2A S8/S10/S11/F1)
     "q_states" -> (statesGolden _),
     "q_providers" -> ((s, _) => SudanGeo.providers(s)),
@@ -119,10 +121,19 @@ object SparkEntry {
     // the recomputing form)
     "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairsMaterialized(s, d)),
     "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d, materialized = true)),
-    // transitive dedup: connected components over the near-dup pair graph
-    "q_dedup_clusters" -> ((s, d) => Dedup.minHashClusters(s, d)),
-    "q_cluster_keep" -> ((s, d) => Dedup.minHashClusterKeep(s, d)),
+    // transitive dedup: connected components over the near-dup pair graph;
+    // the labels come from the build-once assignment table (CC runs once
+    // per session — the report and the keep-filter both scan it)
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.minHashClusters(s, d, materialized = true)),
+    "q_cluster_keep" -> ((s, d) =>
+      Dedup.minHashClusterKeep(s, d, materialized = true)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
+    // Levenshtein near-dup: length-banded equi-join candidates, thresholded
+    // DP verify (never all-pairs; see Dedup.editDistancePairs scaladoc)
+    "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    // corpus-composition diagnostic over the materialized MinHash pairs
+    "q_dup_source_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(s, d)),
     // batch twin of the stream-static ingest dedup (streaming semantics
     // pinned in DedupSpec); self-matches excluded — the operator's use
     // case is matching NEW docs against history
@@ -150,6 +161,11 @@ object SparkEntry {
     "q_clean_audit" -> ((s, d) =>
       graft.operators.Pipeline.cleanCorpusAudit(s, d, materialized = true)),
     "q_unigram_logprob" -> (TextOps.unigramLogProb _),
+    // CCNet-style head/middle/tail split by fixed LM-score cutoffs (a
+    // narrow map after scoring — no global-rank sort; see scaladoc)
+    "q_perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
+    // tokens-per-word by language — the tokenizer-equity metric
+    "q_token_fertility" -> (TextOps.tokenFertility _),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
@@ -226,9 +242,14 @@ object SparkEntry {
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
     // SemDeDup-style semantic clustering + keep over the same pair graph
-    "q_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
-    "q_embed_cluster_keep" -> ((s, d) => Similarity.embedClusterKeep(s, d)),
+    // (labels scanned from the build-once assignment table)
+    "q_embed_clusters" -> ((s, d) =>
+      Similarity.embedClusters(s, d, materialized = true)),
+    "q_embed_cluster_keep" -> ((s, d) =>
+      Similarity.embedClusterKeep(s, d, materialized = true)),
     "q_label_centroids" -> (Similarity.labelCentroidCosine _),
+    // neighborhood majority-vote label audit over the LSH-bucketed k-NN
+    "q_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)
@@ -283,6 +304,10 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
     }),
+    // batch twin of the content-key ingest dedup (first occurrence per
+    // key in event-time order; streaming form pinned in EventStreamSpec)
+    "q_ingest_dedup" -> ((s, d) =>
+      graft.streaming.EventStream.ingestDedupBatch(Relational.events(s, d))),
     // streaming twin: gap-based sessionization (batch form; the streaming
     // form is pinned by EventStreamSpec against the same definition)
     "q_sessionize" -> ((s, d) =>
@@ -995,6 +1020,109 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_words, " +
         "round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob " +
         "FROM t JOIN c USING (word) CROSS JOIN tot GROUP BY doc_id"),
+    // head/middle/tail by fixed cutoffs over the same unigram LM score;
+    // cutoffs sit between round-4 grid points, so assignment is tie-free
+    "q_perplexity_buckets" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0)) AS word FROM documents), " +
+        "c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t), " +
+        "sc AS (SELECT doc_id, " +
+        "round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob " +
+        "FROM t JOIN c USING (word) CROSS JOIN tot GROUP BY doc_id) " +
+        "SELECT doc_id, avg_logprob, " +
+        "CASE WHEN avg_logprob >= -3.39985 THEN 'head' " +
+        "WHEN avg_logprob >= -3.40395 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM sc"),
+    "q_token_fertility" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        s"CAST(sum($wordsExpr) AS BIGINT) AS total_words, " +
+        "CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) " +
+        "AS BIGINT) AS total_tokens, " +
+        "round(CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) " +
+        "AS BIGINT)) AS DOUBLE) / " +
+        s"CAST(sum($wordsExpr) AS DOUBLE), 4) AS fertility " +
+        "FROM documents GROUP BY lang"),
+    // Levenshtein near-dup pairs: at the oracle SF the inequality join is
+    // affordable and IS the contract (|len diff| <= 8 AND dist <= 16); at
+    // 100 TB only the Spark side's length-banded equi-join + bag-bound
+    // prune exists (the prune is exact, hence contract-invisible)
+    "q_edit_distance" ->
+      ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist " +
+        "FROM documents a JOIN documents b " +
+        "ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8 " +
+        "WHERE levenshtein(a.text, b.text) <= 16"),
+    // cross-source dup matrix over the same exact all-pairs Jaccard graph
+    // the q_minhash_pairs oracle uses
+    "q_dup_source_matrix" ->
+      (shingleCte +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        s"round($jaccardSqlExpr, 4) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5) " +
+        "SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, " +
+        "count(*) AS n_pairs, round(avg(p.jaccard), 4) AS avg_jaccard " +
+        "FROM pairs p JOIN documents da ON da.doc_id = p.doc_a " +
+        "JOIN documents db ON db.doc_id = p.doc_b GROUP BY 1, 2"),
+    // k-NN majority-vote classification, fully re-derived: identical
+    // buckets (bucketSqlExpr) -> identical neighbor sets (the q_knn_join
+    // window) -> the same (votes DESC, label ASC) deterministic vote
+    "q_knn_classify" ->
+      ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings) t0), " +
+        "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
+        cosineSql("a.e", "c.e") + " AS cosine " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id), " +
+        "n AS (SELECT vec_a, vec_b FROM " +
+        "(SELECT vec_a, vec_b, row_number() OVER " +
+        "(PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS rank " +
+        "FROM p) t WHERE rank <= 5), " +
+        "v AS (SELECT n.vec_a, e2.label AS nbr_label, " +
+        "count(*) AS n_votes FROM n JOIN embeddings e2 " +
+        "ON e2.vec_id = n.vec_b GROUP BY 1, 2), " +
+        "tp AS (SELECT vec_a AS vec_id, nbr_label AS predicted_label, " +
+        "n_votes FROM (SELECT *, row_number() OVER (PARTITION BY vec_a " +
+        "ORDER BY n_votes DESC, nbr_label ASC) AS rk FROM v) t " +
+        "WHERE rk = 1) " +
+        "SELECT tp.vec_id, e3.label AS true_label, tp.predicted_label, " +
+        "tp.n_votes, tp.predicted_label <> e3.label AS mismatch " +
+        "FROM tp JOIN embeddings e3 ON e3.vec_id = tp.vec_id"),
+    // per-column profile of orders (SUMMARIZE parity): one UNION ALL arm
+    // per column, min/max stringified the same way the operator does
+    "q_summarize" -> Seq(
+        ("o_orderkey", "bigint", "CAST(min(o_orderkey) AS VARCHAR)",
+          "CAST(max(o_orderkey) AS VARCHAR)", "o_orderkey"),
+        ("o_custkey", "bigint", "CAST(min(o_custkey) AS VARCHAR)",
+          "CAST(max(o_custkey) AS VARCHAR)", "o_custkey"),
+        ("o_orderstatus", "string", "min(o_orderstatus)",
+          "max(o_orderstatus)", "o_orderstatus"),
+        ("o_totalprice", "double", "CAST(min(o_totalprice) AS VARCHAR)",
+          "CAST(max(o_totalprice) AS VARCHAR)", "o_totalprice"),
+        // Spark 4 reads parquet timestamps without UTC adjustment as NTZ
+        ("o_orderdate", "timestamp_ntz",
+          "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')", "o_orderdate"),
+        ("o_orderpriority", "string", "min(o_orderpriority)",
+          "max(o_orderpriority)", "o_orderpriority"))
+      .map { case (name, tpe, minE, maxE, c) =>
+        s"SELECT '$name' AS column_name, '$tpe' AS column_type, " +
+          "count(*) AS n_rows, count(*) - count(" + c + ") AS n_null, " +
+          s"count(DISTINCT $c) AS n_distinct, $minE AS min_value, " +
+          s"$maxE AS max_value FROM orders"
+      }.mkString(" UNION ALL "),
+    // first occurrence per content key in event-time order (micros —
+    // the Spark session's timestamp precision — so both engines rank
+    // at identical resolution)
+    "q_ingest_dedup" ->
+      ("SELECT event_id, user_id, event_type, value FROM " +
+        "(SELECT event_id, user_id, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id, event_type, value " +
+        "ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn FROM events) t " +
+        "WHERE rn = 1"),
     // decontamination: word 8-gram overlap vs the doc_id<10 stand-in
     // benchmark (same shingle semantics as Dedup.shingleArray at k=8)
     "q_decontaminate" ->

@@ -535,16 +535,56 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Session registry of materialized cluster-label tables — the
+    * build-once artifact ONE level above the signatures: (doc_id,
+    * cluster_id) from the CC loop, written to parquet once per (corpus,
+    * params) and scanned by every consumer. In production the cluster
+    * report and the keep-filter both read the same assignment table
+    * computed once per ingest batch; re-running a multi-round iterative
+    * CC per downstream query would repeat the most expensive stage of
+    * the whole dedup pipeline. Same immutable-corpus contract as
+    * [[materializeSignatures]]. */
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Double, Int), String]()
+
+  /** Run CC over the MinHash pair graph ONCE and persist (doc_id,
+    * cluster_id); returns the parquet path. */
+  def materializeClusters(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): String =
+    clusterCache.computeIfAbsent(
+      (dir, numHashes, bands, threshold, maxBucket), { _ =>
+        val path = java.nio.file.Files
+          .createTempDirectory("minhash_clusters").toString
+        connectedComponents(minHashPairsMaterialized(spark, dir, numHashes,
+          bands, threshold, maxBucket))
+          .write.mode("overwrite").parquet(path)
+        path
+      })
+
+  /** Drop materialized cluster tables AND delete their directories. */
+  def clearClusterCache(): Unit = {
+    clusterCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
+    clusterCache.clear()
+  }
+
   /** Near-dup clusters over the MinHash pair graph: (doc_id, cluster_id,
     * cluster_n) for every document that has at least one near-duplicate,
     * cluster_id = min doc_id of the transitive component. Reads the
-    * build-once signature table ([[materializeSignatures]]). */
+    * build-once signature table ([[materializeSignatures]]); with
+    * `materialized = true` the CC labels themselves come from the
+    * build-once assignment table ([[materializeClusters]]) — output
+    * identical by construction (spec-pinned). */
   def minHashClusters(spark: SparkSession, dir: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val labels = connectedComponents(
-      minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
-        maxBucket))
+      maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
+    val labels =
+      if (materialized) spark.read.parquet(materializeClusters(spark, dir,
+        numHashes, bands, threshold, maxBucket))
+      else connectedComponents(
+        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+          maxBucket))
     labels.withColumn("cluster_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id")))
@@ -554,13 +594,19 @@ object Dedup {
     * every near-dup component (plus all singletons) — the strictly
     * stronger form of [[minHashKeep]] (see [[connectedComponents]] for
     * why greedy pair drops under-delete). Anti-join on the non-canonical
-    * members; same bucketed shuffle class as the pair pipeline. */
+    * members; same bucketed shuffle class as the pair pipeline. With
+    * `materialized = true` the drop set scans the build-once assignment
+    * table instead of re-running CC. */
   def minHashClusterKeep(spark: SparkSession, dir: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val drop = connectedComponents(
-      minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
-        maxBucket))
+      maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
+    val labels =
+      if (materialized) spark.read.parquet(materializeClusters(spark, dir,
+        numHashes, bands, threshold, maxBucket))
+      else connectedComponents(
+        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+          maxBucket))
+    val drop = labels
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
     docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
@@ -690,5 +736,136 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
+  }
+
+  // ----------------------------------------------------------- edit distance
+
+  /** Edit-distance (Levenshtein) near-dup pairs, length-banded.
+    *
+    * Candidate generation is an EQUI-join on a length bucket of width
+    * `maxLenDiff`: side A fans each doc out to buckets {b-1, b, b+1} and
+    * joins side B on its single bucket, so any pair within `maxLenDiff`
+    * chars of each other meets on exactly one key (|len diff| <= width ⇒
+    * bucket distance <= 1, and the key equals B's unique bucket). That
+    * keeps the candidate volume length-banded-linear — never all-pairs —
+    * and the shuffle is a plain keyed exchange, the same scale shape as
+    * the LSH banding.
+    *
+    * Two verify-cost levers, both load-bearing at scale (a length band
+    * still holds O(docs-per-band²) candidates):
+    *  - BAG-OF-CHARS LOWER BOUND: one edit changes a character histogram
+    *    by at most 2 in L1 (substitute ±1 twice; insert/delete ±1), so
+    *    L1(bag_a, bag_b)/2 <= lev(a, b) — for ANY projection of the
+    *    alphabet onto classes. 13 two-letter-class counts are computed
+    *    ONCE per doc (narrow codegen'd regexp arithmetic), and the
+    *    per-pair filter `L1 <= 2·maxDist` is ~40 integer ops that prune
+    *    ~86% of the banded candidates (measured sf0.1) before any DP.
+    *    Exact — a surviving true pair can never be pruned.
+    *  - THRESHOLDED Levenshtein (`levenshtein(l, r, k)`, Spark >= 3.5):
+    *    the DP runs a 2k+1 diagonal band and abandons early, so per-pair
+    *    cost is O(len·maxDist), not O(len²).
+    *
+    * Contract (mirrored by the oracle, where the bag prune is invisible
+    * by exactness): pairs with |n_chars diff| <= `maxLenDiff` AND
+    * levenshtein <= `maxDist`. Note `maxLenDiff` bounds recall: a pair
+    * can have distance <= maxDist with a length gap up to maxDist; set
+    * `maxLenDiff = maxDist` for exact recall, or tighter to trade recall
+    * for candidate volume (the usual production choice — wildly
+    * different-length docs are rarely edit-close per char). */
+  def editDistancePairs(spark: SparkSession, dir: String,
+      maxLenDiff: Int = 8, maxDist: Int = 16): DataFrame = {
+    require(maxLenDiff >= 1, "maxLenDiff must be >= 1")
+    // the bag counts are 13 SCALAR columns (not an array): the per-pair
+    // L1 stays plain codegen'd integer arithmetic — zip_with/aggregate
+    // lambdas are interpreted per row and measured 3× the DP itself.
+    // Scanned from the build-once bag table ([[materializeBagTable]]) so
+    // (a) the 13 regexp passes run once per corpus, not once per query,
+    // and (b) CollapseProject can't substitute them into the post-join
+    // filter (recomputed PER PAIR when it does — measured 10×).
+    val base = spark.read.parquet(materializeBagTable(spark, dir))
+    def side(suffix: String): DataFrame = base.select(
+      Seq(col("doc_id").as(s"doc_$suffix"),
+        col("text").as(s"text_$suffix"),
+        col("n_chars").as(s"len_$suffix")) ++
+      (0 until BagClasses.length).map(i => col(s"c$i").as(s"c$i$suffix")): _*)
+    val da = side("a")
+    val db = side("b")
+    val bktA = floor(col("len_a") / lit(maxLenDiff)).cast("long")
+    val a = da.withColumn("bkt",
+      explode(array(bktA - 1, bktA, bktA + 1)))
+    val b = db.withColumn("bkt",
+      floor(col("len_b") / lit(maxLenDiff)).cast("long"))
+    val l1 = (0 until BagClasses.length).map(i =>
+      abs(col(s"c${i}a") - col(s"c${i}b"))).reduce(_ + _)
+    // the DP is GUARDED by the bag bound inside a CASE WHEN: conjunctive
+    // filters get merged and reordered by the optimizer (measured: the
+    // DP ran on every banded candidate), but CASE branches are lazy in
+    // codegen, so the expensive branch runs only on bag-surviving pairs
+    a.join(b, Seq("bkt"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= maxLenDiff)
+      .select(col("doc_a"), col("doc_b"),
+        when(l1 <= 2 * maxDist,
+          levenshtein(col("text_a"), col("text_b"), maxDist))
+          .otherwise(lit(-1)).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+  }
+
+  /** The 13 two-letter character classes of the bag-of-chars bound. */
+  private val BagClasses: Seq[String] = (0 until 13).map(i =>
+    s"[${('a' + i * 2).toChar}${('a' + i * 2 + 1).toChar}]")
+
+  /** Session registry of materialized bag tables: (doc_id, text, n_chars,
+    * c0..c12) written once per corpus — the edit-distance analogue of
+    * [[materializeSignatures]] (texts ride along because the DP verify
+    * needs them; at 100 TB this is the staged artifact an edit-dedup
+    * pass reads instead of re-deriving histograms per run). */
+  private val bagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeBagTable(spark: SparkSession, dir: String): String =
+    bagCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("edit_bags").toString
+      val cols = BagClasses.zipWithIndex.map { case (cls, i) =>
+        (length(col("text")) -
+          length(regexp_replace(col("text"), cls, ""))).cast("int")
+          .as(s"c$i")
+      }
+      docs(spark, dir)
+        .select(Seq(col("doc_id"), col("text"), col("n_chars")) ++ cols: _*)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Drop materialized bag tables AND delete their directories. */
+  def clearBagCache(): Unit = {
+    bagCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
+    bagCache.clear()
+  }
+
+  // ------------------------------------------------- cross-source dup matrix
+
+  /** Cross-source duplication matrix: near-dup pair counts grouped by the
+    * (unordered) source pair — the standard corpus-composition diagnostic
+    * ("how much of source X is a copy of source Y?") that decides which
+    * sources to drop or down-weight before training. Rides entirely on the
+    * build-once MinHash signature table ([[minHashPairsMaterialized]]);
+    * the extra work over the pair query is two broadcast-size joins back
+    * to (doc_id, source) and a tiny group-by — nothing new shuffles at
+    * corpus scale. */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashPairsMaterialized(spark, dir, threshold = threshold)
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
   }
 }

@@ -473,4 +473,51 @@ object Relational {
       .groupBy("prop_k")
       .agg(count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
+
+  /** Table profiling — the engine-side twin of DuckDB's `SUMMARIZE`: one
+    * row per column with count / nulls / exact distinct / min / max. The
+    * column list is derived from the schema, so this profiles ANY table;
+    * min/max are emitted as strings (numerics via plain cast, timestamps
+    * formatted) so the output schema is column-type-independent.
+    *
+    * Scale shape: ONE aggregate pass over the scan computes every
+    * column's stats as parallel agg expressions (count/min/max are
+    * partial-aggregable; count(distinct) over multiple columns becomes
+    * Spark's expand-based multi-distinct — d exchanges' worth of work in
+    * one job, each map-side combined), then one tiny unpivot of the
+    * 1-row result. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` — the plan shape is otherwise identical. */
+  def summarize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.schema.fields
+    def asStr(f: org.apache.spark.sql.types.StructField, c: Column): Column =
+      f.dataType match {
+        case _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.TimestampNTZType =>
+          date_format(c, "yyyy-MM-dd HH:mm:ss")
+        case _ => c.cast("string")
+      }
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"${f.name}__cnt"),
+        countDistinct(c).as(s"${f.name}__dst"),
+        asStr(f, min(c)).as(s"${f.name}__min"),
+        asStr(f, max(c)).as(s"${f.name}__max"))
+    }
+    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { f =>
+      struct(lit(f.name).as("column_name"),
+        lit(f.dataType.simpleString).as("column_type"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"${f.name}__cnt")).as("n_null"),
+        col(s"${f.name}__dst").as("n_distinct"),
+        col(s"${f.name}__min").as("min_value"),
+        col(s"${f.name}__max").as("max_value"))
+    }
+    onerow.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** [[summarize]] over the orders table — the oracle-checked entry. */
+  def summarizeOrders(spark: SparkSession, dir: String): DataFrame =
+    summarize(spark.read.parquet(s"$dir/orders.parquet"))
 }

@@ -243,28 +243,98 @@ object Similarity {
     * the pair graph is LSH-bucketed, never all-pairs, so the whole
     * pipeline is keyed shuffles at 100 TB. */
   def embedClusters(spark: SparkSession, dir: String,
-      minCosine: Double = 0.3, numPlanes: Int = 8): DataFrame = {
-    val labels = Dedup.connectedComponents(
-      nearDupPairs(spark, dir, minCosine, numPlanes),
-      aCol = "vec_a", bCol = "vec_b")
-    labels.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      minCosine: Double = 0.3, numPlanes: Int = 8,
+      materialized: Boolean = false): DataFrame =
+    embedLabels(spark, dir, minCosine, numPlanes, materialized)
       .withColumn("cluster_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")))
+
+  /** Session registry of materialized semantic-cluster label tables —
+    * the embedding analogue of `Dedup.materializeClusters`: (vec_id,
+    * cluster_id) persisted once per (corpus, params), scanned by both
+    * the cluster report and the keep-filter. Same immutable-corpus
+    * contract as the other build-once caches. */
+  private val embedClusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Double, Int), String]()
+
+  def materializeEmbedClusters(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3, numPlanes: Int = 8): String =
+    embedClusterCache.computeIfAbsent((dir, minCosine, numPlanes), { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("embed_clusters").toString
+      Dedup.connectedComponents(
+          nearDupPairs(spark, dir, minCosine, numPlanes),
+          aCol = "vec_a", bCol = "vec_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Drop materialized semantic-cluster tables + their directories. */
+  def clearEmbedClusterCache(): Unit = {
+    embedClusterCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
+    embedClusterCache.clear()
   }
+
+  private def embedLabels(spark: SparkSession, dir: String,
+      minCosine: Double, numPlanes: Int, materialized: Boolean): DataFrame =
+    if (materialized)
+      spark.read.parquet(
+        materializeEmbedClusters(spark, dir, minCosine, numPlanes))
+    else Dedup.connectedComponents(
+      nearDupPairs(spark, dir, minCosine, numPlanes),
+      aCol = "vec_a", bCol = "vec_b")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
   /** Semantic dedup keep-filter: every embedding except non-canonical
     * members of a semantic cluster (the min-id vector represents its
     * cluster; vectors with no near-dup pass through untouched). The
     * SemDeDup (Abbas et al., 2023) pruning step as a left-anti join. */
   def embedClusterKeep(spark: SparkSession, dir: String,
-      minCosine: Double = 0.3, numPlanes: Int = 8): DataFrame = {
-    val drop = Dedup.connectedComponents(
-      nearDupPairs(spark, dir, minCosine, numPlanes),
-      aCol = "vec_a", bCol = "vec_b")
-      .filter(col("cluster_id") =!= col("doc_id"))
-      .select(col("doc_id").as("vec_id"))
+      minCosine: Double = 0.3, numPlanes: Int = 8,
+      materialized: Boolean = false): DataFrame = {
+    val drop = embedLabels(spark, dir, minCosine, numPlanes, materialized)
+      .filter(col("cluster_id") =!= col("vec_id"))
+      .select("vec_id")
     embeddings(spark, dir).join(drop, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
+  }
+
+  /** k-NN label classification (label propagation from neighbors): each
+    * vector's predicted label is the majority vote of its [[knnJoin]]
+    * neighbors, ties broken toward the smallest label — the standard
+    * weak-labeling / label-QA pass over an embedded corpus ("does the
+    * assigned label agree with the neighborhood?").
+    *
+    * Scale shape: rides entirely on the LSH-bucketed [[knnJoin]] (never
+    * all-pairs); the label join is against the (vec_id, label) projection
+    * — at 100 TB that's a column-pruned scan joined on the already-
+    * shuffled neighbor key — and the vote is a partial-agg group-by plus
+    * a rank window whose partitions are <= k·labels rows by construction.
+    * Output marks disagreements (`mismatch`), the rows a label-quality
+    * audit actually reads. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5,
+      numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbrs = knnJoin(spark, dir, k, numPlanes)
+      .select(col("vec_a"), col("vec_b"))
+    val labels = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = nbrs
+      .join(labels.select(col("vec_id").as("vec_b"),
+        col("label").as("nbr_label")), Seq("vec_b"))
+      .groupBy(col("vec_a"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val top = votes
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_a")
+        .orderBy(col("n_votes").desc, col("nbr_label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_a").as("vec_id"),
+        col("nbr_label").as("predicted_label"), col("n_votes"))
+    top.join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("predicted_label"), col("n_votes"),
+        (col("predicted_label") =!= col("label")).as("mismatch"))
   }
 }

@@ -645,4 +645,40 @@ object TextOps {
       .filter(col("rank") <= maxPostings)
       .select("word", "df", "doc_id", "tf", "rank")
   }
+
+  /** Perplexity-style bucketing over the unigram LM score — the CCNet
+    * recipe's head/middle/tail split: documents scored by
+    * [[unigramLogProb]] are assigned to quality buckets by FIXED score
+    * cutoffs. Fixed thresholds (chosen offline from a reference
+    * distribution, as CCNet does) keep this a narrow per-row map after
+    * the scoring pass — bucketing by global rank (ntile) would demand a
+    * full corpus sort, the classic 100 TB anti-pattern this avoids.
+    * Cutoffs sit strictly between representable round-4 score values, so
+    * assignment is tie-free and deterministic in both engines. */
+  def perplexityBuckets(spark: SparkSession, dir: String,
+      headCut: Double = -3.39985, middleCut: Double = -3.40395): DataFrame =
+    unigramLogProb(spark, dir)
+      .select(col("doc_id"), col("avg_logprob"),
+        when(col("avg_logprob") >= headCut, lit("head"))
+          .when(col("avg_logprob") >= middleCut, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+
+  /** Tokenizer fertility per language: subword-tokens-per-word (here the
+    * chars/4 BPE estimate over whitespace words — the standard proxy when
+    * the real tokenizer is external). THE metric that exposes languages a
+    * tokenizer serves badly (high fertility → more tokens per word →
+    * shorter effective context, higher cost). One partial-agg shuffle on
+    * the tiny `lang` key; the per-doc counts are the same narrow codegen
+    * expressions as [[tokenCount]]. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), nWords.as("ws_tokens"),
+        ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
+          .as("bpe_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_words"),
+        sum("bpe_tokens").as("total_tokens"),
+        round(sum("bpe_tokens").cast("double") /
+          sum("ws_tokens").cast("double"), 4).as("fertility"))
 }

@@ -143,6 +143,28 @@ object EventStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Batch twin of [[dedupStream]] over a CONTENT key (the ingest-dedup
+    * contract: an upstream producer that retries delivers the same
+    * logical event under a fresh event_id, so dedup must key on content,
+    * not id). Keeps the first occurrence per key in event-time order —
+    * exactly what `dropDuplicatesWithinWatermark(content key)` keeps on
+    * an event-time-ordered replay (the streaming form's arrival-order
+    * semantics under unordered arrival are pinned in EventStreamSpec).
+    * One keyed shuffle + a rank window whose partitions are the
+    * per-key duplicate groups — tiny by definition; ties on ts break by
+    * event_id so the choice is engine-independent. */
+  def ingestDedupBatch(events: DataFrame,
+      keyCols: Seq[String] = Seq("user_id", "event_type", "value")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
   /** Batch-mode sessionization of the static events table via window functions —
     * the offline twin of [[sessionize]] (same session definition), used to
     * backfill or verify streaming output. */

@@ -357,4 +357,66 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("Window"))
   }
+
+  test("edit-distance pairs: banded + bag-pruned candidates equal the " +
+      "exact contract") {
+    val got = Dedup.editDistancePairs(spark, sfDir, maxLenDiff = 8,
+        maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same contract (no bag prune — its exactness is
+    // part of what this equality proves); the length filter runs BEFORE
+    // the (thresholded) DP so only banded pairs pay for it
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+    val exact = d.toDF("doc_a", "text_a", "len_a")
+      .crossJoin(d.toDF("doc_b", "text_b", "len_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= 8)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), 16).cast("long").as("d"))
+      .filter(col("d") >= 0 && col("d") <= 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exact)
+    assert(got.nonEmpty, "fixture must contain edit-close pairs")
+    got.foreach { case (a, b, dist) =>
+      assert(a < b && dist >= 0 && dist <= 16)
+    }
+  }
+
+  test("edit-distance candidate generation is an equi-join, never all-pairs") {
+    val plan = Dedup.editDistancePairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no BNL join")
+  }
+
+  test("materialized cluster labels equal the recomputed CC output") {
+    val recomputed = Dedup.minHashClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val materialized = Dedup.minHashClusters(spark, sfDir,
+        materialized = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(materialized === recomputed)
+    val keepRe = Dedup.minHashClusterKeep(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepMat = Dedup.minHashClusterKeep(spark, sfDir,
+        materialized = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepMat === keepRe)
+  }
+
+  test("cross-source dup matrix: pair counts roll up the MinHash pairs") {
+    val pairs = Dedup.minHashPairsMaterialized(spark, sfDir).collect()
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.groupBy { r =>
+      val (a, b) = (src(r.getLong(1)), src(r.getLong(0)))
+      (if (a <= b) a else b, if (a <= b) b else a)
+    }.view.mapValues(_.length.toLong).toMap
+    val got = Dedup.crossSourceDupMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    got.keys.foreach { case (a, b) => assert(a <= b, "unordered pair key") }
+  }
 }

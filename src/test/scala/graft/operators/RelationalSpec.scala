@@ -123,4 +123,34 @@ class RelationalSpec extends SparkSpec {
     assert(plan.split("Exchange").length <= 3, plan.take(1500)) // ≤2 (AQE reuse)
     assert(!plan.contains("ScalaUDF"), plan.take(1500))
   }
+
+  test("summarize profiles every column: nulls, distincts, min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (None, Some("a")), (Some(1L), None),
+      (Some(3L), Some("c"))).toDF("num", "str")
+    val got = Relational.summarize(df).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toMap
+    assert(got("num") === (("bigint", 4L, 1L, 2L, "1", "3")))
+    assert(got("str") === (("string", 4L, 1L, 3L, "a", "c")))
+  }
+
+  test("summarize over orders: one row per column, zero extra scans") {
+    val prof = Relational.summarizeOrders(spark, sfDir)
+    val rows = prof.collect()
+    assert(rows.length === 6, "orders has 6 columns")
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("o_orderkey").getLong(4) === byName("o_orderkey").getLong(2),
+      "o_orderkey is unique")
+    assert(byName.values.forall(_.getLong(3) === 0L), "no nulls in orders")
+    // one aggregate over one scan — no self-join-per-column anti-pattern
+    // (take the final plan only: AQE's toString repeats an "Initial Plan")
+    val plan = prof.queryExecution.executedPlan.toString
+      .split("Initial Plan").head
+    assert(!plan.contains("Join"), "profile must not join")
+    assert("FileScan".r.findAllIn(plan).length <= 1, "single scan")
+    assert("Expand".r.findAllIn(plan).length <= 1,
+      "multi-distinct resolves to one Expand pass")
+  }
 }

@@ -213,4 +213,43 @@ class SimilaritySpec extends SparkSpec {
       if (v == cid) assert(keptIds.contains(v)) else assert(!keptIds.contains(v))
     }
   }
+
+  test("materialized embed-cluster labels equal the recomputed CC output") {
+    val recomputed = Similarity.embedClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val materialized = Similarity.embedClusters(spark, sfDir,
+        materialized = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(materialized === recomputed)
+    val keepRe = Similarity.embedClusterKeep(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keepMat = Similarity.embedClusterKeep(spark, sfDir,
+        materialized = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keepMat === keepRe)
+  }
+
+  test("knnClassify is the deterministic majority vote over knnJoin") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nbrs = Similarity.knnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = nbrs.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.map(p => labels(p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      // (votes DESC, label ASC) — the pinned tie-break
+      val (lbl, n) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      q -> (lbl, n.toLong)
+    }
+    val got = Similarity.knnClassify(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getLong(3), r.getInt(1), r.getBoolean(4))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, (pred, votes, trueLbl, mismatch)) =>
+      assert((pred, votes) === expect(id), s"vec $id")
+      assert(trueLbl === labels(id))
+      assert(mismatch === (pred != trueLbl))
+    }
+  }
 }

@@ -376,4 +376,44 @@ class TextOpsSpec extends SparkSpec {
       else pruned.agg(max("df")).head().getLong(0)
     assert(maxDfKept <= 1L, "maxDf must prune hot terms")
   }
+
+  test("perplexity buckets apply the fixed cutoffs to every scored doc") {
+    val scores = TextOps.unigramLogProb(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = TextOps.perplexityBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.length === scores.size, "one bucket row per scored doc")
+    got.foreach { case (id, lp, bucket) =>
+      assert(lp === scores(id))
+      val expect = if (lp >= -3.39985) "head"
+        else if (lp >= -3.40395) "middle" else "tail"
+      assert(bucket === expect, s"doc $id lp=$lp")
+    }
+    // the split is a narrow map after scoring: no window in the plan
+    val plan = TextOps.perplexityBuckets(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no global-rank window")
+  }
+
+  test("token fertility is the per-language token/word ratio") {
+    val perDoc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val words = r.getString(1).split("\\s+").count(_.nonEmpty).toLong
+        val toks = math.ceil(r.getString(1).length / 4.0).toLong
+        (r.getString(0), words, toks)
+      }
+    val expect = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val w = rows.map(_._2).sum
+      val t = rows.map(_._3).sum
+      lang -> (rows.length.toLong, w, t,
+        BigDecimal(t.toDouble / w).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.tokenFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === expect)
+    got.values.foreach { case (_, _, _, fert) => assert(fert > 0.0) }
+  }
 }

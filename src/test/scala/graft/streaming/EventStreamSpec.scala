@@ -59,6 +59,34 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("content-key ingest dedup: stream keeps first arrival, batch twin " +
+      "keeps event-time-first — identical on ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a producer retry: same logical event (user 100 click 1.0) delivered
+    // under three DIFFERENT event_ids — id-keyed dedup would keep all 3
+    val events = Seq(
+      Event(10, ts(1), 100, "click", 1.0),
+      Event(11, ts(2), 100, "click", 1.0),
+      Event(12, ts(3), 100, "click", 1.0),
+      Event(20, ts(2), 101, "view", 2.0))
+    val input = MemoryStream[Event]
+    val query = dedupStream(input.toDF(), watermark = "30 minutes",
+        keyCols = Seq("user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      val streamIds = spark.table("ingest_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val batchIds = ingestDedupBatch(events.toDF())
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamIds === Set(10L, 20L), s"got $streamIds")
+      assert(batchIds === streamIds, "twins agree on ordered replay")
+    } finally query.stop()
+  }
+
   test("streaming sessionization closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
