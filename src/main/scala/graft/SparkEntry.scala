@@ -102,6 +102,10 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, d) =>
       graft.operators.Pipeline.cleanCorpus(s, d, materialized = true)),
     "q_train_val_split" -> ((s, d) => graft.operators.Pipeline.trainValSplit(s, d)),
+    // leakage-free variant: the split hash keys on the near-dup CLUSTER
+    // (build-once CC labels), so no val/test doc has a near-dup in train
+    "q_leakfree_split" -> ((s, d) =>
+      graft.operators.Pipeline.leakFreeSplit(s, d, materialized = true)),
     // rebalance the language mix: halve en, quarter de, keep the tail
     "q_stratified_sample" -> ((s, d) => graft.operators.Pipeline
       .stratifiedSample(s, d, Map("en" -> 0.5, "de" -> 0.25))),
@@ -166,6 +170,9 @@ object SparkEntry {
     "q_perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
     // tokens-per-word by language — the tokenizer-equity metric
     "q_token_fertility" -> (TextOps.tokenFertility _),
+    // stupid-backoff bigram LM scored against the hash-complement train
+    // split — held-out docs exercise the backoff path for real
+    "q_bigram_logprob" -> ((s, d) => TextOps.bigramLogProb(s, d)),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
@@ -744,6 +751,29 @@ object SparkEntry {
         "THEN 'val' WHEN bucket = '2' THEN 'test' ELSE 'train' END AS split " +
         "FROM (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR) " +
         "|| 'graft-v1'), 1, 1) AS bucket FROM documents) t"),
+    // leakage-free split: the q_dedup_clusters RECURSIVE closure derives
+    // the cluster key, then the SAME md5 bucket rule as q_train_val_split
+    // applies to it (singletons key on their own doc_id)
+    "q_leakfree_split" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.u), " +
+        "comp AS (SELECT v AS doc_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v), " +
+        "lab AS (SELECT d.doc_id, d.lang, " +
+        "coalesce(c.cluster_id, d.doc_id) AS cluster_id " +
+        "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id) " +
+        "SELECT doc_id, lang, cluster_id, " +
+        "substr(md5(CAST(cluster_id AS VARCHAR) || 'graft-v1'), 1, 1) " +
+        "AS bucket, CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR) || " +
+        "'graft-v1'), 1, 1) IN ('0', '1') THEN 'val' " +
+        "WHEN substr(md5(CAST(cluster_id AS VARCHAR) || 'graft-v1'), 1, 1) " +
+        "= '2' THEN 'test' ELSE 'train' END AS split FROM lab"),
     // stratified hash sampling: the SAME fixed-width-hex string comparison
     // (lexicographic == numeric for lowercase hex; thresholds are shared
     // constants from Pipeline.hexThreshold, 'g' = keep-all sentinel)
@@ -1035,6 +1065,35 @@ object SparkEntry {
         "CASE WHEN avg_logprob >= -3.39985 THEN 'head' " +
         "WHEN avg_logprob >= -3.40395 THEN 'middle' " +
         "ELSE 'tail' END AS bucket FROM sc"),
+    // stupid-backoff bigram LM: the train split (doc_id % 10 != 0) and
+    // both count tables re-derived; DuckDB's zipped unnest of the two
+    // shifted list slices is the twin of the Spark array transform
+    "q_bigram_logprob" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0) AS ws FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev, " +
+        "unnest(ws[2:len(ws)]) AS cur FROM w WHERE len(ws) >= 2), " +
+        "tw AS (SELECT unnest(ws) AS word FROM w WHERE doc_id % 10 <> 0), " +
+        "cu AS (SELECT word, count(*) AS cu FROM tw GROUP BY word), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok, " +
+        "CAST(count(DISTINCT word) AS DOUBLE) AS v FROM tw), " +
+        "cb AS (SELECT prev, cur, count(*) AS cb FROM bg " +
+        "WHERE doc_id % 10 <> 0 GROUP BY prev, cur), " +
+        "sc AS (SELECT g.doc_id, CASE WHEN cb.cb IS NOT NULL " +
+        "THEN ln(CAST(cb.cb AS DOUBLE) / CAST(cp.cu AS DOUBLE)) " +
+        "ELSE ln(0.4 * (CAST(coalesce(cc.cu, 0) AS DOUBLE) + 1.0) / " +
+        "(tot.n_tok + tot.v)) END AS s, " +
+        "CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS backoff " +
+        "FROM bg g LEFT JOIN cb ON cb.prev = g.prev AND cb.cur = g.cur " +
+        "LEFT JOIN cu cp ON cp.word = g.prev " +
+        "LEFT JOIN cu cc ON cc.word = g.cur CROSS JOIN tot), " +
+        "agg AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(backoff) AS BIGINT) AS n_backoff, " +
+        "round(avg(s), 4) AS avg_logprob FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(a.n_backoff, 0) AS n_backoff, a.avg_logprob " +
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
     "q_token_fertility" ->
       ("SELECT lang, count(*) AS n_docs, " +
         s"CAST(sum($wordsExpr) AS BIGINT) AS total_words, " +

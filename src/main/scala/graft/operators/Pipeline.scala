@@ -40,6 +40,42 @@ object Pipeline {
           .otherwise("train").as("split"))
   }
 
+  /** Leakage-free train/val/test split: assign the hash bucket to the
+    * near-dup CLUSTER, not the document — every member of a transitive
+    * near-dup component lands in the same split, so a val/test document
+    * can never have a near-duplicate in train. Per-doc splitting (the
+    * plain [[trainValSplit]]) leaks: with ~3/16 of docs in val+test, a
+    * near-dup pair split across train and eval is ~expected for EVERY
+    * cluster — the classic silent eval-inflation bug in pretraining
+    * pipelines. Composition: cluster labels come from the build-once
+    * assignment table ([[Dedup.materializeClusters]] — CC runs once per
+    * corpus, not per consumer); singletons (docs with no near-dup) keep
+    * their own id as the cluster key, so their assignment is IDENTICAL
+    * to [[trainValSplit]]'s and the whole operator reduces to it on a
+    * dedup-free corpus. One left join against the (small) label table +
+    * the same narrow md5 gate — split of a 100 TB corpus stays a column,
+    * not a job. */
+  def leakFreeSplit(spark: SparkSession, dir: String,
+      salt: String = "graft-v1", materialized: Boolean = false): DataFrame = {
+    val labels =
+      (if (materialized)
+        spark.read.parquet(Dedup.materializeClusters(spark, dir))
+      else Dedup.connectedComponents(
+        Dedup.minHashPairsMaterialized(spark, dir)))
+        .select(col("doc_id"), col("cluster_id"))
+    val bucket = substring(
+      md5(concat(col("cluster_id").cast("string"), lit(salt))), 1, 1)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("cluster_id"),
+        bucket.as("bucket"),
+        when(bucket.isin("0", "1"), "val")
+          .when(bucket === "2", "test")
+          .otherwise("train").as("split"))
+  }
+
   /** Floor(rate * 16^width) rendered as a zero-padded lowercase hex
     * literal: fixed-width lowercase hex compares lexicographically in
     * numeric order ('0'<'9'<'a'<'f' in ASCII), so `hex_prefix < threshold`

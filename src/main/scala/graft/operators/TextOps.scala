@@ -681,4 +681,81 @@ object TextOps {
         sum("bpe_tokens").as("total_tokens"),
         round(sum("bpe_tokens").cast("double") /
           sum("ws_tokens").cast("double"), 4).as("fertility"))
+
+  /** Per-document bigram stream (doc_id, prev, cur) — derived from the
+    * split array with `transform`+`explode` (narrow, codegen'd; no
+    * per-doc window/sort). Docs with < 2 words emit no bigrams. */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    docs(spark, dir)
+      .select(col("doc_id"), w.as("w")).filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("prev"),
+            element_at(col("w"), i + 1).as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+  }
+
+  /** Bigram LM scoring with STUPID BACKOFF (Brants et al. 2007) — the
+    * real shape of the CCNet perplexity filter that [[perplexityBuckets]]
+    * approximates with a unigram model: score every document by the mean
+    * log of S(w_i | w_{i-1}) where
+    *
+    *   S(w|p) = count(p w) / count(p)            if the TRAIN split saw
+    *                                             the bigram,
+    *          = 0.4 · (count(w)+1) / (N+V)       otherwise (backoff to an
+    *                                             add-one unigram, so an
+    *                                             unseen word scores finite).
+    *
+    * The LM trains on the hash-complement split (`doc_id % holdoutMod != 0`)
+    * and scores EVERYTHING — held-out docs genuinely exercise the backoff
+    * path (training and scoring on the same corpus would make it dead
+    * code, since every scored bigram would have count ≥ 1).
+    *
+    * Scale shape: the bigram stream is a narrow array transform (no
+    * per-doc window); bigram counts are one partial-agg shuffle keyed on
+    * (prev, cur); the unigram table is vocabulary-sized and BROADCASTS to
+    * both the prev- and cur-side lookups, so the 100 TB scoring stream
+    * shuffles once on the bigram key and once on doc_id — the same
+    * count as [[unigramLogProb]]. N/V ride in as a broadcast 1-row
+    * aggregate (declarative, no driver action). */
+  def bigramLogProb(spark: SparkSession, dir: String,
+      holdoutMod: Int = 10, alpha: Double = 0.4): DataFrame = {
+    val bg = bigrams(spark, dir)
+    val train = bg.filter(col("doc_id") % holdoutMod =!= 0)
+    val trainWords = docs(spark, dir)
+      .filter(col("doc_id") % holdoutMod =!= 0)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .as("word"))
+    val cu = trainWords.groupBy("word").agg(count(lit(1)).as("cu"))
+    val tot = trainWords.agg(
+      count(lit(1)).cast("double").as("n_tok"),
+      count_distinct(col("word")).cast("double").as("v"))
+    val cb = train.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val scored = bg
+      .join(cb, Seq("prev", "cur"), "left")
+      .join(broadcast(cu.select(col("word").as("prev"),
+        col("cu").as("cu_prev"))), Seq("prev"), "left")
+      .join(broadcast(cu.select(col("word").as("cur"),
+        col("cu").as("cu_cur"))), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cb").isNotNull,
+          log(col("cb").cast("double") / col("cu_prev").cast("double")))
+          .otherwise(log(lit(alpha) *
+            (coalesce(col("cu_cur"), lit(0L)).cast("double") + 1.0) /
+            (col("n_tok") + col("v")))).as("s"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("backoff").as("n_backoff"),
+        round(avg("s"), 4).as("avg_logprob"))
+    docs(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        col("avg_logprob"))
+  }
 }

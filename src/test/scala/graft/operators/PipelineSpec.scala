@@ -301,4 +301,30 @@ class PipelineSpec extends SparkSpec {
       .orderBy("pos").collect().map(_.getLong(0)).toSeq
     assert(firstShard !== firstShard.sorted, "order must be permuted")
   }
+
+  test("leakFreeSplit: clusters never span splits, singletons match the " +
+      "per-doc split, and the repair is non-trivial on this corpus") {
+    val lf = Pipeline.leakFreeSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    // every cluster maps to exactly one split
+    val perCluster = lf.groupBy(_._2).map { case (_, rows) =>
+      rows.map(_._3).distinct.length
+    }
+    assert(perCluster.forall(_ === 1), "a cluster spanning splits = leakage")
+    // singleton docs (cluster_id == doc_id, no other member) reduce to
+    // the plain per-doc split
+    val docSplit = Pipeline.trainValSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val sizes = lf.groupBy(_._2).map { case (c, rows) => c -> rows.length }
+    val singletons = lf.filter(r => r._1 == r._2 && sizes(r._2) == 1)
+    assert(singletons.nonEmpty)
+    singletons.foreach { case (id, _, split) =>
+      assert(split === docSplit(id), s"singleton $id must match trainValSplit")
+    }
+    // and the operator genuinely re-assigns: some clustered member's
+    // leak-free split differs from its per-doc split (if this corpus ever
+    // stops having such a member, the test data changed — re-derive)
+    val moved = lf.filter(r => r._1 != r._2 && r._3 != docSplit(r._1))
+    assert(moved.nonEmpty, "expected at least one repaired assignment")
+  }
 }

@@ -416,4 +416,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect)
     got.values.foreach { case (_, _, _, fert) => assert(fert > 0.0) }
   }
+
+  test("bigram logprob: hand-computed stupid backoff, held-out docs hit " +
+      "the backoff path, short docs score null") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bigramlm").toString
+    // train split = doc_id % 10 != 0 → docs 1, 2, 3 train; doc 10 held out
+    Seq(
+      (1L, "a b a b"), // bigrams (a,b)x2 (b,a)
+      (2L, "a b c"),   // bigrams (a,b) (b,c)
+      (3L, "solo"),    // no bigrams; contributes the unigram 'solo'
+      (10L, "a b z b") // held out: (a,b) seen, (b,z)/(z,b) unseen
+    ).map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // train counts: cu a=3 b=3 c=1 solo=1, N=8, V=4; cb (a,b)=3 (b,a)=1 (b,c)=1
+    val got = TextOps.bigramLogProb(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L).getLong(1) === 0L && got(3L).getLong(2) === 0L)
+    assert(got(3L).isNullAt(3), "no-bigram doc scores null")
+    assert(got(1L).getLong(2) === 0L, "train doc never backs off")
+    assert(got(1L).getDouble(3) ===
+      r4((math.log(3.0 / 3) + math.log(1.0 / 3) + math.log(3.0 / 3)) / 3))
+    assert(got(2L).getDouble(3) ===
+      r4((math.log(3.0 / 3) + math.log(1.0 / 3)) / 2))
+    // held-out doc: (a,b) bigram path; (b,z) unseen word backoff
+    // 0.4*(0+1)/(8+4); (z,b) unseen-bigram backoff 0.4*(3+1)/(8+4)
+    assert(got(10L).getLong(2) === 2L, "two backoff positions")
+    assert(got(10L).getDouble(3) === r4((math.log(3.0 / 3) +
+      math.log(0.4 * 1 / 12) + math.log(0.4 * 4 / 12)) / 3))
+  }
 }
