@@ -106,6 +106,9 @@ object SparkEntry {
     // (build-once CC labels), so no val/test doc has a near-dup in train
     "q_leakfree_split" -> ((s, d) =>
       graft.operators.Pipeline.leakFreeSplit(s, d, materialized = true)),
+    // DSIR importance weights: target-vs-raw hashed-n-gram LLR, both
+    // models 4096 md5-prefix cells (broadcast-sized by construction)
+    "q_dsir_weights" -> ((s, d) => graft.operators.Pipeline.dsirWeights(s, d)),
     // rebalance the language mix: halve en, quarter de, keep the tail
     "q_stratified_sample" -> ((s, d) => graft.operators.Pipeline
       .stratifiedSample(s, d, Map("en" -> 0.5, "de" -> 0.25))),
@@ -774,6 +777,34 @@ object SparkEntry {
         "'graft-v1'), 1, 1) IN ('0', '1') THEN 'val' " +
         "WHEN substr(md5(CAST(cluster_id AS VARCHAR) || 'graft-v1'), 1, 1) " +
         "= '2' THEN 'test' ELSE 'train' END AS split FROM lab"),
+    // DSIR weights: identical feature stream (unigrams + bigrams), the
+    // same md5-prefix bucket, add-one smoothing over 4096 cells
+    "q_dsir_weights" ->
+      ("WITH w AS (SELECT doc_id, lang, " +
+        "list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0) AS ws FROM documents), " +
+        "f0 AS (SELECT doc_id, lang, unnest(list_concat(ws, " +
+        "CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i+1]) ELSE []::VARCHAR[] END)) AS feat " +
+        "FROM w), " +
+        "f AS (SELECT doc_id, lang, substr(md5(feat), 1, 3) AS b FROM f0), " +
+        "tc AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' " +
+        "GROUP BY b), " +
+        "rc AS (SELECT b, count(*) AS rc FROM f GROUP BY b), " +
+        "tt AS (SELECT CAST(count(*) AS DOUBLE) AS tn FROM f " +
+        "WHERE lang = 'en'), " +
+        "rt AS (SELECT CAST(count(*) AS DOUBLE) AS rn FROM f), " +
+        "sc AS (SELECT f.doc_id, " +
+        "ln(((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0) / (tt.tn + 4096.0)) " +
+        "/ ((CAST(rc.rc AS DOUBLE) + 1.0) / (rt.rn + 4096.0))) AS llr " +
+        "FROM f LEFT JOIN tc ON tc.b = f.b JOIN rc ON rc.b = f.b " +
+        "CROSS JOIN tt CROSS JOIN rt), " +
+        "agg AS (SELECT doc_id, count(*) AS n_feats, " +
+        "round(sum(llr), 4) AS dsir_weight, round(avg(llr), 4) AS avg_llr " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, d.lang, coalesce(a.n_feats, 0) AS n_feats, " +
+        "a.dsir_weight, a.avg_llr " +
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
     // stratified hash sampling: the SAME fixed-width-hex string comparison
     // (lexicographic == numeric for lowercase hex; thresholds are shared
     // constants from Pipeline.hexThreshold, 'g' = keep-all sentinel)

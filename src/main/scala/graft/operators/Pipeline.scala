@@ -76,6 +76,70 @@ object Pipeline {
           .otherwise("train").as("split"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the log-likelihood ratio of a TARGET-domain
+    * bag-of-hashed-n-grams model vs the RAW-corpus model,
+    *
+    *   weight(doc) = Σ_feat ln( p̂_target(bucket(feat)) / p̂_raw(bucket(feat)) )
+    *
+    * over the doc's unigram + bigram features. Feature hashing is the
+    * scale trick that makes the two models FIXED-SIZE regardless of
+    * vocabulary: here bucket(feat) = the first 3 hex chars of md5(feat)
+    * — 4096 string-keyed cells both engines derive byte-identically (the
+    * same engine-portable-hash idiom as [[stratifiedSample]]; a string
+    * bucket key needs no hex→int conversion for DuckDB to disagree on).
+    * Both models are add-one smoothed over the 4096 cells, so unseen
+    * buckets score finite.
+    *
+    * Scale shape: the feature stream is a narrow array transform +
+    * explode; BOTH count tables are ≤4096 rows by construction — they
+    * BROADCAST, so the 100 TB feature stream never shuffles on the
+    * feature key; the only wide exchange is the per-doc aggregation on
+    * doc_id. The target sample would in practice be a separate small
+    * corpus; the `targetLang` stratum stands in for it here (same plan
+    * shape: the target side is small by nature, like decontaminate's
+    * benchmark side). */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val B = 4096.0
+    val w = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val feats = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), w.as("ws"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("ws"),
+          when(size(col("ws")) >= 2,
+            transform(sequence(lit(1), size(col("ws")) - 1), i =>
+              concat_ws(" ", slice(col("ws"), i, lit(2)))))
+            .otherwise(array().cast("array<string>")))).as("feat"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("feat")), 1, 3).as("b"))
+    val tc = feats.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tt = feats.filter(col("lang") === targetLang)
+      .agg(count(lit(1)).cast("double").as("tn"))
+    val rt = feats.agg(count(lit(1)).cast("double").as("rn"))
+    val scored = feats
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(rc), Seq("b"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("doc_id"),
+        log(((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) /
+          (col("tn") + B)) /
+          ((col("rc").cast("double") + 1.0) / (col("rn") + B))).as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum("llr"), 4).as("dsir_weight"),
+        round(avg("llr"), 4).as("avg_llr"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("dsir_weight"), col("avg_llr"))
+  }
+
   /** Floor(rate * 16^width) rendered as a zero-padded lowercase hex
     * literal: fixed-width lowercase hex compares lexicographically in
     * numeric order ('0'<'9'<'a'<'f' in ASCII), so `hex_prefix < threshold`

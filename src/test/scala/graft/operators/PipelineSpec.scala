@@ -327,4 +327,30 @@ class PipelineSpec extends SparkSpec {
     val moved = lf.filter(r => r._1 != r._2 && r._3 != docSplit(r._1))
     assert(moved.nonEmpty, "expected at least one repaired assignment")
   }
+
+  test("dsirWeights: feature count arithmetic, target-domain docs score " +
+      "higher, weights are finite") {
+    val byId = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("text"))).toMap
+    val got = Pipeline.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // n_feats = words + bigrams = 2*words - 1 (every doc here has >= 2 words)
+    byId.foreach { case (id, (_, text)) =>
+      val w = text.split("\\s+").count(_.nonEmpty).toLong
+      assert(got(id)._1 === (if (w >= 2) 2 * w - 1 else w),
+        s"doc $id feature count")
+    }
+    got.values.foreach { case (_, wt) =>
+      assert(!wt.isNaN && !wt.isInfinite, "smoothing keeps weights finite")
+    }
+    // the LLR must separate the target domain: mean weight of en docs
+    // above mean weight of the rest (that is the operator's purpose)
+    val (en, rest) = got.toSeq.partition { case (id, _) =>
+      byId(id)._1 == "en" }
+    val meanEn = en.map(_._2._2).sum / en.size
+    val meanRest = rest.map(_._2._2).sum / rest.size
+    assert(meanEn > meanRest,
+      s"target-domain mean $meanEn must exceed non-target $meanRest")
+  }
 }
