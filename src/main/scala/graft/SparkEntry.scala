@@ -234,6 +234,8 @@ object SparkEntry {
     "q_tfidf" -> (TextOps.tfIdf _),
     "q_char_entropy" -> (TextOps.charEntropy _),
     "q_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    // hybrid-retrieval fusion: BM25 ∪ TF-IDF shortlists, 1/(60+rank) sum
+    "q_rrf_fusion" -> ((s, d) => TextOps.rrfFusion(s, d)),
     "q_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "q_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     // LLM-pipeline: similarity family
@@ -1652,6 +1654,43 @@ object SparkEntry {
         "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4) " +
         "AS bm25 FROM tf JOIN df USING (word) JOIN dl USING (doc_id) " +
         "CROSS JOIN stats GROUP BY tf.doc_id"),
+    // RRF fusion: both rankings re-derived in full (the q_bm25 and
+    // q_tfidf pipelines as CTEs), rank windows capped at the shortlist,
+    // 1/(60+rank) contributions summed across the FULL-joined lists
+    "q_rrf_fusion" ->
+      (wordCteWith() +
+        ", dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1), " +
+        "stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl, " +
+        "CAST(count(*) AS DOUBLE) AS n_docs FROM dl), " +
+        "qtf AS (SELECT doc_id, word, count(*) AS tf FROM w " +
+        "WHERE word IN ('join', 'scan', 'filter') GROUP BY 1, 2), " +
+        "qdf AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM qtf " +
+        "GROUP BY 1), " +
+        "b25 AS (SELECT qtf.doc_id, round(sum(" +
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+        "CAST(tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf AS DOUBLE) + " +
+        "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4) " +
+        "AS bm25 FROM qtf JOIN qdf USING (word) JOIN dl USING (doc_id) " +
+        "CROSS JOIN stats GROUP BY qtf.doc_id), " +
+        "atf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2), " +
+        "adf AS (SELECT word, count(*) AS df FROM atf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "ti AS (SELECT atf.doc_id, round(CAST(atf.tf AS DOUBLE) * " +
+        "(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(adf.df + 1 AS DOUBLE)) " +
+        "+ 1.0), 4) AS tfidf FROM atf JOIN adf ON atf.word = adf.word " +
+        "CROSS JOIN n WHERE atf.word IN ('join', 'scan', 'filter')), " +
+        "ts AS (SELECT doc_id, round(sum(tfidf), 4) AS s FROM ti " +
+        "GROUP BY doc_id), " +
+        "ra AS (SELECT * FROM (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY bm25 DESC, doc_id) AS rank_bm25 FROM b25) " +
+        "WHERE rank_bm25 <= 20), " +
+        "rb AS (SELECT * FROM (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY s DESC, doc_id) AS rank_tfidf FROM ts) " +
+        "WHERE rank_tfidf <= 20) " +
+        "SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_bm25, " +
+        "rb.rank_tfidf, round(coalesce(1.0 / (60 + ra.rank_bm25), 0) + " +
+        "coalesce(1.0 / (60 + rb.rank_tfidf), 0), 6) AS rrf_score " +
+        "FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id"),
     "q_top_terms" ->
       (wordCte +
         ", c AS (SELECT lang, word, count(*) AS n FROM w " +

@@ -612,6 +612,45 @@ object TextOps {
         .as("bm25"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way a
+    * retrieval pipeline combines heterogeneous rankings (lexical BM25,
+    * TF-IDF, dense ANN, ...) without score calibration: each ranking
+    * contributes 1/(k + rank) and the fused list orders by the sum. Here
+    * the two fused rankings are [[bm25]] and summed [[tfIdf]] over the
+    * same query terms — the hybrid-search shape (swap either side for an
+    * ANN shortlist and nothing else changes).
+    *
+    * Scale shape: each ranking is its scorer's plan + a top-K via
+    * `TakeOrderedAndProject` (per-partition heads, no global sort); the
+    * rank window then runs over ≤ topK rows by construction — the
+    * single-partition window is BOUNDED, the same justification as
+    * [[invertedIndex]]'s capped posting windows. The fusion join is
+    * topK⋈topK — driver-trivial at any corpus size. Ranks are total
+    * orders (round-4 score, doc_id tiebreak), so both engines pick the
+    * same shortlist and the same ranks. */
+  def rrfFusion(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("join", "scan", "filter"),
+      kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = bm25(spark, dir, queryTerms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select("doc_id", "rank_bm25")
+    val b = tfIdf(spark, dir).filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id").agg(round(sum("tfidf"), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank_tfidf", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id").asc)))
+      .select("doc_id", "rank_tfidf")
+    a.join(b, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("rank_tfidf")), lit(0.0)),
+          6).as("rrf_score"))
+  }
+
   /** Inverted-index construction — the search-side artifact a retrieval
     * or decontamination pipeline materializes: one posting row per
     * (term, doc) with term frequency, document frequency, and the

@@ -417,6 +417,35 @@ class TextOpsSpec extends SparkSpec {
     got.values.foreach { case (_, _, _, fert) => assert(fert > 0.0) }
   }
 
+  test("rrf fusion: ranks match the standalone scorers, contributions " +
+      "are 1/(k+rank), both-list docs sum both") {
+    val topK = 20
+    val bm = TextOps.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(topK).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val ti = TextOps.tfIdf(spark, sfDir)
+      .filter(col("word").isin("join", "scan", "filter"))
+      .groupBy("doc_id").agg(round(sum("tfidf"), 4).as("s")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(topK).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val got = TextOps.rrfFusion(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3))
+    }.toMap
+    assert(got.keySet === (bm.keySet ++ ti.keySet))
+    got.foreach { case (id, (ra, rb, score)) =>
+      assert(ra === bm.get(id), s"bm25 rank of $id")
+      assert(rb === ti.get(id), s"tfidf rank of $id")
+      val expect = ra.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(score - expect) < 1e-6, s"rrf score of $id")
+    }
+    // fusion is only interesting if the lists genuinely disagree some
+    assert(got.exists { case (_, (ra, rb, _)) => ra.isDefined != rb.isDefined })
+  }
+
   test("bigram logprob: hand-computed stupid backoff, held-out docs hit " +
       "the backoff path, short docs score null") {
     import spark.implicits._
