@@ -260,6 +260,8 @@ object SparkEntry {
     "q_embed_cluster_keep" -> ((s, d) =>
       Similarity.embedClusterKeep(s, d, materialized = true)),
     "q_label_centroids" -> (Similarity.labelCentroidCosine _),
+    // per-label centroid-distance outlier audit (mislabel detector)
+    "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
     // neighborhood majority-vote label audit over the LSH-bucketed k-NN
     "q_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // LLM-pipeline: multimodal family
@@ -572,6 +574,25 @@ object SparkEntry {
         "sqrt(sum(b.m * b.m))), 4) AS centroid_cosine " +
         "FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label " +
         "GROUP BY a.label, b.label"),
+    // outlier audit: centroid, per-vector cosine, and the per-label 5%
+    // quantile threshold all re-derived (same dim-keyed join shape)
+    "q_embed_outliers" ->
+      ("WITH dx AS (SELECT vec_id, label, u['i'] - 1 AS dim, " +
+        "CAST(u['x'] AS DOUBLE) AS x " +
+        "FROM (SELECT vec_id, label, unnest(list_transform(" +
+        "CAST(embedding AS DOUBLE[]), (x, i) -> {'x': x, 'i': i})) AS u " +
+        "FROM embeddings) t), " +
+        "c AS (SELECT label, dim, avg(x) AS m FROM dx GROUP BY 1, 2), " +
+        "sc AS (SELECT dx.vec_id, dx.label, " +
+        "round(sum(dx.x * c.m) / (sqrt(sum(dx.x * dx.x)) * " +
+        "sqrt(sum(c.m * c.m))), 4) AS cosine " +
+        "FROM dx JOIN c ON c.label = dx.label AND c.dim = dx.dim " +
+        "GROUP BY dx.vec_id, dx.label), " +
+        "b AS (SELECT label, quantile_cont(cosine, 0.05) AS p_lo " +
+        "FROM sc GROUP BY label) " +
+        "SELECT sc.vec_id, sc.label, sc.cosine, " +
+        "sc.cosine < b.p_lo AS is_outlier " +
+        "FROM sc JOIN b ON b.label = sc.label"),
     "q_conditional" ->
       ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' " +
         "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, " +

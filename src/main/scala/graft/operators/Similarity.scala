@@ -315,6 +315,42 @@ object Similarity {
     * a rank window whose partitions are <= k·labels rows by construction.
     * Output marks disagreements (`mismatch`), the rows a label-quality
     * audit actually reads. */
+  /** Per-label embedding outlier audit: every vector's cosine to its own
+    * label centroid, flagged when it falls under the label's `lo`
+    * quantile — the mislabeled/contaminated-shard detector a curation
+    * pipeline runs over embedded data (an outlier here is a vector that
+    * does not belong to its cohort's direction). Per-label thresholds
+    * (not global): cohort tightness varies by label, exactly like the
+    * per-language length trim ([[graft.operators.Pipeline.lengthTrimByLang]]).
+    *
+    * Scale shape: centroids are one (label, dim) partial agg — 10×64
+    * rows, broadcast back; the per-vector cosine is a (label, dim) keyed
+    * join + per-vector agg, never vector-vs-vector; the quantile is one
+    * tiny per-label agg over the scored stream, broadcast for the flag.
+    * Nothing is quadratic, nothing globally sorts. */
+  def embedOutliers(spark: SparkSession, dir: String,
+      lo: Double = 0.05): DataFrame = {
+    val dx = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("x").cast("double").as("x"))
+    val c = dx.groupBy("label", "dim").agg(avg(col("x")).as("m"))
+    val scored = dx.join(broadcast(c), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("x") * col("m")).as("dot"),
+        sum(col("x") * col("x")).as("nx"),
+        sum(col("m") * col("m")).as("nm"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (sqrt(col("nx")) * sqrt(col("nm"))), 4)
+          .as("cosine"))
+    val bounds = scored.groupBy("label")
+      .agg(percentile(col("cosine"), lit(lo)).as("p_lo"))
+    scored.join(broadcast(bounds), Seq("label"))
+      .select(col("vec_id"), col("label"), col("cosine"),
+        (col("cosine") < col("p_lo")).as("is_outlier"))
+  }
+
   def knnClassify(spark: SparkSession, dir: String, k: Int = 5,
       numPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -252,4 +252,26 @@ class SimilaritySpec extends SparkSpec {
       assert(mismatch === (pred != trueLbl))
     }
   }
+
+  test("embedOutliers: flag matches the per-label 5% interpolated " +
+      "quantile, outlier rate is bounded, cosines are valid") {
+    val rows = Similarity.embedOutliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length === 500)
+    rows.foreach { case (_, _, c, _) => assert(c >= -1.0001 && c <= 1.0001) }
+    rows.groupBy(_._2).foreach { case (label, members) =>
+      val sorted = members.map(_._3).sorted
+      val pos = 0.05 * (sorted.length - 1)
+      val (i, f) = (pos.toInt, pos - pos.toInt)
+      val thr = sorted(i) + f * (sorted(i + 1) - sorted(i))
+      members.foreach { case (id, _, c, flag) =>
+        // tolerance: engine quantile interpolation may differ in the ulp
+        if (math.abs(c - thr) > 1e-9)
+          assert(flag === (c < thr), s"vec $id label $label")
+      }
+      val rate = members.count(_._4).toDouble / members.length
+      assert(rate <= 0.10, s"label $label outlier rate $rate")
+    }
+    assert(rows.exists(_._4), "some outliers must exist at lo=0.05")
+  }
 }
