@@ -250,6 +250,9 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => graft.operators.Pq.annRecall(s, d)),
     "q_ann_ivfpq" -> ((s, d) =>
       graft.operators.Pq.annRecall(s, d, method = "ivfpq")),
+    // Matryoshka two-stage: 16-dim prefix shortlist → full-vector rerank
+    "q_ann_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaTopK(s, d, queryId = 0L)),
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
@@ -1497,6 +1500,24 @@ object SparkEntry {
         "sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine " +
         "FROM embeddings e, q WHERE e.vec_id <> 0 " +
         "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"),
+    // Matryoshka rerank: prefix slice, shortlist, and full rerank all
+    // re-derived; slices are 1-based inclusive in BOTH engines
+    "q_ann_matryoshka" ->
+      ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, " +
+        "CAST(embedding[1:16] AS DOUBLE[]) AS qp FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "s1 AS (SELECT e.vec_id, e.label, " +
+        "CAST(e.embedding AS DOUBLE[]) AS ev, q.qv AS qv, " +
+        "round(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]), q.qp) " +
+        "/ (sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]), " +
+        "CAST(e.embedding[1:16] AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(q.qp, q.qp))), 4) AS pre_cosine " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 " +
+        "ORDER BY pre_cosine DESC, e.vec_id ASC LIMIT 50) " +
+        "SELECT vec_id, label, pre_cosine, " +
+        "round(list_dot_product(ev, qv) / (sqrt(list_dot_product(ev, ev)) " +
+        "* sqrt(list_dot_product(qv, qv))), 4) AS cosine " +
+        "FROM s1 ORDER BY cosine DESC, vec_id ASC LIMIT 10"),
     // networked-source goldens: expected decode of the recorded fixture
     // bodies (FIXTURES.md §1), matching the reference's parse semantics
     "q_src_worldbank" ->

@@ -315,6 +315,41 @@ object Similarity {
     * a rank window whose partitions are <= k·labels rows by construction.
     * Output marks disagreements (`mismatch`), the rows a label-quality
     * audit actually reads. */
+  /** Matryoshka / adaptive retrieval (Kusupati et al. 2022): shortlist
+    * candidates by cosine over only the FIRST `prefixDims` dimensions
+    * (MRL-trained embeddings front-load information, so a prefix is a
+    * cheap coarse scorer), then re-rank the shortlist with the full
+    * vector — the two-stage recipe that cuts the scan's FLOPs by
+    * dims/prefixDims while keeping exact top-k quality on the shortlist.
+    *
+    * Scale shape: stage 1 is a narrow scan + `TakeOrderedAndProject`
+    * over the prefix cosine (the slice keeps only prefixDims floats in
+    * flight — at 100 TB that is the bandwidth win, not just FLOPs);
+    * stage 2 re-scores ≤ `shortlist` rows. Same deterministic
+    * round-4/vec_id total order as [[bruteForceTopK]] on both stages. */
+  def matryoshkaTopK(spark: SparkSession, dir: String, queryId: Long,
+      k: Int = 10, prefixDims: Int = 16, shortlist: Int = 50): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        slice(col("embedding"), 1, prefixDims).as("q_pre"))
+    e.filter(col("vec_id") =!= queryId)
+      .withColumn("pre", slice(col("embedding"), 1, prefixDims))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"),
+        round(dot("pre", "q_pre") /
+          (sqrt(dot("pre", "pre")) * sqrt(dot("q_pre", "q_pre"))), 4)
+          .as("pre_cosine"))
+      .orderBy(col("pre_cosine").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("label"), col("pre_cosine"),
+        round(dot("embedding", "q_emb") /
+          (sqrt(dot("embedding", "embedding")) *
+            sqrt(dot("q_emb", "q_emb"))), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label embedding outlier audit: every vector's cosine to its own
     * label centroid, flagged when it falls under the label's `lo`
     * quantile — the mislabeled/contaminated-shard detector a curation

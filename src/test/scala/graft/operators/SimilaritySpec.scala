@@ -253,6 +253,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshka rerank: full cosine on the shortlist, recall vs brute " +
+      "force is high, both stages plan as TakeOrderedAndProject") {
+    val full = Similarity.bruteForceTopK(spark, sfDir, queryId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    val df = Similarity.matryoshkaTopK(spark, sfDir, queryId = 0L)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    // exact full-vector cosine on returned rows (vs bruteForce scores)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, queryId = 0L, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach(r => assert(r.getDouble(3) === bf(r.getLong(0)),
+      s"full cosine mismatch for ${r.getLong(0)}"))
+    // recall dial: these embeddings are NOT MRL-trained (random synthetic
+    // dims carry equal information), so a 16-dim prefix is a weak scorer
+    // — the point pinned here is that the (prefixDims, shortlist) dial
+    // buys recall monotonically, and a wider prefix reaches high recall
+    def recallOf(pre: Int, sl: Int): Double =
+      Similarity.matryoshkaTopK(spark, sfDir, queryId = 0L,
+          prefixDims = pre, shortlist = sl)
+        .collect().map(_.getLong(0)).count(full.contains) / 10.0
+    val narrow = rows.map(_.getLong(0)).count(full.contains) / 10.0
+    val wide = recallOf(48, 100)
+    assert(wide >= narrow, "widening the prefix must not lose recall")
+    assert(wide >= 0.9, s"48-dim prefix recall $wide")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      "both stages must be top-k, not global sorts")
+  }
+
   test("embedOutliers: flag matches the per-label 5% interpolated " +
       "quantile, outlier rate is bounded, cosines are valid") {
     val rows = Similarity.embedOutliers(spark, sfDir).collect()
