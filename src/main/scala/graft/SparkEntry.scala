@@ -109,6 +109,8 @@ object SparkEntry {
     // DSIR importance weights: target-vs-raw hashed-n-gram LLR, both
     // models 4096 md5-prefix cells (broadcast-sized by construction)
     "q_dsir_weights" -> ((s, d) => graft.operators.Pipeline.dsirWeights(s, d)),
+    // temperature-mixing token-budget planner with epoch cap
+    "q_token_budget" -> ((s, d) => graft.operators.Pipeline.tokenBudget(s, d)),
     // rebalance the language mix: halve en, quarter de, keep the tail
     "q_stratified_sample" -> ((s, d) => graft.operators.Pipeline
       .stratifiedSample(s, d, Map("en" -> 0.5, "de" -> 0.25))),
@@ -831,6 +833,28 @@ object SparkEntry {
         "SELECT d.doc_id, d.lang, coalesce(a.n_feats, 0) AS n_feats, " +
         "a.dsir_weight, a.avg_llr " +
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
+    // token-budget planner: census, temperature weights, cap, and the
+    // single redistribution round re-derived with the same arithmetic
+    "q_token_budget" ->
+      ("WITH per AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) " +
+        "AS BIGINT)) AS BIGINT) AS tokens FROM documents GROUP BY source), " +
+        "t1 AS (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.5)) AS psum " +
+        "FROM per), " +
+        "j AS (SELECT per.source, per.n_docs, per.tokens, " +
+        "pow(CAST(per.tokens AS DOUBLE), 0.5) / t1.psum AS p, " +
+        "110000.0 * pow(CAST(per.tokens AS DOUBLE), 0.5) / t1.psum " +
+        "AS alloc0, 3.0 * CAST(per.tokens AS DOUBLE) AS cap FROM per, t1), " +
+        "k AS (SELECT j.*, alloc0 > cap AS capped, " +
+        "least(alloc0, cap) AS base FROM j), " +
+        "t2 AS (SELECT sum(base) AS bsum, " +
+        "sum(CASE WHEN capped THEN 0.0 ELSE p END) AS pun FROM k) " +
+        "SELECT k.source, k.n_docs, k.tokens, round(k.p, 6) AS mix_weight, " +
+        "k.capped, round(k.base + CASE WHEN k.capped THEN 0.0 " +
+        "ELSE (110000.0 - t2.bsum) * k.p / t2.pun END, 2) AS alloc_tokens, " +
+        "round((k.base + CASE WHEN k.capped THEN 0.0 " +
+        "ELSE (110000.0 - t2.bsum) * k.p / t2.pun END) / " +
+        "CAST(k.tokens AS DOUBLE), 4) AS epochs FROM k, t2"),
     // stratified hash sampling: the SAME fixed-width-hex string comparison
     // (lexicographic == numeric for lowercase hex; thresholds are shared
     // constants from Pipeline.hexThreshold, 'g' = keep-all sentinel)

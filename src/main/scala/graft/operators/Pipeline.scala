@@ -140,6 +140,51 @@ object Pipeline {
         col("dsir_weight"), col("avg_llr"))
   }
 
+  /** Token-budget mixture planner — temperature sampling with an epoch
+    * cap, the pretraining data-mixing arithmetic: given a total token
+    * budget, assign each source a mixing weight p_s ∝ tokens_s^alpha
+    * (alpha < 1 upweights small sources — the multilingual temperature
+    * rule), allocate budget·p_s tokens, cap any source at `maxEpochs`
+    * passes over its data (over-repeating a small source memorizes it),
+    * and redistribute the capped surplus over the uncapped sources in
+    * ONE proportional round (documented fixpoint-free simplification:
+    * a re-capped redistribution would iterate; production planners run
+    * the handful of rounds on the driver — the per-source table is
+    * mixture-sized, never corpus-sized).
+    *
+    * Scale shape: ONE partial-agg shuffle on `source` builds the token
+    * census; everything after is arithmetic on a mixture-cardinality
+    * frame with two broadcast 1-row totals. Planning a 100 TB mix costs
+    * one scan. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 110000L, alpha: Double = 0.5,
+      maxEpochs: Double = 3.0): DataFrame = {
+    val per = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(length(col("text")).cast("double") / lit(4.0))
+          .cast("long")).as("tokens"))
+    val t1 = per.agg(
+      sum(pow(col("tokens").cast("double"), alpha)).as("psum"))
+    val j = per.crossJoin(broadcast(t1))
+      .withColumn("p", pow(col("tokens").cast("double"), alpha) / col("psum"))
+      .withColumn("alloc0", lit(budget.toDouble) * col("p"))
+      .withColumn("cap", lit(maxEpochs) * col("tokens").cast("double"))
+      .withColumn("capped", col("alloc0") > col("cap"))
+      .withColumn("base", least(col("alloc0"), col("cap")))
+    val t2 = j.agg(sum("base").as("bsum"),
+      sum(when(col("capped"), lit(0.0)).otherwise(col("p"))).as("pun"))
+    j.crossJoin(broadcast(t2))
+      .withColumn("alloc", col("base") +
+        when(col("capped"), lit(0.0))
+          .otherwise((lit(budget.toDouble) - col("bsum")) *
+            col("p") / col("pun")))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("p"), 6).as("mix_weight"), col("capped"),
+        round(col("alloc"), 2).as("alloc_tokens"),
+        round(col("alloc") / col("tokens").cast("double"), 4).as("epochs"))
+  }
+
   /** Floor(rate * 16^width) rendered as a zero-padded lowercase hex
     * literal: fixed-width lowercase hex compares lexicographically in
     * numeric order ('0'<'9'<'a'<'f' in ASCII), so `hex_prefix < threshold`

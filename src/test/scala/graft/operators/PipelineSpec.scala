@@ -328,6 +328,31 @@ class PipelineSpec extends SparkSpec {
     assert(moved.nonEmpty, "expected at least one repaired assignment")
   }
 
+  test("tokenBudget: allocations conserve the budget, caps bind on small " +
+      "sources, temperature flattens the mix") {
+    val rows = Pipeline.tokenBudget(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6)))
+    // budget conservation (up to round-2 residue per row, and exactly if
+    // no source re-crosses its cap in the single redistribution round)
+    val totalAlloc = rows.map(_._5).sum
+    assert(math.abs(totalAlloc - 110000.0) < 1.0,
+      s"allocated $totalAlloc of 110000")
+    // capped rows sit exactly at maxEpochs; uncapped strictly under
+    rows.foreach { case (src, _, _, capped, _, epochs) =>
+      if (capped) assert(math.abs(epochs - 3.0) < 1e-3, s"$src at cap")
+      else assert(epochs < 3.0 + 1e-9, s"$src under cap")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "mix must have both capped and uncapped sources to be interesting")
+    // temperature alpha=0.5: mixing weight per token DECREASES with size
+    // (small sources upweighted) — check the extremes
+    val bySize = rows.sortBy(_._2)
+    val small = bySize.head; val large = bySize.last
+    assert(small._3 / small._2 > large._3 / large._2,
+      "alpha<1 must upweight small sources per token")
+  }
+
   test("dsirWeights: feature count arithmetic, target-domain docs score " +
       "higher, weights are finite") {
     val byId = spark.read.parquet(s"$sfDir/documents.parquet").collect()
