@@ -178,6 +178,10 @@ object SparkEntry {
     // stupid-backoff bigram LM scored against the hash-complement train
     // split — held-out docs exercise the backoff path for real
     "q_bigram_logprob" -> ((s, d) => TextOps.bigramLogProb(s, d)),
+    // trigram novelty: fraction of a doc's distinct trigrams with df=1
+    "q_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
+    // pairwise source JS divergence over the smoothed top-200 vocab
+    "q_source_divergence" -> ((s, d) => TextOps.sourceDivergence(s, d)),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
@@ -269,6 +273,12 @@ object SparkEntry {
     "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
     // neighborhood majority-vote label audit over the LSH-bucketed k-NN
     "q_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    // per-dimension feature-health stats (dead/dominant dim audit)
+    "q_dim_stats" -> (Similarity.dimStats _),
+    // z-score standardization vs corpus dim stats, per-vector summaries
+    "q_embed_standardize" -> (Similarity.standardizeEmbeddings _),
+    // margin-criterion cross-label mining over the LSH candidate stream
+    "q_margin_mine" -> ((s, d) => Similarity.marginMine(s, d)),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)
@@ -327,6 +337,11 @@ object SparkEntry {
     // key in event-time order; streaming form pinned in EventStreamSpec)
     "q_ingest_dedup" -> ((s, d) =>
       graft.streaming.EventStream.ingestDedupBatch(Relational.events(s, d))),
+    // streaming twin: per-window event-type KL drift vs the global mix
+    // (batch form; the fixed-reference streaming form is spec-pinned
+    // equivalent in EventStreamSpec)
+    "q_type_drift" -> ((s, d) =>
+      graft.streaming.EventStream.typeDriftBatch(Relational.events(s, d))),
     // streaming twin: gap-based sessionization (batch form; the streaming
     // form is pinned by EventStreamSpec against the same definition)
     "q_sessionize" -> ((s, d) =>
@@ -1175,6 +1190,45 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
         "coalesce(a.n_backoff, 0) AS n_backoff, a.avg_logprob " +
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
+    // trigram novelty: distinct-within-doc grams, corpus df, df=1 share
+    "q_novelty" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0) AS ws FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1] || ' ' || " +
+        "ws[i + 2]))) AS gram FROM w WHERE len(ws) >= 3), " +
+        "df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram), " +
+        "agg AS (SELECT g.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_unique FROM g JOIN df ON df.gram = g.gram GROUP BY g.doc_id) " +
+        "SELECT d.doc_id, d.lang, d.source, " +
+        "coalesce(a.n_grams, 0) AS n_grams, " +
+        "coalesce(a.n_unique, 0) AS n_unique, " +
+        "round(CAST(a.n_unique AS DOUBLE) / CAST(a.n_grams AS DOUBLE), 4) " +
+        "AS novelty FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
+    // JS divergence over the densified, add-0.5-smoothed top-200 vocab
+    // grid — same densification, same smoothing, same pair expansion
+    "q_source_divergence" ->
+      ("WITH c AS (SELECT source, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS word " +
+        "FROM documents), " +
+        "counts AS (SELECT source, word, count(*) AS n FROM c " +
+        "GROUP BY source, word), " +
+        "vocab AS (SELECT word FROM (SELECT word, sum(n) AS tot " +
+        "FROM counts GROUP BY word) ORDER BY tot DESC, word LIMIT 200), " +
+        "srcs AS (SELECT DISTINCT source FROM counts), " +
+        "grid AS (SELECT s.source, v.word, " +
+        "CAST(coalesce(c2.n, 0) AS DOUBLE) + 0.5 AS c FROM srcs s " +
+        "CROSS JOIN vocab v LEFT JOIN counts c2 " +
+        "ON c2.source = s.source AND c2.word = v.word), " +
+        "probs AS (SELECT source, word, " +
+        "c / sum(c) OVER (PARTITION BY source) AS p FROM grid) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "round(sum(a.p * ln(a.p * 2 / (a.p + b.p)) + " +
+        "b.p * ln(b.p * 2 / (a.p + b.p))) / 2.0, 6) AS js_divergence " +
+        "FROM probs a JOIN probs b ON a.word = b.word " +
+        "AND a.source < b.source GROUP BY a.source, b.source"),
     "q_token_fertility" ->
       ("SELECT lang, count(*) AS n_docs, " +
         s"CAST(sum($wordsExpr) AS BIGINT) AS total_words, " +
@@ -1231,6 +1285,53 @@ object SparkEntry {
         "SELECT tp.vec_id, e3.label AS true_label, tp.predicted_label, " +
         "tp.n_votes, tp.predicted_label <> e3.label AS mismatch " +
         "FROM tp JOIN embeddings e3 ON e3.vec_id = tp.vec_id"),
+    // zipped parallel unnests re-derive the (dim, value) matrix; both
+    // engines compute population stddev in double
+    "q_dim_stats" ->
+      ("SELECT i - 1 AS dim, round(avg(x), 6) AS d_mean, " +
+        "round(stddev_pop(x), 6) AS d_std FROM " +
+        "(SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings) " +
+        "GROUP BY i - 1"),
+    // same per-dim stats, pivoted to 1-based lists and applied per vector
+    "q_embed_standardize" ->
+      ("WITH flat AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
+        "st AS (SELECT i, avg(x) AS m, stddev_pop(x) AS s FROM flat " +
+        "GROUP BY i), " +
+        "ms AS (SELECT list(m ORDER BY i) AS means, " +
+        "list(s ORDER BY i) AS stds FROM st), " +
+        "z AS (SELECT e.vec_id, e.label, " +
+        "list_transform(generate_series(1, len(e.embedding)), " +
+        "j -> (CAST(e.embedding[j] AS DOUBLE) - ms.means[j]) / ms.stds[j]) " +
+        "AS zs FROM embeddings e, ms) " +
+        "SELECT vec_id, label, " +
+        "round(sqrt(list_sum(list_transform(zs, v -> v * v))), 4) " +
+        "AS z_norm, round(list_min(zs), 4) AS z_min, " +
+        "round(list_max(zs), 4) AS z_max FROM z"),
+    // identical buckets (bucketSqlExpr) -> identical candidate stream;
+    // ranks order by the ROUNDED cosine, so the margin arithmetic runs
+    // on the same 4dp values in both engines
+    "q_margin_mine" ->
+      ("WITH b AS (SELECT vec_id, label, e, " + bucketSqlExpr(8) +
+        " AS bucket FROM (SELECT vec_id, label, " +
+        "CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t0), " +
+        "c AS (SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, " +
+        cosineSql("a.e", "bb.e") + " AS cos FROM b a JOIN b bb " +
+        "ON a.bucket = bb.bucket WHERE a.label = 0 AND bb.label = 1), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_a " +
+        "ORDER BY cos DESC, vec_b ASC) AS rank_f, " +
+        "row_number() OVER (PARTITION BY vec_b " +
+        "ORDER BY cos DESC, vec_a ASC) AS rank_b FROM c), " +
+        "ka AS (SELECT vec_a, avg(cos) AS avgk_a FROM r " +
+        "WHERE rank_f <= 4 GROUP BY vec_a), " +
+        "kb AS (SELECT vec_b, avg(cos) AS avgk_b FROM r " +
+        "WHERE rank_b <= 4 GROUP BY vec_b) " +
+        "SELECT r.vec_a, r.vec_b, r.cos AS cosine, " +
+        "round(r.cos - (ka.avgk_a + kb.avgk_b) / 2.0, 4) AS margin, " +
+        "r.cos - (ka.avgk_a + kb.avgk_b) / 2.0 >= 0.05 AS accepted " +
+        "FROM r JOIN ka ON ka.vec_a = r.vec_a " +
+        "JOIN kb ON kb.vec_b = r.vec_b WHERE rank_f = 1"),
     // per-column profile of orders (SUMMARIZE parity): one UNION ALL arm
     // per column, min/max stringified the same way the operator does
     "q_summarize" -> Seq(
@@ -1869,6 +1970,29 @@ object SparkEntry {
         "AND c.event_type = 'click' " +
         "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
         "AND e.ts + INTERVAL 60 SECOND"),
+    // time_bucket ≡ Spark's tumbling window start; same smoothing, same
+    // densified window×type grid, same KL reduction
+    "q_type_drift" ->
+      ("WITH g AS (SELECT event_type, count(*) AS n_g FROM events " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_g) AS DOUBLE) AS n, " +
+        "CAST(count(*) AS DOUBLE) AS t FROM g), " +
+        "w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, " +
+        "event_type, count(*) AS n_w FROM events GROUP BY 1, 2), " +
+        "wins AS (SELECT ws, CAST(sum(n_w) AS DOUBLE) AS n_tot FROM w " +
+        "GROUP BY 1), " +
+        "grid AS (SELECT wins.ws, wins.n_tot, g.event_type, g.n_g, " +
+        "CAST(coalesce(w.n_w, 0) AS DOUBLE) AS n_w FROM wins " +
+        "CROSS JOIN g LEFT JOIN w ON w.ws = wins.ws " +
+        "AND w.event_type = g.event_type), " +
+        "p AS (SELECT ws, n_tot, " +
+        "(n_w + 0.5) / (n_tot + 0.5 * tot.t) AS pw, " +
+        "(n_g + 0.5) / (tot.n + 0.5 * tot.t) AS pg FROM grid, tot), " +
+        "k AS (SELECT ws, n_tot, sum(pw * ln(pw / pg)) AS kl FROM p " +
+        "GROUP BY ws, n_tot) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "CAST(n_tot AS BIGINT) AS n_events, round(kl, 6) AS kl, " +
+        "kl > 0.2 AS drifted FROM k"),
     "q_sessionize" ->
       ("WITH m AS (SELECT user_id, ts, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +

@@ -408,4 +408,112 @@ object Similarity {
         col("predicted_label"), col("n_votes"),
         (col("predicted_label") =!= col("label")).as("mismatch"))
   }
+
+  /** Per-dimension corpus statistics of the embedding matrix — the
+    * feature-health audit (a dead dimension has std ≈ 0; a dominant one
+    * dwarfs the rest and distorts every cosine) and the input to
+    * [[standardizeEmbeddings]].
+    *
+    * Scale shape: posexplode → ONE partial-agg shuffle keyed on `dim` —
+    * the combine collapses each map task to 64 rows before anything
+    * moves, so the shuffle is (64 × tasks) rows regardless of corpus
+    * size. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(round(avg("x"), 6).as("d_mean"),
+        round(stddev_pop(col("x")), 6).as("d_std"))
+
+  /** Z-score standardization of every embedding against the per-dimension
+    * corpus stats, reported as per-vector summaries (z-norm, extremes).
+    * After standardization each dimension contributes unit variance, so
+    * a vector's z-norm measures how far it sits from the corpus mean in
+    * "typical spread" units — ‖z‖ far above √dim is the anomalous-vector
+    * flag that catches bad encoder batches before they poison an index.
+    *
+    * Scale shape: the stats aggregate collapses to 64 rows (see
+    * [[dimStats]]), is pivoted into two 64-element arrays in a 1-ROW
+    * frame, and broadcast — the per-vector z computation is then a
+    * NARROW codegen'd `zip_with` fold over the original scan: the corpus
+    * never re-shuffles, and no (vec_id, dim)-exploded matrix crosses the
+    * wire. */
+  def standardizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val stats = embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(avg("x").as("m"), stddev_pop(col("x")).as("s"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, m))), " +
+          "t -> t.m)").as("means"),
+        expr("transform(array_sort(collect_list(struct(dim, s))), " +
+          "t -> t.s)").as("stds"))
+    embeddings(spark, dir).crossJoin(broadcast(stats))
+      .withColumn("z", expr(
+        "zip_with(zip_with(CAST(embedding AS ARRAY<DOUBLE>), means, " +
+          "(x, m) -> x - m), stds, (d, s) -> d / s)"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(expr(
+          "aggregate(z, 0D, (acc, v) -> acc + v * v)")), 4).as("z_norm"),
+        round(array_min(col("z")), 4).as("z_min"),
+        round(array_max(col("z")), 4).as("z_max"))
+  }
+
+  /** Margin-based cross-cohort mining — the bitext-mining criterion
+    * (distance margin over forward/backward neighborhoods) between two
+    * label cohorts: a pair (a, b) is accepted when cos(a, b) clearly
+    * exceeds what EITHER side scores against its other near neighbors,
+    * margin = cos(a,b) − (avgₖ(a) + avgₖ(b)) / 2 ≥ `minMargin`. Plain
+    * nearest-neighbor thresholding over-fires inside dense regions;
+    * the margin normalizes by local density, which is why the published
+    * mining pipelines use it. (The distance form, not the ratio form:
+    * a ratio margin degenerates when neighborhood cosines straddle 0,
+    * which un-normalized corpora routinely do.)
+    *
+    * Scale shape: candidates come from the SAME hyperplane-bucket
+    * equi-join every ANN operator here uses (never |A|×|B|); ranking
+    * and the top-k neighborhood means are two keyed window shuffles on
+    * the candidate stream; ranks order by the ROUNDED cosine with id
+    * tie-breaks, so results are deterministic and engine-independent.
+    * Output: each A-vector's forward-top-1 candidate with its margin and
+    * accept flag (unmatched A-vectors have no bucket-mates — at mining
+    * scale that's what the multiprobe variant is for). */
+  def marginMine(spark: SparkSession, dir: String, labelA: Int = 0,
+      labelB: Int = 1, k: Int = 4, minMargin: Double = 0.05,
+      numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = withBucket(spark, dir, numPlanes)
+    val a = bucketed.filter(col("label") === labelA)
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+    val b = bucketed.filter(col("label") === labelB)
+      .select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+    val cand = a.join(b, Seq("bucket"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("emb_a", "emb_b") /
+          (sqrt(dot("emb_a", "emb_a")) * sqrt(dot("emb_b", "emb_b"))), 4)
+          .as("cos"))
+    val wf = Window.partitionBy("vec_a")
+      .orderBy(col("cos").desc, col("vec_b").asc)
+    val wb = Window.partitionBy("vec_b")
+      .orderBy(col("cos").desc, col("vec_a").asc)
+    val ranked = cand
+      .withColumn("rank_f", row_number().over(wf))
+      .withColumn("rank_b", row_number().over(wb))
+    val ka = ranked.filter(col("rank_f") <= k)
+      .groupBy("vec_a").agg(avg("cos").as("avgk_a"))
+    val kb = ranked.filter(col("rank_b") <= k)
+      .groupBy("vec_b").agg(avg("cos").as("avgk_b"))
+    ranked.filter(col("rank_f") === 1)
+      .join(ka, Seq("vec_a")).join(kb, Seq("vec_b"))
+      .withColumn("margin",
+        col("cos") - (col("avgk_a") + col("avgk_b")) / 2.0)
+      .select(col("vec_a"), col("vec_b"), col("cos").as("cosine"),
+        round(col("margin"), 4).as("margin"),
+        (col("margin") >= minMargin).as("accepted"))
+  }
 }

@@ -797,4 +797,89 @@ object TextOps {
         coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
         col("avg_logprob"))
   }
+
+  /** Per-document n-gram novelty — what fraction of a document's distinct
+    * word n-grams appears NOWHERE else in the corpus (document frequency
+    * exactly 1)? High-novelty docs carry content the model sees only
+    * once; low-novelty docs are recombinations of corpus-common phrasing.
+    * The per-source rollup of this score is the standard "how much does
+    * each source actually add" curation signal.
+    *
+    * Scale shape: distinct-within-doc is a NARROW `array_distinct` (no
+    * shuffle — dedup happens before the explode multiplies rows), then
+    * exactly two keyed shuffles, both partial-agg combined: df per gram,
+    * novelty per doc. Gram df is never joined back to full text — only
+    * (doc_id, gram-hash-sized) rows move. Docs with fewer than `n` words
+    * have no n-grams and report novelty NULL (kept, not dropped — a
+    * curation scan must not silently lose short docs). */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), w.as("w")).filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
+          concat_ws(" ", slice(col("w"), i, lit(n)))))).as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
+    docs(spark, dir).select("doc_id", "lang", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        col("novelty"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the mixture-design view of "which sources say the
+    * same things": JS(p‖q) in nats, 0 = identical phrasing mix,
+    * ln 2 ≈ 0.693 = disjoint. Distributions are add-λ smoothed over the
+    * SAME global top-V vocabulary so every source has full support and
+    * the divergence is finite and symmetric by construction.
+    *
+    * Scale shape: ONE corpus-scale shuffle (word counts per
+    * (source, word), partial-agg combined). Everything after operates on
+    * mixture-sized frames: the top-V vocab (V rows, broadcast), the
+    * densified source×vocab grid (|sources|·V rows — at 100 TB still
+    * thousands, never corpus-scale), and the pair join keyed on word
+    * within that grid. The quadratic-in-sources pair expansion happens
+    * on the grid, NOT on the corpus. */
+  def sourceDivergence(spark: SparkSession, dir: String,
+      topV: Int = 200, lambda: Double = 0.5): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("source"),
+        explode(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    val vocab = counts.groupBy("word").agg(sum("n").as("tot"))
+      .orderBy(col("tot").desc, col("word").asc).limit(topV)
+      .select("word")
+    val sources = counts.select("source").distinct()
+    // densify: every (source, vocab word) cell, zero-filled then smoothed
+    val grid = sources.crossJoin(broadcast(vocab))
+      .join(counts, Seq("source", "word"), "left")
+      .select(col("source"), col("word"),
+        (coalesce(col("n"), lit(0L)).cast("double") + lit(lambda)).as("c"))
+    val probs = grid
+      .withColumn("p", col("c") /
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source")))
+      .select("source", "word", "p")
+    val a = probs.select(col("source").as("source_a"), col("word"),
+      col("p").as("pa"))
+    val b = probs.select(col("source").as("source_b"), col("word"),
+      col("p").as("pb"))
+    a.join(b, Seq("word")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (col("pa") * log(col("pa") * 2.0 / (col("pa") + col("pb"))) +
+          col("pb") * log(col("pb") * 2.0 / (col("pa") + col("pb"))))
+          .as("term"))
+      .groupBy("source_a", "source_b")
+      .agg(round(sum(col("term")) / 2.0, 6).as("js_divergence"))
+  }
 }

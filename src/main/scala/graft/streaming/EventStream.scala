@@ -225,4 +225,81 @@ object EventStream {
         idempotentBatchSink(outDir)(df, id); ()
       }
       .start()
+
+  /** Per-window distribution-drift monitor (batch form): KL divergence of
+    * each tumbling window's event-type mix against the corpus-global mix,
+    * add-λ smoothed over the global type support so every term is finite.
+    * The ingest-monitoring primitive of a data pipeline — a drifted
+    * window means the upstream mix changed (a source went down, a crawler
+    * loop, a bot burst) and downstream mixture weights are stale.
+    *
+    * Scale shape: ONE corpus-scale keyed agg on (window, type), partial-
+    * agg combined; the global histogram and totals are type-cardinality
+    * aggregates, broadcast back; the densified window×type grid and the
+    * KL reduction are mixture-sized (windows × |types|), never
+    * event-scale. */
+  def typeDriftBatch(events: DataFrame, windowLength: String = "1 hour",
+      lambda: Double = 0.5, threshold: Double = 0.2): DataFrame = {
+    val g = events.groupBy("event_type").agg(count(lit(1)).as("n_g"))
+    val tot = g.agg(sum("n_g").cast("double").as("n"),
+      count(lit(1)).cast("double").as("t"))
+    val w = events
+      .groupBy(window(col("ts"), windowLength).getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_w"))
+    val wins = w.groupBy("ws").agg(sum("n_w").cast("double").as("n_tot"))
+    wins.crossJoin(broadcast(g))
+      .join(w, Seq("ws", "event_type"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("ws"), col("n_tot"),
+        ((coalesce(col("n_w"), lit(0L)).cast("double") + lambda) /
+          (col("n_tot") + lit(lambda) * col("t"))).as("pw"),
+        ((col("n_g").cast("double") + lambda) /
+          (col("n") + lit(lambda) * col("t"))).as("pg"))
+      .groupBy("ws", "n_tot")
+      .agg(sum(col("pw") * log(col("pw") / col("pg"))).as("kl"))
+      .select(
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_tot").cast("long").as("n_events"),
+        round(col("kl"), 6).as("kl"),
+        (col("kl") > threshold).as("drifted"))
+  }
+
+  /** Streaming form of [[typeDriftBatch]] against a FIXED reference
+    * histogram (the production semantics: drift is measured against the
+    * distribution the mixture weights were planned on, not against the
+    * drifting stream itself). The reference's type set is pinned at query
+    * start, so the whole drift arithmetic folds into ONE watermarked
+    * windowed aggregation — per-type conditional counts as columns, KL as
+    * a closed-form projection — valid in append mode with state bounded
+    * by the watermark. Equivalence with the batch twin (when the
+    * reference IS the batch global histogram) is spec-pinned. */
+  def typeDriftStream(events: DataFrame, reference: Map[String, Long],
+      windowLength: String = "1 hour", watermark: String = "2 hours",
+      lambda: Double = 0.5, threshold: Double = 0.2): DataFrame = {
+    val types = reference.keys.toSeq.sorted
+    val t = types.size.toDouble
+    val n = reference.values.sum.toDouble
+    val counts = types.zipWithIndex.map { case (ty, i) =>
+      sum(when(col("event_type") === ty, 1L).otherwise(0L)).as(s"c_$i")
+    }
+    val nTot = types.indices.map(i => col(s"c_$i")).reduce(_ + _)
+      .cast("double")
+    val kl = types.zipWithIndex.map { case (ty, i) =>
+      val pw = (col(s"c_$i").cast("double") + lambda) /
+        (col("n_tot") + lambda * t)
+      val pg = (reference(ty).toDouble + lambda) / (n + lambda * t)
+      pw * log(pw / lit(pg))
+    }.reduce(_ + _)
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).getField("start").as("ws"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n_tot", nTot)
+      .withColumn("kl_raw", kl)
+      .select(
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_tot").cast("long").as("n_events"),
+        round(col("kl_raw"), 6).as("kl"),
+        (col("kl_raw") > threshold).as("drifted"))
+  }
 }

@@ -303,4 +303,104 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.exists(_._4), "some outliers must exist at lo=0.05")
   }
+
+  private def embMatrix(): Map[Long, Array[Double]] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("dimStats: 64 dims, population std, values match a manual pass") {
+    val emb = embMatrix()
+    val rows = Similarity.dimStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows.size === 64 && rows.keySet === (0L until 64L).toSet)
+    val d0 = emb.values.map(_(0)).toArray
+    val m = d0.sum / d0.length
+    val s = math.sqrt(d0.map(x => (x - m) * (x - m)).sum / d0.length)
+    assert(math.abs(rows(0L)._1 - m) < 1e-5, "dim-0 mean")
+    assert(math.abs(rows(0L)._2 - s) < 1e-5, "dim-0 population std")
+    rows.values.foreach { case (_, std) => assert(std > 0.0, "no dead dims") }
+  }
+
+  test("standardizeEmbeddings: z-norms match a manual z-score pass and " +
+      "concentrate near sqrt(dim); no corpus shuffle in the plan") {
+    val emb = embMatrix()
+    val n = emb.size
+    val dims = 0 until 64
+    val means = dims.map(d => emb.values.map(_(d)).sum / n).toArray
+    val stds = dims.map { d =>
+      val m = means(d)
+      math.sqrt(emb.values.map(x => (x(d) - m) * (x(d) - m)).sum / n)
+    }.toArray
+    val df = Similarity.standardizeEmbeddings(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length === n)
+    rows.take(20).foreach { case (id, zn, zmin, zmax) =>
+      val z = dims.map(d => (emb(id)(d) - means(d)) / stds(d))
+      assert(math.abs(zn - math.sqrt(z.map(v => v * v).sum)) < 2e-4,
+        s"z_norm vec $id")
+      assert(math.abs(zmin - z.min) < 2e-4 && math.abs(zmax - z.max) < 2e-4,
+        s"extremes vec $id")
+    }
+    val meanZn = rows.map(_._2).sum / n
+    assert(meanZn > 7.0 && meanZn < 9.0,
+      s"z-norms should concentrate near sqrt(64)=8, got $meanZn")
+    // the standardization itself must be a narrow map over the scan —
+    // the only exchanges belong to the 64-row stats aggregate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "stats must broadcast, never shuffle the corpus side")
+  }
+
+  test("marginMine: forward top-1 within shared buckets, margin " +
+      "normalizes by both neighborhoods, accept flag consistent") {
+    val rows = Similarity.marginMine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty, "some label-0 vecs must share buckets with label-1")
+    assert(rows.map(_._1).distinct.length === rows.length,
+      "exactly one forward-top-1 row per mined A-vector")
+    rows.foreach { case (a, b, cos, margin, acc) =>
+      assert(cos >= -1.0001 && cos <= 1.0001, s"cos($a,$b)")
+      if (math.abs(margin - 0.05) > 1e-3)
+        assert(acc === (margin >= 0.05), s"accept flag ($a,$b)")
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "threshold must split the mined pairs to be a meaningful test")
+    // cross-check top-1 choice AND margins against a manual pass over
+    // the same bucketed candidate stream
+    val bucketed = Similarity.withBucket(spark, sfDir, 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2), r.getLong(3)))
+    def cos4(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (u, v) => u * v }.sum
+      val r = d / (math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(y.map(v => v * v).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = bucketed.groupBy(_._4)
+    val aSide = bucketed.filter(_._3 == 0)
+    val cand = aSide.flatMap { case (a, va, _, bk) =>
+      byBucket(bk).filter(_._3 == 1)
+        .map { case (b, vb, _, _) => (a, b, cos4(va, vb)) }
+    }
+    val fwd = cand.groupBy(_._1).map { case (a, cs) =>
+      a -> cs.sortBy { case (_, b, c) => (-c, b) } }
+    val avgkA = fwd.map { case (a, cs) =>
+      a -> cs.take(4).map(_._3).sum / math.min(4, cs.length) }
+    val avgkB = cand.groupBy(_._2).map { case (b, cs) =>
+      b -> cs.sortBy { case (aa, _, c) => (-c, aa) }
+        .take(4).map(_._3).sum / math.min(4, cs.length) }
+    val expect = fwd.map { case (a, cs) =>
+      val (_, b, c) = cs.head
+      a -> (b, c - (avgkA(a) + avgkB(b)) / 2.0)
+    }
+    val got = rows.map(r => r._1 -> (r._2, r._4)).toMap
+    assert(got.keySet === expect.keySet, "mined A-vector set")
+    expect.foreach { case (a, (b, m)) =>
+      assert(got(a)._1 === b, s"forward top-1 for $a")
+      assert(math.abs(got(a)._2 - m) < 2e-4, s"margin for $a")
+    }
+  }
 }

@@ -476,4 +476,52 @@ class TextOpsSpec extends SparkSpec {
     assert(got(10L).getDouble(3) === r4((math.log(3.0 / 3) +
       math.log(0.4 * 1 / 12) + math.log(0.4 * 4 / 12)) / 3))
   }
+
+  test("ngramNovelty: within-doc distinct grams, corpus df=1 share, " +
+      "short docs report null") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq(
+      (1L, "a b c d"),     // grams: "a b c" (df 2), "b c d" (df 1)
+      (2L, "a b c x y"),   // grams: "a b c", "b c x", "c x y"
+      (3L, "z z"),         // < 3 words: no grams, null novelty
+      (4L, "a b a b a b")  // repeated grams collapse: {"a b a","b a b"}
+    ).map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.ngramNovelty(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(3) === 2L && got(1L).getLong(4) === 1L)
+    assert(got(1L).getDouble(5) === 0.5)
+    assert(got(2L).getLong(3) === 3L && got(2L).getLong(4) === 2L)
+    assert(got(2L).getDouble(5) === 0.6667)
+    assert(got(3L).getLong(3) === 0L && got(3L).isNullAt(5),
+      "short doc kept with null novelty")
+    // doc 4's duplicated trigrams count ONCE within the doc, and since no
+    // other doc has them their df is 1 → fully novel
+    assert(got(4L).getLong(3) === 2L && got(4L).getDouble(5) === 1.0)
+  }
+
+  test("sourceDivergence: identical sources at 0, disjoint sources " +
+      "higher, all pairs finite within [0, ln 2]") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("jsdiv").toString
+    Seq(
+      (1L, "cat dog cat bird", "s1"), (2L, "dog bird", "s1"),
+      (3L, "cat dog cat bird", "s2"), (4L, "dog bird", "s2"),
+      (5L, "quark gluon lepton quark", "s3"), (6L, "gluon boson", "s3")
+    ).map { case (id, t, src) => (id, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.sourceDivergence(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 3, "3 unordered source pairs")
+    assert(got(("s1", "s2")) === 0.0, "identical word mixes diverge by 0")
+    assert(got(("s1", "s3")) > got(("s1", "s2")),
+      "disjoint vocabulary must diverge more than identical")
+    got.foreach { case (pair, js) =>
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"$pair JS=$js outside [0, ln 2]")
+    }
+  }
 }

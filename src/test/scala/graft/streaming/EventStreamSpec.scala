@@ -251,4 +251,44 @@ class EventStreamSpec extends SparkSpec {
         .count(_.getName.startsWith("batch=")) >= 1)
     } finally q.stop()
   }
+
+  test("type drift: streaming form against the batch-global reference " +
+      "equals the batch twin; drifted windows flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // window 10:00: balanced 4+4 mix (KL≈0.050 vs the pooled global);
+    // window 11:00: all-click burst (KL≈0.163) — 0.1 splits them
+    val evs = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0),
+      Event(3, ts(2), 2, "view", 1.0), Event(4, ts(3), 2, "click", 1.0),
+      Event(5, ts(4), 1, "click", 1.0), Event(6, ts(5), 1, "view", 1.0),
+      Event(7, ts(6), 2, "view", 1.0), Event(8, ts(7), 2, "click", 1.0),
+      Event(9, Timestamp.valueOf("2024-01-01 11:01:00"), 3, "click", 1.0),
+      Event(10, Timestamp.valueOf("2024-01-01 11:02:00"), 3, "click", 1.0),
+      Event(11, Timestamp.valueOf("2024-01-01 11:03:00"), 3, "click", 1.0),
+      Event(12, Timestamp.valueOf("2024-01-01 11:04:00"), 3, "click", 1.0))
+    val batchDf = evs.toDF()
+    val batch = typeDriftBatch(batchDf, threshold = 0.1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(batch.length === 2)
+    assert(!batch(0)._4 && batch(1)._4,
+      "balanced window under threshold, burst window over it")
+    // streaming: reference = the batch events' global histogram
+    val ref = evs.groupBy(_.event_type).map { case (k, v) =>
+      k -> v.size.toLong }
+    val input = MemoryStream[Event]
+    val query = typeDriftStream(input.toDF(), ref, threshold = 0.1)
+      .writeStream.format("memory").queryName("type_drift")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("type_drift").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq,
+        "fixed-reference streaming drift must equal the batch twin")
+    } finally query.stop()
+  }
 }
