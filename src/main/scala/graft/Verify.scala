@@ -12,6 +12,11 @@ object Verify {
     // optional focus filter for local diagnosis (same contract as Bench):
     // SPARK_GRAFT_ONLY=q_a,q_b; absent → dump everything (driver path)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A throwing query must leave an explicit record, not silently drop
+    // out of the correctness file (round-6 lesson: 3 analysis-time
+    // failures were invisible in CORRECTNESS because only emitted dirs
+    // get diffed). Collect failures and dump them as errors.json.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -19,6 +24,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +42,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // one row per failed query — truncated messages, first line only
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.linesIterator.next().take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -190,16 +190,25 @@ object Relational {
         .otherwise(col("c_mktsegment")).as("segment_ar"),
       when(col("c_acctbal") < 0, lit("مدين")).otherwise(lit("دائن")).as("balance_ar"))
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
-    * nanos-since-epoch LongType (spark.sql.legacy.parquet.nanosAsLong=true,
-    * set in Verify/Bench sessions). Normalize to a proper timestamp here so
-    * queries are agnostic to the session's representation. */
+  /** The events table's `ts` column has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (read as epoch-nanos LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true), plain TIMESTAMP_NTZ
+    * (timestamp[us] with no timezone — the current generator's output,
+    * and what any real lakehouse parquet commonly carries), or a
+    * session-zoned TIMESTAMP. Normalize every representation to
+    * TimestampType here, once, so downstream operators (`unix_micros`
+    * gap arithmetic, watermarks, window()) are agnostic to the file's
+    * physical encoding. Sessions run with spark.sql.session.timeZone=UTC,
+    * so the NTZ→timestamp cast reinterprets the naive wall-clock as UTC —
+    * byte-identical to DuckDB's naive reading of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer DIV: double division would lose precision on epoch-nanos
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

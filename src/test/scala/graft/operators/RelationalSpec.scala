@@ -69,6 +69,41 @@ class RelationalSpec extends SparkSpec {
     assert(days.forall(_.startsWith("2024-01")))
   }
 
+  test("events NTZ timestamp + props schema normalizes (testdata drift guard)") {
+    // The driver's events.parquet has drifted across generations (nanos →
+    // TIMESTAMP_NTZ + props). Pin the CURRENT shape so the suite — not the
+    // driver — catches the next drift: a file with a TIMESTAMP_NTZ ts and a
+    // props column must normalize to TimestampType with UTC wall-clock
+    // semantics, and gap arithmetic (unix_micros) must analyze.
+    val tmp = java.nio.file.Files.createTempDirectory("ntz_events").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP_NTZ'2024-01-01 12:00:00', 10L, 'click', 1.5D, '{"k": 3}'),
+        |  (2L, TIMESTAMP_NTZ'2024-01-01 12:00:30', 10L, 'error', 2.5D, '{"k": 7}')
+        |  AS t(event_id, ts, user_id, event_type, value, props)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // written file must round-trip as NTZ (the drifted physical encoding)
+    val raw = spark.read.parquet(s"$tmp/events.parquet")
+    assert(raw.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val df = Relational.events(spark, tmp)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.columns.contains("props"))
+    // UTC session zone: naive wall-clock reinterpreted as UTC, exactly as
+    // DuckDB reads the same file — epoch check pins the zone handling
+    val us = df.orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(us(0) === 1704110400000000L) // 2024-01-01T12:00:00Z
+    assert(us(1) - us(0) === 30000000L) // 30 s gap, µs-exact
+    // the downstream consumers that broke on NTZ must analyze + run
+    // 30 s apart < default 30 min gap → ONE session spanning both events
+    assert(graft.streaming.EventStream.sessionizeBatch(df).count() === 1)
+    assert(graft.streaming.EventStream.attributionJoin(
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "error")).columns.contains("gap_us"))
+  }
+
   test("funnel: stages monotone non-increasing, strict-after semantics") {
     val rows = Relational.funnel(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
