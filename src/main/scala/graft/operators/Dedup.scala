@@ -53,6 +53,12 @@ object Dedup {
     * one pass over the signatures instead of three. */
   private val pruneMetricSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Fresh observation name for a bucket-prune metric — shared with the
+    * embedding-LSH caps in [[Similarity]] so ONE listener surfaces every
+    * cap's pruning, text and embedding alike. */
+  private[operators] def pruneMetricName(): String =
+    s"graft_bucket_prune_${pruneMetricSeq.incrementAndGet()}"
+
   /** Last prune counts per observation name — (pruned_buckets,
     * pruned_docs), updated asynchronously by the per-session listener
     * [[ensurePruneListener]] installs. Test hook + ops surface. Bounded
@@ -82,7 +88,7 @@ object Dedup {
     * `graft_bucket_prune_*` observation shows the `maxBucket` cap
     * actually dropped buckets, WARN with the counts — production runs
     * see the recall trade without running a second audit query. */
-  private def ensurePruneListener(spark: SparkSession): Unit =
+  private[operators] def ensurePruneListener(spark: SparkSession): Unit =
     if (pruneListenerInstalled.add(spark)) {
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
@@ -123,7 +129,7 @@ object Dedup {
         // within one query (e.g. clean-corpus composes several dedups).
         // Kill switch: spark.graft.dedup.pruneMetrics=false.
         ensurePruneListener(bandKeys.sparkSession)
-        val name = s"graft_bucket_prune_${pruneMetricSeq.incrementAndGet()}"
+        val name = pruneMetricName()
         val over = size(col("ids")) > maxBucket
         sized.observe(name,
             coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L))

@@ -111,6 +111,57 @@ object Similarity {
     embeddings(spark, dir).withColumn("bucket",
       graft.functions.HyperplaneBucketExpression.native(col("embedding"), numPlanes))
 
+  /** Bucket-size cap for the embedding-LSH SELF-joins — the same
+    * boundedness contract as [[Dedup.bucketPairs]]'s `maxBucket`: one
+    * pathologically dense bucket (near-constant embeddings, a collapsed
+    * encoder batch, an adversarial shard) would otherwise make the
+    * bucket equi-join O(H²) inside a single task at 100× scale.
+    * Buckets holding more than `maxBucket` vectors are dropped from the
+    * candidate stream BEFORE the join; the prune is surfaced inline via
+    * the shared `graft_bucket_prune_*` observation + WARN listener
+    * ([[Dedup.ensurePruneListener]]) and auditable after the fact with
+    * [[embedHotBuckets]]. `maxBucket <= 0` disables the cap (and the
+    * bound).
+    *
+    * Plan shape: the size table is one partial-agg shuffle over the
+    * narrow bucket column (≤ 2^numPlanes rows — tiny by construction),
+    * broadcast back as a semi-join filter; embeddings never re-shuffle
+    * for the cap. Scale `numPlanes` with the corpus so the EXPECTED
+    * bucket stays well under the cap: target N/2^numPlanes ≈ 100–500
+    * (e.g. 20 planes for 10⁹ vectors); the cap is the guard for the
+    * skewed tail, not the sizing mechanism. */
+  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bucketed
+    else {
+      val spark = bucketed.sparkSession
+      val sizes = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("bucket_n"))
+      val metricsOn = spark.conf
+        .get("spark.graft.dedup.pruneMetrics", "true").toBoolean
+      val over = col("bucket_n") > maxBucket
+      val keep =
+        if (metricsOn) {
+          Dedup.ensurePruneListener(spark)
+          sizes.observe(Dedup.pruneMetricName(),
+              coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L))
+                .as("pruned_buckets"),
+              coalesce(sum(when(over, col("bucket_n")).otherwise(0L)),
+                lit(0L)).as("pruned_docs"))
+            .filter(col("bucket_n") <= maxBucket)
+        } else sizes.filter(col("bucket_n") <= maxBucket)
+      bucketed.join(broadcast(keep.select("bucket")), Seq("bucket"))
+    }
+
+  /** Audit of what an embedding-LSH `maxBucket` cap drops: the buckets
+    * (with sizes) holding more than `maxBucket` vectors — the embedding
+    * twin of [[Dedup.minHashHotBuckets]]. Empty when nothing would be
+    * pruned. */
+  def embedHotBuckets(spark: SparkSession, dir: String,
+      numPlanes: Int = 8, maxBucket: Int = 1000): DataFrame =
+    withBucket(spark, dir, numPlanes)
+      .groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** ANN top-k via LSH buckets with 1-bit multiprobe: search the query's
     * bucket plus all buckets at Hamming distance 1 (numPlanes+1 probes),
     * brute-force only within those candidates. */
@@ -172,9 +223,9 @@ object Similarity {
     * single shuffle on vec_a. At 100 TB this is the standard
     * dedup-graph/retrieval-index build shape — never an all-pairs product. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
-      numPlanes: Int = 8): DataFrame = {
+      numPlanes: Int = 8, maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = withBucket(spark, dir, numPlanes)
+    val bucketed = capBuckets(withBucket(spark, dir, numPlanes), maxBucket)
     val l = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -219,8 +270,8 @@ object Similarity {
     * bucket) + cosine threshold — the embedding analogue of MinHash dedup.
     * Never all-pairs: the join key is the bucket id. */
   def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.95,
-      numPlanes: Int = 8): DataFrame = {
-    val bucketed = withBucket(spark, dir, numPlanes)
+      numPlanes: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val bucketed = capBuckets(withBucket(spark, dir, numPlanes), maxBucket)
     val l = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -483,9 +534,9 @@ object Similarity {
     * scale that's what the multiprobe variant is for). */
   def marginMine(spark: SparkSession, dir: String, labelA: Int = 0,
       labelB: Int = 1, k: Int = 4, minMargin: Double = 0.05,
-      numPlanes: Int = 8): DataFrame = {
+      numPlanes: Int = 8, maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = withBucket(spark, dir, numPlanes)
+    val bucketed = capBuckets(withBucket(spark, dir, numPlanes), maxBucket)
     val a = bucketed.filter(col("label") === labelA)
       .select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))

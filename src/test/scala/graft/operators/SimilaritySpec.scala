@@ -151,6 +151,60 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embedding LSH cap: a planted dense bucket is pruned, audited, " +
+      "and bounds the candidate count") {
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(64)(j =>
+        splitmix(seed * 64 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // dense bucket: 50 IDENTICAL vectors (one collapsed encoder batch);
+    // healthy corner: 2 identical vectors of an unrelated direction
+    val dense = unit(7L)
+    val small = unit(99L)
+    val rows = (1L to 50L).map(i => (i, dense, 0)) ++
+      Seq((100L, small, 1), (101L, small, 1))
+    val tmp = java.nio.file.Files.createTempDirectory("lshcap").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // uncapped: the dense bucket contributes 50·49/2 pairs
+    assert(Similarity.nearDupPairs(spark, tmp, minCosine = 0.99,
+      maxBucket = 0).count() === 50L * 49 / 2 + 1)
+    // capped: dense bucket pruned entirely, the healthy pair survives
+    val capped = Similarity.nearDupPairs(spark, tmp, minCosine = 0.99,
+      maxBucket = 10)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((100L, 101L)), pairs.mkString(","))
+    // the prune fired INLINE as an observation on the same query...
+    val metrics = capped.queryExecution.observedMetrics
+      .filter { case (k, _) => k.startsWith("graft_bucket_prune") }
+    assert(metrics.size === 1, s"got ${metrics.keys}")
+    assert(metrics.values.head.getAs[Long]("pruned_buckets") === 1L)
+    assert(metrics.values.head.getAs[Long]("pruned_docs") === 50L)
+    // ...reaches the shared async listener (the logged-warning path)...
+    val name = metrics.keys.head
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!Dedup.lastPrune.containsKey(name) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(Dedup.lastPrune.get(name) === ((1L, 50L)))
+    // ...and is auditable after the fact
+    val hot = Similarity.embedHotBuckets(spark, tmp, maxBucket = 10).collect()
+    assert(hot.length === 1 && hot(0).getLong(1) === 50L)
+    assert(Similarity.embedHotBuckets(spark, tmp, maxBucket = 100).count() === 0)
+    // knnJoin honors the same cap: no vector from the dense bucket remains
+    val knn = Similarity.knnJoin(spark, tmp, k = 3, maxBucket = 10)
+      .select("vec_a").distinct().collect().map(_.getLong(0)).toSet
+    assert(knn === Set(100L, 101L), s"got $knn")
+  }
+
   test("near-dup pairs are symmetric-deduped (a < b) and above threshold") {
     val pairs = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.2).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
