@@ -156,12 +156,25 @@ object TextOps {
     * Output: one row per learned merge (rank, left, right, pair_freq).
     * Correctness: deterministic on a fixed corpus — golden-VALUES oracle
     * (the loop is not expressible in SQL), spec-pinned semantics on a
-    * hand-computed fixture. */
+    * hand-computed fixture.
+    *
+    * `maxVocab` bounds the DRIVER-side dictionary: at web scale even the
+    * minFreq-pruned distinct-word table can exceed driver RAM, so only
+    * the top `maxVocab` words by (freq desc, word asc) are collected —
+    * a `TakeOrdered`, one bounded result regardless of corpus size. This
+    * is standard trainer practice (merges are driven by high-frequency
+    * words; the long tail contributes noise-level pair counts), and the
+    * (freq, word) total order keeps the truncation deterministic. The
+    * default sits far above any fixture dictionary, so results are
+    * unchanged until the bound actually binds. */
   def learnBpeMerges(spark: SparkSession, dir: String, numMerges: Int = 20,
-      minFreq: Long = 2L): DataFrame = {
+      minFreq: Long = 2L, maxVocab: Int = 1000000): DataFrame = {
+    require(maxVocab > 0, "maxVocab must be positive")
     val wordFreq: Array[(Array[String], Long)] =
       words(spark, dir).groupBy("word").agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= minFreq)
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(maxVocab)
         .collect()
         // '·' marks the word end so merges can't cross word boundaries
         .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "·",
@@ -239,9 +252,9 @@ object TextOps {
     * shuffle weighted by word frequency. Top-k ties break on the token
     * string, so the result is deterministic → golden-VALUES oracle. */
   def bpeTokenize(spark: SparkSession, dir: String, numMerges: Int = 20,
-      minFreq: Long = 2L, topK: Int = 20): DataFrame = {
+      minFreq: Long = 2L, topK: Int = 20, maxVocab: Int = 1000000): DataFrame = {
     val ranks: Map[(String, String), Int] =
-      learnBpeMerges(spark, dir, numMerges, minFreq).collect()
+      learnBpeMerges(spark, dir, numMerges, minFreq, maxVocab).collect()
         .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt)
         .toMap
     val bc = spark.sparkContext.broadcast(ranks)

@@ -277,6 +277,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(m => !m._2.endsWith("·")))
   }
 
+  test("bpe maxVocab cap: deterministic truncation by (freq desc, word)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpecap").toString
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).mkString(" ")
+    Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // maxVocab=2 keeps newest(6) + low(5), drops lower(2). Pair counts
+    // over the truncated dict peak in a six-way tie at 6 (all newest
+    // pairs) — lexicographic (left, right) tie-break walks:
+    //   merge 0: (e,s)  merge 1: (e,w)  merge 2: (es,t)
+    def run() = TextOps.learnBpeMerges(spark, tmp, numMerges = 3,
+        minFreq = 1L, maxVocab = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val got = run()
+    assert(got === Seq(
+      (0L, "e", "s", 6L),
+      (1L, "e", "w", 6L),
+      (2L, "es", "t", 6L)), got.toString)
+    assert(run() === got, "cap truncation must be deterministic")
+    // a cap above the dictionary is a no-op: identical to uncapped golden
+    val wide = TextOps.learnBpeMerges(spark, tmp, numMerges = 3,
+        minFreq = 1L, maxVocab = 1000).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(wide === Seq((0L, "w", "e", 8L), (1L, "l", "o", 7L),
+      (2L, "e", "we", 6L)))
+  }
+
   test("applyBpe: greedy lowest-rank-first encoding on a known case") {
     // ranks: (l,o)=0 (lo,w)=1 (e,r)=2 — "lower" must merge rank order:
     // l o w e r · → lo w e r · → low e r · → low er ·
