@@ -74,6 +74,7 @@ object SparkEntry {
     "q_string_fns" -> (Relational.stringFns _),
     "q_datetime_agg" -> (Relational.datetimeAgg _),
     "q_json_extract" -> (Relational.jsonExtract _),
+    "q_event_props" -> (Relational.eventProps _),
     "q_funnel" -> (Relational.funnel _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_window_offsets" -> (Relational.windowOffsets _),
@@ -638,6 +639,18 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1"),
+    // typed props analytics over (event_type, day): both drifted event
+    // columns (NTZ ts, props JSON) through one aggregate
+    "q_event_props" ->
+      ("SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) " +
+        "AS sum_k, " +
+        "min(CAST(json_extract(props, '$.k') AS INT)) AS min_k, " +
+        "max(CAST(json_extract(props, '$.k') AS INT)) AS max_k, " +
+        "count(DISTINCT CAST(json_extract(props, '$.k') AS INT)) " +
+        "AS n_distinct_k " +
+        "FROM events GROUP BY 1, 2"),
     // sequential conversion funnel: min-after-previous-stage semantics
     "q_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events " +

@@ -473,6 +473,28 @@ object Relational {
     * narrow map fused into the scan, and the only shuffle is the
     * low-cardinality group-by on the extracted key. Sum is exact decimal
     * (see [[moneySum]]) so the result is engine-independent. */
+  /** First-class typed view of the events table's `props` JSON payload:
+    * per (event_type, day) statistics of the extracted `k` field — the
+    * "semi-structured column → typed analytics" operator every event
+    * lake needs. The parse is a codegen'd `from_json` fused into the
+    * scan (no UDF, no second pass); the aggregate is ONE partial-agg
+    * shuffle on a low-cardinality composite key, linear at 100 TB.
+    * Exercises BOTH drifted event columns at once: the normalized
+    * timestamp (day bucket) and the props payload (typed k). */
+  def eventProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(from_json(col("props"),

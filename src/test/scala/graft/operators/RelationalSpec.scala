@@ -104,6 +104,22 @@ class RelationalSpec extends SparkSpec {
       df.filter(col("event_type") === "error")).columns.contains("gap_us"))
   }
 
+  test("eventProps: typed props stats partition the events table") {
+    val total = Relational.events(spark, sfDir).count()
+    val rows = Relational.eventProps(spark, sfDir).collect()
+    // (event_type, day) groups partition the table exactly
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      assert(r.getInt(4) <= r.getInt(5), "min_k <= max_k")
+      assert(r.getLong(6) >= 1L, "every group has >= 1 distinct k")
+      assert(r.getString(1).matches("\\d{4}-\\d{2}-\\d{2}"))
+    }
+    // the parse stays codegen'd: no ScalaUDF, one agg exchange
+    val plan = Relational.eventProps(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(1500))
+  }
+
   test("funnel: stages monotone non-increasing, strict-after semantics") {
     val rows = Relational.funnel(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
