@@ -172,6 +172,51 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.filter(col("session_end") < col("session_start")).count() === 0)
   }
 
+  test("streaming sessionize ≡ batch sessionize on the real events table") {
+    // Closes the equivalence loop: sessionize-stream ≡ sessionize-batch
+    // (≡ the DuckDB oracle, which pins the batch twin as q_sessionize).
+    // Same fixture events both ways; a far-future sentinel from a dummy
+    // user advances the watermark so every real session times out and
+    // is emitted. Bounds compare at ms resolution — the streaming state
+    // keeps ms (getTime), the batch twin keeps the file's µs.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val ev = graft.operators.Relational.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evRows = ev.as[Event].collect()
+    val batch = sessionizeBatch(ev).collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3).toInt, r.getDouble(4))).toSet
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("real_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evRows.toSeq)
+      query.processAllAvailable()
+      val flushTs = new java.sql.Timestamp(
+        evRows.map(_.ts.getTime).max + 6L * 3600 * 1000)
+      input.addData(Event(-1L, flushTs, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("real_sessions")
+        .filter(col("user_id") >= 0).collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getInt(3), r.getDouble(4))).toSet
+      assert(streamed.size === batch.size,
+        s"stream ${streamed.size} vs batch ${batch.size} sessions")
+      // exact on (user, start_ms, end_ms, n); value sums to fp tolerance
+      // (stream accumulates doubles in ts order, batch sums decimals)
+      val bKeys = batch.map(t => (t._1, t._2, t._3, t._4))
+      val sKeys = streamed.map(t => (t._1, t._2, t._3, t._4))
+      assert(sKeys === bKeys)
+      val bVal = batch.toSeq.sortBy(t => (t._1, t._2)).map(_._5)
+      val sVal = streamed.toSeq.sortBy(t => (t._1, t._2)).map(_._5)
+      bVal.zip(sVal).foreach { case (b, v) =>
+        assert(math.abs(b - v) < 1e-6, s"total_value $b vs $v") }
+    } finally query.stop()
+  }
+
   test("stream-stream attribution join over two memory streams") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
