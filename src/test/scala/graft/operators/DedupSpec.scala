@@ -193,6 +193,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simHashHotBuckets(spark, tmp, maxBucket = 16).count() === 4)
   }
 
+  test("prune-metric registry is bounded: oldest observations evicted " +
+      "past 256 entries (long-lived driver guard)") {
+    (1 to 300).foreach(i =>
+      Dedup.lastPrune.put(s"graft_bucket_prune_synthetic_$i", (1L, 1L)))
+    assert(Dedup.lastPrune.size() <= 256)
+    // insertion-order LRU: the newest survives, the first synthetics
+    // (44+ evictions even from an empty registry) are gone
+    assert(Dedup.lastPrune.containsKey("graft_bucket_prune_synthetic_300"))
+    assert(!Dedup.lastPrune.containsKey("graft_bucket_prune_synthetic_1"))
+    (1 to 300).foreach(i =>
+      Dedup.lastPrune.remove(s"graft_bucket_prune_synthetic_$i"))
+  }
+
   test("charShingleArray: 5-grams, short-text collapse, jaccard semantics") {
     import spark.implicits._
     val df = Seq(("abcdefg", "abcdefg", "xyz", "abcdefgh"))

@@ -200,6 +200,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getDouble(3) === expectRms)
   }
 
+  test("image near-dup rejects maxHamming > 3 (pigeonhole bound)") {
+    // 4 bands of 16 bits guarantee a shared band only for <= 3 flipped
+    // bits; a silent recall degradation at 4+ must be a loud error
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(spark, sfDir, maxHamming = 4)
+    }
+    assert(e1.getMessage.contains("pigeonhole"))
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.streamImageNearDup(
+        spark.read.parquet(s"$sfDir/documents.parquet"), spark, sfDir,
+        maxHamming = 4)
+    }
+    assert(e2.getMessage.contains("pigeonhole"))
+  }
+
   test("image near-dup: planted identical pairs surface at hamming 0; " +
       "candidates come from a banded equi-join, not a cartesian product") {
     val pairs = Multimodal.imageNearDupPairs(spark, sfDir, maxHamming = 2)
