@@ -280,6 +280,12 @@ object SparkEntry {
     "q_embed_standardize" -> (Similarity.standardizeEmbeddings _),
     // margin-criterion cross-label mining over the LSH candidate stream
     "q_margin_mine" -> ((s, d) => Similarity.marginMine(s, d)),
+    // dedup-graph QA: degree-oriented triangle counts and fixed-iteration
+    // PageRank over the undirected k-NN similarity graph
+    "q_graph_triangles" -> ((s, d) =>
+      graft.operators.GraphOps.knnTriangles(s, d)),
+    "q_graph_pagerank" -> ((s, d) =>
+      graft.operators.GraphOps.knnPageRank(s, d)),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)
@@ -343,6 +349,10 @@ object SparkEntry {
     // equivalent in EventStreamSpec)
     "q_type_drift" -> ((s, d) =>
       graft.streaming.EventStream.typeDriftBatch(Relational.events(s, d))),
+    // batch twin of the watermarked tumbling-window stats (exact distinct
+    // in place of the sketch; window arithmetic + sums oracle-pinned)
+    "q_windowed_stats" -> ((s, d) =>
+      graft.streaming.EventStream.windowedStatsBatch(Relational.events(s, d))),
     // streaming twin: gap-based sessionization (batch form; the streaming
     // form is pinned by EventStreamSpec against the same definition)
     "q_sessionize" -> ((s, d) =>
@@ -429,6 +439,51 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b))), 4)"
+
+  /** Undirected simple k-NN edge list as a DuckDB CTE chain (b → p →
+    * kk → e): the q_knn_join top-5 pairs re-derived (bit-identical
+    * hyperplane buckets), then least/greatest-normalized and dedup'd —
+    * the shared edge input of the graph-analytics oracles, mirroring
+    * `GraphOps.undirect(Similarity.knnJoin(...))`. */
+  private val knnEdgeCte: String =
+    "WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
+      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+      "FROM embeddings) t0), " +
+      "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
+      cosineSql("a.e", "c.e") + " AS cosine " +
+      "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id), " +
+      "kk AS (SELECT vec_a, vec_b FROM (SELECT vec_a, vec_b, " +
+      "row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, " +
+      "vec_b ASC) AS rank FROM p) t WHERE rank <= 5), " +
+      "e AS (SELECT DISTINCT least(vec_a, vec_b) AS src, " +
+      "greatest(vec_a, vec_b) AS dst FROM kk)"
+
+  /** Fixed-iteration PageRank oracle: the power method unrolled as
+    * `iters` chained CTEs (engine-safe — no aggregation inside a
+    * RECURSIVE term), twin of `GraphOps.pageRank` over the undirected
+    * k-NN edges. All constants route through CAST(... AS DOUBLE) so both
+    * engines run identical IEEE arithmetic; only the final rank rounds. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = knnEdgeCte +
+      ", de AS (SELECT src, dst FROM e " +
+      "UNION ALL SELECT dst AS src, src AS dst FROM e)" +
+      ", deg AS (SELECT src AS node, count(*) AS deg FROM de GROUP BY 1)" +
+      ", nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)" +
+      ", pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) " +
+      "AS pr FROM deg)"
+    val iterCtes = (1 to iters).map { i =>
+      s", pr$i AS (SELECT d.node, " +
+        "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) " +
+        "+ CAST(0.85 AS DOUBLE) * COALESCE(s.mass, CAST(0 AS DOUBLE)) AS pr " +
+        s"FROM deg d LEFT JOIN (SELECT de.dst AS node, " +
+        s"sum(p.pr / dg.deg) AS mass FROM pr${i - 1} p " +
+        "JOIN deg dg ON dg.node = p.node JOIN de ON de.src = p.node " +
+        "GROUP BY de.dst) s ON s.node = d.node)"
+    }.mkString
+    base + iterCtes +
+      s" SELECT d.node, d.deg, round(p.pr, 6) AS pr " +
+      s"FROM deg d JOIN pr$iters p ON p.node = d.node"
+  }
 
   /** Winnowing fingerprints as a DuckDB CTE (`fp`: doc_id, fp_hash), twin
     * of `TextOps.fingerprintSet` with k=8, window=4. The Karp-Rabin k-gram
@@ -1907,6 +1962,34 @@ object SparkEntry {
         "(SELECT vec_a, vec_b, cosine, CAST(row_number() OVER " +
         "(PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS INTEGER) " +
         "AS rank FROM p) t WHERE rank <= 5"),
+    // dedup-graph QA over the SAME re-derived k-NN graph, undirected:
+    // exact triangle closure (edges src<dst; triangle a<b<c counted once
+    // as (a,b)+(b,c)+(a,c)) and unrolled fixed-iteration PageRank
+    "q_graph_triangles" ->
+      (knnEdgeCte +
+        ", deg AS (SELECT node, count(*) AS deg FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t " +
+        "GROUP BY 1), " +
+        "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c " +
+        "FROM e e1 JOIN e e2 ON e2.src = e1.dst " +
+        "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+        "pn AS (SELECT node, count(*) AS n_tri FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) t GROUP BY 1) " +
+        "SELECT d.node, d.deg, CAST(COALESCE(pn.n_tri, 0) AS BIGINT) " +
+        "AS n_tri FROM deg d LEFT JOIN pn ON pn.node = d.node"),
+    "q_graph_pagerank" -> pageRankOracleSql(10),
+    // batch twin of the tumbling-window stream stats: epoch-aligned
+    // hour buckets (time_bucket == Spark's window()), decimal-exact sums
+    "q_windowed_stats" ->
+      ("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), " +
+        "'%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', " +
+        "'%Y-%m-%d %H:%M:%S') AS window_end, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1, 2, 3"),
     // embedding near-dup pairs: same bucket re-derivation, threshold filter
     "q_embed_neardup" ->
       ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-duplicate graph — the QA layer a dedup
+  * pipeline runs AFTER pair generation: triangle counts separate tight
+  * clique-like duplicate clusters (template farms, mirror sites) from
+  * incidental chains, and PageRank ranks the most "central" documents of
+  * a duplication neighborhood (the canonical-representative heuristic
+  * when min-id is too arbitrary). Both are classic iterative/keyed-join
+  * algorithms expressed as DataFrame ops — no GraphX, no RDDs, so AQE
+  * and whole-stage codegen apply throughout.
+  *
+  * Edge inputs come from the existing pair generators (knnJoin,
+  * nearDupPairs, minHashPairs, containmentPairs) — all LSH/band-bucketed,
+  * so the edge list is near-linear in corpus size, never all-pairs.
+  */
+object GraphOps {
+
+  /** Normalize any (a, b) pair frame to an undirected simple edge list:
+    * (src < dst), self-loops dropped, duplicates collapsed. One
+    * distinct shuffle, keyed on the pair. */
+  def undirect(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.select(least(col(a), col(b)).as("src"),
+        greatest(col(a), col(b)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Per-node triangle participation over an undirected simple edge list
+    * (`src < dst` — [[undirect]]'s output). Output: (node, deg, n_tri)
+    * for every node in the edge set, n_tri = 0 when the node closes no
+    * triangle.
+    *
+    * Scale shape — the degree-ordered orientation (Cohen 2009 /
+    * Suri-Vassilvitskii 2011): every edge is directed from its
+    * (deg, id)-smaller endpoint to the larger, which bounds out-degree
+    * by O(√m) on ANY graph, so the wedge join (the quadratic step) is
+    * Σ outdeg² ≤ O(m^1.5) instead of Σ deg² — the difference between a
+    * web-scale hub exploding one task and a bounded skew. Three keyed
+    * equi-joins total (orient ×2, wedge close ×1), all
+    * AQE-skew-handled; each triangle is found exactly once (its
+    * ≺-smallest vertex emits the wedge). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by the total order ≺ = (deg, id); keep each endpoint's key
+    // so the wedge can order its two spokes without re-joining degrees
+    val keyed = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("d_src")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("d_dst")), "dst")
+    val oriented = keyed.select(
+      when(struct(col("d_src"), col("src")) < struct(col("d_dst"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("v"),
+          struct(col("d_dst").as("kd"), col("dst").as("kid")).as("kv")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+          struct(col("d_src").as("kd"), col("src").as("kid")).as("kv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
+    // wedges at u: ordered out-neighbor pairs (v ≺ w); closing edge, if
+    // present, is stored oriented v → w by construction
+    val w1 = oriented.select(col("u"), col("v"), col("kv"))
+    val w2 = oriented.select(col("u"), col("v").as("w"), col("kv").as("kw"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("kv") < col("kw"))
+      .select(col("u"), col("v"), col("w"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    // each closed triangle counts for all three corners
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Fixed-iteration PageRank (power method, damping `d`) over an
+    * undirected simple edge list — each undirected edge contributes in
+    * both directions, so the transition matrix is the normalized
+    * adjacency. Every node in the edge set has degree ≥ 1, so there are
+    * no dangling nodes and the per-iteration mass is exactly
+    * (1−d) + d·Σpr. Output: (node, deg, pr) with pr rounded to
+    * `roundTo` decimals (fp-association-safe compare).
+    *
+    * Scale shape: the rank vector is (node, pr) — ONE row per node; an
+    * iteration is contribution = pr/deg shipped over the edge list (a
+    * keyed equi-join on src/dst) and a partial-agg sum on the receiving
+    * node: two shuffles per iteration, both on the node key, identical
+    * partitioning every round. `iters` is fixed (default 10), so the
+    * lineage is bounded and deterministic — no convergence test, no
+    * driver round-trips; for very long chains swap in the same
+    * localCheckpoint cadence as [[Dedup.connectedComponents]]. */
+  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
+      roundTo: Int = 6): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val spark = edges.sparkSession
+    // undirected → both directions once; deg = out-degree = degree
+    val directed = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    var pr = deg.select(col("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .join(deg, Seq("node"))
+        .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("in_mass"))
+      pr = deg.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / n) +
+            lit(d) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+    }
+    deg.join(pr, Seq("node"))
+      .select(col("node"), col("deg"), round(col("pr"), roundTo).as("pr"))
+  }
+
+  /** Demo entries over the k-NN similarity graph ([[Similarity.knnJoin]]
+    * undirected) — the duplication-neighborhood QA report. */
+  def knnTriangles(spark: SparkSession, dir: String, k: Int = 5,
+      numPlanes: Int = 8): DataFrame =
+    triangles(undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
+      "vec_a", "vec_b"))
+
+  def knnPageRank(spark: SparkSession, dir: String, k: Int = 5,
+      numPlanes: Int = 8, iters: Int = 10): DataFrame =
+    pageRank(undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
+      "vec_a", "vec_b"), iters)
+}

@@ -40,6 +40,26 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Batch twin of [[windowedStats]] — the oracle anchor for the tumbling
+    * window bucketing: same `window()` buckets and decimal-exact sums on
+    * the static events table, with EXACT `countDistinct` in place of the
+    * streaming `approx_count_distinct` (sketches aren't engine-comparable;
+    * the bucket arithmetic and sums are what the twin pins). Window
+    * bounds are formatted so the output is timezone-representation-
+    * independent. One partial-agg shuffle on (window, event_type);
+    * `window()` is a codegen'd projection, not a blowup. */
+  def windowedStatsBatch(events: DataFrame,
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct("user_id").as("n_users"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+
   /** Stream-stream interval join (click→purchase attribution): each click
     * joined to the same user's purchases landing within `[click_ts,
     * click_ts + maxDelayMin]` — the canonical watermarked two-stream join.

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bow-tie: triangles {1,2,3} and {3,4,5} sharing node 3
+  private def bowtie =
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+
+  test("undirect: reverses, duplicates, and self-loops collapse") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (1L, 3L))
+      .toDF("a", "b")
+    val got = GraphOps.undirect(pairs, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("triangles: hand-computed bow-tie counts, zero for untriangled") {
+    val withTail = bowtie.union(Seq((5L, 6L)).toDF("src", "dst"))
+    val got = GraphOps.triangles(GraphOps.undirect(withTail, "src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // node -> (degree, triangle count); 3 closes both triangles
+    assert(got === Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 2L)),
+      4L -> ((2L, 1L)), 5L -> ((3L, 1L)), 6L -> ((1L, 0L))))
+  }
+
+  test("pageRank: mass conserved, hub ranks highest, deterministic") {
+    val edges = GraphOps.undirect(bowtie, "src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 10, roundTo = 9).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // no dangling nodes → total mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, got.toString)
+    assert(got.values.forall(_ > 0))
+    // the shared corner of the bow-tie dominates
+    assert(got(3L) === got.values.max)
+    // symmetric positions tie exactly (same neighborhoods)
+    assert(got(1L) === got(2L) && got(4L) === got(5L))
+    val again = GraphOps.pageRank(edges, iters = 10, roundTo = 9).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === got)
+  }
+
+  test("knn-graph entries: keyed joins only, never a cartesian product") {
+    val tri = GraphOps.knnTriangles(spark, sfDir)
+    val plan = tri.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    val rows = tri.collect()
+    assert(rows.nonEmpty)
+    // triangle participation can never exceed deg·(deg−1)/2 wedges
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2, r)
+    }
+    val pr = GraphOps.knnPageRank(spark, sfDir).collect()
+    assert(math.abs(pr.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+}

@@ -147,6 +147,18 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedStatsBatch: hour buckets partition the real events table") {
+    val ev = graft.operators.Relational.events(spark, sfDir)
+    val got = windowedStatsBatch(ev).collect()
+    assert(got.map(_.getLong(3)).sum === ev.count())
+    got.foreach { r =>
+      // window bounds are exactly one hour apart, aligned to :00:00
+      assert(r.getString(0).endsWith(":00:00") &&
+        r.getString(1).endsWith(":00:00"), r)
+      assert(r.getLong(5) <= r.getLong(3), "distinct users <= events")
+    }
+  }
+
   test("batch sessionization matches the same session definition") {
     import spark.implicits._
     val df = Seq(
