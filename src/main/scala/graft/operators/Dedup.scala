@@ -150,7 +150,7 @@ object Dedup {
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
 
   /** Exact dedup: group identical texts by md5, pick the min doc_id as the
     * canonical representative. One partial-agg shuffle on the hash. */

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Tables.embeddings(spark, dir)
 
   /** Train coarse centroids with Lloyd iterations on a bounded sample. */
   def trainCentroids(sample: Array[Array[Float]], nlist: Int,

@@ -29,7 +29,7 @@ object Multimodal {
     * synthesize it from `documents.text` (UTF-8 bytes) so the plumbing is
     * exercised end-to-end on real distributed data. */
   def assets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet").select(
+    Tables.documents(spark, dir).select(
       col("doc_id").as("asset_id"),
       // modality assignment is deterministic round-robin by id
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -163,7 +163,7 @@ object Multimodal {
     * executors (narrow map over the scan; nothing is collected). */
   def imageAssets(spark: SparkSession, dir: String): DataFrame = {
     val pngUdf = udf((id: Long) => renderPng(id))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id"), pngUdf(col("doc_id")).as("png"))
   }
 
@@ -323,7 +323,7 @@ object Multimodal {
         px.foreach(row => row.foreach(sum += _))
         (f, w, h, sum.toDouble / (w.toLong * h))
       })
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id"),
         explode(statsUdf(videoUdf(col("doc_id")))).as("fr"))
       .select(col("asset_id"),
@@ -384,7 +384,7 @@ object Multimodal {
     * map, same shape as [[imageAssets]]). */
   def audioAssets(spark: SparkSession, dir: String): DataFrame = {
     val wavUdf = udf((id: Long) => renderWav(id))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id"), wavUdf(col("doc_id")).as("wav"))
   }
 

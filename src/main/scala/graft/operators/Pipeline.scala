@@ -33,7 +33,7 @@ object Pipeline {
       salt: String = "graft-v1"): DataFrame = {
     val bucket = substring(
       md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 1)
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), bucket.as("bucket"),
         when(bucket.isin("0", "1"), "val")
           .when(bucket === "2", "test")
@@ -65,7 +65,7 @@ object Pipeline {
         .select(col("doc_id"), col("cluster_id"))
     val bucket = substring(
       md5(concat(col("cluster_id").cast("string"), lit(salt))), 1, 1)
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -104,7 +104,7 @@ object Pipeline {
       targetLang: String = "en"): DataFrame = {
     val B = 4096.0
     val w = filter(split(col("text"), "\\s+"), x => length(x) > 0)
-    val feats = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), w.as("ws"))
       .select(col("doc_id"), col("lang"),
         explode(concat(col("ws"),
@@ -132,7 +132,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_feats"),
         round(sum("llr"), 4).as("dsir_weight"),
         round(avg("llr"), 4).as("avg_llr"))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
@@ -159,7 +159,7 @@ object Pipeline {
   def tokenBudget(spark: SparkSession, dir: String,
       budget: Long = 110000L, alpha: Double = 0.5,
       maxEpochs: Double = 3.0): DataFrame = {
-    val per = spark.read.parquet(s"$dir/documents.parquet")
+    val per = Tables.documents(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(ceil(length(col("text")).cast("double") / lit(4.0))
@@ -214,7 +214,7 @@ object Pipeline {
       case (acc, (lang, r)) =>
         when(col("lang") === lang, lit(hexThreshold(r))).otherwise(acc)
     }
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .filter(cell < threshold)
   }
 
@@ -226,7 +226,7 @@ object Pipeline {
     * sketch in `graft.functions.KmvSketch` if sources are many and texts
     * long). */
   def sourceReport(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -249,7 +249,7 @@ object Pipeline {
       chunkChars: Int = 200, overlap: Int = 50): DataFrame = {
     require(overlap >= 0 && overlap < chunkChars, "0 <= overlap < chunkChars")
     val step = chunkChars - overlap
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1),
           greatest(length(col("text")) - overlap, lit(1)), lit(step)))
@@ -295,7 +295,7 @@ object Pipeline {
       md5(concat(col("doc_id").cast("string"), lit(salt))),
       1, shardHexDigits)
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), shard.as("shard"),
         tokens.as("n_tokens"))
       .withColumn("pack_id",
@@ -317,7 +317,7 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= cap)
@@ -346,7 +346,7 @@ object Pipeline {
     }
     val gate = substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 4)
     val copies = (base + when(gate < thr, 1).otherwise(0)).as("n_copies")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), copies)
       .select(col("doc_id"), col("source"),
         explode(when(col("n_copies") > 0,
@@ -389,7 +389,7 @@ object Pipeline {
     * `approxQuantileContract`'s tolerance pattern.) */
   def lengthTrim(spark: SparkSession, dir: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.documents(spark, dir)
     val bounds = d.agg(
       percentile(col("n_chars"), lit(lo)).as("p_lo"),
       percentile(col("n_chars"), lit(hi)).as("p_hi"))
@@ -410,7 +410,7 @@ object Pipeline {
     * no data-sized shuffle at 100 TB. */
   def lengthTrimByLang(spark: SparkSession, dir: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.documents(spark, dir)
     val bounds = d.groupBy("lang").agg(
       percentile(col("n_chars"), lit(lo)).as("p_lo"),
       percentile(col("n_chars"), lit(hi)).as("p_hi"))
@@ -442,7 +442,7 @@ object Pipeline {
     val nearDrops = pairs
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("_nd", lit(1))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), nWords.as("n_words"))
       .join(exactKept, Seq("doc_id"), "left")
       .join(nearDrops, Seq("doc_id"), "left")
@@ -513,7 +513,7 @@ object Pipeline {
     val u = hashUniform(col("doc_id"),
       2654435761L, 1013904223L, 1597334677L, 362437L)
     val key = log(u) / col("n_chars").cast("double")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         key.as("raw_key"))
       .orderBy(col("raw_key").desc, col("doc_id").asc)
@@ -544,7 +544,7 @@ object Pipeline {
     val h2 = (h1 % lit(M)) * lit(3266489917L) % lit(M) + lit(668265263L)
     val order = h2 % lit(M)
     val shard = (order % lit(nShards.toLong)).cast("int")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), shard.as("shard"),
         order.as("ord"))
       .withColumn("pos", row_number().over(

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Tables.embeddings(spark, dir)
 
   /** Session codebook registry: trained once per (dir, m, k,
     * trainSample), reused by every encode/search — the training sample

@@ -75,7 +75,7 @@ object QualityModel {
     weightCache.computeIfAbsent((dir, iters), { _ =>
       val fs = features
       val p = fs.length
-      val base = spark.read.parquet(s"$dir/documents.parquet")
+      val base = Tables.documents(spark, dir)
         .select(fs.zipWithIndex.map { case (f, j) => f.as(s"f$j") } :+
           label.as("y"): _*)
         .persist()
@@ -148,7 +148,7 @@ object QualityModel {
     val fs = features
     val z = fs.zip(w).map { case (f, wj) => f * lit(wj) }.reduce(_ + _)
     val score = lit(1.0) / (lit(1.0) + exp(-z))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), label.cast("long").as("teacher"),
         round(score, 4).as("score"),
         (score >= 0.5).cast("long").as("pred"))
@@ -161,7 +161,7 @@ object QualityModel {
     val z = fs.zip(w).map { case (f, wj) => f * lit(wj) }.reduce(_ + _)
     val p = lit(1.0) / (lit(1.0) + exp(-z))
     val y = label
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .agg(avg(-(y * log(greatest(p, lit(1e-12))) +
         (lit(1.0) - y) * log(greatest(lit(1.0) - p, lit(1e-12))))))
       .head().getDouble(0)

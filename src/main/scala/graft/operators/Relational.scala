@@ -258,7 +258,7 @@ object Relational {
 
   /** Exact interpolated percentiles per group (corpus profiling shape). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .groupBy("lang")
       .agg(
         round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
@@ -274,7 +274,7 @@ object Relational {
     * cross-engine oracle. At 100 TB the sketch is constant-size mergeable
     * state per group vs the exact form's full-sort. */
   def approxQuantileContract(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .groupBy("lang")
       .agg(
         round(expr("percentile(n_chars, 0.5)"), 2).as("exact_p50"),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Tables.embeddings(spark, dir)
 
   /** Sequential-fold dot product of two ARRAY<FLOAT> columns in double
     * precision — same accumulation order as a scalar loop, codegen'd. */

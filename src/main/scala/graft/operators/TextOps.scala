@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
 
   /** Whitespace word count — ONE definition corpus-wide: tokens of a
     * `\s+` split with empties dropped, the same tokenization

@@ -45,7 +45,7 @@ object Zorder {
       bits: Int = 8): DataFrame = {
     val xb = (col("n_chars") / lit(50L)).cast("long") % lit(1L << bits)
     val yb = col("doc_id") % lit(1L << bits)
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), xb.as("xb"), yb.as("yb"),
         zValue(xb, yb, bits).as("zval"))
   }
