@@ -280,6 +280,9 @@ object SparkEntry {
     "q_embed_standardize" -> (Similarity.standardizeEmbeddings _),
     // margin-criterion cross-label mining over the LSH candidate stream
     "q_margin_mine" -> ((s, d) => Similarity.marginMine(s, d)),
+    // cluster-balanced diversity sampling (dense buckets capped at
+    // ~target kept vectors via the deterministic md5 gate)
+    "q_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     // dedup-graph QA: degree-oriented triangle counts and fixed-iteration
     // PageRank over the undirected k-NN similarity graph
     "q_graph_triangles" -> ((s, d) =>
@@ -1962,6 +1965,20 @@ object SparkEntry {
         "(SELECT vec_a, vec_b, cosine, CAST(row_number() OVER " +
         "(PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS INTEGER) " +
         "AS rank FROM p) t WHERE rank <= 5"),
+    // diversity sampling: buckets + sizes re-derived, the same numeric
+    // md5 gate (first 8 hex chars as a uniform [0, 2^32) draw) under
+    // the per-bucket rate — strict-< on identical IEEE doubles
+    "q_diversity_sample" ->
+      ("WITH b AS (SELECT vec_id, label, e, " + bucketSqlExpr(8) +
+        " AS bucket FROM (SELECT vec_id, label, " +
+        "CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t0), " +
+        "s AS (SELECT bucket, count(*) AS bucket_n FROM b GROUP BY 1) " +
+        "SELECT b.vec_id, b.label, b.bucket, s.bucket_n " +
+        "FROM b JOIN s ON s.bucket = b.bucket " +
+        "WHERE CAST(CAST('0x' || substr(md5(CAST(b.vec_id AS VARCHAR) || " +
+        "'graft-diversity-v1'), 1, 8) AS BIGINT) AS DOUBLE) < " +
+        "least(CAST(1.0 AS DOUBLE), CAST(8.0 AS DOUBLE) / " +
+        "CAST(s.bucket_n AS DOUBLE)) * CAST(4294967296.0 AS DOUBLE)"),
     // dedup-graph QA over the SAME re-derived k-NN graph, undirected:
     // exact triangle closure (edges src<dst; triangle a<b<c counted once
     // as (a,b)+(b,c)+(a,c)) and unrolled fixed-iteration PageRank

@@ -353,6 +353,38 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Embedding-space diversity sampling — cluster-balanced corpus
+    * curation (the SemDeDup/DataComp-style prune): dense regions of
+    * embedding space are downsampled toward `target` kept vectors per
+    * LSH bucket while sparse regions pass through whole, flattening the
+    * semantic density profile without dropping coverage. The keep gate
+    * is the same deterministic md5-hash idiom as
+    * [[Pipeline.stratifiedSample]] (keep iff hash(vec_id, salt) falls
+    * under the bucket's rate = min(1, target/bucket_n)) — reproducible,
+    * engine-independent, no RNG state.
+    *
+    * Scale shape: bucket sizes are one partial-agg shuffle over the
+    * narrow bucket column (≤ 2^numPlanes rows), broadcast back; the
+    * gate is a narrow codegen'd filter over the scan — the corpus never
+    * re-shuffles. Scale `numPlanes` with corpus size exactly as for the
+    * ANN self-joins (finer buckets = finer density resolution). */
+  def diversitySample(spark: SparkSession, dir: String, target: Int = 8,
+      numPlanes: Int = 8, salt: String = "graft-diversity-v1"): DataFrame = {
+    require(target > 0, "target must be positive")
+    val bucketed = withBucket(spark, dir, numPlanes)
+    val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    // first 8 md5 hex chars as a uniform draw from [0, 2^32) — exact in
+    // a double, so the strict-< compare is bit-identical to the oracle
+    val gate = conv(substring(
+        md5(concat(col("vec_id").cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long").cast("double")
+    bucketed.join(broadcast(sizes), Seq("bucket"))
+      .filter(gate <
+        least(lit(1.0), lit(target.toDouble) / col("bucket_n").cast("double"))
+          * lit(4294967296.0))
+      .select(col("vec_id"), col("label"), col("bucket"), col("bucket_n"))
+  }
+
   /** k-NN label classification (label propagation from neighbors): each
     * vector's predicted label is the majority vote of its [[knnJoin]]
     * neighbors, ties broken toward the smallest label — the standard

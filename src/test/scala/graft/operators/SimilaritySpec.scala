@@ -205,6 +205,46 @@ class SimilaritySpec extends SparkSpec {
     assert(knn === Set(100L, 101L), s"got $knn")
   }
 
+  test("diversity sample: dense buckets thin toward target, sparse pass " +
+      "whole, deterministic") {
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(64)(j =>
+        splitmix(seed * 64 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val dense = unit(7L)
+    val small = unit(99L)
+    val rows = (1L to 200L).map(i => (i, dense, 0)) ++
+      Seq((500L, small, 1), (501L, small, 1))
+    val tmp = java.nio.file.Files.createTempDirectory("divsample").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val kept = Similarity.diversitySample(spark, tmp, target = 8)
+      .collect().map(_.getLong(0)).toSet
+    // sparse bucket (rate 1) passes through whole
+    assert(kept.contains(500L) && kept.contains(501L))
+    // dense bucket (200 members, rate 8/200) thins to ≈ 8: the md5 gate
+    // is Binomial(200, 0.04) — bounds generous but far below 200
+    val denseKept = kept.count(_ <= 200L)
+    assert(denseKept >= 1 && denseKept <= 30, s"dense kept $denseKept")
+    // deterministic: identical set on re-run
+    val again = Similarity.diversitySample(spark, tmp, target = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+    // higher target keeps strictly more (monotone gate)
+    val wide = Similarity.diversitySample(spark, tmp, target = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(wide) && wide.size === 202)
+  }
+
   test("near-dup pairs are symmetric-deduped (a < b) and above threshold") {
     val pairs = Similarity.nearDupPairs(spark, sfDir, minCosine = 0.2).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
