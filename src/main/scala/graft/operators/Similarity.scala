@@ -307,15 +307,18 @@ object Similarity {
     * the cluster report and the keep-filter. Same immutable-corpus
     * contract as the other build-once caches. */
   private val embedClusterCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Double, Int), String]()
+    (String, Double, Int, Int), String]()
 
   def materializeEmbedClusters(spark: SparkSession, dir: String,
-      minCosine: Double = 0.3, numPlanes: Int = 8): String =
-    embedClusterCache.computeIfAbsent((dir, minCosine, numPlanes), { _ =>
+      minCosine: Double = 0.3, numPlanes: Int = 8,
+      maxBucket: Int = 1000): String =
+    // maxBucket participates in the key: a cap changes the pair graph,
+    // so two cap settings must not share one materialized label table
+    embedClusterCache.computeIfAbsent((dir, minCosine, numPlanes, maxBucket), { _ =>
       val path = java.nio.file.Files
         .createTempDirectory("embed_clusters").toString
       Dedup.connectedComponents(
-          nearDupPairs(spark, dir, minCosine, numPlanes),
+          nearDupPairs(spark, dir, minCosine, numPlanes, maxBucket),
           aCol = "vec_a", bCol = "vec_b")
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .write.mode("overwrite").parquet(path)
