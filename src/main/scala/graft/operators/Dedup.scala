@@ -443,9 +443,19 @@ object Dedup {
   def streamNearDupCandidates(stream: DataFrame, spark: SparkSession,
       dir: String, numHashes: Int = 64, bands: Int = 16,
       minEstimate: Double = 0.5): DataFrame = {
+    val hist = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
+    candidatesVsIndex(stream, hist, numHashes, bands, minEstimate)
+  }
+
+  /** Shared core of the stream-static near-dup shapes: signature the
+    * incoming docs (native codegen expression), band-join against a
+    * (doc_id, sig) index frame, estimate Jaccard as the agreeing
+    * fraction of the two full signatures, threshold. Batch frames get
+    * exact pair dedup; streams keep at-least-once band flags. */
+  private def candidatesVsIndex(stream: DataFrame, hist: DataFrame,
+      numHashes: Int, bands: Int, minEstimate: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val hist = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
     val histBands = bandKeysOf(hist, numHashes, bands)
       .select(col("band"), col("band_key"), col("doc_id").as("hist_id"))
     val histSigs = hist.select(col("doc_id").as("hist_id"),
@@ -473,6 +483,65 @@ object Dedup {
       .select(col("new_id"), col("hist_id"),
         round(col("sim_est"), 4).as("sim_est"))
   }
+
+  /** Continuous ingest dedup with a GROWING index — the missing half of
+    * [[streamNearDupCandidates]] (whose index is frozen at query start):
+    * each micro-batch of new documents is (1) matched against every
+    * PREVIOUSLY ingested document's signature, then (2) its own
+    * signatures are appended to the index, so batch N+1 dedups against
+    * batch N. Candidates land in `outDir/batch=<id>/`, signatures in
+    * `indexDir/batch=<id>/` — both via the idempotent per-batch-dir
+    * recipe ([[graft.streaming.EventStream.idempotentBatchSink]]): on a
+    * replay after a crash, committed dirs are skipped and torn dirs
+    * rewritten, so reprocessing cannot double-insert signatures or
+    * re-emit candidates. The fresh per-batch directory listing (only
+    * `_SUCCESS`-committed dirs, never the current batch id) is what a
+    * frozen stream-static file scan cannot give.
+    *
+    * Scale shape per batch: narrow signature map over the batch →
+    * band-key equi-join against the index scan (keyed shuffle, AQE) —
+    * the stream touches only (doc_id, sig) rows, never historical text.
+    * At 100 TB of history, compact `indexDir` periodically
+    * ([[graft.operators.Pipeline.compact]]) and partition by band for
+    * band-pruned scans; the per-batch logic is unchanged. */
+  def liveNearDupIngest(stream: DataFrame, spark: SparkSession,
+      indexDir: String, outDir: String, checkpointDir: String,
+      numHashes: Int = 64, bands: Int = 16, minEstimate: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // committed prior batches only: exclude torn dirs (no _SUCCESS)
+        // and THIS batch id (present on a replay) — a doc must never
+        // match itself
+        val prior =
+          if (!fs.exists(root)) Array.empty[String]
+          else fs.listStatus(root)
+            .filter(_.isDirectory)
+            .map(_.getPath)
+            .filter(p => p.getName != s"batch=$id" &&
+              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            .map(_.toString)
+        val hist =
+          if (prior.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, sig ARRAY<BIGINT>"))
+          else spark.read.parquet(prior: _*)
+        val cands = candidatesVsIndex(batch, hist, numHashes, bands,
+          minEstimate).dropDuplicates("new_id", "hist_id")
+        graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
+        val sigs = batch.select(col("doc_id"),
+          graft.functions.MinHashExpression.native(col("text"), numHashes)
+            .as("sig"))
+        graft.streaming.EventStream.idempotentBatchSink(indexDir)(sigs, id)
+        ()
+      }
+      .start()
 
   // ----------------------------------------------- Connected components
 

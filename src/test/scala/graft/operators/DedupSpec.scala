@@ -277,6 +277,50 @@ class DedupSpec extends SparkSpec {
     Dedup.clearSignatureCache()
   }
 
+  test("liveNearDupIngest: the index GROWS across micro-batches and " +
+      "replays cannot double-insert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val other = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("livededup")
+    val (idx, out, ckpt) = (s"$tmpRoot/index", s"$tmpRoot/out", s"$tmpRoot/ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt)
+    try {
+      // batch 0: two distinct seeds — nothing to match yet
+      input.addData((1L, base), (2L, other))
+      query.processAllAvailable()
+      // batch 1: near-copy of seed 1 + a novel doc
+      val novel = (300 to 360).map(i => s"new$i").mkString(" ")
+      input.addData((100L, base + " extra tail"), (101L, novel))
+      query.processAllAvailable()
+      // batch 2: near-copy of batch 1's NOVEL doc — only matchable
+      // because batch 1 was appended to the index (frozen-index
+      // stream-static cannot see it)
+      input.addData((200L, novel + " indeed"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1L)), s"batch-1 vs seed match: $got")
+    assert(got.contains((200L, 101L)), s"batch-2 vs batch-1 match: $got")
+    assert(got.size === 2, s"no self/spurious matches: $got")
+    // index holds one committed dir per batch, each _SUCCESS-gated
+    val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === Set("batch=0", "batch=1", "batch=2"))
+    // replay safety: a committed batch dir is skipped, not rewritten
+    val before = new java.io.File(s"$idx/batch=1").lastModified()
+    val replayed = graft.streaming.EventStream.idempotentBatchSink(idx)(
+      Seq((999L, Array(0L))).toDF("doc_id", "sig"), 1L)
+    assert(!replayed && spark.read.parquet(s"$idx/batch=1")
+      .filter(col("doc_id") === 999L).count() === 0)
+    assert(new java.io.File(s"$idx/batch=1").lastModified() === before)
+  }
+
   test("connectedComponents: transitive chains, min label, diameter > 2") {
     import spark.implicits._
     // components: {1,2,3} (path via 3 — doc 2 is invisible to a greedy
