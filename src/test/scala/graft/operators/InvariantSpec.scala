@@ -109,6 +109,72 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("triangles equal a brute-force O(n³) reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(91)
+    (1 to 5).foreach { _ =>
+      val nVerts = 10 + rnd.nextInt(20)
+      val edges = Seq.fill(15 + rnd.nextInt(40))(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val adj = edges.toSet
+      def connected(a: Long, b: Long) =
+        adj.contains((math.min(a, b), math.max(a, b)))
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // reference: all vertex triples, count closed ones per corner
+      val expected = verts.map { v =>
+        v -> (for {
+          a <- verts; b <- verts
+          if a < b && a != v && b != v
+          if connected(v, a) && connected(v, b) && connected(a, b)
+        } yield 1).size.toLong
+      }.toMap
+      val degExpected = verts.map(v =>
+        v -> edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+      val got = GraphOps.triangles(edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (v, (deg, tri)) =>
+        assert(deg === degExpected(v), s"deg of $v")
+        assert(tri === expected(v), s"triangles of $v")
+      }
+    }
+  }
+
+  test("pageRank matches a plain-Scala power method on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    (1 to 3).foreach { _ =>
+      val nVerts = 8 + rnd.nextInt(12)
+      val edges = Seq.fill(12 + rnd.nextInt(25))(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val nbrs = verts.map(v => v -> edges.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }).toMap
+      val n = verts.size
+      var pr = verts.map(_ -> 1.0 / n).toMap
+      (1 to 10).foreach { _ =>
+        pr = verts.map { v =>
+          val mass = nbrs(v).map(u => pr(u) / nbrs(u).size).sum
+          v -> (0.15 / n + 0.85 * mass)
+        }.toMap
+      }
+      val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.keySet === pr.keySet)
+      got.foreach { case (v, p) =>
+        assert(math.abs(p - pr(v)) < 1e-5, s"pr($v): $p vs ${pr(v)}")
+      }
+    }
+  }
+
   test("char entropy matches a plain-Scala Shannon computation") {
     import spark.implicits._
     val rnd = new Random(23)
