@@ -289,6 +289,10 @@ object SparkEntry {
       graft.operators.GraphOps.knnTriangles(s, d)),
     "q_graph_pagerank" -> ((s, d) =>
       graft.operators.GraphOps.knnPageRank(s, d)),
+    // seeded affinity: personalized PageRank teleporting to label-0
+    // vectors — rank-by-connectivity-to-the-trusted-cohort
+    "q_graph_ppr" -> ((s, d) =>
+      graft.operators.GraphOps.knnSeededRank(s, d)),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)
@@ -486,6 +490,37 @@ object SparkEntry {
     base + iterCtes +
       s" SELECT d.node, d.deg, round(p.pr, 6) AS pr " +
       s"FROM deg d JOIN pr$iters p ON p.node = d.node"
+  }
+
+  /** Personalized-PageRank oracle: same unrolled power method, teleport
+    * mass confined to the seed set (label = `seedLabel` vectors present
+    * in the edge set). Twin of `GraphOps.personalizedPageRank`. */
+  private def pprOracleSql(iters: Int, seedLabel: Int): String = {
+    val base = knnEdgeCte +
+      ", de AS (SELECT src, dst FROM e " +
+      "UNION ALL SELECT dst AS src, src AS dst FROM e)" +
+      ", dg0 AS (SELECT src AS node, count(*) AS deg FROM de GROUP BY 1)" +
+      ", sd AS (SELECT d.node, d.deg, (sv.vec_id IS NOT NULL) AS is_seed " +
+      "FROM dg0 d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings " +
+      s"WHERE label = $seedLabel) sv ON sv.vec_id = d.node)" +
+      ", ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd WHERE is_seed)" +
+      ", pr0 AS (SELECT node, CASE WHEN is_seed THEN " +
+      "CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) ELSE CAST(0 AS DOUBLE) " +
+      "END AS pr FROM sd)"
+    val iterCtes = (1 to iters).map { i =>
+      s", pr$i AS (SELECT d.node, " +
+        "(CASE WHEN d.is_seed THEN (CAST(1.0 AS DOUBLE) - " +
+        "CAST(0.85 AS DOUBLE)) / (SELECT n FROM ns) " +
+        "ELSE CAST(0 AS DOUBLE) END) " +
+        "+ CAST(0.85 AS DOUBLE) * COALESCE(s.mass, CAST(0 AS DOUBLE)) " +
+        s"AS pr FROM sd d LEFT JOIN (SELECT de.dst AS node, " +
+        s"sum(p.pr / dg.deg) AS mass FROM pr${i - 1} p " +
+        "JOIN sd dg ON dg.node = p.node JOIN de ON de.src = p.node " +
+        "GROUP BY de.dst) s ON s.node = d.node)"
+    }.mkString
+    base + iterCtes +
+      s" SELECT d.node, d.deg, d.is_seed, round(p.pr, 6) AS pr " +
+      s"FROM sd d JOIN pr$iters p ON p.node = d.node"
   }
 
   /** Winnowing fingerprints as a DuckDB CTE (`fp`: doc_id, fp_hash), twin
@@ -1996,6 +2031,7 @@ object SparkEntry {
         "SELECT d.node, d.deg, CAST(COALESCE(pn.n_tri, 0) AS BIGINT) " +
         "AS n_tri FROM deg d LEFT JOIN pn ON pn.node = d.node"),
     "q_graph_pagerank" -> pageRankOracleSql(10),
+    "q_graph_ppr" -> pprOracleSql(10, 0),
     // batch twin of the tumbling-window stream stats: epoch-aligned
     // hour buckets (time_bucket == Spark's window()), decimal-exact sums
     "q_windowed_stats" ->

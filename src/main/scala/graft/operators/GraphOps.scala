@@ -144,6 +144,60 @@ object GraphOps {
       .select(col("node"), col("deg"), round(col("pr"), roundTo).as("pr"))
   }
 
+  /** Personalized PageRank — seeded quality/affinity propagation: the
+    * teleport mass returns to a SEED set instead of the uniform vector,
+    * so the stationary rank measures each node's connectivity to the
+    * trusted cohort. This is the classic seed-expansion curation pass
+    * ("rank the whole corpus by affinity to a vetted subset") and the
+    * graph twin of [[graft.operators.TextOps]]'s DSIR-style importance
+    * weights. Seeds outside the edge set are ignored (they can neither
+    * receive nor forward mass).
+    *
+    * Same iteration shape and lineage-cut policy as [[pageRank]]; the
+    * only structural change is the per-node teleport term, a broadcast
+    * of the (tiny, by definition) seed membership onto the rank state.
+    * Ranks sum to ≤ 1 (mass conserved; equality when every node
+    * reaches a seed). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 10, d: Double = 0.85, roundTo: Int = 6): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val cut: DataFrame => DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df => df.checkpoint(eager = false)
+      else df => df.localCheckpoint(eager = false)
+    val directed = cut(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val degBase = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val deg = cut(degBase.join(
+        broadcast(seeds.select(col("node")).distinct()
+          .withColumn("is_seed", lit(true))),
+        Seq("node"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(false))))
+    val nSeeds = deg.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed appears in the edge set")
+    val teleport = when(col("is_seed"), lit((1.0 - d) / nSeeds))
+      .otherwise(lit(0.0))
+    var pr = deg.select(col("node"),
+      when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .join(deg.select(col("node"), col("deg")), Seq("node"))
+        .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("in_mass"))
+      pr = cut(deg.select(col("node"), col("is_seed"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + lit(d) * coalesce(col("in_mass"), lit(0.0)))
+            .as("pr")))
+    }
+    deg.join(pr, Seq("node"))
+      .select(col("node"), col("deg"), col("is_seed"),
+        round(col("pr"), roundTo).as("pr"))
+  }
+
   /** Demo entries over the k-NN similarity graph ([[Similarity.knnJoin]]
     * undirected) — the duplication-neighborhood QA report. */
   def knnTriangles(spark: SparkSession, dir: String, k: Int = 5,
@@ -155,4 +209,16 @@ object GraphOps {
       numPlanes: Int = 8, iters: Int = 10): DataFrame =
     pageRank(undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
       "vec_a", "vec_b"), iters)
+
+  /** Seeded affinity over the k-NN graph: seeds = the vectors of
+    * `seedLabel` — "rank every vector by connectivity to the trusted
+    * cohort", the label-propagation curation demo. */
+  def knnSeededRank(spark: SparkSession, dir: String, seedLabel: Int = 0,
+      k: Int = 5, numPlanes: Int = 8, iters: Int = 10): DataFrame =
+    personalizedPageRank(
+      undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
+        "vec_a", "vec_b"),
+      Tables.embeddings(spark, dir).filter(col("label") === seedLabel)
+        .select(col("vec_id").as("node")),
+      iters)
 }

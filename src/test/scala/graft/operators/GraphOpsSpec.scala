@@ -46,6 +46,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("personalized PageRank: mass stays near the seed cohort, " +
+      "conserved, seeds validated") {
+    import spark.implicits._
+    val edges = GraphOps.undirect(bowtie, "src", "dst")
+    val got = GraphOps.personalizedPageRank(edges,
+        Seq(1L).toDF("node"), iters = 20, roundTo = 9)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L)._1 && !got(2L)._1, "seed flag")
+    // connected graph: all teleported mass circulates, total stays ~1
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+    // affinity decays with distance from the seed: the seed outranks its
+    // triangle, which outranks the far triangle's rim
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(4L)._2)
+    // symmetric positions relative to the seed tie exactly
+    assert(got(4L)._2 === got(5L)._2)
+    // a seed set disjoint from the graph is a loud error
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, Seq(99L).toDF("node"))
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("knn-graph entries: keyed joins only, never a cartesian product") {
     val tri = GraphOps.knnTriangles(spark, sfDir)
     val plan = tri.queryExecution.executedPlan.toString
