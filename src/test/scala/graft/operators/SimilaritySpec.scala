@@ -203,6 +203,15 @@ class SimilaritySpec extends SparkSpec {
     val knn = Similarity.knnJoin(spark, tmp, k = 3, maxBucket = 10)
       .select("vec_a").distinct().collect().map(_.getLong(0)).toSet
     assert(knn === Set(100L, 101L), s"got $knn")
+    // kill switch: metrics off → same pruned pairs, no observation node
+    spark.conf.set("spark.graft.dedup.pruneMetrics", "false")
+    try {
+      val quiet = Similarity.nearDupPairs(spark, tmp, minCosine = 0.99,
+        maxBucket = 10)
+      assert(quiet.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((100L, 101L)))
+      assert(quiet.queryExecution.observedMetrics.isEmpty)
+    } finally spark.conf.set("spark.graft.dedup.pruneMetrics", "true")
   }
 
   test("diversity sample: dense buckets thin toward target, sparse pass " +
