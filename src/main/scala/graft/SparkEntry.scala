@@ -75,6 +75,7 @@ object SparkEntry {
     "q_datetime_agg" -> (Relational.datetimeAgg _),
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_event_props" -> (Relational.eventProps _),
+    "q_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
     "q_funnel" -> (Relational.funnel _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_window_offsets" -> (Relational.windowOffsets _),
@@ -732,6 +733,17 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1"),
+    // retention cohorts: users by first-seen day × day offset 0..7
+    "q_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
+        "FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +
+        "SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day, " +
+        "CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) " +
+        "AS day_offset, count(DISTINCT a.user_id) AS n_users " +
+        "FROM a JOIN f ON f.user_id = a.user_id " +
+        "WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 7 " +
+        "GROUP BY 1, 2"),
     // typed props analytics over (event_type, day): both drifted event
     // columns (NTZ ts, props JSON) through one aggregate
     "q_event_props" ->

@@ -473,6 +473,34 @@ object Relational {
     * narrow map fused into the scan, and the only shuffle is the
     * low-cardinality group-by on the extracted key. Sum is exact decimal
     * (see [[moneySum]]) so the result is engine-independent. */
+  /** Retention cohorts over the events table — the fourth member of the
+    * standard behavioral quartet (funnel / sessionize / attribution /
+    * retention): users grouped by first-seen day, then distinct-user
+    * counts per (cohort day, day offset) for offsets 0..`maxDays`.
+    * Reading the matrix row-wise gives each cohort's survival curve.
+    *
+    * Scale shape: first-seen is ONE keyed agg on user_id; the activity
+    * join reuses the same user_id partitioning (no extra exchange
+    * before it under AQE); the final distinct-count agg runs on the
+    * (cohort, offset) matrix key — tiny by construction. Nothing scans
+    * events twice at full width: both branches read (user_id, ts)
+    * only. */
+  def retentionCohorts(spark: SparkSession, dir: String,
+      maxDays: Int = 7): DataFrame = {
+    val activity = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = activity.groupBy("user_id")
+      .agg(min("day").as("cohort_day"))
+    activity.join(first, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset").between(0, maxDays))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** First-class typed view of the events table's `props` JSON payload:
     * per (event_type, day) statistics of the extracted `k` field — the
     * "semi-structured column → typed analytics" operator every event

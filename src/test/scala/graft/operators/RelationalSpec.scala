@@ -120,6 +120,20 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan.take(1500))
   }
 
+  test("retention cohorts: day-0 row is the cohort census, offsets bounded") {
+    val rows = Relational.retentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohorts = rows.keys.map(_._1).toSet
+    assert(cohorts.nonEmpty)
+    cohorts.foreach { c =>
+      val day0 = rows((c, 0L)) // every cohort member is active on day 0
+      assert(day0 > 0)
+      // no later offset can exceed the cohort census
+      rows.filter(_._1._1 == c).values.foreach(n => assert(n <= day0))
+    }
+    assert(rows.keys.forall { case (_, off) => off >= 0 && off <= 7 })
+  }
+
   test("funnel: stages monotone non-increasing, strict-after semantics") {
     val rows = Relational.funnel(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
