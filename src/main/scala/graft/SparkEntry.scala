@@ -76,6 +76,8 @@ object SparkEntry {
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_event_props" -> (Relational.eventProps _),
     "q_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
+    "q_transitions" -> (Relational.eventTransitions _),
+    "q_user_rfm" -> (Relational.userRfm _),
     "q_funnel" -> (Relational.funnel _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_window_offsets" -> (Relational.windowOffsets _),
@@ -744,6 +746,29 @@ object SparkEntry {
         "FROM a JOIN f ON f.user_id = a.user_id " +
         "WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 7 " +
         "GROUP BY 1, 2"),
+    // Markov transition matrix: lead() total-ordered by (ts, event_id)
+    "q_transitions" ->
+      ("WITH s AS (SELECT user_id, event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events) " +
+        "SELECT from_type, to_type, n, round(CAST(n AS DOUBLE) / " +
+        "CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p " +
+        "FROM (SELECT event_type AS from_type, to_type, count(*) AS n " +
+        "FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2) t"),
+    // RFM segmentation: fixed thresholds, decimal-exact monetary
+    "q_user_rfm" ->
+      ("WITH l AS (SELECT max(CAST(ts AS DATE)) AS corpus_last FROM events), " +
+        "u AS (SELECT user_id, max(CAST(ts AS DATE)) AS user_last, " +
+        "count(*) AS frequency, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary " +
+        "FROM events GROUP BY 1) " +
+        "SELECT user_id, CAST(date_diff('day', user_last, corpus_last) " +
+        "AS BIGINT) AS recency_days, frequency, monetary, " +
+        "CASE WHEN date_diff('day', user_last, corpus_last) <= 3 " +
+        "AND frequency >= 20 THEN 'core' " +
+        "WHEN date_diff('day', user_last, corpus_last) <= 7 THEN 'active' " +
+        "WHEN date_diff('day', user_last, corpus_last) <= 14 THEN 'cooling' " +
+        "ELSE 'dormant' END AS segment FROM u, l"),
     // typed props analytics over (event_type, day): both drifted event
     // columns (NTZ ts, props JSON) through one aggregate
     "q_event_props" ->

@@ -501,6 +501,59 @@ object Relational {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** First-order behavior transition matrix: counts and row-normalized
+    * probabilities of consecutive (event_type → event_type) steps within
+    * each user's timeline — the Markov-chain view of the event stream
+    * (what follows a click?). Ordering ties on `ts` break by `event_id`,
+    * so the lead() is total-ordered and engine-deterministic.
+    *
+    * Scale shape: ONE shuffle on user_id for the ordered window (lead
+    * is a streaming frame — no buffering beyond a row), then a
+    * partial-agg on the tiny (from, to) matrix key; the share
+    * normalization is a window over that matrix, |types|² rows. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")).cast("double"), 4))
+  }
+
+  /** RFM user segmentation — recency (days since the user's last event,
+    * measured from the corpus's last day), frequency (event count), and
+    * monetary (decimal-exact value sum), plus a fixed-threshold segment
+    * label: the standard behavioral-cohort cut of an event lake.
+    *
+    * Scale shape: ONE keyed agg on user_id; the corpus max-day is a
+    * 1-row aggregate broadcast into the projection. Fixed thresholds
+    * (not per-corpus quantiles) keep the labels stable across
+    * reprocessing windows — the production choice for downstream
+    * joins. */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val lastDay = ev.agg(max(to_date(col("ts"))).as("corpus_last"))
+    val perUser = ev.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("user_last"),
+        count(lit(1)).as("frequency"),
+        moneySum(col("value")).as("monetary"))
+    perUser.crossJoin(broadcast(lastDay))
+      .select(col("user_id"),
+        datediff(col("corpus_last"), col("user_last")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("segment",
+        when(col("recency_days") <= 3 && col("frequency") >= 20, "core")
+          .when(col("recency_days") <= 7, "active")
+          .when(col("recency_days") <= 14, "cooling")
+          .otherwise("dormant"))
+  }
+
   /** First-class typed view of the events table's `props` JSON payload:
     * per (event_type, day) statistics of the extracted `k` field — the
     * "semi-structured column → typed analytics" operator every event

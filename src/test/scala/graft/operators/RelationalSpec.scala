@@ -134,6 +134,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows.keys.forall { case (_, off) => off >= 0 && off <= 7 })
   }
 
+  test("event transitions: n-1 steps per user, rows of the matrix sum to 1") {
+    val ev = Relational.events(spark, sfDir)
+    val totalSteps = ev.count() - ev.select("user_id").distinct().count()
+    val rows = Relational.eventTransitions(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum === totalSteps)
+    rows.groupBy(_.getString(0)).values.foreach { perFrom =>
+      assert(math.abs(perFrom.map(_.getDouble(3)).sum - 1.0) < 0.01,
+        "row-normalized probabilities sum to ~1 (round-4 residue)")
+    }
+  }
+
+  test("userRfm: every user segmented, recency non-negative, census exact") {
+    val ev = Relational.events(spark, sfDir)
+    val rows = Relational.userRfm(spark, sfDir).collect()
+    assert(rows.length === ev.select("user_id").distinct().count())
+    val segs = Set("core", "active", "cooling", "dormant")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, "recency")
+      assert(segs.contains(r.getString(4)), r.getString(4))
+    }
+    assert(rows.map(_.getLong(2)).sum === ev.count(), "frequencies partition")
+  }
+
   test("funnel: stages monotone non-increasing, strict-after semantics") {
     val rows = Relational.funnel(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
