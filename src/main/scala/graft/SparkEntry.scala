@@ -450,18 +450,31 @@ object SparkEntry {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b))), 4)"
 
+  /** Bucket-cap twin for the oracles of capped operators
+    * (`Similarity.capBuckets`, default maxBucket = 1000): drops whole
+    * buckets holding more than 1000 vectors BEFORE the self-join, so
+    * the SQL re-derivation stays bit-identical to the Spark side even
+    * on a corpus where the cap actually binds (no fixture bucket comes
+    * near it, but the contract must not silently depend on that). */
+  private val cappedBucketCte: String =
+    "bk AS (SELECT bucket FROM b GROUP BY bucket " +
+      "HAVING count(*) <= 1000), " +
+      "bc AS (SELECT b.* FROM b JOIN bk ON bk.bucket = b.bucket), "
+
   /** Undirected simple k-NN edge list as a DuckDB CTE chain (b → p →
     * kk → e): the q_knn_join top-5 pairs re-derived (bit-identical
-    * hyperplane buckets), then least/greatest-normalized and dedup'd —
-    * the shared edge input of the graph-analytics oracles, mirroring
+    * hyperplane buckets, same 1000-vector bucket cap), then
+    * least/greatest-normalized and dedup'd — the shared edge input of
+    * the graph-analytics oracles, mirroring
     * `GraphOps.undirect(Similarity.knnJoin(...))`. */
   private val knnEdgeCte: String =
     "WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
       "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
       "FROM embeddings) t0), " +
+      cappedBucketCte +
       "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
       cosineSql("a.e", "c.e") + " AS cosine " +
-      "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id), " +
+      "FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id), " +
       "kk AS (SELECT vec_a, vec_b FROM (SELECT vec_a, vec_b, " +
       "row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, " +
       "vec_b ASC) AS rank FROM p) t WHERE rank <= 5), " +
@@ -1411,9 +1424,10 @@ object SparkEntry {
       ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
         "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
         "FROM embeddings) t0), " +
+        cappedBucketCte +
         "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
         cosineSql("a.e", "c.e") + " AS cosine " +
-        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id), " +
+        "FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id), " +
         "n AS (SELECT vec_a, vec_b FROM " +
         "(SELECT vec_a, vec_b, row_number() OVER " +
         "(PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS rank " +
@@ -1459,8 +1473,9 @@ object SparkEntry {
       ("WITH b AS (SELECT vec_id, label, e, " + bucketSqlExpr(8) +
         " AS bucket FROM (SELECT vec_id, label, " +
         "CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t0), " +
+        cappedBucketCte +
         "c AS (SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, " +
-        cosineSql("a.e", "bb.e") + " AS cos FROM b a JOIN b bb " +
+        cosineSql("a.e", "bb.e") + " AS cos FROM bc a JOIN bc bb " +
         "ON a.bucket = bb.bucket WHERE a.label = 0 AND bb.label = 1), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY vec_a " +
         "ORDER BY cos DESC, vec_b ASC) AS rank_f, " +
@@ -2030,9 +2045,10 @@ object SparkEntry {
       ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
         "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
         "FROM embeddings) t0), " +
+        cappedBucketCte +
         "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
         cosineSql("a.e", "c.e") + " AS cosine " +
-        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id) " +
+        "FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id) " +
         "SELECT vec_a, vec_b, cosine, rank FROM " +
         "(SELECT vec_a, vec_b, cosine, CAST(row_number() OVER " +
         "(PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS INTEGER) " +
@@ -2084,10 +2100,11 @@ object SparkEntry {
     "q_embed_neardup" ->
       ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +
         "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
-        "FROM embeddings) t0) " +
+        "FROM embeddings) t0), " +
+        cappedBucketCte.stripSuffix(", ") + " " +
         "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
         cosineSql("a.e", "c.e") + " AS cosine " +
-        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
         "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3"),
     // SemDeDup clusters: RECURSIVE transitive closure over the exact same
     // bucketed cosine pair graph (cluster_id = min reachable vec_id),
@@ -2096,8 +2113,9 @@ object SparkEntry {
       ("WITH RECURSIVE b AS (SELECT vec_id, e, " + bucketSqlExpr(8) +
         " AS bucket FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
         "FROM embeddings) t0), " +
+        cappedBucketCte +
         "pairs AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b " +
-        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
         "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3), " +
         "edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs " +
         "UNION ALL SELECT vec_b, vec_a FROM pairs), " +
@@ -2113,8 +2131,9 @@ object SparkEntry {
       ("WITH RECURSIVE b AS (SELECT vec_id, e, " + bucketSqlExpr(8) +
         " AS bucket FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
         "FROM embeddings) t0), " +
+        cappedBucketCte +
         "pairs AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b " +
-        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
         "WHERE " + cosineSql("a.e", "c.e") + " >= 0.3), " +
         "edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs " +
         "UNION ALL SELECT vec_b, vec_a FROM pairs), " +

@@ -44,7 +44,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // one row per failed query — truncated messages, first line only
     val errJson = failed
-      .map { case (k, v) => s"${q(k)}: ${q(v.linesIterator.next().take(500))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.linesIterator.nextOption().getOrElse("").take(500))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()

@@ -443,6 +443,8 @@ object Dedup {
   def streamNearDupCandidates(stream: DataFrame, spark: SparkSession,
       dir: String, numHashes: Int = 64, bands: Int = 16,
       minEstimate: Double = 0.5): DataFrame = {
+    // fail fast on bad banding BEFORE the corpus-wide signature build
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val hist = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
     candidatesVsIndex(stream, hist, numHashes, bands, minEstimate)
   }
@@ -525,19 +527,29 @@ object Dedup {
             .filter(p => p.getName != s"batch=$id" &&
               fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
             .map(_.toString)
-        val hist =
-          if (prior.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType.fromDDL(
-                "doc_id BIGINT, sig ARRAY<BIGINT>"))
-          else spark.read.parquet(prior: _*)
-        val cands = candidatesVsIndex(batch, hist, numHashes, bands,
-          minEstimate).dropDuplicates("new_id", "hist_id")
-        graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
         val sigs = batch.select(col("doc_id"),
           graft.functions.MinHashExpression.native(col("text"), numHashes)
             .as("sig"))
+        // match against prior batches AND this batch's own docs — two
+        // near-copies arriving in one micro-batch must still pair up
+        // (they'd otherwise both enter the index as independent
+        // canonicals, a permanent recall hole). The union makes every
+        // intra-batch pair appear in BOTH directions; keep one
+        // (new_id > hist_id) while cross-batch matches (hist_id from a
+        // prior dir, absent from this batch) pass through unchanged.
+        val hist =
+          (if (prior.isEmpty) sigs else spark.read.parquet(prior: _*)
+            .unionByName(sigs))
+        val batchIds = batch.select(col("doc_id").as("hist_id"))
+          .distinct().withColumn("in_batch", lit(true))
+        val cands = candidatesVsIndex(batch, hist, numHashes, bands,
+            minEstimate)
+          .filter(col("new_id") =!= col("hist_id"))
+          .join(broadcast(batchIds), Seq("hist_id"), "left")
+          .filter(coalesce(col("in_batch"), lit(false)) === false ||
+            col("new_id") > col("hist_id"))
+          .select(col("new_id"), col("hist_id"), col("sim_est"))
+        graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
         graft.streaming.EventStream.idempotentBatchSink(indexDir)(sigs, id)
         ()
       }

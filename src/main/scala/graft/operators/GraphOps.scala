@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Lazy lineage cut shared by every iterative/multi-branch consumer:
+    * reliable checkpoint when the session has a dir (executor loss
+    * recovers from storage), executor-local blocks otherwise; lazy so
+    * the logical plan truncates immediately while materialization
+    * piggybacks on the final action (eager = one blocking driver job
+    * per call — measured 5.2 s → 3.0 s on the PageRank loop). */
+  private def lineageCut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Normalize any (a, b) pair frame to an undirected simple edge list:
     * (src < dst), self-loops dropped, duplicates collapsed. One
     * distinct shuffle, keyed on the pair. */
@@ -46,11 +57,7 @@ object GraphOps {
     // the oriented list feeds both wedge spokes AND the closing join —
     // cut lineage once so the upstream pair pipeline (LSH-bucketed
     // knnJoin) computes exactly once, not once per plan branch
-    val cut: DataFrame => DataFrame =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df => df.checkpoint(eager = false)
-      else df => df.localCheckpoint(eager = false)
-    val e = cut(edges)
+    val e = lineageCut(edges)
     val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient by the total order ≺ = (deg, id); keep each endpoint's key
@@ -66,7 +73,7 @@ object GraphOps {
           struct(col("d_src").as("kd"), col("src").as("kid")).as("kv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
-    val orientedCut = cut(oriented)
+    val orientedCut = lineageCut(oriented)
     // wedges at u: ordered out-neighbor pairs (v ≺ w); closing edge, if
     // present, is stored oriented v → w by construction
     val w1 = orientedCut.select(col("u"), col("v"), col("kv"))
@@ -103,28 +110,16 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
       roundTo: Int = 6): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    // Lineage cut before AND inside the loop (same policy as
-    // [[Dedup.connectedComponents]]: reliable checkpoint when the
-    // session has a dir, executor-local blocks otherwise). Without the
-    // cut, iteration i's plan re-derives the whole edge pipeline
-    // (LSH-bucketed knnJoin and friends) i times over and Catalyst
-    // re-optimizes a 2i-join tree — measured 5.3 s → sub-second at
-    // sf0.1. The checkpointed frames are tiny: the edge list once, and
-    // one (node, pr) row per node per round.
-    // LAZY cuts: the logical plan is truncated immediately (Catalyst
-    // never optimizes the 2i-join tree and the edge pipeline computes
-    // once), but materialization piggybacks on the final action instead
-    // of one eager driver-blocking job per iteration
-    val cut: DataFrame => DataFrame =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df => df.checkpoint(eager = false)
-      else df => df.localCheckpoint(eager = false)
+    // lineage cut before AND inside the loop: without it, iteration i's
+    // plan re-derives the whole edge pipeline i times over and Catalyst
+    // re-optimizes a growing 2i-join tree. The cut frames are tiny —
+    // the edge list once, one (node, pr) row per node per round.
     // undirected → both directions once; deg = out-degree = degree;
     // the contribution join ships (pr/deg) over this co-keyed layout
-    val directed = cut(
+    val directed = lineageCut(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    val deg = cut(directed.groupBy(col("src").as("node"))
+    val deg = lineageCut(directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")))
     val n = deg.count()
     var pr = deg.select(col("node"), lit(1.0 / n).as("pr"))
@@ -134,7 +129,7 @@ object GraphOps {
         .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("in_mass"))
-      pr = cut(deg.select(col("node"))
+      pr = lineageCut(deg.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - d) / n) +
@@ -161,16 +156,12 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 10, d: Double = 0.85, roundTo: Int = 6): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val cut: DataFrame => DataFrame =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df => df.checkpoint(eager = false)
-      else df => df.localCheckpoint(eager = false)
-    val directed = cut(
+    val directed = lineageCut(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val degBase = directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val deg = cut(degBase.join(
+    val deg = lineageCut(degBase.join(
         broadcast(seeds.select(col("node")).distinct()
           .withColumn("is_seed", lit(true))),
         Seq("node"), "left")
@@ -187,7 +178,7 @@ object GraphOps {
         .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("in_mass"))
-      pr = cut(deg.select(col("node"), col("is_seed"))
+      pr = lineageCut(deg.select(col("node"), col("is_seed"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (teleport + lit(d) * coalesce(col("in_mass"), lit(0.0)))

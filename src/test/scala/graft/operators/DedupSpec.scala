@@ -297,17 +297,19 @@ class DedupSpec extends SparkSpec {
       val novel = (300 to 360).map(i => s"new$i").mkString(" ")
       input.addData((100L, base + " extra tail"), (101L, novel))
       query.processAllAvailable()
-      // batch 2: near-copy of batch 1's NOVEL doc — only matchable
-      // because batch 1 was appended to the index (frozen-index
-      // stream-static cannot see it)
-      input.addData((200L, novel + " indeed"))
+      // batch 2: TWO near-copies of batch 1's NOVEL doc arriving
+      // together — each must match batch 1's doc (index grew) AND each
+      // other (same-batch detection, emitted once as new_id > hist_id)
+      input.addData((200L, novel + " indeed"), (201L, novel + " so indeed"))
       query.processAllAvailable()
     } finally query.stop()
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((100L, 1L)), s"batch-1 vs seed match: $got")
     assert(got.contains((200L, 101L)), s"batch-2 vs batch-1 match: $got")
-    assert(got.size === 2, s"no self/spurious matches: $got")
+    assert(got.contains((201L, 101L)), s"batch-2 vs batch-1 match: $got")
+    assert(got.contains((201L, 200L)), s"same-batch pair, one direction: $got")
+    assert(got.size === 4, s"no self/duplicate/spurious matches: $got")
     // index holds one committed dir per batch, each _SUCCESS-gated
     val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
