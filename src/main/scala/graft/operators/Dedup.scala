@@ -455,6 +455,17 @@ object Dedup {
     * fraction of the two full signatures, threshold. Batch frames get
     * exact pair dedup; streams keep at-least-once band flags. */
   private def candidatesVsIndex(stream: DataFrame, hist: DataFrame,
+      numHashes: Int, bands: Int, minEstimate: Double): DataFrame =
+    candidateSigsVsIndex(
+      stream.select(col("doc_id").as("new_id"),
+        graft.functions.MinHashExpression.native(col("text"), numHashes)
+          .as("sig")),
+      hist, numHashes, bands, minEstimate)
+
+  /** Same, with the probe side's signatures PRE-computed — lets a
+    * caller signature a batch once and reuse the frame across several
+    * match passes (see [[liveNearDupIngest]]). */
+  private def candidateSigsVsIndex(s: DataFrame, hist: DataFrame,
       numHashes: Int, bands: Int, minEstimate: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
@@ -462,9 +473,6 @@ object Dedup {
       .select(col("band"), col("band_key"), col("doc_id").as("hist_id"))
     val histSigs = hist.select(col("doc_id").as("hist_id"),
       col("sig").as("hist_sig"))
-    val s = stream.select(col("doc_id").as("new_id"),
-      graft.functions.MinHashExpression.native(col("text"), numHashes)
-        .as("sig"))
     val matched = s
       .select(col("new_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -489,9 +497,13 @@ object Dedup {
   /** Continuous ingest dedup with a GROWING index — the missing half of
     * [[streamNearDupCandidates]] (whose index is frozen at query start):
     * each micro-batch of new documents is (1) matched against every
-    * PREVIOUSLY ingested document's signature, then (2) its own
-    * signatures are appended to the index, so batch N+1 dedups against
-    * batch N. Candidates land in `outDir/batch=<id>/`, signatures in
+    * PREVIOUSLY ingested document's signature AND against the batch's
+    * own documents (intra-batch pairs emitted once, `new_id >
+    * hist_id`), then (2) its signatures are appended to the index, so
+    * batch N+1 dedups against batch N. A redelivered doc_id matching
+    * its own prior indexed version (new_id == hist_id, cross-batch) is
+    * emitted too — that row IS the update/redelivery signal.
+    * Candidates land in `outDir/batch=<id>/`, signatures in
     * `indexDir/batch=<id>/` — both via the idempotent per-batch-dir
     * recipe ([[graft.streaming.EventStream.idempotentBatchSink]]): on a
     * replay after a crash, committed dirs are skipped and torn dirs
@@ -509,7 +521,10 @@ object Dedup {
   def liveNearDupIngest(stream: DataFrame, spark: SparkSession,
       indexDir: String, outDir: String, checkpointDir: String,
       numHashes: Int = 64, bands: Int = 16, minEstimate: Double = 0.5)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast BEFORE the stream starts: a banding error must not
+    // surface asynchronously after checkpoint/sink dirs exist
+    require(numHashes % bands == 0, "bands must divide numHashes")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -517,8 +532,8 @@ object Dedup {
         val fs = root.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         // committed prior batches only: exclude torn dirs (no _SUCCESS)
-        // and THIS batch id (present on a replay) — a doc must never
-        // match itself
+        // and THIS batch id (present on a crash replay — replaying a
+        // batch against its own committed signatures would self-match)
         val prior =
           if (!fs.exists(root)) Array.empty[String]
           else fs.listStatus(root)
@@ -527,33 +542,38 @@ object Dedup {
             .filter(p => p.getName != s"batch=$id" &&
               fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
             .map(_.toString)
+        // signature the batch ONCE: both match passes and the index
+        // sink reuse the cached frame (the MinHash scan over full text
+        // is the dominant per-batch cost)
         val sigs = batch.select(col("doc_id"),
           graft.functions.MinHashExpression.native(col("text"), numHashes)
-            .as("sig"))
-        // match against prior batches AND this batch's own docs — two
-        // near-copies arriving in one micro-batch must still pair up
-        // (they'd otherwise both enter the index as independent
-        // canonicals, a permanent recall hole). The union makes every
-        // intra-batch pair appear in BOTH directions; keep one
-        // (new_id > hist_id) while cross-batch matches (hist_id from a
-        // prior dir, absent from this batch) pass through unchanged.
-        val hist =
-          (if (prior.isEmpty) sigs else spark.read.parquet(prior: _*)
-            .unionByName(sigs))
-        val batchIds = batch.select(col("doc_id").as("hist_id"))
-          .distinct().withColumn("in_batch", lit(true))
-        val cands = candidatesVsIndex(batch, hist, numHashes, bands,
-            minEstimate)
-          .filter(col("new_id") =!= col("hist_id"))
-          .join(broadcast(batchIds), Seq("hist_id"), "left")
-          .filter(coalesce(col("in_batch"), lit(false)) === false ||
-            col("new_id") > col("hist_id"))
-          .select(col("new_id"), col("hist_id"), col("sim_est"))
-        graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
-        graft.streaming.EventStream.idempotentBatchSink(indexDir)(sigs, id)
+            .as("sig")).persist()
+        try {
+          // intra-batch: near-copies arriving TOGETHER must pair up or
+          // they both enter the index as independent canonicals — a
+          // self-match emits both directions, keep one (no broadcast,
+          // no membership probe: the one-direction filter is enough)
+          val intra = candidateSigsVsIndex(
+              sigs.select(col("doc_id").as("new_id"), col("sig")),
+              sigs, numHashes, bands, minEstimate)
+            .filter(col("new_id") > col("hist_id"))
+          // cross-batch: vs prior committed dirs only, UNFILTERED — a
+          // redelivered doc_id legitimately matches other prior docs in
+          // either id order, and matching its own prior version
+          // (new_id == hist_id) is the update/redelivery flag
+          val cands =
+            if (prior.isEmpty) intra
+            else candidateSigsVsIndex(
+              sigs.select(col("doc_id").as("new_id"), col("sig")),
+              spark.read.parquet(prior: _*), numHashes, bands, minEstimate)
+              .unionByName(intra)
+          graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
+          graft.streaming.EventStream.idempotentBatchSink(indexDir)(sigs, id)
+        } finally sigs.unpersist()
         ()
       }
       .start()
+  }
 
   // ----------------------------------------------- Connected components
 

@@ -303,13 +303,16 @@ class DedupSpec extends SparkSpec {
       input.addData((200L, novel + " indeed"), (201L, novel + " so indeed"))
       query.processAllAvailable()
     } finally query.stop()
-    val got = spark.read.parquet(out).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = rows.toSet
     assert(got.contains((100L, 1L)), s"batch-1 vs seed match: $got")
     assert(got.contains((200L, 101L)), s"batch-2 vs batch-1 match: $got")
     assert(got.contains((201L, 101L)), s"batch-2 vs batch-1 match: $got")
     assert(got.contains((201L, 200L)), s"same-batch pair, one direction: $got")
-    assert(got.size === 4, s"no self/duplicate/spurious matches: $got")
+    // exactly-once on ROWS, not just the deduped set — a duplicated
+    // emission (double direction, replayed write) must fail here
+    assert(rows.length === 4, s"no self/duplicate/spurious rows: ${rows.toSeq}")
     // index holds one committed dir per batch, each _SUCCESS-gated
     val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
