@@ -247,7 +247,10 @@ object SparkEntry {
     // hybrid-retrieval fusion: BM25 ∪ TF-IDF shortlists, 1/(60+rank) sum
     "q_rrf_fusion" -> ((s, d) => TextOps.rrfFusion(s, d)),
     "q_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
-    "q_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
+    // fingerprints scanned from the build-once table, not re-winnowed
+    // per self-join side (plan is winnow-free, spec-guarded)
+    "q_containment" -> ((s, d) =>
+      TextOps.containmentPairs(s, d, materialized = true)),
     // LLM-pipeline: similarity family
     "q_embed_norms" -> (Similarity.norms _),
     "q_quantize_embed" -> (Similarity.quantizeEmbeddings _),
@@ -504,7 +507,7 @@ object SparkEntry {
         "GROUP BY de.dst) s ON s.node = d.node)"
     }.mkString
     base + iterCtes +
-      s" SELECT d.node, d.deg, round(p.pr, 6) AS pr " +
+      s" SELECT d.node, d.deg, round(p.pr, 4) AS pr " +
       s"FROM deg d JOIN pr$iters p ON p.node = d.node"
   }
 
@@ -535,7 +538,7 @@ object SparkEntry {
         "GROUP BY de.dst) s ON s.node = d.node)"
     }.mkString
     base + iterCtes +
-      s" SELECT d.node, d.deg, d.is_seed, round(p.pr, 6) AS pr " +
+      s" SELECT d.node, d.deg, d.is_seed, round(p.pr, 4) AS pr " +
       s"FROM sd d JOIN pr$iters p ON p.node = d.node"
   }
 

@@ -97,7 +97,11 @@ object GraphOps {
     * adjacency. Every node in the edge set has degree ≥ 1, so there are
     * no dangling nodes and the per-iteration mass is exactly
     * (1−d) + d·Σpr. Output: (node, deg, pr) with pr rounded to
-    * `roundTo` decimals (fp-association-safe compare).
+    * `roundTo` decimals. The default (4, the cosine convention used
+    * across the repo) leaves headroom for partition/engine-dependent
+    * floating-point summation order across 10 chained iterations —
+    * 6 dp sat close enough to the accumulation noise floor that a
+    * value at a rounding boundary could flip between engines.
     *
     * Scale shape: the rank vector is (node, pr) — ONE row per node; an
     * iteration is contribution = pr/deg shipped over the edge list (a
@@ -108,7 +112,7 @@ object GraphOps {
     * driver round-trips; for very long chains swap in the same
     * localCheckpoint cadence as [[Dedup.connectedComponents]]. */
   def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 4): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     // lineage cut before AND inside the loop: without it, iteration i's
     // plan re-derives the whole edge pipeline i times over and Catalyst
@@ -154,7 +158,7 @@ object GraphOps {
     * Ranks sum to ≤ 1 (mass conserved; equality when every node
     * reaches a seed). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 10, d: Double = 0.85, roundTo: Int = 6): DataFrame = {
+      iters: Int = 10, d: Double = 0.85, roundTo: Int = 4): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val directed = lineageCut(
       edges.select(col("src"), col("dst"))

@@ -529,6 +529,33 @@ object TextOps {
           lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"))
 
+  /** Session registry of materialized fingerprint tables — the same
+    * build-once pattern as `Dedup.materializeSignatures`: winnow the
+    * corpus ONCE, write the scalar (doc_id, fp_hash) table to parquet,
+    * and let every consumer — both sides of the containment self-join,
+    * the df/size windows, cross-corpus overlap joins — SCAN it instead
+    * of re-running the winnowing expression per lineage branch. At
+    * 100 TB this is the difference between fingerprinting the corpus
+    * once and once per plan branch. Immutable-corpus contract as the
+    * other build-once caches. */
+  private val fpTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeFingerprints(spark: SparkSession, dir: String): String =
+    fpTableCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("winnow_fps")
+        .toString
+      fingerprints(spark, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Drop materialized fingerprint tables AND delete their directories. */
+  def clearFingerprintCache(): Unit = {
+    fpTableCache.values.forEach(path =>
+      graft.operators.Ivf.deleteRecursively(new java.io.File(path)))
+    fpTableCache.clear()
+  }
+
   /** Cross-document containment via winnowing fingerprints: pairs of
     * documents sharing fingerprint hashes, scored by
     * shared / min(|fp(a)|, |fp(b)|) — the copy/quotation detector of
@@ -540,15 +567,25 @@ object TextOps {
     * (boilerplate grams) are pruned first via a broadcast anti-join, the
     * same hot-bucket cap as Dedup: a gram in thousands of docs carries no
     * pair signal but O(df²) join cost. Sizes use the pruned universe so
-    * numerator and denominator agree (exact dups still score 1.0). */
+    * numerator and denominator agree (exact dups still score 1.0).
+    * @param materialized read fingerprints from the build-once parquet
+    *   table ([[materializeFingerprints]]) instead of winnowing per
+    *   lineage branch — the steady-state production shape (the plan is
+    *   then winnow-free, spec-guarded). */
   def containmentPairs(spark: SparkSession, dir: String,
-      maxDf: Int = 100, minContainment: Double = 0.5): DataFrame = {
+      maxDf: Int = 100, minContainment: Double = 0.5,
+      materialized: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // hot-gram df and per-doc size as COUNT WINDOWS, not join-backs: the
-    // fingerprint UDF then runs once per self-join side (2 lineage
-    // branches) instead of once per audit/size branch (4) — the windows
-    // reuse the shuffles the pipeline needs anyway
-    val pruned = fingerprints(spark, dir)
+    // windows reuse the shuffles the pipeline needs anyway, so the
+    // fingerprint source (one scan of the materialized table, or the
+    // winnowing expression on the recomputing path) feeds every
+    // downstream branch without extra join-backs
+    val fps =
+      if (materialized)
+        spark.read.parquet(materializeFingerprints(spark, dir))
+      else fingerprints(spark, dir)
+    val pruned = fps
       .withColumn("hash_df",
         count(lit(1)).over(Window.partitionBy("fp_hash")))
       .filter(col("hash_df") <= maxDf)

@@ -181,6 +181,26 @@ class TextOpsSpec extends SparkSpec {
     assert(c === 1.0, "every fingerprint of the quote appears in the body")
   }
 
+  test("containment materialized: identical pairs, winnow-free plan") {
+    TextOps.clearFingerprintCache()
+    try {
+      val recompute = TextOps.containmentPairs(spark, sfDir)
+      val mat = TextOps.containmentPairs(spark, sfDir, materialized = true)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(mat.collect().map(key).sortBy(t => (t._1, t._2)).toSeq ===
+        recompute.collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+      // the winnowing expression must be GONE from the materialized
+      // plan — every branch scans the build-once parquet table instead
+      // (the recomputing form carries it once per self-join side)
+      val plan = mat.queryExecution.executedPlan.toString
+      assert(!plan.contains("winnow_fingerprints"),
+        s"plan must scan the fingerprint table, not re-winnow:\n$plan")
+      assert(TextOps.containmentPairs(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("winnow_fingerprints"))
+    } finally TextOps.clearFingerprintCache()
+  }
+
   test("gopher repetition: dup lines, top word/bigram token shares") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
