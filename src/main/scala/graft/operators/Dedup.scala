@@ -494,6 +494,109 @@ object Dedup {
         round(col("sim_est"), 4).as("sim_est"))
   }
 
+  /** Committed (`_SUCCESS`-gated) `batch=<n>` dirs under `root`,
+    * excluding `exclude` — torn dirs from a crash and the CURRENT batch
+    * id (present on a crash replay — replaying a batch against its own
+    * committed signatures would self-match) never enter a probe. */
+  private def committedBatchDirs(spark: SparkSession, root: String,
+      exclude: Option[Long]): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty[String]
+    else fs.listStatus(p)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => exclude.forall(id => d.getName != s"batch=$id") &&
+        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .map(_.toString)
+  }
+
+  /** Band-key table of a signature frame, tagged with the hash bucket
+    * the live-ingest index is PARTITIONED by. The partition axis is
+    * `pmod(band_key, nBuckets)`, NOT `band`: every probe carries all
+    * `bands` band ids (each doc hashes into each band), so band
+    * partitions could never be skipped — but a small micro-batch only
+    * touches a few band-KEY hash buckets, and those are exactly what a
+    * probe can prune on. */
+  private def bucketedBandKeys(sigs: DataFrame, numHashes: Int,
+      bands: Int, nBuckets: Int): DataFrame =
+    bandKeysOf(sigs, numHashes, bands)
+      .withColumn("bucket", pmod(col("band_key"), lit(nBuckets)))
+
+  /** Probe the live-ingest index with a batch of pre-computed
+    * signatures `newSigs` (new_id, sig): one output row per
+    * (new_id, hist_id) whose band keys collide with ANY indexed
+    * signature version, scored against the LATEST colliding version
+    * (max committed batch id — a redelivered doc_id's stale versions
+    * can band-match too, and emitting one row per version would break
+    * the exact-pair contract), thresholded at `minEstimate`.
+    *
+    * Why this probe stays cheap as history grows (the 100 TB story):
+    *  - The candidate join consumes the NARROW band-key table
+    *    (band, band_key, hist_id — ints), never the 64-element
+    *    signature arrays, and never historical text.
+    *  - That table is partitioned by band-key hash bucket; the probe
+    *    collects its batch's distinct buckets (≤ `nBuckets` ints, a
+    *    batch-local job) into a STATIC `bucket IN (...)` filter, so
+    *    the scan prunes whole partition directories — for a
+    *    small/single-doc micro-batch most of the index is never read
+    *    (spec-asserted via `PartitionFilters`).
+    *  - Full signatures are fetched ONLY for matched candidates, via
+    *    an equi-join keyed on (hist_id, batch): the batch key is the
+    *    signature table's partition axis, so dynamic partition
+    *    pruning can skip whole batch dirs, and compaction
+    *    ([[graft.operators.Pipeline.compact]] over `sigs/`, keeping
+    *    the max-batch version per doc_id) bounds the dir count. */
+  def probeIngestIndex(spark: SparkSession, indexDir: String,
+      newSigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      minEstimate: Double = 0.5, nBuckets: Int = 64,
+      excludeBatchId: Option[Long] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val priorBands = committedBatchDirs(spark, s"$indexDir/bands",
+      excludeBatchId)
+    val priorSigs = committedBatchDirs(spark, s"$indexDir/sigs",
+      excludeBatchId)
+    val empty = newSigs
+      .select(col("new_id"), col("new_id").as("hist_id"),
+        lit(0.0).as("sim_est"))
+      .where(lit(false))
+    if (priorBands.isEmpty || priorSigs.isEmpty) return empty
+    // probe band keys inline (not via bandKeysOf) so the batch's sig
+    // rides along for the sim_est stage
+    val rows = numHashes / bands
+    val probe = newSigs
+      .select(col("new_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("new_id"), col("sig"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1,
+          lit(rows))).as("band_key"))
+      .withColumn("bucket", pmod(col("band_key"), lit(nBuckets)))
+    // batch-local distinct buckets → static partition prune on the scan
+    val buckets = probe.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return empty
+    val histBands = spark.read
+      .option("basePath", s"$indexDir/bands").parquet(priorBands: _*)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("band"), col("band_key"), col("bucket"),
+        col("doc_id").as("hist_id"), col("batch").cast("long").as("batch"))
+    val matched = probe.join(histBands, Seq("band", "band_key", "bucket"))
+      .groupBy("new_id", "hist_id")
+      .agg(max(col("batch")).as("batch"), first(col("sig")).as("sig"))
+    val histSigs = spark.read
+      .option("basePath", s"$indexDir/sigs").parquet(priorSigs: _*)
+      .select(col("doc_id").as("hist_id"), col("sig").as("hist_sig"),
+        col("batch").cast("long").as("batch"))
+    matched.join(histSigs, Seq("hist_id", "batch"))
+      .withColumn("sim_est",
+        aggregate(zip_with(col("sig"), col("hist_sig"),
+            (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("sim_est") >= minEstimate)
+      .select(col("new_id"), col("hist_id"),
+        round(col("sim_est"), 4).as("sim_est"))
+  }
+
   /** Continuous ingest dedup with a GROWING index — the missing half of
     * [[streamNearDupCandidates]] (whose index is frozen at query start):
     * each micro-batch of new documents is (1) matched against every
@@ -502,25 +605,33 @@ object Dedup {
     * hist_id`), then (2) its signatures are appended to the index, so
     * batch N+1 dedups against batch N. A redelivered doc_id matching
     * its own prior indexed version (new_id == hist_id, cross-batch) is
-    * emitted too — that row IS the update/redelivery signal.
-    * Candidates land in `outDir/batch=<id>/`, signatures in
-    * `indexDir/batch=<id>/` — both via the idempotent per-batch-dir
-    * recipe ([[graft.streaming.EventStream.idempotentBatchSink]]): on a
+    * emitted once — that row IS the update/redelivery signal; stale
+    * versions never fan a pair out into duplicates
+    * ([[probeIngestIndex]] scores against the latest colliding
+    * version only).
+    *
+    * Index layout (what makes per-batch cost sublinear in history):
+    *  - `indexDir/bands/batch=<id>/bucket=<b>/` — the narrow
+    *    (band, band_key, doc_id) candidate table, PARTITIONED by
+    *    band-key hash bucket so a probe's static `bucket IN` filter
+    *    prunes directories (see [[probeIngestIndex]] for why bucket,
+    *    not band, is the pruning axis).
+    *  - `indexDir/sigs/batch=<id>/` — (doc_id, sig), fetched only for
+    *    matched candidates, keyed by (doc_id, batch).
+    * Candidates land in `outDir/batch=<id>/`. All three go through the
+    * idempotent per-batch-dir recipe
+    * ([[graft.streaming.EventStream.idempotentBatchSink]]): on a
     * replay after a crash, committed dirs are skipped and torn dirs
     * rewritten, so reprocessing cannot double-insert signatures or
-    * re-emit candidates. The fresh per-batch directory listing (only
+    * re-emit candidates; the sink order (candidates, then sigs, then
+    * bands) keeps every band-indexed version resolvable to its
+    * signature mid-crash. The fresh per-batch directory listing (only
     * `_SUCCESS`-committed dirs, never the current batch id) is what a
-    * frozen stream-static file scan cannot give.
-    *
-    * Scale shape per batch: narrow signature map over the batch →
-    * band-key equi-join against the index scan (keyed shuffle, AQE) —
-    * the stream touches only (doc_id, sig) rows, never historical text.
-    * At 100 TB of history, compact `indexDir` periodically
-    * ([[graft.operators.Pipeline.compact]]) and partition by band for
-    * band-pruned scans; the per-batch logic is unchanged. */
+    * frozen stream-static file scan cannot give. */
   def liveNearDupIngest(stream: DataFrame, spark: SparkSession,
       indexDir: String, outDir: String, checkpointDir: String,
-      numHashes: Int = 64, bands: Int = 16, minEstimate: Double = 0.5)
+      numHashes: Int = 64, bands: Int = 16, minEstimate: Double = 0.5,
+      nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // fail fast BEFORE the stream starts: a banding error must not
     // surface asynchronously after checkpoint/sink dirs exist
@@ -528,20 +639,6 @@ object Dedup {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        // committed prior batches only: exclude torn dirs (no _SUCCESS)
-        // and THIS batch id (present on a crash replay — replaying a
-        // batch against its own committed signatures would self-match)
-        val prior =
-          if (!fs.exists(root)) Array.empty[String]
-          else fs.listStatus(root)
-            .filter(_.isDirectory)
-            .map(_.getPath)
-            .filter(p => p.getName != s"batch=$id" &&
-              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-            .map(_.toString)
         // signature the batch ONCE: both match passes and the index
         // sink reuse the cached frame (the MinHash scan over full text
         // is the dominant per-batch cost)
@@ -557,18 +654,21 @@ object Dedup {
               sigs.select(col("doc_id").as("new_id"), col("sig")),
               sigs, numHashes, bands, minEstimate)
             .filter(col("new_id") > col("hist_id"))
-          // cross-batch: vs prior committed dirs only, UNFILTERED — a
-          // redelivered doc_id legitimately matches other prior docs in
-          // either id order, and matching its own prior version
+          // cross-batch: vs prior committed batches only, UNFILTERED —
+          // a redelivered doc_id legitimately matches other prior docs
+          // in either id order, and matching its own prior version
           // (new_id == hist_id) is the update/redelivery flag
-          val cands =
-            if (prior.isEmpty) intra
-            else candidateSigsVsIndex(
+          val cands = probeIngestIndex(spark, indexDir,
               sigs.select(col("doc_id").as("new_id"), col("sig")),
-              spark.read.parquet(prior: _*), numHashes, bands, minEstimate)
-              .unionByName(intra)
+              numHashes, bands, minEstimate, nBuckets,
+              excludeBatchId = Some(id))
+            .unionByName(intra)
           graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
-          graft.streaming.EventStream.idempotentBatchSink(indexDir)(sigs, id)
+          graft.streaming.EventStream.idempotentBatchSink(
+            s"$indexDir/sigs")(sigs, id)
+          graft.streaming.EventStream.idempotentBatchSink(
+            s"$indexDir/bands", partitionBy = Seq("bucket"))(
+            bucketedBandKeys(sigs, numHashes, bands, nBuckets), id)
         } finally sigs.unpersist()
         ()
       }

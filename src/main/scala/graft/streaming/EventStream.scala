@@ -223,14 +223,17 @@ object EventStream {
     * a java.io.File check would silently see "not written" on every
     * remote URI and degrade the upgrade back to at-least-once overwrite.
     * Returns true if the batch was written, false if skipped. */
-  def idempotentBatchSink(outDir: String)(df: DataFrame,
+  def idempotentBatchSink(outDir: String,
+      partitionBy: Seq[String] = Nil)(df: DataFrame,
       batchId: Long): Boolean = {
     val dir = new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId")
     val fs = dir.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
     else {
-      df.write.mode("overwrite").parquet(dir.toString)
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dir.toString)
       true
     }
   }

@@ -313,17 +313,73 @@ class DedupSpec extends SparkSpec {
     // exactly-once on ROWS, not just the deduped set — a duplicated
     // emission (double direction, replayed write) must fail here
     assert(rows.length === 4, s"no self/duplicate/spurious rows: ${rows.toSeq}")
-    // index holds one committed dir per batch, each _SUCCESS-gated
-    val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
-      .map(_.getName).toSet
-    assert(dirs === Set("batch=0", "batch=1", "batch=2"))
+    // index holds one committed dir per batch under BOTH legs, each
+    // _SUCCESS-gated; the bands leg is partitioned by band-key bucket
+    for (leg <- Seq("sigs", "bands")) {
+      val dirs = new java.io.File(s"$idx/$leg").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs === Set("batch=0", "batch=1", "batch=2"), leg)
+    }
+    val bucketDirs = new java.io.File(s"$idx/bands/batch=0").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(_.startsWith("bucket=")),
+      s"bands leg must be bucket-partitioned: ${bucketDirs.toSeq}")
     // replay safety: a committed batch dir is skipped, not rewritten
-    val before = new java.io.File(s"$idx/batch=1").lastModified()
-    val replayed = graft.streaming.EventStream.idempotentBatchSink(idx)(
-      Seq((999L, Array(0L))).toDF("doc_id", "sig"), 1L)
-    assert(!replayed && spark.read.parquet(s"$idx/batch=1")
+    val before = new java.io.File(s"$idx/sigs/batch=1").lastModified()
+    val replayed = graft.streaming.EventStream.idempotentBatchSink(
+      s"$idx/sigs")(Seq((999L, Array(0L))).toDF("doc_id", "sig"), 1L)
+    assert(!replayed && spark.read.parquet(s"$idx/sigs/batch=1")
       .filter(col("doc_id") === 999L).count() === 0)
-    assert(new java.io.File(s"$idx/batch=1").lastModified() === before)
+    assert(new java.io.File(s"$idx/sigs/batch=1").lastModified() === before)
+    // the cross-batch probe is PRUNED: its band-candidate scan carries a
+    // static bucket IN (...) partition filter from the batch's own band
+    // keys — for a single-doc probe most of the index is never read
+    val oneDoc = Seq((500L, base)).toDF("doc_id", "text")
+      .select(col("doc_id").as("new_id"),
+        graft.functions.MinHashExpression.native(col("text"), 64).as("sig"))
+    val probe = Dedup.probeIngestIndex(spark, idx, oneDoc)
+    val scan = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") &&
+        l.contains("bucket"))
+    assert(scan.exists(_.matches(".*PartitionFilters: \\[.*bucket.*IN.*")),
+      s"bands scan must prune on bucket, plan:\n" +
+        probe.queryExecution.executedPlan.toString.take(3000))
+    // and the pruned probe still finds the near-copy of seed 1
+    val hits = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((500L, 1L)), s"probe must match seed 1: $hits")
+  }
+
+  test("liveNearDupIngest: a redelivered doc's stale versions do not " +
+      "fan future matches out into duplicate pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("livededup2")
+    val (idx, out, ckpt) = (s"$tmpRoot/index", s"$tmpRoot/out", s"$tmpRoot/ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt)
+    try {
+      input.addData((1L, base))
+      query.processAllAvailable()
+      // redelivery: same doc_id, slightly revised text → a SECOND
+      // signature version enters the index
+      input.addData((1L, base + " revised"))
+      query.processAllAvailable()
+      // a near-copy arriving after the redelivery: both indexed versions
+      // of doc 1 band-collide with it, but exactly ONE pair row may
+      // surface (scored against the latest version)
+      input.addData((700L, base + " tail"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // batch 1 emitted the redelivery signal once
+    assert(rows.count(_ == ((1L, 1L))) === 1, s"redelivery flag: ${rows.toSeq}")
+    // batch 2's new doc pairs with doc 1 exactly once, not per version
+    assert(rows.count(_ == ((700L, 1L))) === 1,
+      s"one row per (new,hist) pair regardless of stale versions: ${rows.toSeq}")
   }
 
   test("connectedComponents: transitive chains, min label, diameter > 2") {
