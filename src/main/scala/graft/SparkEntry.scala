@@ -263,6 +263,10 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => graft.operators.Pq.annRecall(s, d)),
     "q_ann_ivfpq" -> ((s, d) =>
       graft.operators.Pq.annRecall(s, d, method = "ivfpq")),
+    // incremental serving: index built on the even-id half, odd-id half
+    // APPENDED under the frozen model, probed over base+appended
+    "q_ann_ivfpq_append" -> ((s, d) =>
+      graft.operators.Pq.annRecallAppend(s, d)),
     // Matryoshka two-stage: 16-dim prefix shortlist → full-vector rerank
     "q_ann_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaTopK(s, d, queryId = 0L)),
@@ -1899,6 +1903,17 @@ object SparkEntry {
       ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
         "('ivfpq', 10, CAST(10 AS BIGINT), CAST(5 AS BIGINT), " +
         "CAST(0.5 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+    // grown index (built on the even-id half, odd half appended under
+    // the frozen model): deterministic end to end — hash-gated sample
+    // of the base half, deterministic Lloyd, exact append (same model
+    // ⇒ same cells/codes as a rebuild, spec-pinned in PqSpec) — so the
+    // recall over base+appended is a pinned constant like the other ANN
+    // entries; lower than q_ann_ivfpq's because the model trained on
+    // half the corpus prunes with coarser cells
+    "q_ann_ivfpq_append" ->
+      ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
+        "('ivfpq_append', 10, CAST(10 AS BIGINT), CAST(3 AS BIGINT), " +
+        "CAST(0.3 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

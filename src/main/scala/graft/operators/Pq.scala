@@ -48,15 +48,21 @@ object Pq {
     codebookCache.computeIfAbsent((dir, m, k, trainSample), { _ =>
       val sample = Ivf.uniformSample(embeddings(spark, dir), trainSample)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      require(sample.nonEmpty, "empty training sample")
-      val dim = sample(0).length
-      require(dim % m == 0, s"dim $dim must be divisible by m=$m")
-      val sub = dim / m
-      Array.tabulate(m) { s =>
-        val slice = sample.map(v => v.slice(s * sub, (s + 1) * sub))
-        Ivf.trainCentroids(slice, k)
-      }
+      codebooksFromSample(sample, m, k)
     })
+
+  /** Per-subspace codebooks from an in-memory training sample. */
+  private def codebooksFromSample(sample: Array[Array[Float]], m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      Ivf.trainCentroids(slice, k)
+    }
+  }
 
   /** Encode every vector: array of `m` codes, code s = index of the
     * nearest centroid of subspace s (ties → lowest, [[Ivf.nearest]]). */
@@ -168,15 +174,14 @@ object Pq {
     *     rows, not the corpus.
     * Plan: pruned scan → codegen project → TakeOrdered(kNn·rerank) →
     * exact-cosine project → TakeOrdered(kNn). No joins, no shuffles. */
-  def topKIvfPq(spark: SparkSession, dir: String, queryId: Long,
-      kNn: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
-      k: Int = 16, rerank: Int = 4): DataFrame = {
-    val (path, centroids, books) = materializeIvfPqIndex(spark, dir, nlist, m, k)
-    val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
-      .select("embedding").collect()(0).getSeq[Float](0).toArray
-    val cells = Ivf.nearestCells(centroids, qVec, nprobe)
+  /** The query's per-subspace squared-L2 distance table, flat layout:
+    * entry s·k + c = ‖q_s − centroid_c of subspace s‖². */
+  private def lutFor(books: Array[Array[Array[Double]]],
+      qVec: Array[Float]): Seq[Double] = {
+    val m = books.length
+    val k = books(0).length
     val sub = books(0)(0).length
-    val lut: Seq[Double] = (0 until m).flatMap { s =>
+    (0 until m).flatMap { s =>
       (0 until k).map { c =>
         val cent = books(s)(c)
         var d = 0.0
@@ -187,10 +192,19 @@ object Pq {
         d
       }
     }
-    val adc: Column = aggregate(
+  }
+
+  /** ADC distance over the `codes` column: the LUT rides as a literal,
+    * so the fold is pure codegen — no join, no broadcast variable. */
+  private def adcCol(lut: Seq[Double], m: Int, k: Int): Column =
+    aggregate(
       zip_with(col("codes"), typedlit((0 until m).map(_ * k)),
         (c, base) => element_at(typedlit(lut), (base + c + 1).cast("int"))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Exact query cosine over the `embedding` column (4-dp rounded, the
+    * repo-wide convention) — the re-rank stage's scorer. */
+  private def cosineCol(qVec: Array[Float]): Column = {
     val q = qVec.map(_.toDouble)
     val qnorm = math.sqrt(q.map(x => x * x).sum)
     val dotQ: Column = aggregate(
@@ -200,17 +214,187 @@ object Pq {
       zip_with(col("embedding").cast("array<double>"),
         col("embedding").cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
-    spark.read.parquet(path)
-      .filter(col("cluster").isin(cells: _*))
-      .filter(col("vec_id") =!= queryId)
+    round(dotQ / (sqrt(dotSelf) * lit(qnorm)), 4)
+  }
+
+  /** Shared two-stage scorer: pruned scan of an encoded cell-partitioned
+    * table → ADC shortlist → exact-cosine re-rank. */
+  private def twoStageSearch(indexRows: DataFrame,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      qVec: Array[Float], kNn: Int, nprobe: Int, rerank: Int,
+      excludeVecId: Option[Long]): DataFrame = {
+    val m = books.length
+    val k = books(0).length
+    val cells = Ivf.nearestCells(centroids, qVec, nprobe)
+    val base = indexRows.filter(col("cluster").isin(cells: _*))
+    excludeVecId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("label"), col("embedding"),
-        adc.as("adc_dist"))
+        adcCol(lutFor(books, qVec), m, k).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(kNn * rerank)
-      .select(col("vec_id"), col("label"),
-        round(dotQ / (sqrt(dotSelf) * lit(qnorm)), 4).as("cosine"))
+      .select(col("vec_id"), col("label"), cosineCol(qVec).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(kNn)
+  }
+
+  def topKIvfPq(spark: SparkSession, dir: String, queryId: Long,
+      kNn: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      k: Int = 16, rerank: Int = 4): DataFrame = {
+    val (path, centroids, books) = materializeIvfPqIndex(spark, dir, nlist, m, k)
+    val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    twoStageSearch(spark.read.parquet(path), centroids, books, qVec,
+      kNn, nprobe, rerank, excludeVecId = Some(queryId))
+  }
+
+  // ------------------------------------------ incremental index (append)
+
+  /** Persist/load the frozen model (IVF centroids + PQ codebooks) next
+    * to the index rows — one tiny parquet table of
+    * (kind, i, j, vec): kind='centroid' rows are cell centroids (i =
+    * cell), kind='book' rows are codebook entries (i = subspace,
+    * j = code). What [[appendToIvfPqIndex]] loads so a LATER session
+    * (or another writer) encodes appends with the exact model the base
+    * index was built with. */
+  private[operators] def writeModel(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    val rows =
+      centroids.zipWithIndex.map { case (c, i) =>
+        ("centroid", i, 0, c.toSeq) } ++
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, j) => ("book", s, j, c.toSeq) } }
+    rows.toSeq.toDF("kind", "i", "j", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  private[operators] def readModel(spark: SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/model").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+    val centroids = rows.filter(_._1 == "centroid").sortBy(_._2).map(_._4)
+    val books = rows.filter(_._1 == "book").groupBy(_._2).toArray
+      .sortBy(_._1).map(_._2.sortBy(_._3).map(_._4))
+    require(centroids.nonEmpty && books.nonEmpty,
+      s"no model found under $path/model")
+    (centroids, books)
+  }
+
+  /** Assign + encode `vectors` with a FROZEN model and write them into
+    * `path/index` (cell-partitioned). `SaveMode.Append` is what makes
+    * the index incremental: new files land inside existing cluster
+    * directories, and every reader (probe, recall, export) sees
+    * base + appended rows with no compaction step required. */
+  private[operators] def encodeInto(spark: SparkSession, path: String,
+      vectors: DataFrame, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], mode: String): Unit = {
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    val m = books.length
+    val sub = books(0)(0).length
+    val assignUdf = udf((v: Seq[Float]) => Ivf.nearest(bcC.value, v.toArray))
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      Array.tabulate(m)(s =>
+        Ivf.nearest(bcB.value(s), arr.slice(s * sub, (s + 1) * sub)))
+    })
+    vectors
+      .withColumn("cluster", assignUdf(col("embedding")))
+      .withColumn("codes", encodeUdf(col("embedding")))
+      .write.mode(mode).partitionBy("cluster").parquet(s"$path/index")
+  }
+
+  /** Build a PERSISTENT IVF-PQ index at `path`: train the model on
+    * `vectors` (hash-gated deterministic sample), write it to
+    * `path/model`, and write the encoded cell-partitioned rows to
+    * `path/index`. Unlike [[materializeIvfPqIndex]] (session temp-dir
+    * cache over a frozen corpus), this is the long-lived layout that
+    * [[appendToIvfPqIndex]] can grow later. */
+  def buildIvfPqIndexAt(spark: SparkSession, path: String,
+      vectors: DataFrame, nlist: Int = 16, m: Int = 8, k: Int = 16,
+      trainSample: Int = 4096): Unit = {
+    val sample = Ivf.uniformSample(vectors, trainSample)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val centroids = Ivf.trainCentroids(sample, nlist)
+    val books = codebooksFromSample(sample, m, k)
+    writeModel(spark, path, centroids, books)
+    encodeInto(spark, path, vectors, centroids, books, "overwrite")
+  }
+
+  /** Incrementally grow the index: assign + encode `vectors` with the
+    * index's FROZEN model and append them to the cell partitions.
+    * Append is EXACT, not approximate — same model ⇒ same cells and
+    * codes as a one-shot build over base+appended would produce
+    * (spec-pinned), so probes over the grown index are
+    * indistinguishable from probes over a rebuild with that model.
+    *
+    * Staleness contract: the model itself never retrains on append, so
+    * if the appended distribution drifts from the training sample, cells
+    * skew (hot centroids absorb the new mass) and ADC quantization error
+    * grows. The standard serving discipline applies: monitor the cell
+    * histogram (`spark.read.parquet(path + "/index")
+    * .groupBy("cluster").count()`), and when skew crosses budget,
+    * rebuild via [[buildIvfPqIndexAt]] over the full corpus — rebuilds
+    * are rare, appends are cheap, and the two never require downtime
+    * (build to a fresh path, swap the reader). */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      vectors: DataFrame): Unit = {
+    val (centroids, books) = readModel(spark, path)
+    encodeInto(spark, path, vectors, centroids, books, "append")
+  }
+
+  /** Two-stage probe of a persistent index at `path` (same plan shape
+    * as [[topKIvfPq]]: pruned cell scan → ADC shortlist → exact
+    * re-rank). */
+  def searchIvfPqIndexAt(spark: SparkSession, path: String,
+      qVec: Array[Float], kNn: Int = 10, nprobe: Int = 4,
+      rerank: Int = 4, excludeVecId: Option[Long] = None): DataFrame = {
+    val (centroids, books) = readModel(spark, path)
+    twoStageSearch(spark.read.parquet(s"$path/index"), centroids, books,
+      qVec, kNn, nprobe, rerank, excludeVecId)
+  }
+
+  /** Session cache for the append-demo index: base corpus = even
+    * vec_ids, appended delta = odd vec_ids. */
+  private val appendDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def clearAppendDemoCache(): Unit = {
+    appendDemoCache.values.forEach(p =>
+      Ivf.deleteRecursively(new java.io.File(p)))
+    appendDemoCache.clear()
+  }
+
+  /** Recall@k of the GROWN index (built on the even-id half, odd-id
+    * half appended with the frozen model) against brute force over the
+    * full corpus — the live-ingest twin of `q_ann_ivfpq`. Deterministic
+    * end to end (hash-gated sample of the base half, deterministic
+    * Lloyd), so the driver's oracle pins the recall constant. */
+  def annRecallAppend(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = appendDemoCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("ivfpq_append")
+        .toString
+      val all = embeddings(spark, dir)
+      buildIvfPqIndexAt(spark, p, all.filter(col("vec_id") % 2 === 0))
+      appendToIvfPqIndex(spark, p, all.filter(col("vec_id") % 2 =!= 0))
+      p
+    })
+    val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val truth = Similarity.bruteForceTopK(spark, dir, queryId, k)
+      .select("vec_id")
+    val approx = searchIvfPqIndexAt(spark, path, qVec, k,
+      excludeVecId = Some(queryId)).select("vec_id")
+    truth.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(lit("ivfpq_append").as("method"), lit(k).as("k"),
+        col("n_true"), col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
   }
 
   /** Recall@k of PQ-ADC (or the composed IVF-PQ two-stage search when

@@ -121,6 +121,50 @@ class PqSpec extends SparkSpec {
     assert(!new java.io.File(path).exists(), "clear must delete index dirs")
   }
 
+  test("incremental IVF-PQ: frozen-model append equals a one-shot encode " +
+      "of base+delta — identical index rows and search results") {
+    val all = Tables.embeddings(spark, sfDir)
+    val base = all.filter(col("vec_id") % 2 === 0)
+    val delta = all.filter(col("vec_id") % 2 =!= 0)
+    val pGrow = java.nio.file.Files.createTempDirectory("ivfpq_grow").toString
+    val pOne = java.nio.file.Files.createTempDirectory("ivfpq_one").toString
+    try {
+      Pq.buildIvfPqIndexAt(spark, pGrow, base)
+      Pq.appendToIvfPqIndex(spark, pGrow, delta)
+      // one-shot twin: encode the FULL corpus under the SAME frozen model
+      val (cents, books) = Pq.readModel(spark, pGrow)
+      Pq.encodeInto(spark, pOne, all, cents, books, "overwrite")
+      def rows(p: String) = spark.read.parquet(s"$p/index")
+        .select("vec_id", "cluster", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq))
+        .sortBy(_._1)
+      val grown = rows(pGrow)
+      assert(grown.length === all.count())
+      assert(grown.toSeq === rows(pOne).toSeq,
+        "append must place every delta vector in the same cell with the " +
+          "same codes as a one-shot encode under the same model")
+      // probes over the grown index == probes over the one-shot index
+      val qVec = all.filter(col("vec_id") === 0L)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Pq.writeModel(spark, pOne, cents, books)
+      def hits(p: String) = Pq.searchIvfPqIndexAt(spark, p, qVec,
+          excludeVecId = Some(0L)).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(hits(pGrow) === hits(pOne))
+      // the probe stays partition-pruned after the append
+      val probe = Pq.searchIvfPqIndexAt(spark, pGrow, qVec,
+        excludeVecId = Some(0L))
+      val scans = probe.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.partitionFilters
+        .exists(_.references.exists(_.name == "cluster"))))
+    } finally {
+      Ivf.deleteRecursively(new java.io.File(pGrow))
+      Ivf.deleteRecursively(new java.io.File(pOne))
+    }
+  }
+
   test("encode derives the subspace dim from the codebooks (dim != 64)") {
     import spark.implicits._
     // 32-dim corpus: m=8 → 4-dim subspaces; a 64-dim assumption would
