@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // fail the WHOLE verify run loudly if the embeddings file carries
+    // float64 values that the ARRAY<FLOAT> canonicalization would
+    // corrupt — every downstream oracle compare would silently drift
+    graft.operators.Tables.assertLosslessEmbeddingDrift(spark, sfDir)
     // optional focus filter for local diagnosis (same contract as Bench):
     // SPARK_GRAFT_ONLY=q_a,q_b; absent → dump everything (driver path)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

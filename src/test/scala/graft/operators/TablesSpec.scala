@@ -43,6 +43,34 @@ class TablesSpec extends SparkSpec {
     assert(norms.length === 3 && norms.forall(_.getDouble(1) === 1.0))
   }
 
+  test("float64 drift guard: lossless round-trip passes, lossy values " +
+      "fail loudly, float32 files are a no-op") {
+    // 0.6/0.8 written as float64 are NOT float32-exact (0.6D !=
+    // (double)(float)0.6D), so the existing drift fixture shape is the
+    // LOSSY case; float32-representable doubles (0.5, 0.25) are lossless
+    val lossless = java.nio.file.Files.createTempDirectory("lossless").toString
+    spark.sql(
+      """SELECT CAST(id AS BIGINT) AS vec_id,
+        |  CAST(array(0.5D, 0.25D) AS ARRAY<DOUBLE>) AS embedding,
+        |  CAST(id AS INT) AS label
+        |FROM VALUES (1), (2) AS t(id)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$lossless/embeddings.parquet")
+    Tables.assertLosslessEmbeddingDrift(spark, lossless)
+    val lossy = java.nio.file.Files.createTempDirectory("lossy").toString
+    spark.sql(
+      """SELECT CAST(id AS BIGINT) AS vec_id,
+        |  CAST(array(0.6D, 0.8D) AS ARRAY<DOUBLE>) AS embedding,
+        |  CAST(id AS INT) AS label
+        |FROM VALUES (1), (2) AS t(id)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$lossy/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.assertLosslessEmbeddingDrift(spark, lossy)
+    }
+    assert(e.getMessage.contains("float32"))
+    // the real (float32) testdata never trips the guard
+    Tables.assertLosslessEmbeddingDrift(spark, sfDir)
+  }
+
   test("canonical files pass through with no extra plan nodes") {
     // on an already-canonical file the casts are no-ops Catalyst erases:
     // the optimized plan is the bare scan
