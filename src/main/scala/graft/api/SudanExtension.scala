@@ -83,4 +83,27 @@ object SudanExtension {
         graft.operators.QualityModel.qualityClassifier(spark, dir))
       .foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
+
+  /** Register the graph-analytics / ANN surface as SQL temp views, so
+    * the SQL-only user reaches the same results as the Scala API
+    * (`SELECT node, pr FROM corpus_graph_pagerank ORDER BY pr DESC`,
+    * `SELECT * FROM corpus_ann_probe`, …). UNLIKE [[registerPipeline]]
+    * these are NOT lazy plans: the PageRank/PPR power loop and the
+    * IVF-PQ index build run AT registration (both bounded — fixed
+    * iterations over the k-NN graph, build-once session-cached index),
+    * which is the right trade for a session that will query the views
+    * repeatedly; re-registration reuses every build-once cache. */
+  def registerAnalytics(spark: SparkSession, dir: String,
+      queryId: Long = 0L): Unit = {
+    import graft.operators.{GraphOps, Pq, Similarity}
+    Seq(
+      "corpus_knn_graph" -> Similarity.knnJoin(spark, dir),
+      "corpus_graph_triangles" -> GraphOps.knnTriangles(spark, dir),
+      "corpus_graph_pagerank" -> GraphOps.knnPageRank(spark, dir),
+      "corpus_graph_ppr" -> GraphOps.knnSeededRank(spark, dir),
+      // two-stage IVF-PQ probe for `queryId` over the materialized index
+      "corpus_ann_probe" -> Pq.topKIvfPq(spark, dir, queryId),
+      "corpus_embed_clusters" -> Similarity.embedClusters(spark, dir))
+      .foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
 }

@@ -118,4 +118,36 @@ class GeoSpec extends SparkSpec {
       "SELECT count(DISTINCT shard) FROM corpus_packing")
       .collect()(0).getLong(0) > 1, "sharded packing via SQL")
   }
+
+  test("SQL surface: graph + ANN views answer plain SQL and agree with " +
+      "the Scala API") {
+    SudanExtension.registerAnalytics(spark, sfDir)
+    // PageRank over the k-NN graph: ranks positive, top node matches
+    // the Scala call
+    val topSql = spark.sql(
+      "SELECT node FROM corpus_graph_pagerank " +
+        "ORDER BY pr DESC, node ASC LIMIT 1").collect()(0).getLong(0)
+    val topScala = graft.operators.GraphOps.knnPageRank(spark, sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("pr").desc,
+        org.apache.spark.sql.functions.col("node").asc)
+      .limit(1).collect()(0).getLong(0)
+    assert(topSql === topScala)
+    // seeded rank keeps its mass near the seed cohort
+    val seeded = spark.sql(
+      "SELECT count(*) FROM corpus_graph_ppr WHERE is_seed AND pr > 0")
+      .collect()(0).getLong(0)
+    assert(seeded > 0, "seed nodes carry rank via SQL")
+    assert(spark.sql(
+      "SELECT count(*) FROM corpus_graph_triangles WHERE n_tri > 0")
+      .collect()(0).getLong(0) > 0, "triangle counts via SQL")
+    // the ANN probe view serves the two-stage IVF-PQ top-k
+    val probe = spark.sql(
+      "SELECT vec_id, cosine FROM corpus_ann_probe").collect()
+    assert(probe.length === 10)
+    val cos = probe.map(_.getDouble(1)).toSeq
+    assert(cos === cos.sorted.reverse, "re-ranked order via SQL")
+    assert(spark.sql(
+      "SELECT count(DISTINCT cluster_id) FROM corpus_embed_clusters")
+      .collect()(0).getLong(0) > 0)
+  }
 }
