@@ -46,6 +46,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("pageRank honors a session checkpoint dir: reliable checkpoints, " +
+      "identical ranks (the documented cluster mode)") {
+    val edges = GraphOps.undirect(bowtie, "src", "dst")
+    val expect = GraphOps.pageRank(edges, iters = 10, roundTo = 9).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("prckpt").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite must start without a dir")
+    sc.setCheckpointDir(ckpt)
+    try {
+      val got = GraphOps.pageRank(edges, iters = 10, roundTo = 9).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got === expect, "ranks identical under reliable checkpointing")
+      // the loop really wrote reliable checkpoints: executor loss
+      // mid-iteration recovers from storage, not a 2i-join lineage
+      def rddDirs(f: java.io.File): Int =
+        if (f.getName.startsWith("rdd-")) 1
+        else Option(f.listFiles()).fold(0)(_.map(rddDirs).sum)
+      assert(rddDirs(new java.io.File(ckpt)) >= 3,
+        "edges + degrees + ≥1 iteration must checkpoint to the dir")
+    } finally sc.setCheckpointDir(null)
+    assert(sc.getCheckpointDir.isEmpty)
+  }
+
   test("personalized PageRank: mass stays near the seed cohort, " +
       "conserved, seeds validated") {
     import spark.implicits._
