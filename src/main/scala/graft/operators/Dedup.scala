@@ -506,7 +506,8 @@ object Dedup {
     else fs.listStatus(p)
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(d => exclude.forall(id => d.getName != s"batch=$id") &&
+      .filter(d => d.getName.startsWith("batch=") &&
+        exclude.forall(id => d.getName != s"batch=$id") &&
         fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
       .map(_.toString)
   }
@@ -673,6 +674,70 @@ object Dedup {
         ()
       }
       .start()
+  }
+
+  /** OFFLINE maintenance for the live-ingest index: fold every committed
+    * batch into ONE (per leg), keeping only the LATEST signature version
+    * per doc_id — the compaction the probe's cost model assumes (its
+    * matched-candidate signature fetch prunes on batch dirs, so the dir
+    * count must stay bounded; and retiring stale versions here is what
+    * keeps redelivered docs from accumulating index garbage forever).
+    *
+    * Run with the ingest query STOPPED (the standard maintenance-window
+    * contract, same as [[graft.operators.Pipeline.compact]]): the
+    * compacted data lands in `batch=<maxCommittedId>` so a restarted
+    * stream's NEXT batch id (strictly increasing from the checkpoint)
+    * never collides. Sequencing keeps a crash recoverable: the compacted
+    * copy is fully written to a side dir (invisible to probes, which
+    * only list `batch=*`) before any old dir is removed, and the bands
+    * leg is rebuilt from the compacted signatures afterwards (bands are
+    * derived data — [[probeIngestIndex]] requires BOTH legs committed,
+    * so a crash between legs fails closed, and rerunning compaction
+    * completes the job).
+    *
+    * Returns (docs kept, stale versions dropped). No-op (0 dropped)
+    * when every doc has a single version and one batch dir exists. */
+  def compactIngestIndex(spark: SparkSession, indexDir: String,
+      numHashes: Int = 64, bands: Int = 16, nBuckets: Int = 64)
+      : (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val sigDirs = committedBatchDirs(spark, s"$indexDir/sigs", None)
+    if (sigDirs.isEmpty) return (0L, 0L)
+    val latest = sigDirs.map(d =>
+      d.split("=").last.toLong).max
+    val all = spark.read.option("basePath", s"$indexDir/sigs")
+      .parquet(sigDirs: _*)
+      .select(col("doc_id"), col("sig"), col("batch").cast("long").as("batch"))
+    val total = all.count()
+    // latest version per doc: one keyed shuffle — maintenance-window
+    // cost, not per-batch cost
+    val kept = all
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("batch").desc)))
+      .filter(col("_rn") === 1)
+      .select("doc_id", "sig")
+    val fsPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(leg: String, write: String => Unit): Unit = {
+      val side = new org.apache.hadoop.fs.Path(s"$indexDir/$leg/compact_tmp")
+      fs.delete(side, true)
+      write(side.toString)
+      committedBatchDirs(spark, s"$indexDir/$leg", None).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      fs.rename(side,
+        new org.apache.hadoop.fs.Path(s"$indexDir/$leg/batch=$latest"))
+      ()
+    }
+    swapIn("sigs", side =>
+      kept.write.mode("overwrite").parquet(side))
+    // bands are derived: rebuild from the COMPACTED signatures so every
+    // band row resolves to a live (doc_id, batch=latest) version
+    val compacted = spark.read.parquet(s"$indexDir/sigs/batch=$latest")
+    swapIn("bands", side =>
+      bucketedBandKeys(compacted, numHashes, bands, nBuckets)
+        .write.mode("overwrite").partitionBy("bucket").parquet(side))
+    val keptN = compacted.count()
+    (keptN, total - keptN)
   }
 
   // ----------------------------------------------- Connected components

@@ -380,6 +380,35 @@ class DedupSpec extends SparkSpec {
     // batch 2's new doc pairs with doc 1 exactly once, not per version
     assert(rows.count(_ == ((700L, 1L))) === 1,
       s"one row per (new,hist) pair regardless of stale versions: ${rows.toSeq}")
+    // ---- offline compaction: fold history, retire stale versions ----
+    val preProbe = Dedup.probeIngestIndex(spark, idx,
+        Seq((800L, base + " probe")).toDF("doc_id", "text")
+          .select(col("doc_id").as("new_id"),
+            graft.functions.MinHashExpression.native(col("text"), 64)
+              .as("sig")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val (kept, dropped) = Dedup.compactIngestIndex(spark, idx)
+    // 3 indexed versions (doc 1 twice, doc 700 once) → 2 live docs
+    assert(kept === 2 && dropped === 1, s"kept=$kept dropped=$dropped")
+    for (leg <- Seq("sigs", "bands")) {
+      val dirs = new java.io.File(s"$idx/$leg").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs === Set("batch=2"), s"$leg folded into the max batch id")
+    }
+    // probes over the compacted index are unchanged (they already scored
+    // against latest versions only)
+    val postProbe = Dedup.probeIngestIndex(spark, idx,
+        Seq((800L, base + " probe")).toDF("doc_id", "text")
+          .select(col("doc_id").as("new_id"),
+            graft.functions.MinHashExpression.native(col("text"), 64)
+              .as("sig")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    assert(postProbe.toSeq === preProbe.toSeq)
+    assert(postProbe.exists(_._2 == 1L), "compacted index still matches")
+    // rerunning compaction is a no-op
+    assert(Dedup.compactIngestIndex(spark, idx) === ((2L, 0L)))
   }
 
   test("connectedComponents: transitive chains, min label, diameter > 2") {

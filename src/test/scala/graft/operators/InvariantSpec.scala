@@ -166,7 +166,8 @@ class InvariantSpec extends SparkSpec {
           v -> (0.15 / n + 0.85 * mass)
         }.toMap
       }
-      val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 10)
+      val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 10,
+          roundTo = 9)
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       assert(got.keySet === pr.keySet)
       got.foreach { case (v, p) =>

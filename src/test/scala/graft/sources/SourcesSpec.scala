@@ -15,6 +15,34 @@ class SourcesSpec extends SparkSpec {
 
   // ------------------------------------------------------------- World Bank
 
+  test("SQL-only parameterized source access: CREATE TEMPORARY VIEW " +
+      "USING <source> OPTIONS (...) — the TVF-named-arg analogue") {
+    // the reference's `SUDAN_WorldBank('SP.POP.TOTL', countries := [...])`
+    // maps to plain Spark SQL with no Scala in sight: every reader option
+    // is a named OPTION, and pushdown still applies through the view
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW wb_sql_tvf
+        |USING `sudan.worldbank`
+        |OPTIONS (
+        |  indicator 'SP.POP.TOTL',
+        |  countries 'SDN',
+        |  `fetcher.mode` 'fixtures',
+        |  `fetcher.fixtures` 'graft/fixtures/worldbank'
+        |)""".stripMargin)
+    val rows = spark.sql(
+      "SELECT country, year, value FROM wb_sql_tvf WHERE year >= 2019")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) >= 2019))
+    // equivalent Scala-factory read returns the same rows
+    val scalaRows = Sudan.worldBank(spark, "SP.POP.TOTL", Seq("SDN"),
+        fetcher = fx("worldbank"))
+      .filter(org.apache.spark.sql.functions.col("year") >= 2019)
+      .select("country", "year", "value").collect()
+    assert(rows.map(_.toString).sorted.toSeq ===
+      scalaRows.map(_.toString).sorted.toSeq)
+  }
+
   test("WB data: pagination (2 pages), null value, ISO2 country id") {
     val df = Sudan.worldBank(spark, "SP.POP.TOTL", fetcher = fx("worldbank"))
     val rows = df.orderBy(desc("year")).collect()
