@@ -409,6 +409,24 @@ class DedupSpec extends SparkSpec {
     assert(postProbe.exists(_._2 == 1L), "compacted index still matches")
     // rerunning compaction is a no-op
     assert(Dedup.compactIngestIndex(spark, idx) === ((2L, 0L)))
+    // the stream RESTARTS over the compacted index from its checkpoint
+    // (same source, same checkpoint — the production restart): batch ids
+    // keep increasing, so nothing collides with the folded batch=2, and
+    // new docs match history through the compacted layout
+    val query2 = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt)
+    try {
+      input.addData((900L, base + " after restart"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val rows2 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2.count(_ == ((900L, 1L))) === 1,
+      s"post-restart match against the compacted index: ${rows2.toSeq}")
+    val sigDirs2 = new java.io.File(s"$idx/sigs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(sigDirs2 === Set("batch=2", "batch=3"),
+      s"restart appends AFTER the compacted dir: $sigDirs2")
   }
 
   test("connectedComponents: transitive chains, min label, diameter > 2") {
