@@ -297,12 +297,15 @@ object SparkEntry {
     // PageRank over the undirected k-NN similarity graph
     "q_graph_triangles" -> ((s, d) =>
       graft.operators.GraphOps.knnTriangles(s, d)),
+    // oracle-compare rounding (4 dp) passed HERE, not defaulted in the
+    // operator: rank resolution on big graphs is the API's business,
+    // engine-boundary stability is the oracle's
     "q_graph_pagerank" -> ((s, d) =>
-      graft.operators.GraphOps.knnPageRank(s, d)),
+      graft.operators.GraphOps.knnPageRank(s, d, roundTo = 4)),
     // seeded affinity: personalized PageRank teleporting to label-0
     // vectors — rank-by-connectivity-to-the-trusted-cohort
     "q_graph_ppr" -> ((s, d) =>
-      graft.operators.GraphOps.knnSeededRank(s, d)),
+      graft.operators.GraphOps.knnSeededRank(s, d, roundTo = 4)),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)

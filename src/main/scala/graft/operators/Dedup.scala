@@ -483,8 +483,18 @@ object Dedup {
       .select("new_id", "hist_id", "sig")
     val paired = if (matched.isStreaming) matched
       else matched.dropDuplicates("new_id", "hist_id")
-    paired
-      .join(histSigs, Seq("hist_id"))
+    scoreSimEst(paired.join(histSigs, Seq("hist_id")), numHashes,
+      minEstimate)
+  }
+
+  /** Shared tail of every signature-vs-index match: the unbiased MinHash
+    * Jaccard estimate (agreeing fraction of the two full signatures),
+    * thresholded and rounded to the repo-wide 4-dp convention. ONE
+    * definition — the live-ingest probe and the batch/stream paths must
+    * never drift. */
+  private def scoreSimEst(joined: DataFrame, numHashes: Int,
+      minEstimate: Double): DataFrame =
+    joined
       .withColumn("sim_est",
         aggregate(zip_with(col("sig"), col("hist_sig"),
             (a, b) => (a === b).cast("int")),
@@ -492,7 +502,6 @@ object Dedup {
       .filter(col("sim_est") >= minEstimate)
       .select(col("new_id"), col("hist_id"),
         round(col("sim_est"), 4).as("sim_est"))
-  }
 
   /** Committed (`_SUCCESS`-gated) `batch=<n>` dirs under `root`,
     * excluding `exclude` — torn dirs from a crash and the CURRENT batch
@@ -553,6 +562,7 @@ object Dedup {
       minEstimate: Double = 0.5, nBuckets: Int = 64,
       excludeBatchId: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(nBuckets > 0, "nBuckets must be positive")
     val priorBands = committedBatchDirs(spark, s"$indexDir/bands",
       excludeBatchId)
     val priorSigs = committedBatchDirs(spark, s"$indexDir/sigs",
@@ -588,14 +598,8 @@ object Dedup {
       .option("basePath", s"$indexDir/sigs").parquet(priorSigs: _*)
       .select(col("doc_id").as("hist_id"), col("sig").as("hist_sig"),
         col("batch").cast("long").as("batch"))
-    matched.join(histSigs, Seq("hist_id", "batch"))
-      .withColumn("sim_est",
-        aggregate(zip_with(col("sig"), col("hist_sig"),
-            (a, b) => (a === b).cast("int")),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
-      .filter(col("sim_est") >= minEstimate)
-      .select(col("new_id"), col("hist_id"),
-        round(col("sim_est"), 4).as("sim_est"))
+    scoreSimEst(matched.join(histSigs, Seq("hist_id", "batch")),
+      numHashes, minEstimate)
   }
 
   /** Continuous ingest dedup with a GROWING index — the missing half of
@@ -634,16 +638,33 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, minEstimate: Double = 0.5,
       nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fail fast BEFORE the stream starts: a banding error must not
-    // surface asynchronously after checkpoint/sink dirs exist
+    // fail fast BEFORE the stream starts: a banding/bucketing error (or
+    // an index in the pre-split layout) must not surface asynchronously
+    // after checkpoint/sink dirs exist
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(committedBatchDirs(spark, indexDir, None).isEmpty,
+      s"$indexDir holds top-level batch dirs — the flat pre-split index " +
+        "layout. Probes read only sigs/ and bands/, so that history " +
+        "would be silently ignored; migrate it (signatures → " +
+        "sigs/batch=N, rebuild bands/ from them) or point the stream at " +
+        "a fresh indexDir.")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // collapse duplicate doc_ids WITHIN the batch first (at-least-
+        // once sources can deliver the same doc twice in one trigger):
+        // two signature versions under one (doc_id, batch) key would
+        // fan every later probe match out into duplicate rows. The
+        // representative is the lexicographic-max text — arbitrary but
+        // deterministic across replays; carry a version column upstream
+        // if "latest" must be delivery order.
+        val uniq = batch.select(col("doc_id"), col("text"))
+          .groupBy("doc_id").agg(max(col("text")).as("text"))
         // signature the batch ONCE: both match passes and the index
         // sink reuse the cached frame (the MinHash scan over full text
         // is the dominant per-batch cost)
-        val sigs = batch.select(col("doc_id"),
+        val sigs = uniq.select(col("doc_id"),
           graft.functions.MinHashExpression.native(col("text"), numHashes)
             .as("sig")).persist()
         try {
@@ -655,14 +676,23 @@ object Dedup {
               sigs.select(col("doc_id").as("new_id"), col("sig")),
               sigs, numHashes, bands, minEstimate)
             .filter(col("new_id") > col("hist_id"))
-          // cross-batch: vs prior committed batches only, UNFILTERED —
-          // a redelivered doc_id legitimately matches other prior docs
-          // in either id order, and matching its own prior version
-          // (new_id == hist_id) is the update/redelivery flag
-          val cands = probeIngestIndex(spark, indexDir,
-              sigs.select(col("doc_id").as("new_id"), col("sig")),
-              numHashes, bands, minEstimate, nBuckets,
-              excludeBatchId = Some(id))
+          // cross-batch: vs prior committed batches only. Id order is
+          // NOT filtered — a redelivered doc_id legitimately matches
+          // other prior docs in either order, and matching its own
+          // prior version (new_id == hist_id) is the update/redelivery
+          // flag. But a pair whose BOTH sides sit in the current batch
+          // is the intra pass's to emit (scored against current
+          // signatures): without the anti-join, a redelivered doc
+          // co-arriving with a new near-copy would surface twice —
+          // once from intra, once against its indexed prior version.
+          val cross = probeIngestIndex(spark, indexDir,
+            sigs.select(col("doc_id").as("new_id"), col("sig")),
+            numHashes, bands, minEstimate, nBuckets,
+            excludeBatchId = Some(id))
+          val inBatch = sigs.select(col("doc_id").as("hist_id"))
+          val cands = cross.filter(col("new_id") === col("hist_id"))
+            .unionByName(cross.filter(col("new_id") =!= col("hist_id"))
+              .join(inBatch, Seq("hist_id"), "left_anti"))
             .unionByName(intra)
           graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
           graft.streaming.EventStream.idempotentBatchSink(
@@ -687,13 +717,25 @@ object Dedup {
     * contract, same as [[graft.operators.Pipeline.compact]]): the
     * compacted data lands in `batch=<maxCommittedId>` so a restarted
     * stream's NEXT batch id (strictly increasing from the checkpoint)
-    * never collides. Sequencing keeps a crash recoverable: the compacted
-    * copy is fully written to a side dir (invisible to probes, which
-    * only list `batch=*`) before any old dir is removed, and the bands
-    * leg is rebuilt from the compacted signatures afterwards (bands are
-    * derived data — [[probeIngestIndex]] requires BOTH legs committed,
-    * so a crash between legs fails closed, and rerunning compaction
-    * completes the job).
+    * never collides.
+    *
+    * Crash safety is a two-phase swap per leg: (1) the compacted copy
+    * is fully written to a side dir (invisible to probes, which only
+    * list `batch=*`) together with a `_TARGET` marker naming its final
+    * batch dir; (2) old batch dirs are deleted and the side dir renamed
+    * into place (rename result CHECKED — a false return aborts loudly
+    * instead of dropping the index). A crash anywhere leaves either the
+    * old dirs intact (phase 1) or a committed side dir whose `_TARGET`
+    * lets the next compaction run FINISH the swap before doing anything
+    * else — so "rerun compaction" genuinely completes the job, and the
+    * index is never in a state where both the old dirs and the side
+    * copy are gone. A crash between the sigs and bands legs fails
+    * closed ([[probeIngestIndex]] requires both legs committed; bands
+    * are derived data rebuilt from the compacted signatures on rerun).
+    * If a compaction crashed, RERUN IT before restarting the ingest
+    * query — recovery promotes the committed side copy against the
+    * index as it was at crash time, so new batches must not land in
+    * between.
     *
     * Returns (docs kept, stale versions dropped). No-op (0 dropped)
     * when every doc has a single version and one batch dir exists. */
@@ -701,10 +743,45 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, nBuckets: Int = 64)
       : (Long, Long) = {
     import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, "nBuckets must be positive")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // phase-2 executor, idempotent: also the crash-recovery entry point
+    def finishSwap(leg: String): Unit = {
+      val side = path(s"$indexDir/$leg/compact_tmp")
+      val marker = path(s"$side/_TARGET")
+      if (!fs.exists(path(s"$side/_SUCCESS")) || !fs.exists(marker)) {
+        fs.delete(side, true) // torn phase-1 remnant: discard
+        return
+      }
+      val target = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      }
+      committedBatchDirs(spark, s"$indexDir/$leg", None).foreach(d =>
+        fs.delete(path(d), true))
+      // rename FIRST (the marker rides along inside the dir): deleting
+      // the marker before the rename would open a window where a crash
+      // makes the committed side look like a torn remnant and the
+      // recovery path would discard the only surviving copy
+      if (!fs.rename(side, path(s"$indexDir/$leg/$target")))
+        throw new java.io.IOException(
+          s"compaction rename failed: $side -> $indexDir/$leg/$target " +
+            "(compacted data preserved in the side dir; rerun " +
+            "compactIngestIndex to retry)")
+      // stray-marker cleanup is best-effort: readers ignore _-files
+      fs.delete(path(s"$indexDir/$leg/$target/_TARGET"), false)
+      ()
+    }
+    // recover any half-finished swap from a previous crashed run FIRST,
+    // so the listings below see a consistent index
+    finishSwap("sigs")
+    finishSwap("bands")
     val sigDirs = committedBatchDirs(spark, s"$indexDir/sigs", None)
     if (sigDirs.isEmpty) return (0L, 0L)
-    val latest = sigDirs.map(d =>
-      d.split("=").last.toLong).max
+    val latest = sigDirs.map(d => d.split("=").last.toLong).max
     val all = spark.read.option("basePath", s"$indexDir/sigs")
       .parquet(sigDirs: _*)
       .select(col("doc_id"), col("sig"), col("batch").cast("long").as("batch"))
@@ -716,17 +793,13 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(col("batch").desc)))
       .filter(col("_rn") === 1)
       .select("doc_id", "sig")
-    val fsPath = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def swapIn(leg: String, write: String => Unit): Unit = {
-      val side = new org.apache.hadoop.fs.Path(s"$indexDir/$leg/compact_tmp")
+      val side = path(s"$indexDir/$leg/compact_tmp")
       fs.delete(side, true)
       write(side.toString)
-      committedBatchDirs(spark, s"$indexDir/$leg", None).foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(d), true))
-      fs.rename(side,
-        new org.apache.hadoop.fs.Path(s"$indexDir/$leg/batch=$latest"))
-      ()
+      val out = fs.create(path(s"$side/_TARGET"), true)
+      try out.write(s"batch=$latest".getBytes("UTF-8")) finally out.close()
+      finishSwap(leg)
     }
     swapIn("sigs", side =>
       kept.write.mode("overwrite").parquet(side))

@@ -97,11 +97,13 @@ object GraphOps {
     * adjacency. Every node in the edge set has degree ≥ 1, so there are
     * no dangling nodes and the per-iteration mass is exactly
     * (1−d) + d·Σpr. Output: (node, deg, pr) with pr rounded to
-    * `roundTo` decimals. The default (4, the cosine convention used
-    * across the repo) leaves headroom for partition/engine-dependent
-    * floating-point summation order across 10 chained iterations —
-    * 6 dp sat close enough to the accumulation noise floor that a
-    * value at a rounding boundary could flip between engines.
+    * `roundTo` decimals. The default (9) trims IEEE accumulation noise
+    * while keeping rank RESOLUTION on large graphs — pr scales like
+    * 1/n, so aggressive rounding would flatten a big corpus's ranking
+    * into ties. Oracle-compare call sites pass the coarser rounding
+    * they need (SparkEntry uses 4 dp, matching its DuckDB twin, where
+    * partition-dependent summation order across 10 chained iterations
+    * could flip a 6-dp boundary value between engines).
     *
     * Scale shape: the rank vector is (node, pr) — ONE row per node; an
     * iteration is contribution = pr/deg shipped over the edge list (a
@@ -112,7 +114,7 @@ object GraphOps {
     * driver round-trips; for very long chains swap in the same
     * localCheckpoint cadence as [[Dedup.connectedComponents]]. */
   def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 9): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     // lineage cut before AND inside the loop: without it, iteration i's
     // plan re-derives the whole edge pipeline i times over and Catalyst
@@ -158,7 +160,7 @@ object GraphOps {
     * Ranks sum to ≤ 1 (mass conserved; equality when every node
     * reaches a seed). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 10, d: Double = 0.85, roundTo: Int = 4): DataFrame = {
+      iters: Int = 10, d: Double = 0.85, roundTo: Int = 9): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val directed = lineageCut(
       edges.select(col("src"), col("dst"))
@@ -201,19 +203,20 @@ object GraphOps {
       "vec_a", "vec_b"))
 
   def knnPageRank(spark: SparkSession, dir: String, k: Int = 5,
-      numPlanes: Int = 8, iters: Int = 10): DataFrame =
+      numPlanes: Int = 8, iters: Int = 10, roundTo: Int = 9): DataFrame =
     pageRank(undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
-      "vec_a", "vec_b"), iters)
+      "vec_a", "vec_b"), iters, roundTo = roundTo)
 
   /** Seeded affinity over the k-NN graph: seeds = the vectors of
     * `seedLabel` — "rank every vector by connectivity to the trusted
     * cohort", the label-propagation curation demo. */
   def knnSeededRank(spark: SparkSession, dir: String, seedLabel: Int = 0,
-      k: Int = 5, numPlanes: Int = 8, iters: Int = 10): DataFrame =
+      k: Int = 5, numPlanes: Int = 8, iters: Int = 10,
+      roundTo: Int = 9): DataFrame =
     personalizedPageRank(
       undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
         "vec_a", "vec_b"),
       Tables.embeddings(spark, dir).filter(col("label") === seedLabel)
         .select(col("vec_id").as("node")),
-      iters)
+      iters, roundTo = roundTo)
 }

@@ -300,10 +300,17 @@ object Pq {
       Array.tabulate(m)(s =>
         Ivf.nearest(bcB.value(s), arr.slice(s * sub, (s + 1) * sub)))
     })
-    vectors
+    try vectors
       .withColumn("cluster", assignUdf(col("embedding")))
       .withColumn("codes", encodeUdf(col("embedding")))
       .write.mode(mode).partitionBy("cluster").parquet(s"$path/index")
+    finally {
+      // the write is eager, so the broadcasts are dead here — a serving
+      // session appending many micro-deltas must not accumulate one
+      // centroid + one codebook broadcast per append
+      bcC.destroy()
+      bcB.destroy()
+    }
   }
 
   /** Build a PERSISTENT IVF-PQ index at `path`: train the model on
@@ -388,13 +395,7 @@ object Pq {
       .select("vec_id")
     val approx = searchIvfPqIndexAt(spark, path, qVec, k,
       excludeVecId = Some(queryId)).select("vec_id")
-    truth.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
-      .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      .select(lit("ivfpq_append").as("method"), lit(k).as("k"),
-        col("n_true"), col("n_hit").cast("long").as("n_hit"),
-        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
-          .as("recall"))
+    recallOf(truth, approx, "ivfpq_append", k)
   }
 
   /** Recall@k of PQ-ADC (or the composed IVF-PQ two-stage search when
@@ -410,6 +411,14 @@ object Pq {
       case other => throw new IllegalArgumentException(
         s"unknown PQ method '$other' (expected 'pq' or 'ivfpq')")
     }).select("vec_id")
+    recallOf(truth, approx, method, k)
+  }
+
+  /** Shared recall@k aggregation: ONE definition of the
+    * truth⟕approx hit-join and the rounded recall select, so every ANN
+    * entry's oracle semantics stay in lockstep. */
+  private def recallOf(truth: DataFrame, approx: DataFrame,
+      method: String, k: Int): DataFrame =
     truth.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
@@ -417,5 +426,4 @@ object Pq {
         col("n_true"), col("n_hit").cast("long").as("n_hit"),
         round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
           .as("recall"))
-  }
 }

@@ -429,6 +429,44 @@ class DedupSpec extends SparkSpec {
       s"restart appends AFTER the compacted dir: $sigDirs2")
   }
 
+  test("liveNearDupIngest: co-arriving redelivery emits each pair once, " +
+      "and an in-batch duplicate doc_id indexes one signature version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("livededup3")
+    val (idx, out, ckpt) = (s"$tmpRoot/index", s"$tmpRoot/out", s"$tmpRoot/ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt)
+    try {
+      input.addData((5L, base))
+      query.processAllAvailable()
+      // one trigger: doc 5 redelivered + a new near-copy (9) that also
+      // arrives TWICE with different tails (at-least-once source)
+      input.addData((5L, base + " v2"), (9L, base + " nine a"),
+        (9L, base + " nine b"))
+      query.processAllAvailable()
+      input.addData((20L, base + " twenty"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // pair {5,9} surfaces exactly once (the intra pass owns it — the
+    // cross-batch probe must not emit it again vs 5's indexed version)
+    assert(rows.count(p => Set(p._1, p._2) == Set(5L, 9L)) === 1,
+      s"co-arrival pair emitted once: ${rows.toSeq}")
+    // the redelivery flag for 5 still fires once
+    assert(rows.count(_ == ((5L, 5L))) === 1, rows.toSeq.toString)
+    // doc 9 entered the index as ONE deterministic version
+    assert(spark.read.parquet(s"$idx/sigs/batch=1")
+      .filter(col("doc_id") === 9L).count() === 1)
+    // so the next batch pairs with 9 exactly once (no version fan-out)
+    assert(rows.count(_ == ((20L, 9L))) === 1, rows.toSeq.toString)
+    assert(rows.count(_ == ((20L, 5L))) === 1, rows.toSeq.toString)
+  }
+
   test("connectedComponents: transitive chains, min label, diameter > 2") {
     import spark.implicits._
     // components: {1,2,3} (path via 3 — doc 2 is invisible to a greedy

@@ -105,10 +105,6 @@ class GraphOpsSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2, r)
     }
     val pr = GraphOps.knnPageRank(spark, sfDir).collect()
-    // each per-node rank is rounded to 4 dp (the oracle-compare
-    // convention), so the conserved-mass check tolerates up to half an
-    // ulp-of-rounding per node
-    assert(math.abs(pr.map(_.getDouble(2)).sum - 1.0) <
-      pr.length * 5e-5 + 1e-6)
+    assert(math.abs(pr.map(_.getDouble(2)).sum - 1.0) < 1e-4)
   }
 }
