@@ -295,17 +295,21 @@ object SparkEntry {
     "q_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     // dedup-graph QA: degree-oriented triangle counts and fixed-iteration
     // PageRank over the undirected k-NN similarity graph
+    // all three graph entries scan the build-once k-NN edge table
+    // (the pair pipeline runs once per corpus, not once per query)
     "q_graph_triangles" -> ((s, d) =>
-      graft.operators.GraphOps.knnTriangles(s, d)),
+      graft.operators.GraphOps.knnTriangles(s, d, materialized = true)),
     // oracle-compare rounding (4 dp) passed HERE, not defaulted in the
     // operator: rank resolution on big graphs is the API's business,
     // engine-boundary stability is the oracle's
     "q_graph_pagerank" -> ((s, d) =>
-      graft.operators.GraphOps.knnPageRank(s, d, roundTo = 4)),
+      graft.operators.GraphOps.knnPageRank(s, d, roundTo = 4,
+        materialized = true)),
     // seeded affinity: personalized PageRank teleporting to label-0
     // vectors — rank-by-connectivity-to-the-trusted-cohort
     "q_graph_ppr" -> ((s, d) =>
-      graft.operators.GraphOps.knnSeededRank(s, d, roundTo = 4)),
+      graft.operators.GraphOps.knnSeededRank(s, d, roundTo = 4,
+        materialized = true)),
     // LLM-pipeline: multimodal family
     "q_multimodal_meta" -> (Multimodal.assetMeta _),
     "q_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)

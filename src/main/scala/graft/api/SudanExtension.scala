@@ -98,9 +98,14 @@ object SudanExtension {
     import graft.operators.{GraphOps, Pq, Similarity}
     Seq(
       "corpus_knn_graph" -> Similarity.knnJoin(spark, dir),
-      "corpus_graph_triangles" -> GraphOps.knnTriangles(spark, dir),
-      "corpus_graph_pagerank" -> GraphOps.knnPageRank(spark, dir),
-      "corpus_graph_ppr" -> GraphOps.knnSeededRank(spark, dir),
+      // the three graph views share the build-once edge table — the
+      // LSH pair pipeline runs once at registration, not once per view
+      "corpus_graph_triangles" ->
+        GraphOps.knnTriangles(spark, dir, materialized = true),
+      "corpus_graph_pagerank" ->
+        GraphOps.knnPageRank(spark, dir, materialized = true),
+      "corpus_graph_ppr" ->
+        GraphOps.knnSeededRank(spark, dir, materialized = true),
       // two-stage IVF-PQ probe for `queryId` over the materialized index
       "corpus_ann_probe" -> Pq.topKIvfPq(spark, dir, queryId),
       "corpus_embed_clusters" -> Similarity.embedClusters(spark, dir))

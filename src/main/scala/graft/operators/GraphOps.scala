@@ -195,27 +195,65 @@ object GraphOps {
         round(col("pr"), roundTo).as("pr"))
   }
 
+  /** Session registry of materialized k-NN edge lists — the "materialize
+    * the pair graph once" recipe every multi-query graph workload uses:
+    * triangles, PageRank, and seeded rank all consume the SAME
+    * undirected edge set, so the LSH-bucketed knnJoin + cosine + top-k
+    * pipeline should run once per corpus, not once per analytics query.
+    * Same immutable-corpus contract as the signature/fingerprint/IVF
+    * caches. */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), String]()
+
+  def materializeKnnEdges(spark: SparkSession, dir: String, k: Int = 5,
+      numPlanes: Int = 8): String =
+    edgeCache.computeIfAbsent((dir, k, numPlanes), { _ =>
+      val path = java.nio.file.Files.createTempDirectory("knn_edges")
+        .toString
+      undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
+        "vec_a", "vec_b")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Drop materialized edge lists AND delete their directories. */
+  def clearEdgeCache(): Unit = {
+    edgeCache.values.forEach(path =>
+      graft.operators.Ivf.deleteRecursively(new java.io.File(path)))
+    edgeCache.clear()
+  }
+
+  private def knnEdges(spark: SparkSession, dir: String, k: Int,
+      numPlanes: Int, materialized: Boolean): DataFrame =
+    if (materialized)
+      spark.read.parquet(materializeKnnEdges(spark, dir, k, numPlanes))
+    else undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
+      "vec_a", "vec_b")
+
   /** Demo entries over the k-NN similarity graph ([[Similarity.knnJoin]]
-    * undirected) — the duplication-neighborhood QA report. */
+    * undirected) — the duplication-neighborhood QA report.
+    * @param materialized scan the build-once edge table
+    *   ([[materializeKnnEdges]]) instead of re-deriving the LSH pair
+    *   pipeline per query — the steady-state shape when more than one
+    *   graph query runs per corpus (identical output, spec-pinned). */
   def knnTriangles(spark: SparkSession, dir: String, k: Int = 5,
-      numPlanes: Int = 8): DataFrame =
-    triangles(undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
-      "vec_a", "vec_b"))
+      numPlanes: Int = 8, materialized: Boolean = false): DataFrame =
+    triangles(knnEdges(spark, dir, k, numPlanes, materialized))
 
   def knnPageRank(spark: SparkSession, dir: String, k: Int = 5,
-      numPlanes: Int = 8, iters: Int = 10, roundTo: Int = 9): DataFrame =
-    pageRank(undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
-      "vec_a", "vec_b"), iters, roundTo = roundTo)
+      numPlanes: Int = 8, iters: Int = 10, roundTo: Int = 9,
+      materialized: Boolean = false): DataFrame =
+    pageRank(knnEdges(spark, dir, k, numPlanes, materialized), iters,
+      roundTo = roundTo)
 
   /** Seeded affinity over the k-NN graph: seeds = the vectors of
     * `seedLabel` — "rank every vector by connectivity to the trusted
     * cohort", the label-propagation curation demo. */
   def knnSeededRank(spark: SparkSession, dir: String, seedLabel: Int = 0,
       k: Int = 5, numPlanes: Int = 8, iters: Int = 10,
-      roundTo: Int = 9): DataFrame =
+      roundTo: Int = 9, materialized: Boolean = false): DataFrame =
     personalizedPageRank(
-      undirect(Similarity.knnJoin(spark, dir, k, numPlanes),
-        "vec_a", "vec_b"),
+      knnEdges(spark, dir, k, numPlanes, materialized),
       Tables.embeddings(spark, dir).filter(col("label") === seedLabel)
         .select(col("vec_id").as("node")),
       iters, roundTo = roundTo)

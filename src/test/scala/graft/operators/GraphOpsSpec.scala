@@ -107,4 +107,26 @@ class GraphOpsSpec extends SparkSpec {
     val pr = GraphOps.knnPageRank(spark, sfDir).collect()
     assert(math.abs(pr.map(_.getDouble(2)).sum - 1.0) < 1e-4)
   }
+
+  test("materialized knn edges: identical graph results, edge pipeline " +
+      "absent from the consuming plan") {
+    GraphOps.clearEdgeCache()
+    try {
+      val direct = GraphOps.knnTriangles(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val mat = GraphOps.knnTriangles(spark, sfDir, materialized = true)
+      assert(mat.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ===
+        direct.toSeq)
+      // the LSH pair pipeline (hyperplane bucket expr + top-k window)
+      // must be GONE: the consumer scans the build-once edge parquet
+      val plan = mat.queryExecution.executedPlan.toString
+      assert(!plan.contains("hyperplane"), plan.take(2000))
+      val pr = GraphOps.knnPageRank(spark, sfDir, materialized = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val prDirect = GraphOps.knnPageRank(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(pr === prDirect)
+    } finally GraphOps.clearEdgeCache()
+  }
 }
