@@ -132,7 +132,10 @@ object SparkEntry {
     // from the materialized parquet table, not recomputed per join side —
     // same principle as the IVF index; output spec-pinned identical to
     // the recomputing form)
-    "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairsMaterialized(s, d)),
+    // the pair pipeline itself is build-once: every minhash consumer
+    // (keep, clusters, clean corpus, audits, source matrix) scans the
+    // materialized (doc_a, doc_b, jaccard) table
+    "q_minhash_pairs" -> ((s, d) => Dedup.minHashPairsCached(s, d)),
     "q_minhash_keep" -> ((s, d) => Dedup.minHashKeep(s, d, materialized = true)),
     // transitive dedup: connected components over the near-dup pair graph;
     // the labels come from the build-once assignment table (CC runs once

@@ -368,6 +368,46 @@ object Dedup {
       bucketPairs(bandKeysOf(sigs, numHashes, bands), maxBucket), threshold)
   }
 
+  /** Session registry of materialized PAIR tables — one step further
+    * than the signature table: the banded candidate join + exact-Jaccard
+    * verify runs once per corpus, and every downstream consumer (keep
+    * filter, cluster labeling, clean-corpus pipeline, cross-source
+    * matrix, audits) SCANS the (doc_a, doc_b, jaccard) parquet instead
+    * of re-deriving the pair pipeline. This is the PLANS-prescribed
+    * "materialize the pair graph once, anti-join it into every
+    * downstream read" — the steady-state 100 TB shape, where the pair
+    * table is corpus-sublinear by construction (bucketed candidates,
+    * maxBucket-capped). Immutable-corpus contract as the other caches. */
+  private val pairTableCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Double, Int), String]()
+
+  def materializePairs(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): String =
+    pairTableCache.computeIfAbsent(
+      (dir, numHashes, bands, threshold, maxBucket), { _ =>
+        val path = java.nio.file.Files
+          .createTempDirectory("minhash_pairs").toString
+        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+          maxBucket).write.mode("overwrite").parquet(path)
+        path
+      })
+
+  /** [[minHashPairs]] served from the build-once pair table. Identical
+    * rows to the computing forms (deterministic pipeline; spec-pinned). */
+  def minHashPairsCached(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame =
+    spark.read.parquet(materializePairs(spark, dir, numHashes, bands,
+      threshold, maxBucket))
+
+  /** Drop materialized pair tables AND delete their directories. */
+  def clearPairCache(): Unit = {
+    pairTableCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
+    pairTableCache.clear()
+  }
+
   /** Audit query: the MinHash band buckets a `maxBucket` cap prunes
     * (band, band_key, bucket_n). Empty → the cap dropped nothing. */
   def minHashHotBuckets(spark: SparkSession, dir: String, numHashes: Int = 64,
@@ -414,7 +454,7 @@ object Dedup {
       maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
     val pairs =
       if (materialized)
-        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
+        minHashPairsCached(spark, dir, numHashes, bands, threshold,
           maxBucket)
       else minHashPairs(spark, dir, numHashes, bands, threshold,
         maxBucket = maxBucket)
@@ -901,7 +941,7 @@ object Dedup {
       (dir, numHashes, bands, threshold, maxBucket), { _ =>
         val path = java.nio.file.Files
           .createTempDirectory("minhash_clusters").toString
-        connectedComponents(minHashPairsMaterialized(spark, dir, numHashes,
+        connectedComponents(minHashPairsCached(spark, dir, numHashes,
           bands, threshold, maxBucket))
           .write.mode("overwrite").parquet(path)
         path
@@ -1201,7 +1241,7 @@ object Dedup {
     * corpus scale. */
   def crossSourceDupMatrix(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = minHashPairsMaterialized(spark, dir, threshold = threshold)
+    val pairs = minHashPairsCached(spark, dir, threshold = threshold)
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"),

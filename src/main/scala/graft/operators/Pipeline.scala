@@ -363,7 +363,7 @@ object Pipeline {
     // reads the build-once signature table (steady-state shape)
     val pairs =
       if (materialized)
-        Dedup.minHashPairsMaterialized(spark, dir, threshold = threshold)
+        Dedup.minHashPairsCached(spark, dir, threshold = threshold)
       else Dedup.minHashPairs(spark, dir, threshold = threshold)
     val nearDrops = pairs.select(col("doc_b").as("doc_id")).distinct()
     // the corpus-wide word-count definition (one semantics everywhere)
@@ -437,7 +437,7 @@ object Pipeline {
     // steady-state shape, same switch as cleanCorpus
     val pairs =
       if (materialized)
-        Dedup.minHashPairsMaterialized(spark, dir, threshold = threshold)
+        Dedup.minHashPairsCached(spark, dir, threshold = threshold)
       else Dedup.minHashPairs(spark, dir, threshold = threshold)
     val nearDrops = pairs
       .select(col("doc_b").as("doc_id")).distinct()

@@ -243,6 +243,28 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(p1).exists())
   }
 
+  test("materialized pair table: identical pairs, consumers scan it " +
+      "(no band pipeline in the plan)") {
+    Dedup.clearPairCache()
+    try {
+      val recompute = Dedup.minHashPairs(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val cached = Dedup.minHashPairsCached(spark, sfDir)
+      assert(cached.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq === recompute.toSeq)
+      // consumers must scan the pair parquet — no band explode, no
+      // signature hashing, no Jaccard verify re-derivation
+      val plan = cached.queryExecution.executedPlan.toString
+      assert(!plan.contains("minhash_signature") &&
+        !plan.contains("Generate"), plan.take(2000))
+      val keepPlan = Dedup.minHashKeep(spark, sfDir, materialized = true)
+        .queryExecution.executedPlan.toString
+      assert(!keepPlan.contains("minhash_signature"), keepPlan.take(2000))
+    } finally Dedup.clearPairCache()
+  }
+
   test("stream-static near-dup: live docs matched against the sig index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
