@@ -270,6 +270,10 @@ object SparkEntry {
     // APPENDED under the frozen model, probed over base+appended
     "q_ann_ivfpq_append" -> ((s, d) =>
       graft.operators.Pq.annRecallAppend(s, d)),
+    // embedding complement of q_decontaminate: paraphrase-level benchmark
+    // leakage via cosine vs the literal eval set (no join, narrow map)
+    "q_semantic_decontaminate" -> ((s, d) =>
+      Similarity.semanticDecontaminate(s, d)),
     // Matryoshka two-stage: 16-dim prefix shortlist → full-vector rerank
     "q_ann_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaTopK(s, d, queryId = 0L)),
@@ -1800,6 +1804,23 @@ object SparkEntry {
         "sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine " +
         "FROM embeddings e, q WHERE e.vec_id <> 0 " +
         "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"),
+    // semantic decontamination: eval side = vectors below id 10 (the
+    // benchmark stand-in, same convention as q_decontaminate); both
+    // engines fold doubles in index order, so round(...,4) agrees —
+    // the >= filter applies to the ROUNDED value in both, keeping
+    // boundary hits engine-stable
+    "q_semantic_decontaminate" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings), " +
+        "ev AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n " +
+        "FROM e WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n " +
+        "FROM e WHERE vec_id >= 10) " +
+        "SELECT c.vec_id, ev.vec_id AS eval_id, " +
+        "round(list_dot_product(c.v, ev.v) / (c.n * ev.n), 4) AS cosine " +
+        "FROM c CROSS JOIN ev " +
+        "WHERE round(list_dot_product(c.v, ev.v) / (c.n * ev.n), 4) " +
+        ">= 0.3"),
     // Matryoshka rerank: prefix slice, shortlist, and full rerank all
     // re-derived; slices are 1-based inclusive in BOTH engines
     "q_ann_matryoshka" ->

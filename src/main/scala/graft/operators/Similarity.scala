@@ -285,6 +285,51 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Semantic decontamination — the embedding complement of
+    * `TextOps.decontaminate`: flag corpus vectors whose cosine against
+    * ANY evaluation-set vector clears `minCosine`, catching paraphrased
+    * or reformatted benchmark leakage that shares no n-grams with the
+    * eval text. Output: one row per (corpus vec, eval vec) hit —
+    * (vec_id, eval_id, cosine).
+    *
+    * Scale shape mirrors decontaminate's asymmetry: benchmarks are
+    * thousands of items, not terabytes, so the eval set (here: vectors
+    * below `evalMaxId`, standing in for an external benchmark table)
+    * collects to the driver and rides into the plan as a LITERAL array
+    * of (id, vector, norm) structs — the scoring pass is a pure codegen
+    * fold over the corpus scan: NO join, no shuffle until the emitted
+    * hits (a tiny fraction of the stream). Exact by construction
+    * (recall 1 — no LSH pruning needed when one side is literal-sized);
+    * for eval sets too large to inline, the same semantics fall out of
+    * a broadcast crossJoin, and beyond that the LSH-bucketed
+    * [[nearDupPairs]] shape applies. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      evalMaxId: Long = 10L, minCosine: Double = 0.3): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val evalRows = emb.filter(col("vec_id") < evalMaxId).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }.toSeq
+    require(evalRows.nonEmpty, s"no eval vectors below id $evalMaxId")
+    val evalLit = typedlit(evalRows)
+    val corpusNorm = sqrt(aggregate(
+      zip_with(col("e"), col("e"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v))
+    emb.filter(col("vec_id") >= evalMaxId)
+      .withColumn("n", corpusNorm)
+      .select(col("vec_id"),
+        explode(transform(evalLit, ev => struct(
+          ev.getField("_1").as("eval_id"),
+          round(aggregate(zip_with(col("e"), ev.getField("_2"),
+              (x, y) => x * y), lit(0.0), (acc, v) => acc + v) /
+            (col("n") * ev.getField("_3")), 4).as("cosine")))).as("h"))
+      .filter(col("h.cosine") >= minCosine)
+      .select(col("vec_id"), col("h.eval_id").as("eval_id"),
+        col("h.cosine").as("cosine"))
+  }
+
   /** SemDeDup-style semantic clusters: transitive components over the
     * embedding near-dup graph ([[nearDupPairs]]), labeled by min vec_id —
     * the embedding analogue of `Dedup.minHashClusters`. Near-duplicate

@@ -506,4 +506,31 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(got(a)._2 - m) < 2e-4, s"margin for $a")
     }
   }
+
+  test("semanticDecontaminate: a planted paraphrase-level copy of an " +
+      "eval vector is flagged at cosine 1.0; the plan is join-free") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("semdecon").toString
+    val evalVec = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val scaled = evalVec.map(x => x * 3.0f) // same direction → cosine 1.0
+    val ortho = Array.tabulate(8)(i =>
+      (if (i % 2 == 0) math.cos(i + 1) else -math.sin(i)).toFloat)
+    Seq((0L, evalVec, 0), (100L, scaled, 1), (101L, ortho, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.semanticDecontaminate(spark, tmp,
+      evalMaxId = 10L, minCosine = 0.9)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((100L, 0L, 1.0)),
+      s"only the scaled copy clears 0.9: ${rows.toSeq}")
+    // the eval set rides as a literal: no join anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan.take(2000))
+    // empty eval set is a loud error, not an empty result
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(spark, tmp, evalMaxId = -1L)
+    }
+    assert(e.getMessage.contains("eval"))
+  }
 }
