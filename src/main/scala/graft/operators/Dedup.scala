@@ -579,7 +579,13 @@ object Dedup {
     * signature version, scored against the LATEST colliding version
     * (max committed batch id — a redelivered doc_id's stale versions
     * can band-match too, and emitting one row per version would break
-    * the exact-pair contract), thresholded at `minEstimate`.
+    * the exact-pair contract), thresholded at `minEstimate`. "Latest
+    * COLLIDING", not "latest indexed", is deliberate: a stale version
+    * that still collides was genuinely in the corpus (the right dedup
+    * signal), fetching the absolute-latest version instead would force
+    * an unprunable scan of the wide signature table every batch, and
+    * compaction retires stale versions so the two notions converge in
+    * steady state.
     *
     * Why this probe stays cheap as history grows (the 100 TB story):
     *  - The candidate join consumes the NARROW band-key table
@@ -689,6 +695,18 @@ object Dedup {
         "would be silently ignored; migrate it (signatures → " +
         "sigs/batch=N, rebuild bands/ from them) or point the stream at " +
         "a fresh indexDir.")
+    // a committed-but-unswapped compaction side copy means a compaction
+    // crashed mid-swap: finish it (rerun compactIngestIndex) before
+    // ingesting — probes ignore the side dir, so starting now would
+    // dedup against partially-deleted history
+    Seq("sigs", "bands").foreach { leg =>
+      val pending = new org.apache.hadoop.fs.Path(
+        s"$indexDir/$leg/compact_tmp/_SUCCESS")
+      require(!pending.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(pending),
+        s"a crashed compaction is pending under $indexDir/$leg — run " +
+          "compactIngestIndex to complete it before restarting ingest")
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -729,10 +747,15 @@ object Dedup {
             sigs.select(col("doc_id").as("new_id"), col("sig")),
             numHashes, bands, minEstimate, nBuckets,
             excludeBatchId = Some(id))
-          val inBatch = sigs.select(col("doc_id").as("hist_id"))
-          val cands = cross.filter(col("new_id") === col("hist_id"))
-            .unionByName(cross.filter(col("new_id") =!= col("hist_id"))
-              .join(inBatch, Seq("hist_id"), "left_anti"))
+          // ONE anti-join pass (a two-branch union would execute the
+          // whole probe subtree twice — Spark does not share plan
+          // fragments across union arms): drop a cross row only when
+          // its hist side sits in the current batch AND it is not the
+          // new_id == hist_id redelivery flag
+          val inBatch = sigs.select(col("doc_id").as("b_hist_id"))
+          val cands = cross.join(inBatch,
+              cross("hist_id") === inBatch("b_hist_id") &&
+                cross("new_id") =!= cross("hist_id"), "left_anti")
             .unionByName(intra)
           graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
           graft.streaming.EventStream.idempotentBatchSink(
@@ -772,10 +795,12 @@ object Dedup {
     * copy are gone. A crash between the sigs and bands legs fails
     * closed ([[probeIngestIndex]] requires both legs committed; bands
     * are derived data rebuilt from the compacted signatures on rerun).
-    * If a compaction crashed, RERUN IT before restarting the ingest
-    * query — recovery promotes the committed side copy against the
-    * index as it was at crash time, so new batches must not land in
-    * between.
+    * Recovery deletes ONLY the batches the side copy folded (ids ≤ its
+    * `_TARGET`), so even if the ingest stream ran between the crash and
+    * the rerun, newer batches survive the swap and the rerun folds them
+    * in; [[liveNearDupIngest]] additionally refuses to START while a
+    * committed side copy is pending, keeping the crash → recover →
+    * restart order honest by construction.
     *
     * Returns (docs kept, stale versions dropped). No-op (0 dropped)
     * when every doc has a single version and one batch dir exists. */
@@ -800,12 +825,24 @@ object Dedup {
         try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
       }
-      committedBatchDirs(spark, s"$indexDir/$leg", None).foreach(d =>
-        fs.delete(path(d), true))
-      // rename FIRST (the marker rides along inside the dir): deleting
-      // the marker before the rename would open a window where a crash
-      // makes the committed side look like a torn remnant and the
-      // recovery path would discard the only surviving copy
+      val targetId = target.split("=").last.toLong
+      // delete ONLY the batches this side copy folded (id ≤ target):
+      // if the ingest stream ran between a crash and this recovery,
+      // NEWER committed batches are disjoint additions the compacted
+      // copy never saw — they must survive the swap (the enclosing
+      // run re-folds them immediately after)
+      committedBatchDirs(spark, s"$indexDir/$leg", None)
+        .filter(d => d.split("=").last.toLong <= targetId)
+        .foreach(d => fs.delete(path(d), true))
+      // a TORN dir can also occupy the target name (crash between the
+      // two sink legs of a batch): committedBatchDirs skips it, but a
+      // rename onto an existing dir would collide on HDFS and silently
+      // NEST on the local fs — clear the name unconditionally
+      fs.delete(path(s"$indexDir/$leg/$target"), true)
+      // rename AFTER the deletes (the marker rides along inside the
+      // dir): deleting the marker before the rename would open a window
+      // where a crash makes the committed side look like a torn remnant
+      // and the recovery path would discard the only surviving copy
       if (!fs.rename(side, path(s"$indexDir/$leg/$target")))
         throw new java.io.IOException(
           s"compaction rename failed: $side -> $indexDir/$leg/$target " +

@@ -24,11 +24,15 @@ object Similarity {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
 
-  /** Sequential-fold dot product of two ARRAY<FLOAT> columns in double
-    * precision — same accumulation order as a scalar loop, codegen'd. */
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
-      s"(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  /** THE dot-product fold: sequential, index-ordered, in double — the
+    * single definition every cosine in this file (and its DuckDB
+    * `list_dot_product` oracle twin) relies on for 4-dp agreement. */
+  private def dotCols(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def dot(a: String, b: String) = dotCols(col(a), col(b))
 
   /** Per-vector L2 norm (+ label passthrough). */
   def norms(spark: SparkSession, dir: String): DataFrame =
@@ -314,16 +318,12 @@ object Similarity {
       }.toSeq
     require(evalRows.nonEmpty, s"no eval vectors below id $evalMaxId")
     val evalLit = typedlit(evalRows)
-    val corpusNorm = sqrt(aggregate(
-      zip_with(col("e"), col("e"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v))
     emb.filter(col("vec_id") >= evalMaxId)
-      .withColumn("n", corpusNorm)
+      .withColumn("n", sqrt(dotCols(col("e"), col("e"))))
       .select(col("vec_id"),
         explode(transform(evalLit, ev => struct(
           ev.getField("_1").as("eval_id"),
-          round(aggregate(zip_with(col("e"), ev.getField("_2"),
-              (x, y) => x * y), lit(0.0), (acc, v) => acc + v) /
+          round(dotCols(col("e"), ev.getField("_2")) /
             (col("n") * ev.getField("_3")), 4).as("cosine")))).as("h"))
       .filter(col("h.cosine") >= minCosine)
       .select(col("vec_id"), col("h.eval_id").as("eval_id"),

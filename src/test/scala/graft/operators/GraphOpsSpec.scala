@@ -126,7 +126,12 @@ class GraphOpsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       val prDirect = GraphOps.knnPageRank(spark, sfDir)
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-      assert(pr === prDirect)
+      // same edge SET but different physical partitionings: double
+      // summation order can differ in the low bits, so compare with a
+      // tolerance rather than 9-dp string equality
+      assert(pr.keySet === prDirect.keySet)
+      pr.foreach { case (n, v) =>
+        assert(math.abs(v - prDirect(n)) < 1e-8, s"node $n") }
     } finally GraphOps.clearEdgeCache()
   }
 }
