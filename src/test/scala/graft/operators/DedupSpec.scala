@@ -451,6 +451,76 @@ class DedupSpec extends SparkSpec {
       s"restart appends AFTER the compacted dir: $sigDirs2")
   }
 
+  test("compaction crash recovery: a committed side copy completes, " +
+      "newer batches survive, torn target dirs are cleared, and ingest " +
+      "refuses to start mid-recovery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("livededup4")
+    val (idx, out, ckpt) = (s"$tmpRoot/index", s"$tmpRoot/out", s"$tmpRoot/ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt)
+    try {
+      input.addData((1L, base), (2L, (200 to 260).map(i => s"t$i").mkString(" ")))
+      query.processAllAvailable()
+      input.addData((1L, base + " v2"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(Dedup.compactIngestIndex(spark, idx) === ((2L, 1L)))
+    // ---- simulate a crash AFTER phase 1 of the sigs swap: the folded
+    // copy sits committed in compact_tmp with its _TARGET marker ----
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(p(s"$idx/sigs/batch=1"), p(s"$idx/sigs/compact_tmp")))
+    val m = fs.create(p(s"$idx/sigs/compact_tmp/_TARGET"), true)
+    m.write("batch=1".getBytes("UTF-8")); m.close()
+    // the ingest guard fails fast while the recovery is pending
+    val guard = intercept[IllegalArgumentException] {
+      Dedup.liveNearDupIngest(
+        input.toDF().toDF("doc_id", "text"), spark, idx, out,
+        s"$tmpRoot/ckpt2")
+    }
+    assert(guard.getMessage.contains("compactIngestIndex"))
+    // a NEWER batch landed between the crash and the rerun (e.g. via an
+    // older binary): recovery must not sweep it
+    val newSigs = Seq((42L, base + " forty-two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.MinHashExpression.native(col("text"), 64).as("sig"))
+    graft.streaming.EventStream.idempotentBatchSink(s"$idx/sigs")(newSigs, 5L)
+    // and a TORN dir occupies the upcoming target name on the bands leg
+    fs.mkdirs(p(s"$idx/bands/batch=5"))
+    val junk = fs.create(p(s"$idx/bands/batch=5/garbage"), true)
+    junk.write("x".getBytes); junk.close()
+    // rerun: completes the sigs swap, folds the surviving batch 5 in,
+    // clears the torn bands dir, lands everything in batch=5
+    val (kept, dropped) = Dedup.compactIngestIndex(spark, idx)
+    assert(kept === 3 && dropped === 0, s"kept=$kept dropped=$dropped")
+    for (leg <- Seq("sigs", "bands")) {
+      val dirs = new java.io.File(s"$idx/$leg").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs === Set("batch=5"), s"$leg: $dirs")
+      assert(new java.io.File(s"$idx/$leg/batch=5/_SUCCESS").exists(), leg)
+    }
+    val docs = spark.read.parquet(s"$idx/sigs/batch=5")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs === Set(1L, 2L, 42L),
+      "pre-crash docs AND the between-crash batch all survive")
+    // probes over the recovered index still match both eras
+    val probe = Dedup.probeIngestIndex(spark, idx,
+        Seq((900L, base + " probe")).toDF("doc_id", "text")
+          .select(col("doc_id").as("new_id"),
+            graft.functions.MinHashExpression.native(col("text"), 64)
+              .as("sig")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe.contains((900L, 1L)) && probe.contains((900L, 42L)),
+      s"recovered index matches pre-crash and post-crash docs: $probe")
+  }
+
   test("liveNearDupIngest: co-arriving redelivery emits each pair once, " +
       "and an in-batch duplicate doc_id indexes one signature version") {
     import spark.implicits._
