@@ -359,6 +359,33 @@ object SparkEntry {
       Sudan.ilo(s, "EMP_TEMP_SEX_ECO_NB", fetcher = fixtures("ilo10"))),
     "q_src_search" -> ((s, _) =>
       Sudan.search(s, "mortality", fetcher = fixtures("search"))),
+    // the SQL TVF surface (docs/functions.md spelling, `:=`→`=>`): same
+    // DSv2 scans underneath, bound at analysis time by the injected
+    // table-function builders — registered here at runtime so the stock
+    // Verify/Bench session needs no extensions config. The fetcher conf
+    // is read INSIDE s.sql's analysis, then baked into the relation's
+    // options, so later conf changes cannot repoint an already-built plan.
+    "q_sql_tvf_worldbank" -> ((s, _) => {
+      graft.api.SudanTableFunctions.registerRuntime(s)
+      s.conf.set(graft.api.SudanTableFunctions.ModeKey, "fixtures")
+      s.conf.set(graft.api.SudanTableFunctions.FixturesKey,
+        "graft/fixtures/worldbank")
+      s.sql("SELECT * FROM SUDAN_WorldBank('SP.POP.TOTL', " +
+        "countries => array('SDN')) WHERE year >= 2019")
+    }),
+    "q_sql_tvf_search" -> ((s, _) => {
+      graft.api.SudanTableFunctions.registerRuntime(s)
+      s.conf.set(graft.api.SudanTableFunctions.ModeKey, "fixtures")
+      s.conf.set(graft.api.SudanTableFunctions.FixturesKey,
+        "graft/fixtures/search")
+      s.sql("SELECT * FROM SUDAN_Search(query => 'mortality')")
+    }),
+    "q_sql_tvf_states" -> ((s, _) => {
+      graft.api.SudanTableFunctions.registerRuntime(s)
+      s.sql("SELECT iso_code, state_name, state_name_ar, centroid_lon, " +
+        "centroid_lat, CAST(length(geojson) AS BIGINT) AS n_geojson_chars, " +
+        "substring(geojson, 1, 22) AS geo_prefix FROM SUDAN_States()")
+    }),
     // temporal joins (beyond the reference): as-of enrichment and a
     // no-equality-key proximity range join, both scale-safe rewrites
     "q_asof_join" -> (AsOf.eventsAsOfLastPurchase _),
@@ -1950,6 +1977,26 @@ object SparkEntry {
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
         "('who', 'MDG_0000000001', 'Infant mortality rate')" +
         ") AS t(provider, indicator_id, indicator_name)"),
+    // SQL TVF spellings: same expected rows as their factory twins —
+    // hash-identical results prove the TVF path binds the same scan
+    "q_sql_tvf_worldbank" ->
+      ("SELECT indicator_id, indicator_name, country, country_name, " +
+        "CAST(year AS INTEGER) AS year, CAST(value AS DOUBLE) AS value FROM (VALUES " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2020, 44440486.0), " +
+        "('SP.POP.TOTL', 'Population, total', 'SD', 'Sudan', 2019, 43232954.5)" +
+        ") AS t(indicator_id, indicator_name, country, country_name, year, value)"),
+    "q_sql_tvf_search" ->
+      ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
+        "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
+        "('who', 'MDG_0000000001', 'Infant mortality rate')" +
+        ") AS t(provider, indicator_id, indicator_name)"),
+    "q_sql_tvf_states" ->
+      ("SELECT iso_code, state_name, state_name_ar, " +
+        "CAST(centroid_lon AS DOUBLE) AS centroid_lon, " +
+        "CAST(centroid_lat AS DOUBLE) AS centroid_lat, " +
+        "CAST(n_geojson_chars AS BIGINT) AS n_geojson_chars, geo_prefix " +
+        s"FROM (VALUES $statesValues) AS t(iso_code, state_name, " +
+        "state_name_ar, centroid_lon, centroid_lat, n_geojson_chars, geo_prefix)"),
     // n-gram language ID: same (score, lang) argmax as TextOps.langId —
     // struct comparison is field-order lexicographic in BOTH engines, and
     // Spark's greatest(...) over structs == DuckDB's list_max of structs

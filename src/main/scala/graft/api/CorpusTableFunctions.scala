@@ -1,0 +1,160 @@
+package graft.api
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.operators.{Dedup, GraphOps, Pipeline, Pq, TextOps}
+
+/** SQL TVFs for the LLM-pipeline surface, parameterized by corpus
+  * directory — the SQL-native upgrade of
+  * [[SudanExtension.registerPipeline]]'s pre-bound temp views: instead of
+  * registering views against ONE directory up front, the SQL user names
+  * the corpus at the call site and composes results like any table:
+  * {{{
+  *   SELECT lang, count(*) FROM corpus_clean('/data/crawl1') GROUP BY lang;
+  *   SELECT a.doc_id FROM corpus_neardup_pairs('/data/crawl1', 0.8) a;
+  *   SELECT * FROM corpus_ann_probe('/data/crawl1', 42, k => 5);
+  * }}}
+  *
+  * Arguments bind at analysis time (literals only, like the source TVFs);
+  * the returned plan is the operator's own lazy DataFrame plan, so
+  * Catalyst sees through the TVF — filters on the outer query push into
+  * the underlying parquet scans exactly as with the Scala factories.
+  * `corpus_pagerank`/`corpus_ann_probe` build their build-once edge
+  * table / IVF-PQ index AT analysis (session-cached, shared with the
+  * Scala API's `materialized = true` paths), mirroring
+  * [[SudanExtension.registerAnalytics]]'s documented trade. */
+object CorpusTableFunctions {
+
+  import SudanTableFunctions.{bind, info, plan, str}
+
+  private type Builder = Seq[Expression] => LogicalPlan
+
+  /** Literal numeric argument (INT/BIGINT/DOUBLE literals fold). */
+  private def num(fn: String, what: String, e: Expression): Double = e match {
+    case f if f.foldable => f.eval(null) match {
+      case n: Number => n.doubleValue()
+      // SQL `0.8` parses as DECIMAL(1,1) → Spark Decimal, not j.l.Number
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter '$what' must be a numeric literal, " +
+          s"got $other.")
+    }
+    case other => throw new IllegalArgumentException(
+      s"SUDAN: $fn() parameter '$what' must be a numeric literal, " +
+        s"got ${other.sql}.")
+  }
+
+  private def reqDir(fn: String, bound: Map[String, Expression]): String =
+    bound.get("dir").map(str(fn, "dir", _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"SUDAN: $fn() requires the corpus 'dir' parameter."))
+
+  /** (dir) single-argument corpus shape. */
+  private def dirOnly(fn: String)(
+      build: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Builder = { args =>
+    val bound = bind(fn, args, Seq("dir"), Set.empty)
+    plan(build(SparkSession.active, reqDir(fn, bound)))
+  }
+
+  private lazy val defs: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = {
+    val out = Seq.newBuilder[(FunctionIdentifier, ExpressionInfo, Builder)]
+    def tvf(name: String, usage: String, example: String)(b: Builder): Unit =
+      out += ((FunctionIdentifier(name), info(name, usage,
+        s"      > $example"), b))
+
+    tvf("corpus_clean",
+      "corpus_clean(dir[, min_words[, threshold]]) - The cleaned training " +
+        "corpus: exact-dedup canonical docs, near-dup cluster " +
+        "representatives, language filter and min-length gate applied.",
+      "SELECT lang, count(*) FROM corpus_clean('/data/c1') GROUP BY lang;"
+    ) { args =>
+      val fn = "corpus_clean"
+      val bound = bind(fn, args, Seq("dir", "min_words", "threshold"),
+        Set.empty)
+      plan(Pipeline.cleanCorpus(SparkSession.active, reqDir(fn, bound),
+        minWords = bound.get("min_words").map(num(fn, "min_words", _).toInt)
+          .getOrElse(30),
+        threshold = bound.get("threshold").map(num(fn, "threshold", _))
+          .getOrElse(0.5),
+        materialized = true))
+    }
+
+    tvf("corpus_stats",
+      "corpus_stats(dir) - Per-document length/token statistics.",
+      "SELECT * FROM corpus_stats('/data/c1') WHERE n_words > 100;")(
+      dirOnly("corpus_stats")(TextOps.textStats))
+
+    tvf("corpus_quality",
+      "corpus_quality(dir) - Per-document heuristic quality scores " +
+        "(stopword/punctuation/length components).",
+      "SELECT * FROM corpus_quality('/data/c1') WHERE quality < 0.3;")(
+      dirOnly("corpus_quality")(TextOps.qualityScore))
+
+    tvf("corpus_lang_id",
+      "corpus_lang_id(dir) - N-gram language identification per document.",
+      "SELECT predicted_lang, count(*) FROM corpus_lang_id('/data/c1') " +
+        "GROUP BY 1;")(dirOnly("corpus_lang_id")(TextOps.langId))
+
+    tvf("corpus_neardup_pairs",
+      "corpus_neardup_pairs(dir[, threshold]) - MinHash-LSH near-duplicate " +
+        "candidate pairs with exact-Jaccard verification at or above the " +
+        "threshold (default 0.5).",
+      "SELECT * FROM corpus_neardup_pairs('/data/c1', 0.8);") { args =>
+      val fn = "corpus_neardup_pairs"
+      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      plan(Dedup.minHashPairs(SparkSession.active, reqDir(fn, bound),
+        threshold = bound.get("threshold").map(num(fn, "threshold", _))
+          .getOrElse(0.5)))
+    }
+
+    tvf("corpus_dedup_keep",
+      "corpus_dedup_keep(dir[, threshold]) - Near-duplicate cluster " +
+        "representatives: one kept doc_id per connected near-dup cluster.",
+      "SELECT doc_id FROM corpus_dedup_keep('/data/c1');") { args =>
+      val fn = "corpus_dedup_keep"
+      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      plan(Dedup.minHashKeep(SparkSession.active, reqDir(fn, bound),
+        threshold = bound.get("threshold").map(num(fn, "threshold", _))
+          .getOrElse(0.5),
+        materialized = true))
+    }
+
+    tvf("corpus_pagerank",
+      "corpus_pagerank(dir) - PageRank over the embedding k-NN graph " +
+        "(build-once edge table; 10 power iterations).",
+      "SELECT * FROM corpus_pagerank('/data/c1') ORDER BY pr DESC LIMIT 10;"
+    )(dirOnly("corpus_pagerank")(
+      (s, d) => GraphOps.knnPageRank(s, d, materialized = true)))
+
+    tvf("corpus_ann_probe",
+      "corpus_ann_probe(dir, query_id[, k]) - Top-k approximate nearest " +
+        "neighbours of embedding `query_id` via the build-once IVF-PQ " +
+        "index (pruned probe, ADC shortlist, exact re-rank).",
+      "SELECT * FROM corpus_ann_probe('/data/c1', 42, k => 5);") { args =>
+      val fn = "corpus_ann_probe"
+      val bound = bind(fn, args, Seq("dir", "query_id", "k"), Set.empty)
+      val qid = bound.get("query_id").map(num(fn, "query_id", _).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SUDAN: $fn() requires the 'query_id' parameter."))
+      plan(Pq.topKIvfPq(SparkSession.active, reqDir(fn, bound), qid,
+        kNn = bound.get("k").map(num(fn, "k", _).toInt).getOrElse(10)))
+    }
+
+    out.result()
+  }
+
+  /** Extension-time registration (from [[graft.functions.GraftExtensions]]). */
+  def register(ext: SparkSessionExtensions): Unit =
+    defs.foreach(ext.injectTableFunction)
+
+  /** Runtime registration onto a live session (idempotent). */
+  def registerRuntime(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    defs.foreach { case (id, fnInfo, b) => reg.registerFunction(id, fnInfo, b) }
+  }
+}

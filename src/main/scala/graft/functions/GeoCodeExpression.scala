@@ -70,6 +70,10 @@ object GeoCodeExpression {
   * any stock session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the 11 SQL table functions (SUDAN_WorldBank(...), SUDAN_States(), …)
+    graft.api.SudanTableFunctions.register(ext)
+    // corpus-pipeline TVFs (corpus_clean('/dir'), corpus_ann_probe(...), …)
+    graft.api.CorpusTableFunctions.register(ext)
     // catalog-visible docs, mirroring the reference's per-function
     // description/example metadata (function_builder.hpp:10-41,
     // sudan_extension.cpp:21-31): DESCRIBE FUNCTION [EXTENDED] shows them

@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Pipeline, TextOps}
+
+/** Corpus TVFs: same results as the Scala factories over the same dir,
+  * transparent to Catalyst (outer predicates reach the parquet scan),
+  * binder errors at analysis. Registered at RUNTIME on the shared spec
+  * session — the path Verify/Bench and notebook users take. */
+class CorpusTableFunctionsSpec extends SparkSpec {
+
+  private lazy val ready: Unit = CorpusTableFunctions.registerRuntime(spark)
+
+  test("corpus_clean / corpus_stats / corpus_lang_id match Scala factories") {
+    ready
+    val sqlClean = spark.sql(s"SELECT * FROM corpus_clean('$sfDir')")
+    val scalaClean = Pipeline.cleanCorpus(spark, sfDir, materialized = true)
+    assert(sqlClean.count() === scalaClean.count())
+    assert(sqlClean.columns.toSeq === scalaClean.columns.toSeq)
+    val sqlStats = spark.sql(
+      s"SELECT * FROM corpus_stats('$sfDir') WHERE n_words > 100")
+    assert(sqlStats.count() ===
+      TextOps.textStats(spark, sfDir).filter("n_words > 100").count())
+    assert(spark.sql(s"SELECT * FROM corpus_lang_id('$sfDir')").count() ===
+      TextOps.langId(spark, sfDir).count())
+  }
+
+  test("outer predicates push through the TVF into the parquet scan") {
+    ready
+    val plan = spark.sql(
+      s"SELECT doc_id FROM corpus_stats('$sfDir') WHERE doc_id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      plan)
+  }
+
+  test("corpus_neardup_pairs threshold arg binds (positional and named)") {
+    ready
+    val sqlPairs = spark.sql(
+      s"SELECT * FROM corpus_neardup_pairs('$sfDir', 0.8)").collect()
+    val scalaPairs = Dedup.minHashPairs(spark, sfDir, threshold = 0.8).collect()
+    assert(sqlPairs.toSet === scalaPairs.toSet)
+    val named = spark.sql("SELECT * FROM corpus_neardup_pairs(" +
+      s"'$sfDir', threshold => 0.8)").collect()
+    assert(named.toSet === scalaPairs.toSet)
+  }
+
+  test("corpus_ann_probe returns k neighbours of the query vector") {
+    ready
+    val r = spark.sql(
+      s"SELECT * FROM corpus_ann_probe('$sfDir', 3, k => 5)").collect()
+    assert(r.length === 5)
+    // same result as the Scala two-stage search
+    val scala = graft.operators.Pq.topKIvfPq(spark, sfDir, 3L, kNn = 5)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq === scala.map(_.getLong(0)).toSeq)
+  }
+
+  test("binder errors: missing dir / unknown param") {
+    ready
+    val missing = intercept[Exception](spark.sql(
+      "SELECT * FROM corpus_ann_probe(query_id => 3)"))
+    assert(missing.getMessage.contains("requires the corpus 'dir'"),
+      missing.getMessage)
+    val unknown = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_clean('$sfDir', wat => 1)"))
+    assert(unknown.getMessage.contains("no parameter 'wat'"),
+      unknown.getMessage)
+  }
+}
