@@ -571,34 +571,44 @@ object TextOps {
     * @param materialized read fingerprints from the build-once parquet
     *   table ([[materializeFingerprints]]) instead of winnowing per
     *   lineage branch — the steady-state production shape (the plan is
-    *   then winnow-free, spec-guarded). */
+    *   then winnow-free, spec-guarded; the recomputing form re-winnows
+    *   once per consumer branch and exists for one-shot exploration). */
   def containmentPairs(spark: SparkSession, dir: String,
       maxDf: Int = 100, minContainment: Double = 0.5,
       materialized: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // hot-gram df and per-doc size as COUNT WINDOWS, not join-backs: the
-    // windows reuse the shuffles the pipeline needs anyway, so the
-    // fingerprint source (one scan of the materialized table, or the
-    // winnowing expression on the recomputing path) feeds every
-    // downstream branch without extra join-backs
+    // Plan shape (round-8 rewrite, was two COUNT WINDOWS): the windowed
+    // form shuffled the FULL fingerprint stream twice (fp_hash window,
+    // then doc_id window) and — because both self-join branches hang off
+    // the same unpersisted frame — executed that entire pipeline once
+    // per side. Here the big stream is only ever shuffled by the
+    // self-join itself; everything else is partial aggregation whose
+    // OUTPUT is small:
+    //  - hot hashes (df > maxDf) come from a map-side-combined groupBy
+    //    and are FEW by construction (boilerplate tail) → broadcast
+    //    anti-join prunes each branch without a stream shuffle;
+    //  - per-doc sizes (one row per doc, pruned universe so numerator
+    //    and denominator agree; exact dups still score 1.0) join onto
+    //    the PAIR AGGREGATE, not the fingerprint stream — at sf the
+    //    size table broadcasts (AQE), at 100 TB it shuffle-joins
+    //    against the far-smaller pair table instead of widening the
+    //    fingerprint stream through an extra keyed shuffle.
     val fps =
       if (materialized)
         spark.read.parquet(materializeFingerprints(spark, dir))
       else fingerprints(spark, dir)
-    val pruned = fps
-      .withColumn("hash_df",
-        count(lit(1)).over(Window.partitionBy("fp_hash")))
-      .filter(col("hash_df") <= maxDf)
-      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "fp_hash", "n_fp")
-    val a = pruned.select(col("fp_hash"), col("doc_id").as("doc_a"),
-      col("n_fp").as("n_a"))
-    val b = pruned.select(col("fp_hash"), col("doc_id").as("doc_b"),
-      col("n_fp").as("n_b"))
+    val hot = fps.groupBy("fp_hash").agg(count(lit(1)).as("hash_df"))
+      .filter(col("hash_df") > maxDf).select("fp_hash")
+    val pruned = fps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val a = pruned.select(col("fp_hash"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("fp_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("fp_hash")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 4).as("containment"))
