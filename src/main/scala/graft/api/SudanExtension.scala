@@ -9,19 +9,23 @@ import graft.geo.SudanGeo
   * extension entry point (sudan_extension.cpp:21-31): makes the documented
   * SQL runnable verbatim-modulo-naming in `spark.sql`.
   *
-  * DuckDB table functions with named args have no Spark-SQL TVF counterpart
-  * (SURVEY §7.3), so the mapping is:
-  *   SUDAN_States()            → temp view `sudan_states`
-  *   SUDAN_Boundaries('x')     → views `sudan_boundaries_{country,state,locality}`
-  *   SUDAN_Providers()         → temp view `sudan_providers`
+  * The PRIMARY spelling is the TVF surface ([[SudanTableFunctions]] /
+  * [[CorpusTableFunctions]], registered below at runtime): the
+  * reference's own call syntax, `SELECT * FROM SUDAN_WorldBank(...)`.
+  * The view/UDF registrations remain for tools that enumerate catalog
+  * views rather than functions:
+  *   SUDAN_States()            → also temp view `sudan_states`
+  *   SUDAN_Boundaries('x')     → also views `sudan_boundaries_{country,state,locality}`
+  *   SUDAN_Providers()         → also temp view `sudan_providers`
   *   SUDAN_GeoCode(name)       → SQL scalar function SUDAN_GeoCode (UDF)
-  * Networked sources register as views per default-country fetch via
-  * their Scala factories (see graft.sources).
   */
 object SudanExtension {
 
-  /** Register the offline surface: geo temp views + the GeoCode UDF. */
+  /** Register the offline surface: the full TVF set, geo temp views,
+    * and the GeoCode UDF. */
   def registerAll(spark: SparkSession): Unit = {
+    SudanTableFunctions.registerRuntime(spark)
+    CorpusTableFunctions.registerRuntime(spark)
     SudanGeo.states(spark).createOrReplaceTempView("sudan_states")
     SudanGeo.providers(spark).createOrReplaceTempView("sudan_providers")
     SudanGeo.boundariesDf(spark, "country")
