@@ -27,6 +27,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.operators.Pipeline.cleanCorpus(spark, "/root/testdata/sf0.001")
 
+  /** q_mixture_plan targets: pre-normalized (4×0.15 + 16×0.025 = 1.0) so
+    * the oracle's share literals match the Scala map values exactly. */
+  private val mixtureTargets: Map[String, Double] =
+    (0 to 3).map(i => s"src$i" -> 0.15).toMap ++
+      (4 to 19).map(i => s"src$i" -> 0.025).toMap
+
   // ------------------------------------------------------------ geo helpers
 
   private def statesGolden(s: SparkSession, dir: String): DataFrame =
@@ -126,6 +132,11 @@ object SparkEntry {
       graft.operators.Pipeline.sourceCap(s, d, cap = 20)),
     "q_resample_sources" -> ((s, d) => graft.operators.Pipeline
       .resampleSources(s, d, Map("src0" -> 2.5, "src1" -> 0.25))),
+    // mixture planner: curated sources (src0-3) target 15% each of a
+    // 30k-token budget with a 2-epoch cap (they get capped), bulk
+    // sources share the rest (they undershoot one epoch)
+    "q_mixture_plan" -> ((s, d) => graft.operators.Pipeline.mixturePlan(
+      s, d, mixtureTargets, budgetTokens = 30000L, maxEpochs = 2.0)),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -1091,6 +1102,23 @@ object SparkEntry {
         "n_chars, row_number() OVER (PARTITION BY source " +
         "ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) t " +
         "WHERE rnk <= 20"),
+    // mixture planner: same share literals as mixtureTargets (already
+    // normalized, Σ=1), same ceil(chars/4) token proxy as q_source_report;
+    // every emitted double is rounded so Map-order ulp drift can't leak
+    "q_mixture_plan" ->
+      ("WITH avail AS (SELECT source, sum(CAST(ceil(length(text) / 4.0) " +
+        "AS BIGINT)) AS avail_tokens FROM documents GROUP BY source), " +
+        "t AS (SELECT source, avail_tokens, CASE WHEN source IN " +
+        "('src0','src1','src2','src3') THEN CAST(0.15 AS DOUBLE) " +
+        "ELSE CAST(0.025 AS DOUBLE) END AS share FROM avail) " +
+        "SELECT source, avail_tokens, round(share, 6) AS target_share, " +
+        "round(share * 30000.0, 2) AS desired_tokens, " +
+        "round(least(share * 30000.0 / CAST(avail_tokens AS DOUBLE), " +
+        "2.0), 4) AS weight, " +
+        "round(least(share * 30000.0, 2.0 * CAST(avail_tokens AS DOUBLE))," +
+        " 2) AS planned_tokens, " +
+        "(share * 30000.0 > 2.0 * CAST(avail_tokens AS DOUBLE)) AS capped " +
+        "FROM t"),
     // source-mixture resampling: whole-part copies + md5-gated fractional
     // copy, thresholds are the shared hexThreshold constants (src0 w=2.5
     // -> 2 + gate<'8000'; src1 w=0.25 -> 0 + gate<'4000'; default w=1.0)

@@ -354,6 +354,66 @@ object Pipeline {
           .otherwise(array().cast("array<int>"))).as("copy_idx"))
   }
 
+  /** Source-mixture planner — the step BEFORE [[resampleSources]]: given
+    * target mixture shares per source and a total token budget, derive
+    * each source's sampling weight (epochs over its available tokens),
+    * capped at `maxEpochs` (repeating a small curated source beyond a
+    * few epochs hurts more than missing the share — the SlimPajama/
+    * DoReMi-style mixing rule), and report the planned token volume and
+    * whether the cap bit (`capped` = the source cannot meet its share
+    * within the epoch cap, so the run under-delivers its target unless
+    * the budget shifts to other sources).
+    *
+    * Scale shape: ONE map-side-combined aggregation on source (output =
+    * #sources rows, inherently tiny); the share/weight arithmetic is
+    * per-row column math on that aggregate. Token proxy = the corpus-wide
+    * ceil(chars/4) convention shared with [[sourceReport]]/
+    * [[packSequences]]. Targets need not be normalized — shares are
+    * target/Σtargets, computed HERE (driver-side, exact) so the column
+    * math matches the oracle literal-for-literal. */
+  def mixturePlan(spark: SparkSession, dir: String,
+      targets: Map[String, Double], budgetTokens: Long,
+      maxEpochs: Double = 2.0): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "targets must be non-empty and non-negative")
+    require(budgetTokens > 0 && maxEpochs > 0, "budget and cap must be > 0")
+    val tSum = targets.values.sum
+    val share = targets.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w / tSum)).otherwise(acc)
+    }
+    val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val desired = col("target_share") * lit(budgetTokens.toDouble)
+    Tables.documents(spark, dir)
+      .groupBy("source").agg(sum(tokens).as("avail_tokens"))
+      .withColumn("target_share", share)
+      .select(col("source"), col("avail_tokens"),
+        // 6-dp round: Σtargets accumulates in unspecified Map order, so
+        // the normalized share can differ from the oracle's literal in
+        // the last ulp; every emitted double is rounded for this reason
+        round(col("target_share"), 6).as("target_share"),
+        round(desired, 2).as("desired_tokens"),
+        round(least(desired / col("avail_tokens").cast("double"),
+          lit(maxEpochs)), 4).as("weight"),
+        round(least(desired,
+          lit(maxEpochs) * col("avail_tokens").cast("double")), 2)
+          .as("planned_tokens"),
+        (desired > lit(maxEpochs) * col("avail_tokens").cast("double"))
+          .as("capped"))
+  }
+
+  /** [[mixturePlan]] → [[resampleSources]] in one step: plan the weights
+    * and emit the resampled corpus. The plan collect is #sources rows —
+    * bounded like the quantizer training samples, not a data collect. */
+  def planAndResample(spark: SparkSession, dir: String,
+      targets: Map[String, Double], budgetTokens: Long,
+      maxEpochs: Double = 2.0): DataFrame = {
+    val weights = mixturePlan(spark, dir, targets, budgetTokens, maxEpochs)
+      .select("source", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    resampleSources(spark, dir, weights, defaultWeight = 0.0)
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String, minWords: Int = 30,
       threshold: Double = 0.5, materialized: Boolean = false): DataFrame = {
     // stage 1: canonical representative per distinct text — THE

@@ -161,6 +161,52 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expect)
   }
 
+  test("mixturePlan: shares scale the budget, epoch cap binds and flags") {
+    val plan = Pipeline.mixturePlan(spark, sfDir,
+      Map("src0" -> 0.3, "src1" -> 0.1, "src2" -> 0.1),
+      budgetTokens = 10000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // sf0.001 sources hold ~200 tokens each; src0 wants 6000 → capped
+    val s0 = plan("src0")
+    assert(s0.getBoolean(6), "src0 must hit the epoch cap")
+    assert(s0.getDouble(4) === 2.0) // weight == maxEpochs when capped
+    assert(s0.getDouble(5) === 2.0 * s0.getLong(1)) // planned = cap*avail
+    // untargeted sources plan zero
+    val s5 = plan("src5")
+    assert(s5.getDouble(2) === 0.0 && s5.getDouble(4) === 0.0 &&
+      !s5.getBoolean(6))
+    // normalization: shares sum to 1 over targeted sources
+    assert(math.abs(plan("src0").getDouble(2) - 0.6) < 1e-9)
+    // conservation: planned never exceeds desired, desired sums to budget
+    val totalDesired = plan.values.map(_.getDouble(3)).sum
+    assert(math.abs(totalDesired - 10000.0) < 1e-6)
+    plan.values.foreach(r =>
+      assert(r.getDouble(5) <= r.getDouble(3) + 1e-9))
+  }
+
+  test("planAndResample: copies realize the planned weights") {
+    val out = Pipeline.planAndResample(spark, sfDir,
+      Map("src0" -> 0.5, "src1" -> 0.5), budgetTokens = 500L,
+      maxEpochs = 3.0)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only targeted sources appear (defaultWeight = 0 drops the rest)
+    assert(bySource.keySet === Set("src0", "src1"))
+    val plan = Pipeline.mixturePlan(spark, sfDir,
+      Map("src0" -> 0.5, "src1" -> 0.5), 500L, 3.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val nDocs = Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-source copies land in [floor(w)*n, ceil(w)*n]
+    Seq("src0", "src1").foreach { s =>
+      val w = plan(s); val n = nDocs(s)
+      assert(bySource(s) >= math.floor(w).toLong * n &&
+        bySource(s) <= math.ceil(w).toLong * n,
+        s"$s copies=${bySource(s)} weight=$w n=$n")
+    }
+  }
+
   test("resampleSources: multiplicity = floor(w) + hash-gated fraction") {
     val out = Pipeline.resampleSources(spark, sfDir,
       Map("src0" -> 2.5, "src1" -> 0.25))
