@@ -137,6 +137,8 @@ object SparkEntry {
     // sources share the rest (they undershoot one epoch)
     "q_mixture_plan" -> ((s, d) => graft.operators.Pipeline.mixturePlan(
       s, d, mixtureTargets, budgetTokens = 30000L, maxEpochs = 2.0)),
+    "q_dataset_card" -> ((s, d) =>
+      graft.operators.Pipeline.datasetCard(s, d)),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -1119,6 +1121,38 @@ object SparkEntry {
         " 2) AS planned_tokens, " +
         "(share * 30000.0 > 2.0 * CAST(avail_tokens AS DOUBLE)) AS capped " +
         "FROM t"),
+    // dataset card: one-row global aggregate unpivoted to (metric, value);
+    // same token proxy / quality / word-count conventions as the per-doc
+    // operators, exact interpolated percentiles (quantile_cont twin)
+    "q_dataset_card" ->
+      ("WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, " +
+        "CAST(count(DISTINCT source) AS DOUBLE) AS n_sources, " +
+        "CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs, " +
+        "CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_distinct_texts, " +
+        "round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 4) AS dup_ratio, " +
+        "CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS DOUBLE) " +
+        "AS total_tokens, " +
+        "round(CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE), 2) AS avg_doc_tokens, " +
+        "round(quantile_cont(n_chars, 0.5), 2) AS p50_chars, " +
+        "round(quantile_cont(n_chars, 0.9), 2) AS p90_chars, " +
+        s"round(CAST(sum(CASE WHEN $wordsExpr < 30 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS short_doc_ratio, " +
+        s"round(CAST(sum(least($wordsExpr, 200)) AS DOUBLE) / " +
+        "(200.0 * CAST(count(*) AS DOUBLE)), 4) " +
+        "AS mean_quality FROM documents) " +
+        "SELECT 'n_docs' AS metric, n_docs AS value FROM s " +
+        "UNION ALL SELECT 'n_sources', n_sources FROM s " +
+        "UNION ALL SELECT 'n_langs', n_langs FROM s " +
+        "UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM s " +
+        "UNION ALL SELECT 'dup_ratio', dup_ratio FROM s " +
+        "UNION ALL SELECT 'total_tokens', total_tokens FROM s " +
+        "UNION ALL SELECT 'avg_doc_tokens', avg_doc_tokens FROM s " +
+        "UNION ALL SELECT 'p50_chars', p50_chars FROM s " +
+        "UNION ALL SELECT 'p90_chars', p90_chars FROM s " +
+        "UNION ALL SELECT 'short_doc_ratio', short_doc_ratio FROM s " +
+        "UNION ALL SELECT 'mean_quality', mean_quality FROM s"),
     // source-mixture resampling: whole-part copies + md5-gated fractional
     // copy, thresholds are the shared hexThreshold constants (src0 w=2.5
     // -> 2 + gate<'8000'; src1 w=0.25 -> 0 + gate<'4000'; default w=1.0)

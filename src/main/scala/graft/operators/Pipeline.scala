@@ -354,6 +354,52 @@ object Pipeline {
           .otherwise(array().cast("array<int>"))).as("copy_idx"))
   }
 
+  /** Dataset card — the release-note summary every corpus drop ships:
+    * size, provenance spread, duplication, token volume, length
+    * percentiles and quality mix, as (metric, value) rows. ONE pass:
+    * every statistic folds into a single global aggregate (map-side
+    * combined, 1-row result), then a `stack` unpivots the row. No
+    * joins, no second scan; the cost of reading the corpus once. The
+    * one non-constant aggregation state is the EXACT percentile buffer
+    * (O(n) values on the final reducer) — fine to the low billions of
+    * docs; at full 100 TB swap `percentile` for `approx_percentile`
+    * (mergeable t-digest, the [[graft.operators.Relational
+    * .approxQuantileContract]] trade) and keep the rest exact.
+    * Quality/short-doc definitions reuse the corpus-wide conventions
+    * ([[graft.operators.TextOps.qualityScore]], ceil(chars/4) tokens),
+    * so the card agrees with the per-doc operators it summarizes. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = TextOps.nWords
+    val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val one = Tables.documents(spark, dir).agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      countDistinct(md5(col("text"))).cast("double").as("n_distinct_texts"),
+      round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+        count(lit(1)).cast("double"), 4).as("dup_ratio"),
+      sum(tokens).cast("double").as("total_tokens"),
+      // means as exact integer sums + ONE division — engine/order
+      // independent, unlike avg-of-doubles accumulation
+      round(sum(tokens).cast("double") / count(lit(1)).cast("double"), 2)
+        .as("avg_doc_tokens"),
+      round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+      round(expr("percentile(n_chars, 0.9)"), 2).as("p90_chars"),
+      round(sum(when(nWords < 30, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 4).as("short_doc_ratio"),
+      round(sum(least(nWords, lit(200L))).cast("double") /
+        (lit(200.0) * count(lit(1)).cast("double")), 4).as("mean_quality"))
+    one.select(expr(
+      "stack(11, " +
+        "'n_docs', n_docs, 'n_sources', n_sources, 'n_langs', n_langs, " +
+        "'n_distinct_texts', n_distinct_texts, 'dup_ratio', dup_ratio, " +
+        "'total_tokens', total_tokens, 'avg_doc_tokens', avg_doc_tokens, " +
+        "'p50_chars', p50_chars, 'p90_chars', p90_chars, " +
+        "'short_doc_ratio', short_doc_ratio, 'mean_quality', mean_quality" +
+        ") AS (metric, value)"))
+  }
+
   /** Source-mixture planner — the step BEFORE [[resampleSources]]: given
     * target mixture shares per source and a total token budget, derive
     * each source's sampling weight (epochs over its available tokens),

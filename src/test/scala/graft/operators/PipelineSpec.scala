@@ -161,6 +161,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expect)
   }
 
+  test("datasetCard: one aggregate, internally consistent metrics") {
+    val card = Pipeline.datasetCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card.keySet.size === 11)
+    val docs = Tables.documents(spark, sfDir)
+    assert(card("n_docs") === docs.count().toDouble)
+    assert(card("n_sources") ===
+      docs.select("source").distinct().count().toDouble)
+    // dup_ratio consistent with its own distinct count
+    assert(card("dup_ratio") ===
+      math.rint((1.0 - card("n_distinct_texts") / card("n_docs")) * 1e4) / 1e4)
+    // ratios are ratios
+    Seq("dup_ratio", "short_doc_ratio", "mean_quality").foreach(m =>
+      assert(card(m) >= 0.0 && card(m) <= 1.0, s"$m=${card(m)}"))
+    assert(card("p50_chars") <= card("p90_chars"))
+    // ONE scan, no join: single aggregate over the parquet source
+    val plan = Pipeline.datasetCard(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("mixturePlan: shares scale the budget, epoch cap binds and flags") {
     val plan = Pipeline.mixturePlan(spark, sfDir,
       Map("src0" -> 0.3, "src1" -> 0.1, "src2" -> 0.1),
