@@ -377,22 +377,15 @@ object SparkEntry {
     // table-function builders — registered here at runtime so the stock
     // Verify/Bench session needs no extensions config. The fetcher conf
     // is read INSIDE s.sql's analysis, then baked into the relation's
-    // options, so later conf changes cannot repoint an already-built plan.
-    "q_sql_tvf_worldbank" -> ((s, _) => {
-      graft.api.SudanTableFunctions.registerRuntime(s)
-      s.conf.set(graft.api.SudanTableFunctions.ModeKey, "fixtures")
-      s.conf.set(graft.api.SudanTableFunctions.FixturesKey,
-        "graft/fixtures/worldbank")
-      s.sql("SELECT * FROM SUDAN_WorldBank('SP.POP.TOTL', " +
-        "countries => array('SDN')) WHERE year >= 2019")
-    }),
-    "q_sql_tvf_search" -> ((s, _) => {
-      graft.api.SudanTableFunctions.registerRuntime(s)
-      s.conf.set(graft.api.SudanTableFunctions.ModeKey, "fixtures")
-      s.conf.set(graft.api.SudanTableFunctions.FixturesKey,
-        "graft/fixtures/search")
-      s.sql("SELECT * FROM SUDAN_Search(query => 'mortality')")
-    }),
+    // options — sqlWithFixtures restores the previous conf immediately
+    // after analysis, so nothing leaks into later queries on the session.
+    "q_sql_tvf_worldbank" -> ((s, _) =>
+      sqlWithFixtures(s, "worldbank",
+        "SELECT * FROM SUDAN_WorldBank('SP.POP.TOTL', " +
+          "countries => array('SDN')) WHERE year >= 2019")),
+    "q_sql_tvf_search" -> ((s, _) =>
+      sqlWithFixtures(s, "search",
+        "SELECT * FROM SUDAN_Search(query => 'mortality')")),
     "q_sql_tvf_states" -> ((s, _) => {
       graft.api.SudanTableFunctions.registerRuntime(s)
       s.sql("SELECT iso_code, state_name, state_name_ar, centroid_lon, " +
@@ -440,6 +433,26 @@ object SparkEntry {
   private def fixtures(dir: String): Sudan.Fetcher =
     Sudan.Fetcher("fixtures", s"graft/fixtures/$dir")
 
+  /** Run a TVF query with the fixture transport conf set ONLY for the
+    * duration of the `spark.sql` analysis (the fetcher conf is baked into
+    * the relation options at analysis time), restoring the previous
+    * values after — the session's transport selection must not leak into
+    * later queries. */
+  private def sqlWithFixtures(s: SparkSession, dir: String,
+      sql: String): DataFrame = {
+    import graft.api.SudanTableFunctions.{FixturesKey, ModeKey}
+    graft.api.SudanTableFunctions.registerRuntime(s)
+    val oldMode = s.conf.getOption(ModeKey)
+    val oldFix = s.conf.getOption(FixturesKey)
+    s.conf.set(ModeKey, "fixtures")
+    s.conf.set(FixturesKey, s"graft/fixtures/$dir")
+    try s.sql(sql)
+    finally {
+      oldMode.fold(s.conf.unset(ModeKey))(s.conf.set(ModeKey, _))
+      oldFix.fold(s.conf.unset(FixturesKey))(s.conf.set(FixturesKey, _))
+    }
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   // the corpus-wide word count: \s+ tokens with empties dropped — the
@@ -474,6 +487,16 @@ object SparkEntry {
     s"('$iso', '$en', '$ar', $lon, $lat, $n, " +
       "'{\"type\":\"MultiPolygon\"')"
   }.mkString(", ")
+
+  /** Shared golden-states oracle (q_states AND q_sql_tvf_states — the
+    * TVF spelling must hash-match the factory spelling). */
+  private val statesOracleSql: String =
+    "SELECT iso_code, state_name, state_name_ar, " +
+      "CAST(centroid_lon AS DOUBLE) AS centroid_lon, " +
+      "CAST(centroid_lat AS DOUBLE) AS centroid_lat, " +
+      "CAST(n_geojson_chars AS BIGINT) AS n_geojson_chars, geo_prefix " +
+      s"FROM (VALUES $statesValues) AS t(iso_code, state_name, " +
+      "state_name_ar, centroid_lon, centroid_lat, n_geojson_chars, geo_prefix)"
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — the list-
     * function twin of `Dedup.shingleArray` (same \s+ tokenization, same
@@ -945,13 +968,7 @@ object SparkEntry {
         "WHERE c_custkey IN (SELECT o_custkey FROM orders) " +
         "UNION ALL SELECT 'no_orders' AS kind, c_custkey FROM customer " +
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
-    "q_states" ->
-      ("SELECT iso_code, state_name, state_name_ar, " +
-        "CAST(centroid_lon AS DOUBLE) AS centroid_lon, " +
-        "CAST(centroid_lat AS DOUBLE) AS centroid_lat, " +
-        "CAST(n_geojson_chars AS BIGINT) AS n_geojson_chars, geo_prefix " +
-        s"FROM (VALUES $statesValues) AS t(iso_code, state_name, " +
-        "state_name_ar, centroid_lon, centroid_lat, n_geojson_chars, geo_prefix)"),
+    "q_states" -> statesOracleSql,
     "q_providers" ->
       ("SELECT provider_id, name, name_ar, description, base_url FROM (VALUES " +
         "('worldbank', 'World Bank', 'البنك الدولي', " +
@@ -1119,7 +1136,8 @@ object SparkEntry {
         "2.0), 4) AS weight, " +
         "round(least(share * 30000.0, 2.0 * CAST(avail_tokens AS DOUBLE))," +
         " 2) AS planned_tokens, " +
-        "(share * 30000.0 > 2.0 * CAST(avail_tokens AS DOUBLE)) AS capped " +
+        "(round(share * 30000.0, 2) > " +
+        "round(2.0 * CAST(avail_tokens AS DOUBLE), 2)) AS capped " +
         "FROM t"),
     // dataset card: one-row global aggregate unpivoted to (metric, value);
     // same token proxy / quality / word-count conventions as the per-doc
@@ -2052,13 +2070,9 @@ object SparkEntry {
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +
         "('who', 'MDG_0000000001', 'Infant mortality rate')" +
         ") AS t(provider, indicator_id, indicator_name)"),
-    "q_sql_tvf_states" ->
-      ("SELECT iso_code, state_name, state_name_ar, " +
-        "CAST(centroid_lon AS DOUBLE) AS centroid_lon, " +
-        "CAST(centroid_lat AS DOUBLE) AS centroid_lat, " +
-        "CAST(n_geojson_chars AS BIGINT) AS n_geojson_chars, geo_prefix " +
-        s"FROM (VALUES $statesValues) AS t(iso_code, state_name, " +
-        "state_name_ar, centroid_lon, centroid_lat, n_geojson_chars, geo_prefix)"),
+    // same golden rows as q_states: the TVF spelling must hash-match the
+    // factory spelling, so they share one oracle string
+    "q_sql_tvf_states" -> statesOracleSql,
     // n-gram language ID: same (score, lang) argmax as TextOps.langId —
     // struct comparison is field-order lexicographic in BOTH engines, and
     // Spark's greatest(...) over structs == DuckDB's list_max of structs

@@ -151,10 +151,8 @@ object CorpusTableFunctions {
   def register(ext: SparkSessionExtensions): Unit =
     defs.foreach(ext.injectTableFunction)
 
-  /** Runtime registration onto a live session (idempotent). */
-  def registerRuntime(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.tableFunctionRegistry
-    defs.foreach { case (id, fnInfo, b) => reg.registerFunction(id, fnInfo, b) }
-  }
+  /** Runtime registration onto a live session (idempotent; no-op on
+    * non-classic sessions — see [[SudanTableFunctions.registerRuntime]]). */
+  def registerRuntime(spark: SparkSession): Unit =
+    SudanTableFunctions.runtimeRegister(spark, defs)
 }

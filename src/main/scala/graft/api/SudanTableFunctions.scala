@@ -59,7 +59,7 @@ object SudanTableFunctions {
     args.foreach {
       case NamedArgumentExpression(key, value) =>
         sawNamed = true
-        val k = key.toLowerCase
+        val k = key.toLowerCase(java.util.Locale.ROOT)
         if (!all.contains(k)) throw new IllegalArgumentException(
           s"SUDAN: $fn() has no parameter '$key' " +
             s"(expected: ${all.toSeq.sorted.mkString(", ")}).")
@@ -272,12 +272,23 @@ object SudanTableFunctions {
   /** Register onto a LIVE session (no extensions config needed) — the
     * runtime twin of [[register(ext*]], for sessions the caller did not
     * build (notebooks, the Verify harness). Idempotent: re-registration
-    * replaces the same definitions. */
-  def registerRuntime(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.tableFunctionRegistry
-    defs.foreach { case (id, fnInfo, builder) =>
-      reg.registerFunction(id, fnInfo, builder)
-    }
+    * replaces the same definitions. No-op on a non-classic session
+    * (e.g. Spark Connect), whose function registry is not reachable at
+    * runtime — there, build the session with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` instead. */
+  def registerRuntime(spark: SparkSession): Unit =
+    runtimeRegister(spark, defs)
+
+  /** Shared runtime-registration plumbing (also used by
+    * [[CorpusTableFunctions]]). */
+  private[api] def runtimeRegister(spark: SparkSession,
+      fns: Seq[(FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan)]): Unit = spark match {
+    case classic: org.apache.spark.sql.classic.SparkSession =>
+      val reg = classic.sessionState.tableFunctionRegistry
+      fns.foreach { case (id, fnInfo, builder) =>
+        reg.registerFunction(id, fnInfo, builder)
+      }
+    case _ => () // non-classic (Connect): TVFs require the extensions config
   }
 }

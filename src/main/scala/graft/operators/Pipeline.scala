@@ -422,6 +422,7 @@ object Pipeline {
       maxEpochs: Double = 2.0): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
       "targets must be non-empty and non-negative")
+    require(targets.values.sum > 0.0, "targets must not all be zero")
     require(budgetTokens > 0 && maxEpochs > 0, "budget and cap must be > 0")
     val tSum = targets.values.sum
     val share = targets.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
@@ -430,8 +431,17 @@ object Pipeline {
     val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
       .cast("long")
     val desired = col("target_share") * lit(budgetTokens.toDouble)
-    Tables.documents(spark, dir)
+    // full-outer with the target list: a targeted source ABSENT from the
+    // corpus (typo, bad drop) must surface as a loud zero-avail capped
+    // row — NOT silently vanish (groupBy only emits present sources, so
+    // a plain aggregate would drop its share of the budget on the floor)
+    import spark.implicits._
+    val targetsDf = targets.keys.toSeq.sorted.toDF("source")
+    val avail = Tables.documents(spark, dir)
       .groupBy("source").agg(sum(tokens).as("avail_tokens"))
+      .join(targetsDf, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("avail_tokens"))
+    avail
       .withColumn("target_share", share)
       .select(col("source"), col("avail_tokens"),
         // 6-dp round: Σtargets accumulates in unspecified Map order, so
@@ -439,12 +449,18 @@ object Pipeline {
         // the last ulp; every emitted double is rounded for this reason
         round(col("target_share"), 6).as("target_share"),
         round(desired, 2).as("desired_tokens"),
+        // avail = 0 → desired/0.0 = +Inf → least picks the cap: an
+        // absent source plans weight = cap over nothing, planned 0
         round(least(desired / col("avail_tokens").cast("double"),
           lit(maxEpochs)), 4).as("weight"),
         round(least(desired,
           lit(maxEpochs) * col("avail_tokens").cast("double")), 2)
           .as("planned_tokens"),
-        (desired > lit(maxEpochs) * col("avail_tokens").cast("double"))
+        // compare at emitted (2-dp) precision: the raw > on unrounded
+        // doubles is the one place ulp drift vs the oracle could flip a
+        // boundary-sitting source's flag
+        (round(desired, 2) >
+          round(lit(maxEpochs) * col("avail_tokens").cast("double"), 2))
           .as("capped"))
   }
 

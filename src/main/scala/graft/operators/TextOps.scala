@@ -596,9 +596,14 @@ object TextOps {
       if (materialized)
         spark.read.parquet(materializeFingerprints(spark, dir))
       else fingerprints(spark, dir)
+    // NO forced broadcast hint on hot: its size is data-dependent (the
+    // boilerplate tail can be wide on a diverse corpus). AQE broadcasts
+    // it when the aggregate's runtime size is small (the common case —
+    // observed sf0.1: 1.6k rows) and degrades to a shuffled anti-join
+    // when it is not, instead of OOMing on an oversized forced build.
     val hot = fps.groupBy("fp_hash").agg(count(lit(1)).as("hash_df"))
       .filter(col("hash_df") > maxDf).select("fp_hash")
-    val pruned = fps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+    val pruned = fps.join(hot, Seq("fp_hash"), "left_anti")
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val a = pruned.select(col("fp_hash"), col("doc_id").as("doc_a"))
     val b = pruned.select(col("fp_hash"), col("doc_id").as("doc_b"))

@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
 class SudanTableFunctionsSpec extends SparkSpec {
 
   /** Fresh session (same SparkContext) with GraftExtensions applied —
-    * getOrCreate on the shared session would skip extensions. */
+    * getOrCreate on the shared session would skip extensions. The shared
+    * session is restored as active/default in afterAll (the sibling
+    * extension specs' pattern): s2 lacks SparkSpec's configs, so leaving
+    * it as the JVM default would contaminate later suites. */
   private lazy val s2: SparkSession = {
-    val shared = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -22,6 +24,12 @@ class SudanTableFunctionsSpec extends SparkSpec {
       .getOrCreate()
     SparkSession.setActiveSession(s)
     s
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.setActiveSession(spark)
+    SparkSession.setDefaultSession(spark)
+    super.afterAll()
   }
 
   private def fixtures(dir: String): Unit = {
