@@ -47,6 +47,16 @@ object CorpusTableFunctions {
         s"got ${other.sql}.")
   }
 
+  /** Literal numeric-list argument: `array(0.7, 0.3)`. */
+  private def numSeq(fn: String, what: String,
+      e: Expression): Seq[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map(num(fn, what, _))
+    case other => throw new IllegalArgumentException(
+      s"SUDAN: $fn() parameter '$what' must be an array of numeric " +
+        s"literals, got ${other.sql}.")
+  }
+
   private def reqDir(fn: String, bound: Map[String, Expression]): String =
     bound.get("dir").map(str(fn, "dir", _)).getOrElse(
       throw new IllegalArgumentException(
@@ -129,6 +139,41 @@ object CorpusTableFunctions {
       "SELECT * FROM corpus_pagerank('/data/c1') ORDER BY pr DESC LIMIT 10;"
     )(dirOnly("corpus_pagerank")(
       (s, d) => GraphOps.knnPageRank(s, d, materialized = true)))
+
+    tvf("corpus_dataset_card",
+      "corpus_dataset_card(dir) - The release dataset card: size, " +
+        "provenance, duplication, token volume, length percentiles and " +
+        "quality mix as (metric, value) rows, from one corpus pass.",
+      "SELECT * FROM corpus_dataset_card('/data/c1');")(
+      dirOnly("corpus_dataset_card")(Pipeline.datasetCard))
+
+    tvf("corpus_mixture_plan",
+      "corpus_mixture_plan(dir, sources => array(...), shares => " +
+        "array(...), budget => N[, max_epochs => E]) - Source-mixture " +
+        "plan: per-source sampling weights for the target shares under " +
+        "a token budget, epoch-capped with a capped flag.",
+      "SELECT * FROM corpus_mixture_plan('/data/c1', sources => " +
+        "array('a','b'), shares => array(0.7, 0.3), budget => 1000000);"
+    ) { args =>
+      val fn = "corpus_mixture_plan"
+      val bound = bind(fn, args,
+        Seq("dir", "sources", "shares", "budget", "max_epochs"), Set.empty)
+      def req[T](k: String)(f: Expression => T): T = bound.get(k).map(f)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SUDAN: $fn() requires the '$k' parameter."))
+      val sources = req("sources")(
+        SudanTableFunctions.strSeq(fn, "sources", _))
+      val shares = req("shares")(numSeq(fn, "shares", _))
+      if (sources.length != shares.length)
+        throw new IllegalArgumentException(
+          s"SUDAN: $fn() 'sources' and 'shares' must have equal length " +
+            s"(got ${sources.length} vs ${shares.length}).")
+      plan(Pipeline.mixturePlan(SparkSession.active, reqDir(fn, bound),
+        sources.zip(shares).toMap,
+        budgetTokens = req("budget")(num(fn, "budget", _).toLong),
+        maxEpochs = bound.get("max_epochs")
+          .map(num(fn, "max_epochs", _)).getOrElse(2.0)))
+    }
 
     tvf("corpus_ann_probe",
       "corpus_ann_probe(dir, query_id[, k]) - Top-k approximate nearest " +

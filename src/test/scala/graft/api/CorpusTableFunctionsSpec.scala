@@ -56,6 +56,26 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(r.map(_.getLong(0)).toSeq === scala.map(_.getLong(0)).toSeq)
   }
 
+  test("corpus_dataset_card and corpus_mixture_plan bind and match Scala") {
+    ready
+    val card = spark.sql(s"SELECT * FROM corpus_dataset_card('$sfDir')")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") ===
+      Pipeline.datasetCard(spark, sfDir).collect()
+        .find(_.getString(0) == "n_docs").get.getDouble(1))
+    val sqlPlan = spark.sql("SELECT * FROM corpus_mixture_plan(" +
+      s"'$sfDir', sources => array('src0','src1'), " +
+      "shares => array(0.7, 0.3), budget => 1000, max_epochs => 3.0)")
+      .collect()
+    val scalaPlan = Pipeline.mixturePlan(spark, sfDir,
+      Map("src0" -> 0.7, "src1" -> 0.3), 1000L, 3.0).collect()
+    assert(sqlPlan.toSet === scalaPlan.toSet)
+    val lenErr = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_mixture_plan('$sfDir', " +
+        "sources => array('a'), shares => array(0.5, 0.5), budget => 10)"))
+    assert(lenErr.getMessage.contains("equal length"), lenErr.getMessage)
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(
