@@ -83,6 +83,7 @@ object SudanExtension {
       "corpus_inverted_index" ->
         TextOps.invertedIndex(spark, dir, maxDf = 5000),
       "corpus_zorder" -> graft.operators.Zorder.docZValues(spark, dir),
+      "corpus_dataset_card" -> Pipeline.datasetCard(spark, dir),
       "corpus_quality_model" ->
         graft.operators.QualityModel.qualityClassifier(spark, dir))
       .foreach { case (name, df) => df.createOrReplaceTempView(name) }

@@ -196,6 +196,11 @@ class TextOpsSpec extends SparkSpec {
       val plan = mat.queryExecution.executedPlan.toString
       assert(!plan.contains("winnow_fingerprints"),
         s"plan must scan the fingerprint table, not re-winnow:\n$plan")
+      // round-8 shape: NO full-stream count-windows — hot-hash pruning
+      // is an aggregate anti-join, sizes join the pair aggregate; the
+      // only full-stream shuffle is the pair join itself
+      assert(!plan.contains("Window"),
+        s"containment must not sort-shuffle the stream through windows:\n$plan")
       assert(TextOps.containmentPairs(spark, sfDir)
         .queryExecution.executedPlan.toString.contains("winnow_fingerprints"))
     } finally TextOps.clearFingerprintCache()
