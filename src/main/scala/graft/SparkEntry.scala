@@ -139,6 +139,21 @@ object SparkEntry {
       s, d, mixtureTargets, budgetTokens = 30000L, maxEpochs = 2.0)),
     "q_dataset_card" -> ((s, d) =>
       graft.operators.Pipeline.datasetCard(s, d)),
+    // snapshot diff: the "new" snapshot is a deterministic derivation of
+    // the corpus (drop doc_id%7==0, rewrite text for %11==0, add shifted
+    // ids), so both engines rebuild the identical pair of snapshots
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = graft.operators.Tables.documents(s, d)
+        .select("doc_id", "text")
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(
+          docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Pipeline.corpusDiff(docs, newSnap)
+    }),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -1139,6 +1154,22 @@ object SparkEntry {
         "(round(share * 30000.0, 2) > " +
         "round(2.0 * CAST(avail_tokens AS DOUBLE), 2)) AS capped " +
         "FROM t"),
+    // snapshot diff: rebuild the same derived "new" snapshot, hash-join
+    // full-outer on doc_id, classify per row
+    "q_corpus_diff" ->
+      ("WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents), " +
+        "nb AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+        "THEN text || ' v2' ELSE text END AS text FROM documents " +
+        "WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents " +
+        "WHERE doc_id % 13 = 0), " +
+        "b AS (SELECT doc_id, md5(text) AS h_new FROM nb) " +
+        "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+        "WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN h_old <> h_new THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"),
     // dataset card: one-row global aggregate unpivoted to (metric, value);
     // same token proxy / quality / word-count conventions as the per-doc
     // operators, exact interpolated percentiles (quantile_cont twin)

@@ -354,6 +354,29 @@ object Pipeline {
           .otherwise(array().cast("array<int>"))).as("copy_idx"))
   }
 
+  /** Corpus snapshot diff — what changed between two pipeline runs
+    * (yesterday's crawl vs today's): per doc_id, `added` (only in the
+    * new snapshot), `removed` (only in the old), `changed` (content
+    * hash differs), `unchanged`. The release-gating companion of
+    * [[datasetCard]] — an unexpectedly large `removed`/`changed` count
+    * is the canonical "a filter upstream broke" alarm.
+    *
+    * Scale shape: ONE hash-partitioned full-outer join on doc_id, with
+    * each side reduced to (doc_id, md5) at the scan — the join carries
+    * 48 bytes/row, not documents; at 100 TB this is the narrow-join
+    * floor for an exact diff. Content equality via md5 keeps the
+    * comparison engine-portable (same convention as the dedup family). */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val b = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Dataset card — the release-note summary every corpus drop ships:
     * size, provenance spread, duplication, token volume, length
     * percentiles and quality mix, as (metric, value) rows. ONE pass:

@@ -161,6 +161,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expect)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged partition the id space") {
+    import spark.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val d = Pipeline.corpusDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added"))
+    // scale shape: the join carries hashes, not text — no text column
+    // survives past the scans
+    val plan = Pipeline.corpusDiff(a, b).queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("text#") ||
+      plan.indexOf("Join") < plan.indexOf("text#"),
+      s"text must be projected away below the join:\n$plan")
+  }
+
   test("datasetCard: one aggregate, internally consistent metrics") {
     val card = Pipeline.datasetCard(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
