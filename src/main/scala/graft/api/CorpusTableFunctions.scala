@@ -62,6 +62,17 @@ object CorpusTableFunctions {
       throw new IllegalArgumentException(
         s"SUDAN: $fn() requires the corpus 'dir' parameter."))
 
+  /** Optional numeric argument with a default (the repeated
+    * `bound.get(k).map(num).getOrElse(d)` shape of every builder). */
+  private def optNum(fn: String, bound: Map[String, Expression],
+      key: String, default: Double): Double =
+    bound.get(key).map(num(fn, key, _)).getOrElse(default)
+
+  private def reqArg[T](fn: String, bound: Map[String, Expression],
+      key: String)(f: Expression => T): T = bound.get(key).map(f)
+    .getOrElse(throw new IllegalArgumentException(
+      s"SUDAN: $fn() requires the '$key' parameter."))
+
   /** (dir) single-argument corpus shape. */
   private def dirOnly(fn: String)(
       build: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -86,10 +97,8 @@ object CorpusTableFunctions {
       val bound = bind(fn, args, Seq("dir", "min_words", "threshold"),
         Set.empty)
       plan(Pipeline.cleanCorpus(SparkSession.active, reqDir(fn, bound),
-        minWords = bound.get("min_words").map(num(fn, "min_words", _).toInt)
-          .getOrElse(30),
-        threshold = bound.get("threshold").map(num(fn, "threshold", _))
-          .getOrElse(0.5),
+        minWords = optNum(fn, bound, "min_words", 30).toInt,
+        threshold = optNum(fn, bound, "threshold", 0.5),
         materialized = true))
     }
 
@@ -117,8 +126,7 @@ object CorpusTableFunctions {
       val fn = "corpus_neardup_pairs"
       val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
       plan(Dedup.minHashPairs(SparkSession.active, reqDir(fn, bound),
-        threshold = bound.get("threshold").map(num(fn, "threshold", _))
-          .getOrElse(0.5)))
+        threshold = optNum(fn, bound, "threshold", 0.5)))
     }
 
     tvf("corpus_dedup_keep",
@@ -128,8 +136,7 @@ object CorpusTableFunctions {
       val fn = "corpus_dedup_keep"
       val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
       plan(Dedup.minHashKeep(SparkSession.active, reqDir(fn, bound),
-        threshold = bound.get("threshold").map(num(fn, "threshold", _))
-          .getOrElse(0.5),
+        threshold = optNum(fn, bound, "threshold", 0.5),
         materialized = true))
     }
 
@@ -158,21 +165,18 @@ object CorpusTableFunctions {
       val fn = "corpus_mixture_plan"
       val bound = bind(fn, args,
         Seq("dir", "sources", "shares", "budget", "max_epochs"), Set.empty)
-      def req[T](k: String)(f: Expression => T): T = bound.get(k).map(f)
-        .getOrElse(throw new IllegalArgumentException(
-          s"SUDAN: $fn() requires the '$k' parameter."))
-      val sources = req("sources")(
+      val sources = reqArg(fn, bound, "sources")(
         SudanTableFunctions.strSeq(fn, "sources", _))
-      val shares = req("shares")(numSeq(fn, "shares", _))
+      val shares = reqArg(fn, bound, "shares")(numSeq(fn, "shares", _))
       if (sources.length != shares.length)
         throw new IllegalArgumentException(
           s"SUDAN: $fn() 'sources' and 'shares' must have equal length " +
             s"(got ${sources.length} vs ${shares.length}).")
       plan(Pipeline.mixturePlan(SparkSession.active, reqDir(fn, bound),
         sources.zip(shares).toMap,
-        budgetTokens = req("budget")(num(fn, "budget", _).toLong),
-        maxEpochs = bound.get("max_epochs")
-          .map(num(fn, "max_epochs", _)).getOrElse(2.0)))
+        budgetTokens = reqArg(fn, bound, "budget")(num(fn, "budget", _)
+          .toLong),
+        maxEpochs = optNum(fn, bound, "max_epochs", 2.0)))
     }
 
     tvf("corpus_ann_probe",
@@ -182,11 +186,9 @@ object CorpusTableFunctions {
       "SELECT * FROM corpus_ann_probe('/data/c1', 42, k => 5);") { args =>
       val fn = "corpus_ann_probe"
       val bound = bind(fn, args, Seq("dir", "query_id", "k"), Set.empty)
-      val qid = bound.get("query_id").map(num(fn, "query_id", _).toLong)
-        .getOrElse(throw new IllegalArgumentException(
-          s"SUDAN: $fn() requires the 'query_id' parameter."))
+      val qid = reqArg(fn, bound, "query_id")(num(fn, "query_id", _).toLong)
       plan(Pq.topKIvfPq(SparkSession.active, reqDir(fn, bound), qid,
-        kNn = bound.get("k").map(num(fn, "k", _).toInt).getOrElse(10)))
+        kNn = optNum(fn, bound, "k", 10).toInt))
     }
 
     out.result()

@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -78,20 +78,18 @@ object SudanTableFunctions {
     out
   }
 
-  /** Literal string argument (the reference binds VARCHAR parameters). */
-  private[api] def str(fn: String, what: String, e: Expression): String = e match {
-    case l @ Literal(v, StringType) =>
-      if (v == null) throw new IllegalArgumentException(
-        s"SUDAN: $fn() parameter '$what' must not be NULL.")
-      v.asInstanceOf[UTF8String].toString
-    case f if f.foldable && f.dataType == StringType =>
-      Option(f.eval(null)).map(_.asInstanceOf[UTF8String].toString)
-        .getOrElse(throw new IllegalArgumentException(
-          s"SUDAN: $fn() parameter '$what' must not be NULL."))
-    case other => throw new IllegalArgumentException(
-      s"SUDAN: $fn() parameter '$what' must be a string literal, " +
-        s"got ${other.sql}.")
-  }
+  /** Literal string argument (the reference binds VARCHAR parameters);
+    * a plain `Literal` is just the simplest foldable case. */
+  private[api] def str(fn: String, what: String, e: Expression): String =
+    e match {
+      case f if f.foldable && f.dataType == StringType =>
+        Option(f.eval(null)).map(_.asInstanceOf[UTF8String].toString)
+          .getOrElse(throw new IllegalArgumentException(
+            s"SUDAN: $fn() parameter '$what' must not be NULL."))
+      case other => throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter '$what' must be a string literal, " +
+          s"got ${other.sql}.")
+    }
 
   /** Literal string-list argument: `array('SDN','EGY')` (Spark's spelling
     * of DuckDB's `['SDN','EGY']`), or a comma-joined single string. */
