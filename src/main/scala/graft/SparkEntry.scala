@@ -298,6 +298,10 @@ object SparkEntry {
     // APPENDED under the frozen model, probed over base+appended
     "q_ann_ivfpq_append" -> ((s, d) =>
       graft.operators.Pq.annRecallAppend(s, d)),
+    // rebuild-trigger monitor over the same grown index: cell histogram
+    // summary (deterministic build ⇒ pinned-constant oracle)
+    "q_ann_index_health" -> ((s, d) =>
+      graft.operators.Pq.annIndexHealth(s, d)),
     // embedding complement of q_decontaminate: paraphrase-level benchmark
     // leakage via cosine vs the literal eval set (no join, narrow map)
     "q_semantic_decontaminate" -> ((s, d) =>
@@ -2083,6 +2087,14 @@ object SparkEntry {
       ("SELECT method, k, n_true, n_hit, recall FROM (VALUES " +
         "('ivfpq_append', 10, CAST(10 AS BIGINT), CAST(3 AS BIGINT), " +
         "CAST(0.3 AS DOUBLE))) AS t(method, k, n_true, n_hit, recall)"),
+    // cell-histogram summary of the same deterministic grown index —
+    // every value a pinned constant (hash-gated sample, deterministic
+    // Lloyd, exact append)
+    "q_ann_index_health" ->
+      ("SELECT n_cells, n_vectors, max_cell, min_cell, imbalance FROM " +
+        "(VALUES (CAST(16 AS BIGINT), CAST(500 AS BIGINT), " +
+        "CAST(46 AS BIGINT), CAST(18 AS BIGINT), CAST(1.472 AS DOUBLE))) " +
+        "AS t(n_cells, n_vectors, max_cell, min_cell, imbalance)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

@@ -381,14 +381,7 @@ object Pq {
     * Lloyd), so the driver's oracle pins the recall constant. */
   def annRecallAppend(spark: SparkSession, dir: String,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val path = appendDemoCache.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("ivfpq_append")
-        .toString
-      val all = embeddings(spark, dir)
-      buildIvfPqIndexAt(spark, p, all.filter(col("vec_id") % 2 === 0))
-      appendToIvfPqIndex(spark, p, all.filter(col("vec_id") % 2 =!= 0))
-      p
-    })
+    val path = appendDemoIndex(spark, dir)
     val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val truth = Similarity.bruteForceTopK(spark, dir, queryId, k)
@@ -397,6 +390,44 @@ object Pq {
       excludeVecId = Some(queryId)).select("vec_id")
     recallOf(truth, approx, "ivfpq_append", k)
   }
+
+  /** Serving-side rebuild-trigger monitor — the measurable form of the
+    * staleness contract in [[appendToIvfPqIndex]]'s scaladoc: the cell
+    * histogram summarized to one row. `imbalance` (max cell over mean
+    * cell, = max·n_cells/n_vectors as exact ints with ONE division) is
+    * THE skew alarm — a drifting append distribution piles new mass
+    * onto a few hot centroids; when it crosses the serving budget,
+    * rebuild via [[buildIvfPqIndexAt]] to a fresh path and swap the
+    * reader. Cost: one map-side-combined pass over the cell-partitioned
+    * index — `cluster` is a partition column, so the scan prunes to
+    * counting rows per directory. */
+  def indexHealthReport(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/index")
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum("n").cast("long").as("n_vectors"),
+        max("n").cast("long").as("max_cell"),
+        min("n").cast("long").as("min_cell"),
+        round(max("n").cast("double") * count(lit(1)).cast("double") /
+          sum("n").cast("double"), 4).as("imbalance"))
+
+  /** [[indexHealthReport]] over the deterministic append-demo index
+    * (same build [[annRecallAppend]] probes) — every value is a pinned
+    * constant for the driver's oracle, like the recall entries. */
+  def annIndexHealth(spark: SparkSession, dir: String): DataFrame =
+    indexHealthReport(spark, appendDemoIndex(spark, dir))
+
+  /** Build-once accessor for the append-demo index path. */
+  private def appendDemoIndex(spark: SparkSession, dir: String): String =
+    appendDemoCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("ivfpq_append")
+        .toString
+      val all = embeddings(spark, dir)
+      buildIvfPqIndexAt(spark, p, all.filter(col("vec_id") % 2 === 0))
+      appendToIvfPqIndex(spark, p, all.filter(col("vec_id") % 2 =!= 0))
+      p
+    })
 
   /** Recall@k of PQ-ADC (or the composed IVF-PQ two-stage search when
     * `method = "ivfpq"`) against the exact brute-force neighbors — same
