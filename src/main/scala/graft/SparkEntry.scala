@@ -306,6 +306,10 @@ object SparkEntry {
     // leakage via cosine vs the literal eval set (no join, narrow map)
     "q_semantic_decontaminate" -> ((s, d) =>
       Similarity.semanticDecontaminate(s, d)),
+    // third leakage modality: winnowed containment of each eval doc in
+    // corpus docs (partial quotation/trimmed copies; broadcast eval side)
+    "q_eval_containment" -> ((s, d) =>
+      TextOps.evalContainment(s, d, materialized = true)),
     // Matryoshka two-stage: 16-dim prefix shortlist → full-vector rerank
     "q_ann_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaTopK(s, d, queryId = 0L)),
@@ -2150,6 +2154,21 @@ object SparkEntry {
         "FROM sh JOIN sz sa ON sh.doc_a = sa.doc_id " +
         "JOIN sz sb ON sh.doc_b = sb.doc_id " +
         s"WHERE round($containSqlExpr, 4) >= 0.5"),
+    // eval containment: winnowed fingerprints of eval docs (id < 10) vs
+    // the corpus — shared / |fp(eval)| at the 0.2 default cutoff
+    "q_eval_containment" ->
+      (fpCte +
+        ", ev AS (SELECT doc_id AS eval_id, fp_hash FROM fp " +
+        "WHERE doc_id < 10), " +
+        "evs AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1), " +
+        "hits AS (SELECT fp.doc_id, ev.eval_id, count(*) AS shared " +
+        "FROM fp JOIN ev ON fp.fp_hash = ev.fp_hash " +
+        "WHERE fp.doc_id >= 10 GROUP BY 1, 2) " +
+        "SELECT doc_id, eval_id, shared, " +
+        "round(CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) " +
+        "AS containment FROM hits JOIN evs USING (eval_id) " +
+        "WHERE round(CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) " +
+        ">= 0.2"),
     // TF-IDF: unnest words → tf/df aggregates → smoothed idf; ln over
     // doubles is the same correctly-rounded libm call in both engines
     "q_tfidf" ->

@@ -620,6 +620,44 @@ object TextOps {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Cross-corpus containment decontamination — the third leakage
+    * modality beside [[decontaminate]] (exact n-gram overlap count) and
+    * [[graft.operators.Similarity.semanticDecontaminate]] (embedding
+    * cosine): score how much of each EVAL document's winnowing
+    * fingerprint set is contained in a corpus document
+    * (shared / |fp(eval)|, Schleimer et al. SIGMOD'03 §5) — the
+    * detector for PARTIAL quotation and trimmed copies, which dilute
+    * Jaccard and shift embeddings but keep high containment of the
+    * shorter side. Eval docs stand in below `evalMaxId` (an external
+    * benchmark table slots into the same shape).
+    *
+    * Scale shape mirrors [[decontaminate]]'s asymmetry: the eval side
+    * is benchmark-sized, so its fingerprints AND its per-doc sizes ride
+    * in as broadcasts; the corpus side is one narrow fingerprint scan →
+    * broadcast join → keyed agg over the HITS only (a tiny fraction of
+    * the stream). No full-stream shuffle anywhere. */
+  def evalContainment(spark: SparkSession, dir: String,
+      evalMaxId: Long = 10L, minContainment: Double = 0.2,
+      materialized: Boolean = false): DataFrame = {
+    val fps =
+      if (materialized)
+        spark.read.parquet(materializeFingerprints(spark, dir))
+      else fingerprints(spark, dir)
+    val eval = fps.filter(col("doc_id") < evalMaxId)
+      .select(col("doc_id").as("eval_id"), col("fp_hash"))
+    val evalSizes = eval.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_eval"))
+    fps.filter(col("doc_id") >= evalMaxId)
+      .join(broadcast(eval), Seq("fp_hash"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"), col("shared"),
+        round(col("shared").cast("double") /
+          col("n_eval").cast("double"), 4).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Shannon character entropy per document — the cheapest gibberish /
     * binary-spill / base64-blob detector in a curation pipeline (prose
     * sits ≈ 4.0-4.5 bits/char; single-char spam ≈ 0, random base64 ≈ 6).

@@ -181,6 +181,28 @@ class TextOpsSpec extends SparkSpec {
     assert(c === 1.0, "every fingerprint of the quote appears in the body")
   }
 
+  test("evalContainment: quoted eval doc flagged, eval side broadcast") {
+    import spark.implicits._
+    val evalDoc = (21 to 60).map(i => s"tok$i").mkString(" ")
+    val train = (1 to 80).map(i => s"tok$i").mkString(" ") // contains eval
+    val clean = (200 to 280).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("evalc").toString
+    // eval docs sit below evalMaxId (5); corpus above
+    Seq((1L, evalDoc, "en"), (10L, train, "en"), (11L, clean, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hits = TextOps.evalContainment(spark, tmp, evalMaxId = 5L,
+      minContainment = 0.9)
+    val rows = hits.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.toSeq === Seq((10L, 1L, 1.0)),
+      s"only the containing train doc is flagged: ${rows.toSeq}")
+    // scale shape: both eval-side frames enter as broadcast joins, the
+    // corpus stream is never shuffled before the hit aggregation
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("containment materialized: identical pairs, winnow-free plan") {
     TextOps.clearFingerprintCache()
     try {
