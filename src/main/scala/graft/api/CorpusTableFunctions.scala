@@ -147,6 +147,36 @@ object CorpusTableFunctions {
     )(dirOnly("corpus_pagerank")(
       (s, d) => GraphOps.knnPageRank(s, d, materialized = true)))
 
+    tvf("corpus_decontaminate",
+      "corpus_decontaminate(dir[, eval_max_id[, n]]) - Benchmark " +
+        "decontamination: corpus docs sharing any word n-gram (default " +
+        "8) with the eval set (docs below eval_max_id), with shared-gram " +
+        "counts.",
+      "SELECT * FROM corpus_decontaminate('/data/c1') ORDER BY " +
+        "n_shared_grams DESC;") { args =>
+      val fn = "corpus_decontaminate"
+      val bound = bind(fn, args, Seq("dir", "eval_max_id", "n"), Set.empty)
+      plan(TextOps.decontaminate(SparkSession.active, reqDir(fn, bound),
+        benchmarkMaxId = optNum(fn, bound, "eval_max_id", 10).toLong,
+        n = optNum(fn, bound, "n", 8).toInt))
+    }
+
+    tvf("corpus_eval_containment",
+      "corpus_eval_containment(dir[, eval_max_id[, threshold]]) - " +
+        "Winnowed-containment decontamination: corpus docs containing a " +
+        "fraction >= threshold (default 0.2) of an eval doc's " +
+        "fingerprints (partial quotation detector).",
+      "SELECT * FROM corpus_eval_containment('/data/c1', 10, 0.5);"
+    ) { args =>
+      val fn = "corpus_eval_containment"
+      val bound = bind(fn, args, Seq("dir", "eval_max_id", "threshold"),
+        Set.empty)
+      plan(TextOps.evalContainment(SparkSession.active, reqDir(fn, bound),
+        evalMaxId = optNum(fn, bound, "eval_max_id", 10).toLong,
+        minContainment = optNum(fn, bound, "threshold", 0.2),
+        materialized = true))
+    }
+
     tvf("corpus_dataset_card",
       "corpus_dataset_card(dir) - The release dataset card: size, " +
         "provenance, duplication, token volume, length percentiles and " +

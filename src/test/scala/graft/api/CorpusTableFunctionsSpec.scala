@@ -76,6 +76,19 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(lenErr.getMessage.contains("equal length"), lenErr.getMessage)
   }
 
+  test("decontamination TVFs bind and match the Scala factories") {
+    ready
+    assert(spark.sql(
+      s"SELECT * FROM corpus_decontaminate('$sfDir', eval_max_id => 10)")
+      .count() ===
+      graft.operators.TextOps.decontaminate(spark, sfDir, 10L).count())
+    assert(spark.sql(
+      s"SELECT * FROM corpus_eval_containment('$sfDir', 10, 0.1)")
+      .count() ===
+      graft.operators.TextOps.evalContainment(spark, sfDir, 10L, 0.1,
+        materialized = true).count())
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(
