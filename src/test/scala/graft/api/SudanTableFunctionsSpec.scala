@@ -127,6 +127,28 @@ class SudanTableFunctionsSpec extends SparkSpec {
       missing.getMessage)
   }
 
+  test("notebook workflow: CTAS over a TVF + CSV export") {
+    // sudan_sql_basics.ipynb cells 18/102: CREATE TABLE ... AS SELECT
+    // FROM SUDAN_States(); COPY ... TO csv — the reference's documented
+    // composition runs verbatim-modulo-spelling on the TVF surface
+    val tmp = java.nio.file.Files.createTempDirectory("tvf_ctas").toString
+    s2.sql("DROP TABLE IF EXISTS states_tvf")
+    s2.sql("CREATE TABLE states_tvf USING parquet LOCATION " +
+      s"'$tmp/states' AS SELECT state_name, iso_code, centroid_lon, " +
+      "centroid_lat FROM SUDAN_States()")
+    try {
+      assert(s2.sql("SELECT count(*) FROM states_tvf").collect()(0)
+        .getLong(0) === 18)
+      s2.table("states_tvf").write.mode("overwrite")
+        .option("header", "true").csv(s"$tmp/export")
+      val lines = spark.read.option("header", "true")
+        .csv(s"$tmp/export")
+      assert(lines.count() === 18)
+      assert(lines.columns.toSeq ===
+        Seq("state_name", "iso_code", "centroid_lon", "centroid_lat"))
+    } finally s2.sql("DROP TABLE IF EXISTS states_tvf")
+  }
+
   test("DESCRIBE FUNCTION shows catalog docs for the TVFs") {
     val desc = s2.sql("DESCRIBE FUNCTION EXTENDED SUDAN_WorldBank")
       .collect().map(_.getString(0)).mkString("\n")
