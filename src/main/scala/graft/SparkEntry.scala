@@ -1175,7 +1175,9 @@ object SparkEntry {
         "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, " +
         "CASE WHEN a.doc_id IS NULL THEN 'added' " +
         "WHEN b.doc_id IS NULL THEN 'removed' " +
-        "WHEN h_old <> h_new THEN 'changed' " +
+        // IS DISTINCT FROM = Spark's <=> negation: NULL-text sides read
+        // "changed", matching the engine's null-safe compare
+        "WHEN h_old IS DISTINCT FROM h_new THEN 'changed' " +
         "ELSE 'unchanged' END AS status " +
         "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"),
     // dataset card: one-row global aggregate unpivoted to (metric, value);
@@ -2095,10 +2097,11 @@ object SparkEntry {
     // every value a pinned constant (hash-gated sample, deterministic
     // Lloyd, exact append)
     "q_ann_index_health" ->
-      ("SELECT n_cells, n_vectors, max_cell, min_cell, imbalance FROM " +
-        "(VALUES (CAST(16 AS BIGINT), CAST(500 AS BIGINT), " +
-        "CAST(46 AS BIGINT), CAST(18 AS BIGINT), CAST(1.472 AS DOUBLE))) " +
-        "AS t(n_cells, n_vectors, max_cell, min_cell, imbalance)"),
+      ("SELECT n_cells, n_empty_cells, n_vectors, max_cell, min_cell, " +
+        "imbalance FROM (VALUES (CAST(16 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(500 AS BIGINT), CAST(46 AS BIGINT), CAST(18 AS BIGINT), " +
+        "CAST(1.472 AS DOUBLE))) AS t(n_cells, n_empty_cells, n_vectors, " +
+        "max_cell, min_cell, imbalance)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

@@ -202,6 +202,12 @@ object CorpusTableFunctions {
         throw new IllegalArgumentException(
           s"SUDAN: $fn() 'sources' and 'shares' must have equal length " +
             s"(got ${sources.length} vs ${shares.length}).")
+      // zip(...).toMap would silently keep the LAST share of a repeated
+      // source — reject loudly like the binder's duplicate-arg rule
+      if (sources.distinct.length != sources.length)
+        throw new IllegalArgumentException(
+          s"SUDAN: $fn() 'sources' contains duplicates (" +
+            sources.diff(sources.distinct).distinct.mkString(", ") + ").")
       plan(Pipeline.mixturePlan(SparkSession.active, reqDir(fn, bound),
         sources.zip(shares).toMap,
         budgetTokens = reqArg(fn, bound, "budget")(num(fn, "budget", _)

@@ -367,13 +367,20 @@ object Pipeline {
     * floor for an exact diff. Content equality via md5 keeps the
     * comparison engine-portable (same convention as the dedup family). */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
-    val b = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    // explicit presence flags, NOT hash nullness: md5(NULL text) is NULL,
+    // so a null-text doc would otherwise read as "absent" and
+    // misclassify (the oracle classifies by joined-side id nullness)
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"),
+      lit(true).as("in_old"))
+    val b = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"),
+      lit(true).as("in_new"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") =!= col("h_new"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          // null-safe: a NULL-text side compares as a distinct state,
+          // so NULL→value and value→NULL both read "changed"
+          .when(!(col("h_old") <=> col("h_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

@@ -401,16 +401,26 @@ object Pq {
     * reader. Cost: one map-side-combined pass over the cell-partitioned
     * index — `cluster` is a partition column, so the scan prunes to
     * counting rows per directory. */
-  def indexHealthReport(spark: SparkSession, path: String): DataFrame =
+  def indexHealthReport(spark: SparkSession, path: String): DataFrame = {
+    // cell count comes from the MODEL, not from the occupied partitions:
+    // a groupBy over the index only sees non-empty cells, and skew
+    // empties cells — the degenerate all-in-one-cell index would read
+    // imbalance 1.0 ("balanced") exactly when skew is worst. Empty
+    // cells therefore count in the mean (imbalance = max·nlist/n) and
+    // surface explicitly (n_empty_cells, min_cell = 0).
+    val nlist = readModel(spark, path)._1.length
     spark.read.parquet(s"$path/index")
       .groupBy("cluster").agg(count(lit(1)).as("n"))
       .agg(
-        count(lit(1)).cast("long").as("n_cells"),
+        lit(nlist).cast("long").as("n_cells"),
+        (lit(nlist) - count(lit(1))).cast("long").as("n_empty_cells"),
         sum("n").cast("long").as("n_vectors"),
         max("n").cast("long").as("max_cell"),
-        min("n").cast("long").as("min_cell"),
-        round(max("n").cast("double") * count(lit(1)).cast("double") /
+        when(count(lit(1)) < nlist, lit(0L))
+          .otherwise(min("n")).cast("long").as("min_cell"),
+        round(max("n").cast("double") * lit(nlist.toDouble) /
           sum("n").cast("double"), 4).as("imbalance"))
+  }
 
   /** [[indexHealthReport]] over the deterministic append-demo index
     * (same build [[annRecallAppend]] probes) — every value is a pinned

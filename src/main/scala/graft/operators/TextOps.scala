@@ -643,15 +643,21 @@ object TextOps {
       if (materialized)
         spark.read.parquet(materializeFingerprints(spark, dir))
       else fingerprints(spark, dir)
+    // NO forced broadcast hints: the eval side is benchmark-sized in
+    // the intended use, but `evalMaxId` is caller-controlled (the SQL
+    // TVF exposes it), so a forced build could OOM on a huge "eval"
+    // slice. AQE broadcasts the small side at runtime (the common case,
+    // spec-asserted) and degrades to a shuffle join when it is not —
+    // the same convention as containmentPairs' hot-hash prune.
     val eval = fps.filter(col("doc_id") < evalMaxId)
       .select(col("doc_id").as("eval_id"), col("fp_hash"))
     val evalSizes = eval.groupBy("eval_id")
       .agg(count(lit(1)).as("n_eval"))
     fps.filter(col("doc_id") >= evalMaxId)
-      .join(broadcast(eval), Seq("fp_hash"))
+      .join(eval, Seq("fp_hash"))
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(evalSizes), Seq("eval_id"))
+      .join(evalSizes, Seq("eval_id"))
       .select(col("doc_id"), col("eval_id"), col("shared"),
         round(col("shared").cast("double") /
           col("n_eval").cast("double"), 4).as("containment"))
