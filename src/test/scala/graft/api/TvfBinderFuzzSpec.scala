@@ -1,0 +1,75 @@
+package graft.api
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters, Passed, Result}
+
+/** Property fuzz of the TVF binder surface: for ANY randomly-shaped
+  * argument list, every registered table function either binds (and
+  * analysis proceeds) or throws the binder's own `SUDAN:`-prefixed
+  * IllegalArgumentException — never a MatchError, NPE, or raw analyzer
+  * internal error. This is the TVF twin of the reference's bind-phase
+  * error contract: malformed SQL gets a named, actionable message. */
+class TvfBinderFuzzSpec extends SparkSpec {
+
+  private lazy val ready: Unit = {
+    SudanTableFunctions.registerRuntime(spark)
+    CorpusTableFunctions.registerRuntime(spark)
+  }
+
+  private val fns = Seq("SUDAN_Providers", "SUDAN_States",
+    "SUDAN_Boundaries", "SUDAN_WB_Indicators", "SUDAN_Search",
+    "SUDAN_WorldBank", "SUDAN_FAO", "corpus_clean", "corpus_stats",
+    "corpus_mixture_plan", "corpus_ann_probe")
+
+  // argument-VALUE generator: literals of assorted types, arrays, and
+  // non-foldable expressions (rand()); keys both known and unknown
+  private val valueGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("'SDN'", "''", "'x'", s"'$sfDir'"),
+    Gen.chooseNum(-5, 50).map(_.toString),
+    Gen.oneOf("0.5", "2.0", "-0.1"),
+    Gen.oneOf("array('SDN','EGY')", "array()", "array(0.5, 0.5)",
+      "array('a')"),
+    Gen.oneOf("NULL", "rand()", "1 + 2", "CAST(NULL AS STRING)"))
+  private val keyGen: Gen[String] = Gen.oneOf("countries", "search",
+    "query", "level", "dir", "threshold", "min_words", "sources",
+    "shares", "budget", "max_epochs", "k", "query_id", "bogus", "WAT")
+  private val argGen: Gen[String] = Gen.oneOf(
+    valueGen,
+    Gen.zip(keyGen, valueGen).map { case (k, v) => s"$k => $v" })
+
+  test("any argument shape binds or fails with the SUDAN: binder error") {
+    ready
+    val prop = Prop.forAll(
+      Gen.oneOf(fns),
+      Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, argGen))
+    ) { (fn, args) =>
+      val sql = s"SELECT * FROM $fn(${args.mkString(", ")})"
+      try { spark.sql(sql); true }
+      catch {
+        // acceptable outcomes: our binder's named error (possibly
+        // wrapped by the analyzer), the factories' own argument
+        // validation, or Spark's SQL-level errors (parse, unresolved,
+        // wrong TVF arity) — all user-actionable AnalysisExceptions
+        case e: Throwable =>
+          def chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .take(8).toSeq
+          val ok = chain.exists {
+            // the binder's SUDAN:-prefixed errors plus the operators'
+            // own require(...) argument validation — both named and
+            // actionable; MatchError/NPE/etc. stay failures
+            case ia: IllegalArgumentException => ia.getMessage != null
+            case _: org.apache.spark.sql.AnalysisException => true
+            case _ => false
+          }
+          if (!ok) println(s"UNEXPECTED for [$sql]: " +
+            chain.map(_.getClass.getName).mkString(" <- ") +
+            s" :: ${e.getMessage}")
+          ok
+      }
+    }
+    val res: Result = check(Parameters.default.withMinSuccessfulTests(300),
+      prop)
+    assert(res.status == Passed, res.status.toString)
+  }
+}

@@ -1,13 +1,16 @@
-import duckdb, json, glob, math
+import duckdb, json, glob, math, os
 import pyarrow.parquet as pq
 import pandas as pd
 
+# overridable for off-gate runs (e.g. the sf0.1 cross-check)
+d = os.environ.get('SELFCHECK_SF', '/root/testdata/sf0.01')
+out = os.environ.get('SELFCHECK_DIR', '/tmp/verify_out')
+
 con = duckdb.connect()
-d = '/root/testdata/sf0.01'
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
 
-oracle = json.load(open('/tmp/verify_out/oracle_sql.json'))
+oracle = json.load(open(f'{out}/oracle_sql.json'))
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -21,7 +24,7 @@ results = {}
 for name, sql in sorted(oracle.items()):
     try:
         odf = con.execute(sql).df()
-        files = glob.glob(f'/tmp/verify_out/{name}/*.parquet')
+        files = glob.glob(f'{out}/{name}/*.parquet')
         sdf = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
         rows = (len(odf) == len(sdf))
         cols = sorted(odf.columns) == sorted(sdf.columns)
