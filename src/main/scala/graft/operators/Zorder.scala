@@ -61,4 +61,17 @@ object Zorder {
     keyed.repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions("zval")
   }
+
+  /** `OPTIMIZE ... ZORDER BY` in one pass — the standing maintenance
+    * rewrite of a long-lived table: file count sized to ~`targetBytes`
+    * from plan statistics ([[Pipeline.compactionPartitions]], the
+    * compaction rule) AND clustered on the Morton curve of the two
+    * filter dimensions (the data-skipping rule). The combined rewrite
+    * costs the SAME one range shuffle either half costs alone, which is
+    * why table formats fuse them; running compaction round-robin first
+    * would just destroy the clustering a second shuffle then rebuilds. */
+  def optimizeLayout(df: DataFrame, x: Column, y: Column,
+      targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8): DataFrame =
+    zOrderLayout(df, x, y,
+      Pipeline.compactionPartitions(df, targetBytes), bits)
 }

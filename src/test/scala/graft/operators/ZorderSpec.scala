@@ -79,4 +79,35 @@ class ZorderSpec extends SparkSpec {
     assert(need < stats.length,
       "at least one file must be skippable from its footer stats")
   }
+
+  test("optimizeLayout: compaction sizing AND clustering in one shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        ((col("n_chars") / lit(50L)).cast("long") % 256).as("xb"),
+        (col("doc_id") % 256).as("yb"))
+    // tiny targetBytes forces multiple files so clustering is observable
+    val optimized = Zorder.optimizeLayout(docs, col("xb"), col("yb"),
+      targetBytes = 16L * 1024)
+    // file count = the compaction rule's sizing
+    assert(optimized.rdd.getNumPartitions ===
+      Pipeline.compactionPartitions(docs, 16L * 1024))
+    // clustering survives: z-ranges of written files are disjoint
+    val tmp = java.nio.file.Files.createTempDirectory("zopt").toString
+    optimized.write.mode("overwrite").parquet(tmp)
+    val ranges = spark.read.parquet(tmp)
+      .groupBy(input_file_name()).agg(min("zval"), max("zval"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "sizing must produce several files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file z-ranges must not interleave: $hi > $lo")
+      case _ =>
+    }
+    // exactly one shuffle: a single RangePartitioning exchange (inspect
+    // the pre-adaptive sparkPlan — AQE hides exchanges until execution)
+    val exchanges = optimized.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.getClass.getSimpleName }
+    assert(exchanges === Seq("RangePartitioning"), exchanges.toSeq)
+  }
 }
