@@ -1646,19 +1646,28 @@ object SparkEntry {
         "c AS (SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, " +
         cosineSql("a.e", "bb.e") + " AS cos FROM bc a JOIN bc bb " +
         "ON a.bucket = bb.bucket WHERE a.label = 0 AND bb.label = 1), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_a " +
+        // margin in exact scaled-integer space (see Similarity.marginMine:
+        // floats land on 5e-5 boundaries by construction, integers don't)
+        "r AS (SELECT *, CAST(round(cos * 10000) AS BIGINT) AS ic, " +
+        "row_number() OVER (PARTITION BY vec_a " +
         "ORDER BY cos DESC, vec_b ASC) AS rank_f, " +
         "row_number() OVER (PARTITION BY vec_b " +
         "ORDER BY cos DESC, vec_a ASC) AS rank_b FROM c), " +
-        "ka AS (SELECT vec_a, avg(cos) AS avgk_a FROM r " +
+        "ka AS (SELECT vec_a, sum(ic) AS sum_a, count(*) AS n_a FROM r " +
         "WHERE rank_f <= 4 GROUP BY vec_a), " +
-        "kb AS (SELECT vec_b, avg(cos) AS avgk_b FROM r " +
-        "WHERE rank_b <= 4 GROUP BY vec_b) " +
-        "SELECT r.vec_a, r.vec_b, r.cos AS cosine, " +
-        "round(r.cos - (ka.avgk_a + kb.avgk_b) / 2.0, 4) AS margin, " +
-        "r.cos - (ka.avgk_a + kb.avgk_b) / 2.0 >= 0.05 AS accepted " +
-        "FROM r JOIN ka ON ka.vec_a = r.vec_a " +
-        "JOIN kb ON kb.vec_b = r.vec_b WHERE rank_f = 1"),
+        "kb AS (SELECT vec_b, sum(ic) AS sum_b, count(*) AS n_b FROM r " +
+        "WHERE rank_b <= 4 GROUP BY vec_b), " +
+        "m AS (SELECT r.vec_a, r.vec_b, r.cos, " +
+        "2 * n_a * n_b * ic - sum_a * n_b - sum_b * n_a AS num, " +
+        "2 * n_a * n_b AS den FROM r " +
+        "JOIN ka ON r.vec_a = ka.vec_a JOIN kb ON r.vec_b = kb.vec_b " +
+        "WHERE rank_f = 1) " +
+        // 4-dp rounding via integer half-away-from-zero: N/D ties at .5
+        // exactly when counts are even, where double rounding diverges
+        "SELECT vec_a, vec_b, cos AS cosine, " +
+        "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+        "((2 * abs(num) + den) // (2 * den)) AS DOUBLE) / 10000.0 " +
+        "AS margin, num >= 500 * den AS accepted FROM m"),
     // per-column profile of orders (SUMMARIZE parity): one UNION ALL arm
     // per column, min/max stringified the same way the operator does
     "q_summarize" -> Seq(

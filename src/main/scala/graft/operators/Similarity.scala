@@ -632,19 +632,44 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_b").asc)
     val wb = Window.partitionBy("vec_b")
       .orderBy(col("cos").desc, col("vec_a").asc)
+    // margin arithmetic in EXACT scaled-integer space: the 4-dp cosines
+    // are exact multiples of 1e-4, so ic = round(cos·1e4) is an exact
+    // BIGINT and the margin's true value is the rational N/D below.
+    // The float form (cos − (avg+avg)/2) accumulated the k-neighborhood
+    // sums in engine-dependent order, and margins land EXACTLY on
+    // 5e-5 rounding boundaries by construction (all inputs are 1e-4
+    // grid points) — measured: 3 of 114 rows flipped ±1e-4 vs the
+    // oracle at sf0.1. Integer N, D are order-independent; the single
+    // N/D division and the integer accept compare (N ≥ minMargin·1e4·D)
+    // are bit-identical across engines.
     val ranked = cand
+      .withColumn("ic", round(col("cos") * 10000).cast("long"))
       .withColumn("rank_f", row_number().over(wf))
       .withColumn("rank_b", row_number().over(wb))
     val ka = ranked.filter(col("rank_f") <= k)
-      .groupBy("vec_a").agg(avg("cos").as("avgk_a"))
+      .groupBy("vec_a").agg(sum("ic").as("sum_a"),
+        count(lit(1)).as("n_a"))
     val kb = ranked.filter(col("rank_b") <= k)
-      .groupBy("vec_b").agg(avg("cos").as("avgk_b"))
+      .groupBy("vec_b").agg(sum("ic").as("sum_b"),
+        count(lit(1)).as("n_b"))
+    val minMarginScaled = math.round(minMargin * 10000)
+    // the 4-dp rounding of N/D itself happens in INTEGER arithmetic
+    // (half away from zero): N/D lands exactly on .5 whenever the
+    // neighborhood counts are even, and engines disagree on double
+    // rounding at such ties (Spark rounds the shortest-decimal string,
+    // DuckDB the binary value — measured one flipped row at sf0.1).
+    // m_int is the same BIGINT in both engines; m_int/1e4 the same double.
     ranked.filter(col("rank_f") === 1)
       .join(ka, Seq("vec_a")).join(kb, Seq("vec_b"))
-      .withColumn("margin",
-        col("cos") - (col("avgk_a") + col("avgk_b")) / 2.0)
+      .withColumn("num",
+        lit(2L) * col("n_a") * col("n_b") * col("ic") -
+          col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+      .withColumn("den", lit(2L) * col("n_a") * col("n_b"))
+      .withColumn("m_int",
+        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2 * abs(num) + den) DIV (2 * den)"))
       .select(col("vec_a"), col("vec_b"), col("cos").as("cosine"),
-        round(col("margin"), 4).as("margin"),
-        (col("margin") >= minMargin).as("accepted"))
+        (col("m_int").cast("double") / lit(10000.0)).as("margin"),
+        (col("num") >= lit(minMarginScaled) * col("den")).as("accepted"))
   }
 }
