@@ -1148,8 +1148,12 @@ object SparkEntry {
     // normalized, Σ=1), same ceil(chars/4) token proxy as q_source_report;
     // every emitted double is rounded so Map-order ulp drift can't leak
     "q_mixture_plan" ->
-      ("WITH avail AS (SELECT source, sum(CAST(ceil(length(text) / 4.0) " +
-        "AS BIGINT)) AS avail_tokens FROM documents GROUP BY source), " +
+      // outer CAST: DuckDB sum(BIGINT) widens to HUGEINT -> pandas float64,
+      // while Spark emits int64 — the driver's dtype-sensitive hash would
+      // mismatch on identical values without it (r8's only red row)
+      ("WITH avail AS (SELECT source, CAST(sum(CAST(ceil(length(text) / " +
+        "4.0) AS BIGINT)) AS BIGINT) AS avail_tokens " +
+        "FROM documents GROUP BY source), " +
         "t AS (SELECT source, avail_tokens, CASE WHEN source IN " +
         "('src0','src1','src2','src3') THEN CAST(0.15 AS DOUBLE) " +
         "ELSE CAST(0.025 AS DOUBLE) END AS share FROM avail) " +

@@ -92,9 +92,11 @@ object Ivf {
     val sample = uniformSample(df, trainSample).select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = trainCentroids(sample, nlist)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assign = udf((v: Seq[Float]) => nearest(bc.value, v.toArray))
-    (df.withColumn("cluster", assign(col("embedding"))), centroids)
+    // native codegen'd assignment (no ScalaUDF in the index-build job);
+    // the centroid table is a few KB and rides inside the expression
+    (df.withColumn("cluster",
+      graft.functions.PqEncodeExpression.assign(col("embedding"), centroids)),
+      centroids)
   }
 
   /** Session-scoped registry of materialized indexes: built once per

@@ -454,8 +454,12 @@ object Pipeline {
       "targets must be non-empty and non-negative")
     require(targets.values.sum > 0.0, "targets must not all be zero")
     require(budgetTokens > 0 && maxEpochs > 0, "budget and cap must be > 0")
-    val tSum = targets.values.sum
-    val share = targets.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+    // sum in sorted-key order: Map iteration order is unspecified, and a
+    // different addition order can shift tSum by an ulp, leaking into the
+    // normalized shares right at a rounding boundary
+    val sortedTargets = targets.toSeq.sortBy(_._1)
+    val tSum = sortedTargets.map(_._2).sum
+    val share = sortedTargets.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
       when(col("source") === s, lit(w / tSum)).otherwise(acc)
     }
     val tokens = ceil(length(col("text")).cast("double") / lit(4.0))

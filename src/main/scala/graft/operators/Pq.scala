@@ -69,15 +69,9 @@ object Pq {
   def encode(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
       trainSample: Int = 4096): DataFrame = {
     val books = trainCodebooks(spark, dir, m, k, trainSample)
-    val bc = spark.sparkContext.broadcast(books)
-    val sub = books(0)(0).length
-    val encodeUdf = udf((v: Seq[Float]) => {
-      val arr = v.toArray
-      Array.tabulate(m)(s =>
-        Ivf.nearest(bc.value(s), arr.slice(s * sub, (s + 1) * sub)))
-    })
     embeddings(spark, dir).select(col("vec_id"), col("label"),
-      encodeUdf(col("embedding")).as("codes"))
+      graft.functions.PqEncodeExpression.codes(col("embedding"), books)
+        .as("codes"))
   }
 
   /** Decode codes back to the reconstructed vector (centroid
@@ -142,15 +136,9 @@ object Pq {
     ivfPqCache.computeIfAbsent((dir, nlist, m, k, trainSample), { _ =>
       val (indexed, centroids) = Ivf.buildIndex(spark, dir, nlist, trainSample)
       val books = trainCodebooks(spark, dir, m, k, trainSample)
-      val bc = spark.sparkContext.broadcast(books)
-      val sub = books(0)(0).length
-      val encodeUdf = udf((v: Seq[Float]) => {
-        val arr = v.toArray
-        Array.tabulate(m)(s =>
-          Ivf.nearest(bc.value(s), arr.slice(s * sub, (s + 1) * sub)))
-      })
       val path = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
-      indexed.withColumn("codes", encodeUdf(col("embedding")))
+      indexed.withColumn("codes",
+          graft.functions.PqEncodeExpression.codes(col("embedding"), books))
         .write.mode("overwrite").partitionBy("cluster").parquet(path)
       (path, centroids, books)
     })
@@ -240,9 +228,17 @@ object Pq {
   def topKIvfPq(spark: SparkSession, dir: String, queryId: Long,
       kNn: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       k: Int = 16, rerank: Int = 4): DataFrame = {
+    // fetch the query vector FIRST: an unknown query_id must fail with a
+    // named error before triggering the (expensive) index materialization —
+    // the SQL TVF binder contract is that malformed calls never surface raw
+    // runtime exceptions like IndexOutOfBoundsException
+    val qRows = embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").collect()
+    if (qRows.isEmpty)
+      throw new IllegalArgumentException(
+        s"SUDAN: query_id $queryId not found in $dir/embeddings.parquet")
+    val qVec = qRows(0).getSeq[Float](0).toArray
     val (path, centroids, books) = materializeIvfPqIndex(spark, dir, nlist, m, k)
-    val qVec = embeddings(spark, dir).filter(col("vec_id") === queryId)
-      .select("embedding").collect()(0).getSeq[Float](0).toArray
     twoStageSearch(spark.read.parquet(path), centroids, books, qVec,
       kNn, nprobe, rerank, excludeVecId = Some(queryId))
   }
@@ -289,29 +285,16 @@ object Pq {
     * base + appended rows with no compaction step required. */
   private[operators] def encodeInto(spark: SparkSession, path: String,
       vectors: DataFrame, centroids: Array[Array[Double]],
-      books: Array[Array[Array[Double]]], mode: String): Unit = {
-    val bcC = spark.sparkContext.broadcast(centroids)
-    val bcB = spark.sparkContext.broadcast(books)
-    val m = books.length
-    val sub = books(0)(0).length
-    val assignUdf = udf((v: Seq[Float]) => Ivf.nearest(bcC.value, v.toArray))
-    val encodeUdf = udf((v: Seq[Float]) => {
-      val arr = v.toArray
-      Array.tabulate(m)(s =>
-        Ivf.nearest(bcB.value(s), arr.slice(s * sub, (s + 1) * sub)))
-    })
-    try vectors
-      .withColumn("cluster", assignUdf(col("embedding")))
-      .withColumn("codes", encodeUdf(col("embedding")))
+      books: Array[Array[Array[Double]]], mode: String): Unit =
+    // the frozen model rides inside the native expressions (a few KB,
+    // task-serialized with the plan) — no broadcast variable to clean up
+    // per append, and the whole encode projection is codegen'd
+    vectors
+      .withColumn("cluster",
+        graft.functions.PqEncodeExpression.assign(col("embedding"), centroids))
+      .withColumn("codes",
+        graft.functions.PqEncodeExpression.codes(col("embedding"), books))
       .write.mode(mode).partitionBy("cluster").parquet(s"$path/index")
-    finally {
-      // the write is eager, so the broadcasts are dead here — a serving
-      // session appending many micro-deltas must not accumulate one
-      // centroid + one codebook broadcast per append
-      bcC.destroy()
-      bcB.destroy()
-    }
-  }
 
   /** Build a PERSISTENT IVF-PQ index at `path`: train the model on
     * `vectors` (hash-gated deterministic sample), write it to

@@ -17,23 +17,32 @@ class TvfBinderFuzzSpec extends SparkSpec {
     CorpusTableFunctions.registerRuntime(spark)
   }
 
+  // BOTH registries, complete: the 11 SUDAN_* source TVFs and the 12
+  // corpus_* pipeline TVFs — the corpus family's num/numSeq binders have
+  // malformed-literal paths the source TVFs never exercise
   private val fns = Seq("SUDAN_Providers", "SUDAN_States",
-    "SUDAN_Boundaries", "SUDAN_WB_Indicators", "SUDAN_Search",
-    "SUDAN_WorldBank", "SUDAN_FAO", "corpus_clean", "corpus_stats",
-    "corpus_mixture_plan", "corpus_ann_probe")
+    "SUDAN_Boundaries", "SUDAN_WB_Indicators", "SUDAN_WHO_Indicators",
+    "SUDAN_Search", "SUDAN_WorldBank", "SUDAN_WHO", "SUDAN_ILO",
+    "SUDAN_UNHCR", "SUDAN_FAO",
+    "corpus_clean", "corpus_stats", "corpus_quality", "corpus_lang_id",
+    "corpus_neardup_pairs", "corpus_dedup_keep", "corpus_pagerank",
+    "corpus_decontaminate", "corpus_eval_containment",
+    "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
-  // non-foldable expressions (rand()); keys both known and unknown
+  // non-foldable expressions (rand()); keys both known and unknown;
+  // malformed numerics/arrays aimed at the corpus binders' num/numSeq
   private val valueGen: Gen[String] = Gen.oneOf(
     Gen.oneOf("'SDN'", "''", "'x'", s"'$sfDir'"),
     Gen.chooseNum(-5, 50).map(_.toString),
-    Gen.oneOf("0.5", "2.0", "-0.1"),
+    Gen.oneOf("0.5", "2.0", "-0.1", "'not_a_number'", "1e300", "true"),
     Gen.oneOf("array('SDN','EGY')", "array()", "array(0.5, 0.5)",
-      "array('a')"),
+      "array('a')", "array('a', 1)", "array(array(1))", "array(NULL)"),
     Gen.oneOf("NULL", "rand()", "1 + 2", "CAST(NULL AS STRING)"))
   private val keyGen: Gen[String] = Gen.oneOf("countries", "search",
     "query", "level", "dir", "threshold", "min_words", "sources",
-    "shares", "budget", "max_epochs", "k", "query_id", "bogus", "WAT")
+    "shares", "budget", "max_epochs", "k", "query_id", "eval_max_id",
+    "n", "bogus", "WAT")
   private val argGen: Gen[String] = Gen.oneOf(
     valueGen,
     Gen.zip(keyGen, valueGen).map { case (k, v) => s"$k => $v" })

@@ -165,6 +165,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("encode path is native codegen: no ScalaUDF in the assign/encode " +
+      "projection (the index-write job's hot map)") {
+    // the session-cache build, the persistent build, and the in-memory
+    // index all share the same two expressions; assert on their plans
+    val enc = Pq.encode(spark, sfDir)
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("ScalaUDF"), encPlan)
+    assert(encPlan.contains("pq_codes"), encPlan)
+    val (indexed, cents) = Ivf.buildIndex(spark, sfDir)
+    val idxPlan = indexed.queryExecution.executedPlan.toString
+    assert(!idxPlan.contains("ScalaUDF"), idxPlan)
+    assert(idxPlan.contains("pq_nearest_centroid"), idxPlan)
+    // the full encodeInto projection (assign + codes together)
+    val books = Pq.trainCodebooks(spark, sfDir)
+    val proj = Tables.embeddings(spark, sfDir)
+      .withColumn("cluster",
+        graft.functions.PqEncodeExpression.assign(col("embedding"), cents))
+      .withColumn("codes",
+        graft.functions.PqEncodeExpression.codes(col("embedding"), books))
+    val projPlan = proj.queryExecution.executedPlan.toString
+    assert(!projPlan.contains("ScalaUDF"), projPlan)
+    // and it stays inside whole-stage codegen — the "*(n) Project" span
+    // marker, not a fallback interpreted projection
+    assert(projPlan.contains("*(1) Project"), projPlan)
+    // native vs reference semantics: same cells and codes as the direct
+    // driver-side model application on a sample of rows
+    val sample = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 32).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = proj.filter(col("vec_id") < 32)
+      .select("vec_id", "cluster", "codes").collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getSeq[Int](2).toSeq))).toMap
+    sample.foreach { case (id, v) =>
+      val sub = books(0)(0).length
+      val expect = (Ivf.nearest(cents, v),
+        (0 until books.length).map(s =>
+          Ivf.nearest(books(s), v.slice(s * sub, (s + 1) * sub))))
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
   test("encode derives the subspace dim from the codebooks (dim != 64)") {
     import spark.implicits._
     // 32-dim corpus: m=8 → 4-dim subspaces; a 64-dim assumption would

@@ -32,13 +32,21 @@ for name in sys.argv[1:]:
         rows = (len(odf) == len(sdf))
         cols = sorted(odf.columns) == sorted(sdf.columns)
         o, s = canon(odf), canon(sdf)
-        same = o.shape == s.shape and all(
+        # driver's hash is dtype-sensitive: int-vs-float kind mismatch must
+        # FAIL here even when values compare equal (r8's q_mixture_plan)
+        kind = lambda dt: dt.kind.replace('u', 'i')
+        dtype_bad = [c for c in o.columns
+                     if o.shape == s.shape and kind(o[c].dtype) != kind(s[c].dtype)]
+        same = o.shape == s.shape and not dtype_bad and all(
             (o[c].values == s[c].values).all() or
             ('float' in str(o[c].dtype) and
              ((o[c].isna() & s[c].isna()) |
               (abs(o[c] - s[c]) < 1e-9)).all())
             for c in o.columns)
         ok = rows and cols and same
+        if dtype_bad:
+            print('  dtype mismatch:', {c: f'oracle={odf[c].dtype} spark={sdf[c].dtype}'
+                                        for c in dtype_bad})
         print(('OK  ' if ok else 'FAIL'), name,
               dict(rows_o=len(odf), rows_s=len(sdf), rows=rows,
                    cols=cols, hash=same))

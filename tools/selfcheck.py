@@ -29,14 +29,23 @@ for name, sql in sorted(oracle.items()):
         rows = (len(odf) == len(sdf))
         cols = sorted(odf.columns) == sorted(sdf.columns)
         o, s = canon(odf), canon(sdf)
+        # the driver's hash is dtype-sensitive: a float64 oracle column vs an
+        # int64 Spark column fails there even when values match, so a kind
+        # mismatch (int vs float vs object) must FAIL locally too
+        kind = lambda dt: dt.kind.replace('u', 'i')
+        dtype_bad = [c for c in o.columns
+                     if o.shape == s.shape and kind(o[c].dtype) != kind(s[c].dtype)]
         try:
-            same = o.shape == s.shape and all(
+            same = o.shape == s.shape and not dtype_bad and all(
                 (o[c].values == s[c].values).all() or
                 ('float' in str(o[c].dtype) and ((o[c].isna() & s[c].isna()) | (abs(o[c]-s[c]) < 1e-9)).all())
                 for c in o.columns)
         except Exception as e:
             same = f'cmp-err {e}'
         results[name] = dict(rows_o=len(odf), rows_s=len(sdf), rows_match=rows, cols_match=cols, hash_match=same)
+        if dtype_bad:
+            results[name]['dtype_mismatch'] = {
+                c: f'oracle={odf[c].dtype} spark={sdf[c].dtype}' for c in dtype_bad}
     except Exception as e:
         results[name] = dict(error=str(e)[:300])
 for k, v in sorted(results.items()):
