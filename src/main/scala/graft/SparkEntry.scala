@@ -302,6 +302,12 @@ object SparkEntry {
     // summary (deterministic build ⇒ pinned-constant oracle)
     "q_ann_index_health" -> ((s, d) =>
       graft.operators.Pq.annIndexHealth(s, d)),
+    // the serving loop the monitor exists for, executed end to end:
+    // drifted appends trip the imbalance alarm → fresh-path rebuild →
+    // alarm clears, drifted-region recall recovers (deterministic ⇒
+    // pinned-constant oracle)
+    "q_ann_rebuild" -> ((s, d) =>
+      graft.operators.Pq.annRebuildRecovery(s, d)),
     // embedding complement of q_decontaminate: paraphrase-level benchmark
     // leakage via cosine vs the literal eval set (no join, narrow map)
     "q_semantic_decontaminate" -> ((s, d) =>
@@ -2115,6 +2121,18 @@ object SparkEntry {
         "CAST(500 AS BIGINT), CAST(46 AS BIGINT), CAST(18 AS BIGINT), " +
         "CAST(1.472 AS DOUBLE))) AS t(n_cells, n_empty_cells, n_vectors, " +
         "max_cell, min_cell, imbalance)"),
+    // drift → alarm → rebuild-and-swap lifecycle: deterministic build
+    // (hash-gated samples, deterministic Lloyd, vec_id tie-breaks) ⇒
+    // every value a pinned constant; booleans derive from the
+    // 4-dp-rounded doubles they summarize
+    "q_ann_rebuild" ->
+      ("SELECT imbalance_drifted, alarm, imbalance_rebuilt, " +
+        "alarm_cleared, recall_stale, recall_rebuilt, recovered " +
+        "FROM (VALUES (CAST(8.48 AS DOUBLE), true, " +
+        "CAST(1.568 AS DOUBLE), true, CAST(0.2 AS DOUBLE), " +
+        "CAST(0.5 AS DOUBLE), true)) AS t(imbalance_drifted, alarm, " +
+        "imbalance_rebuilt, alarm_cleared, recall_stale, " +
+        "recall_rebuilt, recovered)"),
     "q_src_search" ->
       ("SELECT provider, indicator_id, indicator_name FROM (VALUES " +
         "('worldbank', 'SH.DYN.MORT', 'Mortality rate, under-5'), " +

@@ -568,7 +568,7 @@ object Dedup {
     * partitions could never be skipped — but a small micro-batch only
     * touches a few band-KEY hash buckets, and those are exactly what a
     * probe can prune on. */
-  private def bucketedBandKeys(sigs: DataFrame, numHashes: Int,
+  private[operators] def bucketedBandKeys(sigs: DataFrame, numHashes: Int,
       bands: Int, nBuckets: Int): DataFrame =
     bandKeysOf(sigs, numHashes, bands)
       .withColumn("bucket", pmod(col("band_key"), lit(nBuckets)))

@@ -422,6 +422,98 @@ object Pq {
       p
     })
 
+  /** Session cache for the drift/rebuild demo: (stale-model path,
+    * rebuilt path). */
+  private val rebuildDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def clearRebuildDemoCache(): Unit = {
+    rebuildDemoCache.values.forEach { case (a, b) =>
+      Ivf.deleteRecursively(new java.io.File(a))
+      Ivf.deleteRecursively(new java.io.File(b))
+    }
+    rebuildDemoCache.clear()
+  }
+
+  /** The drifted delta: odd-id embeddings shifted by +2.0 in every
+    * dimension — a deterministic stand-in for an append distribution the
+    * frozen model never trained on (all of it lands in whichever cells
+    * happen to sit nearest the shifted cloud). Narrow codegen'd map. */
+  private def driftedDelta(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).filter(col("vec_id") % 2 =!= 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(2.0f)))
+
+  /** Build-once pair of demo indexes: `stale` = model trained on the
+    * even-id base, drifted delta appended under the frozen model;
+    * `rebuilt` = [[buildIvfPqIndexAt]] over base+delta at a FRESH path
+    * (the documented rebuild-and-swap, executed). */
+  private def rebuildDemoPaths(spark: SparkSession, dir: String)
+      : (String, String) =
+    rebuildDemoCache.computeIfAbsent(dir, { _ =>
+      val stale = java.nio.file.Files
+        .createTempDirectory("ivfpq_drift").toString
+      val rebuilt = java.nio.file.Files
+        .createTempDirectory("ivfpq_rebuilt").toString
+      val base = embeddings(spark, dir).filter(col("vec_id") % 2 === 0)
+      val delta = driftedDelta(spark, dir)
+      buildIvfPqIndexAt(spark, stale, base)
+      appendToIvfPqIndex(spark, stale, delta)
+      buildIvfPqIndexAt(spark, rebuilt, base.unionByName(delta))
+      (stale, rebuilt)
+    })
+
+  /** The full serving lifecycle the health report's scaladoc promises,
+    * executed end to end: drifted appends skew the frozen-model index →
+    * the imbalance alarm crosses the serving budget → rebuild to a
+    * fresh path ([[buildIvfPqIndexAt]] over the full corpus, the
+    * no-downtime swap) → the alarm clears and recall for a query IN the
+    * drifted region recovers. One row, every value deterministic
+    * (hash-gated samples, deterministic Lloyd, vec_id tie-breaks), so
+    * the driver's oracle pins the constants; booleans are computed from
+    * the 4-dp-rounded values they summarize (emitted-precision
+    * convention).
+    *
+    * Scale shape: two health aggregations (map-side combined over the
+    * cell-partitioned indexes), two pruned probes, one broadcast
+    * brute-force pass for ground truth — all over the demo-sized
+    * corpus; at 100 TB the same monitor runs on the cell histogram
+    * alone (no probes) and the rebuild is the rare maintenance job. */
+  def annRebuildRecovery(spark: SparkSession, dir: String,
+      queryId: Long = 1L, k: Int = 10, budget: Double = 2.0): DataFrame = {
+    require(queryId % 2 != 0,
+      s"queryId must be odd (a drifted-delta vector), got $queryId")
+    val (stale, rebuilt) = rebuildDemoPaths(spark, dir)
+    def imbalanceOf(path: String): Double =
+      indexHealthReport(spark, path).select("imbalance")
+        .collect()(0).getDouble(0)
+    val imbStale = imbalanceOf(stale)
+    val imbRebuilt = imbalanceOf(rebuilt)
+    // ground truth: brute-force cosine over the SERVED corpus
+    // (base + drifted delta) for the drifted query vector
+    val base = embeddings(spark, dir).filter(col("vec_id") % 2 === 0)
+    val delta = driftedDelta(spark, dir)
+    val corpus = base.unionByName(delta)
+    val qVec = delta.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val truth = corpus.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosineCol(qVec).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k).select("vec_id")
+    def recallAt(path: String): Double =
+      recallOf(truth,
+        searchIvfPqIndexAt(spark, path, qVec, k,
+          excludeVecId = Some(queryId)).select("vec_id"),
+        "ivfpq", k).select("recall").collect()(0).getDouble(0)
+    val recallStale = recallAt(stale)
+    val recallRebuilt = recallAt(rebuilt)
+    import spark.implicits._
+    Seq((imbStale, imbStale > budget, imbRebuilt, imbRebuilt <= budget,
+        recallStale, recallRebuilt, recallRebuilt >= recallStale))
+      .toDF("imbalance_drifted", "alarm", "imbalance_rebuilt",
+        "alarm_cleared", "recall_stale", "recall_rebuilt", "recovered")
+  }
+
   /** Recall@k of PQ-ADC (or the composed IVF-PQ two-stage search when
     * `method = "ivfpq"`) against the exact brute-force neighbors — same
     * pinned-constant oracle treatment as the LSH/IVF recall entries. */

@@ -714,4 +714,94 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
     got.keys.foreach { case (a, b) => assert(a <= b, "unordered pair key") }
   }
+
+  /** All file scans of an executed plan, reaching through AQE wrappers
+    * (AdaptiveSparkPlanExec / materialized query stages). */
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans) ++
+      other.subqueries.flatMap(fileScans)
+  }
+
+  test("probe cost stays flat as ingest history grows: the bands scan " +
+      "reads a bounded bucket fraction at 40 batches, and compaction " +
+      "collapses files read after stale-version buildup") {
+    import spark.implicits._
+    val tmpRoot = java.nio.file.Files.createTempDirectory("flatprobe")
+    val idx = s"$tmpRoot/index"
+    val nBatches = 40
+    val seed = (0 to 59).map(j => s"seed$j").mkString(" ")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.MinHashExpression.native(col("text"), 64).as("sig"))
+    // 40 committed batches, each: ONE novel doc + a redelivery of doc 1
+    // (same text) — 39 stale signature versions build up in the index
+    for (b <- 0 until nBatches) {
+      val novel = (0 to 59).map(j => s"b${b}tok$j").mkString(" ")
+      val sigs = sigsOf(Seq((1L, seed), (1000L + b, novel))
+        .toDF("doc_id", "text"))
+      graft.streaming.EventStream.idempotentBatchSink(
+        s"$idx/sigs")(sigs, b)
+      graft.streaming.EventStream.idempotentBatchSink(
+        s"$idx/bands", partitionBy = Seq("bucket"))(
+        Dedup.bucketedBandKeys(sigs, 64, 16, 64), b)
+    }
+    def bandFilesOnDisk: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/bands"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    // probe a near-copy of batch 7's novel doc (present in ONE batch):
+    // a near-copy of the every-batch seed would legitimately have to
+    // read doc 1's buckets in every batch dir, inflating the fraction
+    val b7 = (0 to 59).map(j => s"b7tok$j").mkString(" ")
+    val oneDoc = Seq((500L, b7 + " extra")).toDF("doc_id", "text")
+      .select(col("doc_id").as("new_id"),
+        graft.functions.MinHashExpression.native(col("text"), 64).as("sig"))
+    // files the probe's bands scan READS (post-pruning metric) + hits
+    def probeOnce(): (Set[(Long, Long)], Long) = {
+      val probe = Dedup.probeIngestIndex(spark, idx, oneDoc)
+      val hits = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bandScans = fileScans(probe.queryExecution.executedPlan)
+        .filter(_.partitionFilters.exists(_.references.exists(
+          _.name == "bucket")))
+      assert(bandScans.nonEmpty, "no bucket-pruned bands scan in the plan")
+      (hits, bandScans.map(_.metrics("numFiles").value).sum)
+    }
+    val total = bandFilesOnDisk
+    val (hits, fBefore) = probeOnce()
+    assert(hits.contains((500L, 1007L)), s"probe must match batch 7: $hits")
+    // the probe carries ≤16 of 64 buckets (one per band), so the pruned
+    // scan must skip most of the index (expected read fraction ≈ 30%:
+    // each batch's ~26 bucket dirs × 16/64). 0.5 is a real guard — a
+    // pruning regression reads 100%.
+    assert(fBefore <= (total * 0.5).toLong,
+      s"probe read $fBefore of $total band files — pruning lost")
+    // compaction retires the 39 stale doc-1 versions and folds 40 batch
+    // dirs into one...
+    val (kept, dropped) = Dedup.compactIngestIndex(spark, idx)
+    assert(kept === nBatches + 1, s"kept $kept")
+    assert(dropped === (nBatches - 1).toLong, s"dropped $dropped")
+    // ...after which the probe's file count is a CONSTANT bounded by its
+    // own bucket count (≤16 bucket dirs in the single compacted batch
+    // dir, ≤2 files each) — independent of how many batches history ever
+    // held. THIS is the flat steady-state cost the 100 TB story rests
+    // on; before compaction the same probe read one file per
+    // (batch, probed-bucket).
+    val totalAfter = bandFilesOnDisk
+    val (hitsAfter, fAfter) = probeOnce()
+    assert(hitsAfter === hits,
+      s"compaction changed probe results: $hitsAfter vs $hits")
+    assert(totalAfter < total / 4,
+      s"compaction left $totalAfter of $total band files")
+    assert(fAfter <= 32,
+      s"probe reads $fAfter files after compaction — not the ≤16-bucket " +
+        s"constant (was $fBefore before compaction)")
+    Ivf.deleteRecursively(tmpRoot.toFile)
+  }
 }

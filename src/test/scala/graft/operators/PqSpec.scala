@@ -207,6 +207,38 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("rebuild-and-swap closes the serving loop: drift trips the " +
+      "imbalance alarm, the fresh-path rebuild clears it and recovers " +
+      "recall in the drifted region") {
+    Pq.clearRebuildDemoCache()
+    val row = Pq.annRebuildRecovery(spark, sfDir).collect()(0)
+    val (imbD, alarm, imbR, cleared) = (row.getDouble(0), row.getBoolean(1),
+      row.getDouble(2), row.getBoolean(3))
+    val (recS, recR, recovered) = (row.getDouble(4), row.getDouble(5),
+      row.getBoolean(6))
+    info(s"imbalance drifted=$imbD rebuilt=$imbR; " +
+      s"recall stale=$recS rebuilt=$recR")
+    // the drifted appends pile onto the cells nearest the shifted cloud:
+    // the alarm must trip, and the retrained model must clear it
+    assert(alarm && imbD > 2.0, s"drift must trip the alarm: $imbD")
+    assert(cleared && imbR <= 2.0, s"rebuild must clear the alarm: $imbR")
+    // the stale model cannot rank the drifted region (codes degenerate
+    // there); the rebuilt one must do strictly better and end up usable
+    assert(recovered && recR > recS,
+      s"rebuild must recover recall: stale=$recS rebuilt=$recR")
+    assert(recR >= 0.5, s"rebuilt recall unusably low: $recR")
+    // determinism: a second call (cache-cleared cold rebuild) reproduces
+    // every pinned value — the property the golden oracle rests on
+    Pq.clearRebuildDemoCache()
+    val again = Pq.annRebuildRecovery(spark, sfDir).collect()(0)
+    assert(again === row, "rebuild demo must be deterministic")
+    Pq.clearRebuildDemoCache()
+    // an even (base-side) query id is a misuse of the demo, named error
+    val e = intercept[IllegalArgumentException](
+      Pq.annRebuildRecovery(spark, sfDir, queryId = 2L))
+    assert(e.getMessage.contains("odd"))
+  }
+
   test("encode derives the subspace dim from the codebooks (dim != 64)") {
     import spark.implicits._
     // 32-dim corpus: m=8 → 4-dim subspaces; a 64-dim assumption would

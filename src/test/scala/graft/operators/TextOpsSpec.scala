@@ -291,6 +291,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(101L), "clean doc must not be flagged")
   }
 
+  test("decontaminate plan: the eval gram set BROADCASTS — the corpus " +
+      "gram stream never sort-merge-shuffles into the join") {
+    // the 100 TB contract: benchmarks are small by nature, so the only
+    // shuffle a decontamination pass may carry is the final per-doc
+    // aggregation; a sort-merge join here would shuffle the full corpus
+    // gram stream (≈ tokens × n) and dominate everything
+    val plan = TextOps.decontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus gram stream must not sort-merge into the eval join:\n" +
+        plan.take(2000))
+  }
+
   test("bpe merges: hand-computed fixture, boundary marker, tie-break, " +
       "determinism") {
     import spark.implicits._

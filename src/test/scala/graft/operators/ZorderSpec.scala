@@ -80,6 +80,58 @@ class ZorderSpec extends SparkSpec {
       "at least one file must be skippable from its footer stats")
   }
 
+  /** File scans of an executed plan, through AQE wrappers. */
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  test("read-side proof: the conjunctive box filter materializes fewer " +
+      "rows from the z-ordered layout (parquet row-group skipping)") {
+    // same 64×64 grid, 64 files of 64 rows (one row group each):
+    // linear = 1×64 xb stripes, z-order ≈ 8×8 squares
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("xb"),
+        (col("id") / 64).cast("long").as("yb"))
+    // rows the scan MATERIALIZES for the box query = rows of the row
+    // groups that survive min/max skipping (the scan's numOutputRows —
+    // Spark prunes parquet row groups from pushed min/max filters, and
+    // FilterExec sees only the survivors)
+    def rowsMaterialized(df: org.apache.spark.sql.DataFrame): Long = {
+      val tmp = java.nio.file.Files.createTempDirectory("zread").toString
+      df.write.mode("overwrite").parquet(tmp)
+      val q = spark.read.parquet(tmp)
+        .filter(col("xb").between(8, 15) && col("yb").between(16, 23))
+      assert(q.count() === 64L, "the 8×8 box holds 64 grid cells")
+      q.collect()
+      val scans = fileScans(q.queryExecution.executedPlan)
+      assert(scans.nonEmpty)
+      // pushed filters must reach the parquet reader for skipping to
+      // exist at all
+      assert(scans.head.metadata("PushedFilters").contains("GreaterThan"),
+        scans.head.metadata("PushedFilters"))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val lin = rowsMaterialized(grid.repartitionByRange(64, col("xb"))
+      .sortWithinPartitions("xb"))
+    val z = rowsMaterialized(
+      Zorder.zOrderLayout(grid, col("xb"), col("yb"), 64).drop("zval"))
+    info(s"rows materialized for the box query: linear=$lin zorder=$z")
+    // linear skips on xb only (~8 of 64 stripes = 512 rows); z-order
+    // skips on BOTH dims (the 8×8 box touches a couple of 8×8 file
+    // squares). Both must skip SOMETHING (< 4096), and z-order must
+    // strictly beat linear — by at least 2× so boundary-straddling
+    // files can't mask a layout regression.
+    assert(lin < 4096L, s"linear layout skipped nothing ($lin)")
+    assert(z * 2 <= lin,
+      s"z-order must materialize ≤ half of linear's rows: z=$z lin=$lin")
+  }
+
   test("optimizeLayout: compaction sizing AND clustering in one shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
