@@ -137,6 +137,11 @@ object SparkEntry {
     // sources share the rest (they undershoot one epoch)
     "q_mixture_plan" -> ((s, d) => graft.operators.Pipeline.mixturePlan(
       s, d, mixtureTargets, budgetTokens = 30000L, maxEpochs = 2.0)),
+    // the multi-epoch schedule that plan feeds: temperature annealed
+    // 2.0 → 1.0 over 3 epochs (flat early, true mix late)
+    "q_mixture_schedule" -> ((s, d) =>
+      graft.operators.Pipeline.mixtureSchedule(
+        s, d, mixtureTargets, budgetPerEpoch = 30000L)),
     "q_dataset_card" -> ((s, d) =>
       graft.operators.Pipeline.datasetCard(s, d)),
     // snapshot diff: the "new" snapshot is a deterministic derivation of
@@ -172,6 +177,11 @@ object SparkEntry {
       Dedup.minHashClusters(s, d, materialized = true)),
     "q_cluster_keep" -> ((s, d) =>
       Dedup.minHashClusterKeep(s, d, materialized = true)),
+    // quality-weighted canonical selection: keep the LONGEST member of
+    // each near-dup cluster (tie → min doc_id), not the min-id one
+    "q_cluster_keep_best" -> ((s, d) => Dedup.clusterKeepBest(s, d)),
+    // soft dedup: per-doc sampling weight 1/cluster_n instead of a drop
+    "q_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(s, d)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(s, d)),
     // Levenshtein near-dup: length-banded equi-join candidates, thresholded
     // DP verify (never all-pairs; see Dedup.editDistancePairs scaladoc)
@@ -1172,6 +1182,30 @@ object SparkEntry {
         "(round(share * 30000.0, 2) > " +
         "round(2.0 * CAST(avail_tokens AS DOUBLE), 2)) AS capped " +
         "FROM t"),
+    // multi-epoch schedule: the (epoch, source, T, share) spine comes
+    // from the SAME driver-side annealedShares call the operator uses
+    // (shared-constant pattern, like hexThreshold) — Double.toString is
+    // the shortest round-trip repr, so DuckDB parses the identical
+    // double; all emitted values round at the operator's precision
+    "q_mixture_schedule" -> {
+      val spine = graft.operators.Pipeline
+        .annealedShares(mixtureTargets, 3, 2.0, 1.0)
+        .map { case (e, s, t, sh) =>
+          s"($e, '$s', CAST($t AS DOUBLE), CAST($sh AS DOUBLE))" }
+        .mkString(", ")
+      "WITH avail AS (SELECT source, CAST(sum(CAST(ceil(length(text) / " +
+        "4.0) AS BIGINT)) AS BIGINT) AS avail_tokens " +
+        "FROM documents GROUP BY source), " +
+        s"plan(epoch, source, temperature, share) AS (VALUES $spine) " +
+        "SELECT p.epoch, p.source, round(p.temperature, 4) AS temperature, " +
+        "round(p.share, 6) AS target_share, " +
+        "COALESCE(a.avail_tokens, CAST(0 AS BIGINT)) AS avail_tokens, " +
+        "round(p.share * 30000.0, 2) AS planned_tokens, " +
+        "CASE WHEN COALESCE(a.avail_tokens, 0) = 0 THEN NULL " +
+        "ELSE round(p.share * 30000.0 / CAST(a.avail_tokens AS DOUBLE), 4) " +
+        "END AS epochs_of_source " +
+        "FROM plan p LEFT JOIN avail a ON a.source = p.source"
+    },
     // snapshot diff: rebuild the same derived "new" snapshot, hash-join
     // full-outer on doc_id, classify per row
     "q_corpus_diff" ->
@@ -1424,6 +1458,48 @@ object SparkEntry {
         "FROM walk GROUP BY v) " +
         "SELECT doc_id, cluster_id, " +
         "count(*) OVER (PARTITION BY cluster_id) AS cluster_n FROM comp"),
+    // quality-weighted canonical: the kept member is the LONGEST of each
+    // component (tie → min doc_id) — same recursive components, the
+    // representative rule swapped for the rank-1-by-(n_chars desc, id)
+    "q_cluster_keep_best" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.u), " +
+        "comp AS (SELECT v AS doc_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v), " +
+        "m AS (SELECT c.doc_id, row_number() OVER " +
+        "(PARTITION BY c.cluster_id " +
+        "ORDER BY d2.n_chars DESC, c.doc_id ASC) AS rn " +
+        "FROM comp c JOIN documents d2 ON d2.doc_id = c.doc_id) " +
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars " +
+        "FROM documents d WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE m.doc_id = d.doc_id AND m.rn > 1)"),
+    // soft dedup: every doc, weight 1/cluster_n (singletons weight 1)
+    "q_soft_dedup" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.u), " +
+        "comp AS (SELECT v AS doc_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v), " +
+        "sz AS (SELECT cluster_id, count(*) AS cluster_n FROM comp " +
+        "GROUP BY cluster_id) " +
+        "SELECT d.doc_id, d.lang, d.source, " +
+        "COALESCE(c.cluster_id, d.doc_id) AS cluster_id, " +
+        "CAST(COALESCE(sz.cluster_n, 1) AS BIGINT) AS cluster_n, " +
+        "round(CAST(1.0 AS DOUBLE) / " +
+        "CAST(COALESCE(sz.cluster_n, 1) AS DOUBLE), 6) AS sample_weight " +
+        "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id " +
+        "LEFT JOIN sz ON sz.cluster_id = c.cluster_id"),
     // transitive keep-filter: documents minus non-canonical cluster members
     "q_cluster_keep" ->
       (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +

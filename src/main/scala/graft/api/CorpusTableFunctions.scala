@@ -140,6 +140,60 @@ object CorpusTableFunctions {
         materialized = true))
     }
 
+    tvf("corpus_keep_best",
+      "corpus_keep_best(dir[, threshold]) - Quality-weighted dedup: keep " +
+        "the LONGEST member of each near-dup cluster (tie -> min doc_id) " +
+        "plus all singletons.",
+      "SELECT doc_id FROM corpus_keep_best('/data/c1');") { args =>
+      val fn = "corpus_keep_best"
+      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      plan(Dedup.clusterKeepBest(SparkSession.active, reqDir(fn, bound),
+        threshold = optNum(fn, bound, "threshold", 0.5)))
+    }
+
+    tvf("corpus_soft_dedup",
+      "corpus_soft_dedup(dir[, threshold]) - Soft dedup: every document " +
+        "with sampling weight 1/cluster_size (singletons weigh 1).",
+      "SELECT doc_id, sample_weight FROM corpus_soft_dedup('/data/c1');"
+    ) { args =>
+      val fn = "corpus_soft_dedup"
+      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      plan(Dedup.softDedupWeights(SparkSession.active, reqDir(fn, bound),
+        threshold = optNum(fn, bound, "threshold", 0.5)))
+    }
+
+    tvf("corpus_mixture_schedule",
+      "corpus_mixture_schedule(dir, sources, shares, budget[, epochs, " +
+        "t_start, t_end]) - Temperature-annealed multi-epoch mixture " +
+        "schedule (T interpolates t_start -> t_end; share ∝ " +
+        "target^(1/T)).",
+      "SELECT * FROM corpus_mixture_schedule('/data/c1', " +
+        "array('web','code'), array(0.8, 0.2), 1000000, epochs => 3);"
+    ) { args =>
+      val fn = "corpus_mixture_schedule"
+      val bound = bind(fn, args,
+        Seq("dir", "sources", "shares", "budget", "epochs", "t_start",
+          "t_end"), Set.empty)
+      val sources = reqArg(fn, bound, "sources")(
+        SudanTableFunctions.strSeq(fn, "sources", _))
+      val shares = reqArg(fn, bound, "shares")(numSeq(fn, "shares", _))
+      if (sources.length != shares.length)
+        throw new IllegalArgumentException(
+          s"SUDAN: $fn() 'sources' and 'shares' must have equal length " +
+            s"(got ${sources.length} vs ${shares.length}).")
+      if (sources.distinct.length != sources.length)
+        throw new IllegalArgumentException(
+          s"SUDAN: $fn() 'sources' contains duplicates (" +
+            sources.diff(sources.distinct).distinct.mkString(", ") + ").")
+      plan(Pipeline.mixtureSchedule(SparkSession.active, reqDir(fn, bound),
+        sources.zip(shares).toMap,
+        budgetPerEpoch = reqArg(fn, bound, "budget")(num(fn, "budget", _)
+          .toLong),
+        epochs = optNum(fn, bound, "epochs", 3).toInt,
+        tStart = optNum(fn, bound, "t_start", 2.0),
+        tEnd = optNum(fn, bound, "t_end", 1.0)))
+    }
+
     tvf("corpus_pagerank",
       "corpus_pagerank(dir) - PageRank over the embedding k-NN graph " +
         "(build-once edge table; 10 power iterations).",

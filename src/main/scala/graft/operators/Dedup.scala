@@ -1033,6 +1033,66 @@ object Dedup {
     docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-weighted canonical selection: keep the BEST member of every
+    * near-dup cluster instead of the arbitrary min-id one — the policy a
+    * production dedup actually wants (near-dup groups usually contain a
+    * full article plus trimmed/boilerplated copies; min-id keeps
+    * whichever crawled first). "Best" = longest text (`n_chars` desc),
+    * doc_id asc as the total-order tiebreak so the kept set is unique
+    * and replay-stable. Singletons pass through untouched.
+    *
+    * Plan shape: build-once cluster labels ⋈ a 2-column slice of the
+    * corpus (doc_id, n_chars) → per-cluster `row_number` (window keyed
+    * by cluster_id — labels only, pair-graph-sized, NOT corpus-sized) →
+    * anti-join of the non-best members against the full corpus. Same
+    * shuffle class as [[minHashClusterKeep]]: every key is doc_id or
+    * cluster_id, unique and skew-free. */
+  def clusterKeepBest(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = spark.read.parquet(materializeClusters(spark, dir,
+      numHashes, bands, threshold, maxBucket))
+    val d = docs(spark, dir)
+    val ranked = labels
+      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+    val drop = ranked.filter(col("_rn") > 1).select("doc_id")
+    d.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Soft dedup — per-document sampling weights instead of hard drops:
+    * weight = 1 / cluster size, so a near-dup cluster contributes ONE
+    * document's worth of expected mass to a downstream weighted sample
+    * while keeping every variant available (the standard alternative to
+    * hard dedup when variants carry signal — formatting diversity,
+    * quotation contexts). Singletons get cluster_id = doc_id, weight 1.
+    *
+    * Plan shape: build-once labels → one tiny count agg keyed by
+    * cluster_id (pair-graph-sized) → two left joins onto the corpus
+    * scan, both doc_id/cluster_id-keyed. The corpus side crosses one
+    * hash shuffle; at 100 TB both joined sides are label-table-sized
+    * and broadcast under AQE. */
+  def softDedupWeights(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val labels = spark.read.parquet(materializeClusters(spark, dir,
+      numHashes, bands, threshold, maxBucket))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_n"))
+    docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_n", coalesce(col("cluster_n"), lit(1L)))
+      .select(col("doc_id"), col("lang"), col("source"), col("cluster_id"),
+        col("cluster_n"),
+        round(lit(1.0) / col("cluster_n").cast("double"), 6)
+          .as("sample_weight"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word hashes (unweighted). */

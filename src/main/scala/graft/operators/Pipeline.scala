@@ -185,6 +185,72 @@ object Pipeline {
         round(col("alloc") / col("tokens").cast("double"), 4).as("epochs"))
   }
 
+  /** Per-epoch temperature-annealed shares — the exact driver-side math
+    * [[mixtureSchedule]] emits and its oracle re-derives from the SAME
+    * call (the [[hexThreshold]] shared-constant pattern): epoch e of E
+    * interpolates T linearly from `tStart` to `tEnd`, and share_e(s) ∝
+    * target(s)^(1/T_e), normalized in sorted-key order (deterministic
+    * summation, same discipline as [[mixturePlan]]). T > 1 flattens the
+    * mix toward uniform (the multilingual temperature-sampling trick);
+    * T = 1 is the targets themselves — so the default 2.0 → 1.0 anneal
+    * starts diverse and finishes on the true mix, the standard
+    * curriculum for a data schedule. */
+  private[graft] def annealedShares(targets: Map[String, Double],
+      epochs: Int, tStart: Double, tEnd: Double)
+      : Seq[(Int, String, Double, Double)] = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty and positive (pow(0, 1/T) degenerates)")
+    require(epochs > 0, "epochs must be > 0")
+    require(tStart > 0.0 && tEnd > 0.0, "temperatures must be > 0")
+    val sorted = targets.toSeq.sortBy(_._1)
+    (0 until epochs).flatMap { e =>
+      val t = if (epochs == 1) tStart
+        else tStart + (tEnd - tStart) * e / (epochs - 1).toDouble
+      val powed = sorted.map { case (s, w) => (s, math.pow(w, 1.0 / t)) }
+      val z = powed.map(_._2).sum
+      powed.map { case (s, p) => (e, s, t, p / z) }
+    }
+  }
+
+  /** Multi-epoch training-data schedule: one row per (epoch, source)
+    * with the temperature-annealed share, the token plan against a
+    * per-epoch budget, and how many passes over the source that plan
+    * implies. Extends [[mixturePlan]] (one static mix) to the schedule
+    * an actual run consumes — early epochs sample flat (high T, small
+    * sources upweighted), late epochs converge on the target mix.
+    *
+    * Scale shape: the ONLY corpus-sized work is the same one map-side-
+    * combined `avail` aggregation mixturePlan runs (output = #sources
+    * rows); the epochs × sources spine is a driver-built literal frame
+    * joined onto it — at 100 TB the join is two tiny sides regardless
+    * of corpus size. `epochs_of_source` > 1 is the oversampling alarm
+    * (the epoch plan wants more tokens than the source has). */
+  def mixtureSchedule(spark: SparkSession, dir: String,
+      targets: Map[String, Double], budgetPerEpoch: Long,
+      epochs: Int = 3, tStart: Double = 2.0, tEnd: Double = 1.0)
+      : DataFrame = {
+    require(budgetPerEpoch > 0, "budget must be > 0")
+    import spark.implicits._
+    val spine = annealedShares(targets, epochs, tStart, tEnd)
+      .toDF("epoch", "source", "temperature", "share")
+    val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val avail = Tables.documents(spark, dir)
+      .groupBy("source").agg(sum(tokens).as("avail_tokens"))
+    spine.join(avail, Seq("source"), "left")
+      .na.fill(0L, Seq("avail_tokens"))
+      .select(col("epoch"), col("source"),
+        round(col("temperature"), 4).as("temperature"),
+        round(col("share"), 6).as("target_share"),
+        col("avail_tokens"),
+        round(col("share") * lit(budgetPerEpoch.toDouble), 2)
+          .as("planned_tokens"),
+        when(col("avail_tokens") === 0, lit(null))
+          .otherwise(round(col("share") * lit(budgetPerEpoch.toDouble) /
+            col("avail_tokens").cast("double"), 4))
+          .as("epochs_of_source"))
+  }
+
   /** Floor(rate * 16^width) rendered as a zero-padded lowercase hex
     * literal: fixed-width lowercase hex compares lexicographically in
     * numeric order ('0'<'9'<'a'<'f' in ASCII), so `hex_prefix < threshold`

@@ -76,6 +76,35 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(lenErr.getMessage.contains("equal length"), lenErr.getMessage)
   }
 
+  test("corpus_keep_best / corpus_soft_dedup / corpus_mixture_schedule " +
+      "bind and match the Scala factories") {
+    ready
+    val bestSql = spark.sql(
+      s"SELECT doc_id FROM corpus_keep_best('$sfDir')")
+      .collect().map(_.getLong(0)).toSet
+    assert(bestSql ===
+      graft.operators.Dedup.clusterKeepBest(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    val softSql = spark.sql("SELECT doc_id, sample_weight FROM " +
+      s"corpus_soft_dedup('$sfDir')")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(softSql ===
+      graft.operators.Dedup.softDedupWeights(spark, sfDir)
+        .select("doc_id", "sample_weight").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val schedSql = spark.sql("SELECT * FROM corpus_mixture_schedule(" +
+      s"'$sfDir', array('src0','src1'), array(0.7, 0.3), 1000, " +
+      "epochs => 2, t_start => 1.5)").collect()
+    val schedScala = Pipeline.mixtureSchedule(spark, sfDir,
+      Map("src0" -> 0.7, "src1" -> 0.3), 1000L, epochs = 2,
+      tStart = 1.5).collect()
+    assert(schedSql.toSet === schedScala.toSet)
+    val dupErr = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_mixture_schedule('$sfDir', " +
+        "array('a','a'), array(0.5, 0.5), budget => 10)"))
+    assert(dupErr.getMessage.contains("duplicates"), dupErr.getMessage)
+  }
+
   test("decontamination TVFs bind and match the Scala factories") {
     ready
     assert(spark.sql(

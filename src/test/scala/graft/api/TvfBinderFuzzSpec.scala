@@ -25,7 +25,8 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "SUDAN_Search", "SUDAN_WorldBank", "SUDAN_WHO", "SUDAN_ILO",
     "SUDAN_UNHCR", "SUDAN_FAO",
     "corpus_clean", "corpus_stats", "corpus_quality", "corpus_lang_id",
-    "corpus_neardup_pairs", "corpus_dedup_keep", "corpus_pagerank",
+    "corpus_neardup_pairs", "corpus_dedup_keep", "corpus_keep_best",
+    "corpus_soft_dedup", "corpus_mixture_schedule", "corpus_pagerank",
     "corpus_decontaminate", "corpus_eval_containment",
     "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe")
 
@@ -42,7 +43,7 @@ class TvfBinderFuzzSpec extends SparkSpec {
   private val keyGen: Gen[String] = Gen.oneOf("countries", "search",
     "query", "level", "dir", "threshold", "min_words", "sources",
     "shares", "budget", "max_epochs", "k", "query_id", "eval_max_id",
-    "n", "bogus", "WAT")
+    "n", "epochs", "t_start", "t_end", "bogus", "WAT")
   private val argGen: Gen[String] = Gen.oneOf(
     valueGen,
     Gen.zip(keyGen, valueGen).map { case (k, v) => s"$k => $v" })

@@ -626,6 +626,44 @@ class DedupSpec extends SparkSpec {
     Dedup.clearSignatureCache()
   }
 
+  test("clusterKeepBest keeps the LONGEST cluster member, not the min id; " +
+      "softDedupWeights gives 1/n weights that sum to the kept count") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 2 is the longest (the full article; 1 and 3
+    // are trimmed copies) — min-id keep would pick 1, best-keep must
+    // pick 2. doc 9 is a singleton.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base + " x", "en", "s0", (base + " x").length.toLong),
+      (2L, base + " x y z longer tail", "en", "s0",
+        (base + " x y z longer tail").length.toLong),
+      (3L, base + " z", "en", "s0", (base + " z").length.toLong),
+      (9L, (200 to 260).map(i => s"t$i").mkString(" "), "en", "s1", 400L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bestkeep").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Dedup.clearSignatureCache()
+    val kept = Dedup.clusterKeepBest(spark, tmp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 9L),
+      s"best-keep must keep the longest member + the singleton: $kept")
+    // min-id keep on the same corpus keeps 1 — the policies differ
+    // exactly on the representative
+    val keptMin = Dedup.minHashClusterKeep(spark, tmp, materialized = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin === Set(1L, 9L))
+    // soft dedup: members of the 3-cluster weigh 1/3, singleton 1;
+    // total mass == number of kept docs under hard dedup
+    val w = Dedup.softDedupWeights(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(w(1L) === ((3L, 0.333333)) && w(2L) === ((3L, 0.333333)) &&
+      w(3L) === ((3L, 0.333333)), s"cluster members weigh 1/3: $w")
+    assert(w(9L) === ((1L, 1.0)), s"singleton weighs 1: $w")
+    assert(math.abs(w.values.map(_._2).sum - keptMin.size) < 1e-3,
+      "total soft mass must equal the hard-dedup kept count")
+    Dedup.clearSignatureCache()
+  }
+
   test("spanDedup: repeated span kept once, exact dup collapses to empty") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one full window

@@ -471,4 +471,40 @@ class PipelineSpec extends SparkSpec {
     assert(meanEn > meanRest,
       s"target-domain mean $meanEn must exceed non-target $meanRest")
   }
+
+  test("mixtureSchedule: shares normalize per epoch, T=1 equals the raw " +
+      "targets, higher T flattens toward uniform, plan math exact") {
+    val targets = Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1)
+    val rows = Pipeline.mixtureSchedule(spark, sfDir, targets,
+        budgetPerEpoch = 10000L, epochs = 3, tStart = 2.0, tEnd = 1.0)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(5)))
+    assert(rows.length === 9)
+    // temperatures anneal 2.0 → 1.5 → 1.0
+    assert(rows.map(r => r._1 -> r._3).toMap ===
+      Map(0 -> 2.0, 1 -> 1.5, 2 -> 1.0))
+    val byEpoch = rows.groupBy(_._1)
+    // shares normalize within every epoch
+    byEpoch.values.foreach { e =>
+      assert(math.abs(e.map(_._4).sum - 1.0) < 1e-4, e.toSeq.toString) }
+    // final epoch (T=1) IS the target mix
+    val fin = byEpoch(2).map(r => r._2 -> r._4).toMap
+    assert(fin === Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1))
+    // T=2 flattens: dominant source down, tail source up, order kept
+    val e0 = byEpoch(0).map(r => r._2 -> r._4).toMap
+    assert(e0("src0") < 0.6 && e0("src2") > 0.1 &&
+      e0("src0") > e0("src1") && e0("src1") > e0("src2"), e0.toString)
+    // planned tokens = share × budget at 2 dp
+    rows.foreach { case (_, _, _, share, planned) =>
+      assert(math.abs(planned - share * 10000.0) < 0.5 + 1e-9,
+        s"share=$share planned=$planned") }
+    // misuse fails loudly before any job
+    intercept[IllegalArgumentException](
+      Pipeline.mixtureSchedule(spark, sfDir, Map("a" -> 0.0), 100L))
+    intercept[IllegalArgumentException](
+      Pipeline.mixtureSchedule(spark, sfDir, targets, 100L, epochs = 0))
+    intercept[IllegalArgumentException](
+      Pipeline.mixtureSchedule(spark, sfDir, targets, 0L))
+  }
 }
