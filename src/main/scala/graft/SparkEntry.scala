@@ -127,6 +127,9 @@ object SparkEntry {
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> (Dedup.exact _),
     "q_span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
+    // cross-doc maximal repeated substrings (Lee et al. substring dedup)
+    "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(s, d)),
+    "q_repeated_span_excise" -> ((s, d) => Dedup.repeatedSpanExcise(s, d)),
     "q_bloom_join" -> ((s, d) => BloomFilterJoin.urgentOrderRevenue(s, d)),
     "q_source_cap" -> ((s, d) =>
       graft.operators.Pipeline.sourceCap(s, d, cap = 20)),
@@ -275,6 +278,12 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(graft.functions.KmvSketch.approxDistinct(
         col("user_id").cast("string")).as("approx_users"))),
+    // sketch-TABLE algebra: per-source stored KMV states, global and
+    // pairwise-overlap estimates derived from the states alone
+    "q_sketch_sources" -> ((s, d) =>
+      graft.operators.SketchOps.sourceDistinctTexts(s, d)),
+    "q_sketch_overlap" -> ((s, d) =>
+      graft.operators.SketchOps.eventTypeUserOverlap(s, d)),
     "q_heavy_hitters" -> ((s, d) =>
       s.read.parquet(s"$d/documents.parquet")
         .agg(graft.functions.HeavyHitters.topItems(col("source"), 64).as("hh"))
@@ -499,6 +508,22 @@ object SparkEntry {
   private val wordsExpr =
     "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
       "x -> len(x) > 0)) AS BIGINT)"
+
+  // shared CTE prefix for the repeated-substring oracles: stride-1
+  // 8-word anchors over every doc, the >=2-distinct-doc repeated gram
+  // set, and the flagged (doc_id, position) stream — mirrors
+  // Dedup.repeatedPositions (k = 8, minDocs = 2)
+  private val repeatedAnchorCtes =
+    "WITH toks AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w " +
+      "FROM documents), " +
+      "anch AS (SELECT doc_id, CAST(u AS INT) AS p, array_to_string(" +
+      "list_slice(w, CAST(u AS INT) + 1, CAST(u AS INT) + 8), ' ') " +
+      "AS gram FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) " +
+      "AS u FROM toks WHERE len(w) >= 8)), " +
+      "rep AS (SELECT gram FROM anch GROUP BY gram " +
+      "HAVING count(DISTINCT doc_id) >= 2), " +
+      "f AS (SELECT a.doc_id, a.p FROM anch a JOIN rep USING (gram)), "
 
   /** Golden VALUES for the 18-state table (iso, names, centroid, geometry
     * length + MultiPolygon prefix) — from the embedded resource, matching
@@ -1064,6 +1089,43 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean, " +
         "coalesce(a.n_spans_kept, 0) AS n_spans_kept " +
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"),
+    // cross-doc maximal repeated regions: stride-1 8-gram anchors, a
+    // gram repeated in >=2 distinct docs flags its position, overlapping
+    // or touching flagged windows (gap <= 8) merge into one region via
+    // gaps-and-islands. The Spark side's xxhash64 pre-group is a pure
+    // pruning optimization (exact string confirm follows), invisible here.
+    "q_repeated_spans" ->
+      (repeatedAnchorCtes +
+        "isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
+        "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS brk " +
+        "FROM f), " +
+        "g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id " +
+        "ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS grp FROM isl) " +
+        "SELECT doc_id, CAST(min(p) AS BIGINT) AS start_word, " +
+        "CAST(max(p) + 8 AS BIGINT) AS end_word, " +
+        "CAST(max(p) + 8 - min(p) AS BIGINT) AS span_words, " +
+        "CAST(count(*) AS BIGINT) AS n_windows " +
+        "FROM g GROUP BY doc_id, grp"),
+    // remove-everywhere excision of the same repeated regions: word
+    // indexes covered by any flagged window drop; survivors reassemble
+    // in order (same string_agg idiom as q_span_dedup)
+    "q_repeated_span_excise" ->
+      (repeatedAnchorCtes +
+        "cov AS (SELECT DISTINCT doc_id, CAST(u AS INT) AS i FROM " +
+        "(SELECT doc_id, unnest(range(p, p + 8)) AS u FROM f)), " +
+        "wi AS (SELECT doc_id, CAST(ui AS INT) AS i, " +
+        "w[CAST(ui AS INT) + 1] AS word FROM (SELECT doc_id, w, " +
+        "unnest(range(0, len(w))) AS ui FROM toks)), " +
+        "kept AS (SELECT wi.doc_id, wi.i, wi.word FROM wi " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = wi.doc_id " +
+        "AND cov.i = wi.i)), " +
+        "agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) " +
+        "AS text_clean, count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean, " +
+        "CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) " +
+        "AS n_dropped_words " +
+        "FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"),
     // deterministic split: md5 hex agrees byte-for-byte across engines
     "q_train_val_split" ->
       ("SELECT doc_id, lang, bucket, CASE WHEN bucket IN ('0', '1') " +
@@ -2376,6 +2438,29 @@ object SparkEntry {
     "q_kmv_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS approx_users " +
         "FROM events GROUP BY event_type"),
+    // sketch-table estimates, exact-below-k regime (distinct texts per
+    // scope << k=65536, so the stored states hold every distinct hash and
+    // estimates/inclusion-exclusion overlaps are exact counts — same
+    // oracle pattern as q_kmv_distinct; estimator-regime error bounds and
+    // the state merge law are pinned in KmvSketchSpec)
+    "q_sketch_sources" ->
+      ("SELECT source AS scope, CAST(count(DISTINCT text) AS BIGINT) " +
+        "AS est_distinct FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents"),
+    "q_sketch_overlap" ->
+      ("WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s " +
+        "GROUP BY event_type), " +
+        "ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS est_overlap FROM s a JOIN s b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY a.event_type, b.event_type) " +
+        "SELECT ov.type_a, ov.type_b, ca.n AS est_a, cb.n AS est_b, " +
+        "ov.est_overlap FROM ov " +
+        "JOIN c ca ON ca.event_type = ov.type_a " +
+        "JOIN c cb ON cb.event_type = ov.type_b"),
     // Misra-Gries heavy hitters, exact-below-k regime (distinct sources
     // <= k=64, so no decrement/truncation ever fires and the sketch IS
     // the histogram — same oracle pattern as q_kmv_distinct; the

@@ -73,6 +73,23 @@ object CorpusTableFunctions {
     .getOrElse(throw new IllegalArgumentException(
       s"SUDAN: $fn() requires the '$key' parameter."))
 
+  /** Validated k / min_docs for the repeated-span TVF pair: the binder
+    * names the function in the error instead of surfacing the operator's
+    * bare require(). */
+  private def spanK(fn: String, bound: Map[String, Expression]): Int = {
+    val k = optNum(fn, bound, "k", 8).toInt
+    if (k < 2) throw new IllegalArgumentException(
+      s"SUDAN: $fn() parameter 'k' must be >= 2, got $k.")
+    k
+  }
+
+  private def spanMinDocs(fn: String, bound: Map[String, Expression]): Int = {
+    val m = optNum(fn, bound, "min_docs", 2).toInt
+    if (m < 2) throw new IllegalArgumentException(
+      s"SUDAN: $fn() parameter 'min_docs' must be >= 2, got $m.")
+    m
+  }
+
   /** (dir) single-argument corpus shape. */
   private def dirOnly(fn: String)(
       build: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -138,6 +155,30 @@ object CorpusTableFunctions {
       plan(Dedup.minHashKeep(SparkSession.active, reqDir(fn, bound),
         threshold = optNum(fn, bound, "threshold", 0.5),
         materialized = true))
+    }
+
+    tvf("corpus_repeated_spans",
+      "corpus_repeated_spans(dir[, k[, min_docs]]) - Maximal cross-" +
+        "document repeated regions: stride-1 k-word windows shared by " +
+        ">= min_docs distinct documents, merged into [start_word, " +
+        "end_word) spans (substring dedup, Lee et al. 2021).",
+      "SELECT * FROM corpus_repeated_spans('/data/c1', 8);") { args =>
+      val fn = "corpus_repeated_spans"
+      val bound = bind(fn, args, Seq("dir", "k", "min_docs"), Set.empty)
+      plan(Dedup.repeatedSpans(SparkSession.active, reqDir(fn, bound),
+        k = spanK(fn, bound), minDocs = spanMinDocs(fn, bound)))
+    }
+
+    tvf("corpus_span_excise",
+      "corpus_span_excise(dir[, k[, min_docs]]) - Documents rewritten " +
+        "with every cross-document repeated region removed (remove-" +
+        "everywhere substring decontamination).",
+      "SELECT doc_id, n_dropped_words FROM " +
+        "corpus_span_excise('/data/c1');") { args =>
+      val fn = "corpus_span_excise"
+      val bound = bind(fn, args, Seq("dir", "k", "min_docs"), Set.empty)
+      plan(Dedup.repeatedSpanExcise(SparkSession.active, reqDir(fn, bound),
+        k = spanK(fn, bound), minDocs = spanMinDocs(fn, bound)))
     }
 
     tvf("corpus_keep_best",

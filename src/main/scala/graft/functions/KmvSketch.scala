@@ -61,4 +61,50 @@ object KmvSketch {
   def approxDistinct(c: Column, k: Int = 256): Column =
     org.apache.spark.sql.functions.udaf(new DistinctSketch(k))
       .apply(c)
+
+  /** Sketch STATE as a column value: the k smallest distinct hashes,
+    * sorted ascending. Unlike [[approxDistinct]] (which finishes to the
+    * estimate), the state is STORABLE and MERGEABLE — write one row per
+    * source/shard/snapshot into a sketch table, and later union, diff, or
+    * re-estimate across any grouping WITHOUT rescanning the raw corpus.
+    * That deferred-merge algebra is the whole point of sketch tables at
+    * 100 TB: nightly per-shard sketches are a few KB each, and every
+    * cross-shard distinct/overlap question becomes arithmetic over them.
+    */
+  final class StateSketch(k: Int)
+      extends Aggregator[String, State, Array[Long]] {
+    private val inner = new DistinctSketch(k)
+    override def zero: State = inner.zero
+    override def reduce(b: State, a: String): State = inner.reduce(b, a)
+    override def merge(x: State, y: State): State = inner.merge(x, y)
+    override def finish(s: State): Array[Long] = s.mins.toArray
+    override def bufferEncoder: Encoder[State] = Encoders.kryo[State]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def sketchState(c: Column, k: Int = 256): Column =
+    org.apache.spark.sql.functions.udaf(new StateSketch(k)).apply(c)
+
+  /** Merge an array-of-states column (e.g. `collect_list(sketch)` over
+    * stored sketch rows, or `array(a.sketch, b.sketch)` across a join)
+    * back into one valid state: distinct hashes, sorted, truncated to k.
+    * Pure codegen'd array expressions — the merge never touches raw data.
+    */
+  def mergeStatesExpr(states: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_distinct(flatten(states))), 1, k)
+  }
+
+  /** The [[DistinctSketch]] estimator over a state column: exact size
+    * below k (the state still holds every distinct hash), else
+    * (k-1)/kthMinFraction — bit-compatible with `finish` (same
+    * round-half-up on a positive double). */
+  def estimateExpr(state: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(state) < k, size(state).cast("long"))
+      .otherwise(round(lit((k - 1).toDouble) /
+        (element_at(state, k).cast("double") / Long.MaxValue.toDouble))
+        .cast("long"))
+  }
 }

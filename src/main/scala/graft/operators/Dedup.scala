@@ -1350,4 +1350,128 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("jaccard")), 4).as("avg_jaccard"))
   }
+
+  // ------------------------------------------------ repeated-substring spans
+
+  /** Word positions whose stride-1 `k`-gram window is repeated across at
+    * least `minDocs` distinct documents — the anchor stream behind
+    * [[repeatedSpans]] / [[repeatedSpanExcise]] (the cross-document
+    * substring dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — suffix-array repeats
+    * re-expressed as a grouped k-gram anchor join).
+    *
+    * Scale shape — the part that must survive 100 TB of stride-1 anchors
+    * (one row per WORD of the corpus):
+    *  1. The full anchor stream shuffles ONCE, keyed on `xxhash64(gram)`
+    *     with a (hash, doc_id) 16-byte projection — never the gram
+    *     strings. `count(DISTINCT doc_id) >= minDocs` over that narrow
+    *     stream yields the repeated-hash set, which is bounded by the
+    *     corpus's duplicated-content volume, not its size.
+    *  2. The repeated-hash set broadcasts back over the (re-scanned,
+    *     still narrow) anchor stream as a semi-join filter, so only
+    *     candidate anchors ever materialize their strings.
+    *  3. Candidates are re-grouped by the exact STRING to discard hash
+    *     collisions — the string shuffle touches candidates only. (At
+    *     petabyte scale with a >8 GB repeated set, drop the broadcast
+    *     hint: AQE falls back to a shuffled semi-join and the contract
+    *     is unchanged.)
+    */
+  private[operators] def repeatedPositions(spark: SparkSession, dir: String,
+      k: Int, minDocs: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
+      .filter(size(col("w")) >= k)
+    val anchors = toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - k)).as("p"))
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("gram"))
+    val repHash = anchors
+      .select(xxhash64(col("gram")).as("gh"), col("doc_id"))
+      .groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val cand = anchors
+      .withColumn("gh", xxhash64(col("gram")))
+      .join(repHash.hint("broadcast"), Seq("gh"), "left_semi")
+    val repGram = cand
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    cand.select(col("doc_id"), col("p"), col("gram"))
+      .join(repGram.hint("broadcast"), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("p"))
+  }
+
+  /** Maximal cross-document repeated regions per document: every word
+    * position whose stride-1 `k`-word window also occurs in >= `minDocs`
+    * distinct documents is flagged, and runs of flagged positions whose
+    * windows overlap or touch (gap <= k) merge into one maximal region
+    * `[start_word, end_word)`. Unlike [[spanDedup]] (fixed non-overlapping
+    * 10-word blocks), this finds ARBITRARY-offset shared substrings — the
+    * boilerplate/license/template text that block alignment misses.
+    *
+    * After [[repeatedPositions]]'s one narrow corpus-wide shuffle, the
+    * island merge is two window passes + a group-by over the flagged
+    * subset only (duplicated-content-sized, not corpus-sized). */
+  def repeatedSpans(spark: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("doc_id").orderBy("p")
+    repeatedPositions(spark, dir, k, minDocs)
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(ord) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("grp",
+        sum("brk").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("p").as("mn"), max("p").as("mx"), count(lit(1)).as("nw"))
+      .select(col("doc_id"),
+        col("mn").cast("long").as("start_word"),
+        (col("mx") + k).cast("long").as("end_word"),
+        (col("mx") + k - col("mn")).cast("long").as("span_words"),
+        col("nw").cast("long").as("n_windows"))
+  }
+
+  /** Cross-document substring EXCISION: rewrite each document with every
+    * word inside a repeated region ([[repeatedSpans]]) removed. The
+    * remove-everywhere contract (vs keep-one-copy) is the conservative
+    * decontamination-grade variant — no copy of corpus-repeated
+    * boilerplate survives into training text.
+    *
+    * Covered word indexes come from exploding each flagged window
+    * (duplicated-content-sized); the corpus-wide word stream is a narrow
+    * posexplode anti-joined on (doc_id, index) — one keyed shuffle each
+    * side — and reassembly is the same doc_id group-by [[spanDedup]]
+    * uses. */
+  def repeatedSpanExcise(spark: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
+    val covered = repeatedPositions(spark, dir, k, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + k - 1)).as("i"))
+      .distinct()
+    val wi = d.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("i", "word")))
+    val kept = wi.join(covered, Seq("doc_id", "i"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("word")))),
+          x => x.getField("word"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    d.select(col("doc_id"), size(col("w")).as("n_words"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped_words"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+
+/** Sketch-TABLE operators: per-group KMV distinct sketches stored as
+  * rows, with union / overlap estimates derived ONLY from the stored
+  * states — never by rescanning the raw data.
+  *
+  * The 100 TB pattern this demonstrates (the reference has no sketch
+  * surface; this extends the engine's own [[graft.functions.KmvSketch]]
+  * aggregate): one pass builds a sketch row per source/shard — a few KB
+  * each, map-side-combined, constant state per group — and every later
+  * question ("how many distinct texts across ALL shards?", "how many
+  * users do event types A and B share?") is array arithmetic over those
+  * rows. Adding a new snapshot means sketching ONLY the new data and
+  * re-running the row-level merge; nothing historical is ever re-read.
+  *
+  * Exactness regime (the oracle contract, same as `q_kmv_distinct`):
+  * below k the state holds EVERY distinct hash, so estimates are exact
+  * distinct counts and inclusion-exclusion overlaps are exact too. The
+  * estimator regime (merge law, error bounds) is pinned in
+  * KmvSketchSpec.
+  */
+object SketchOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** One KMV sketch row per `groupCol` value over `value`. */
+  def sketchTable(df: DataFrame, groupCol: String, value: Column,
+      k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(KmvSketch.sketchState(value, k).as("sketch"))
+
+  /** Pairwise group overlap from sketch STATES only, via
+    * inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    * union state is the row-level merge of the two stored sketches. The
+    * pairwise inequality join runs over the SKETCH TABLE (#groups rows,
+    * never the raw data), so the quadratic term is bounded by the group
+    * count — the standard sketch-algebra trade. Pairs with no estimated
+    * overlap are dropped. */
+  def overlapMatrix(df: DataFrame, groupCol: String, value: Column,
+      k: Int, outA: String = "group_a", outB: String = "group_b")
+      : DataFrame = {
+    val sk = sketchTable(df, groupCol, value, k)
+    val a = sk.select(col(groupCol).as(outA), col("sketch").as("sk_a"))
+    val b = sk.select(col(groupCol).as(outB), col("sketch").as("sk_b"))
+    a.join(b, col(outA) < col(outB))
+      .select(col(outA), col(outB),
+        KmvSketch.estimateExpr(col("sk_a"), k).as("est_a"),
+        KmvSketch.estimateExpr(col("sk_b"), k).as("est_b"),
+        KmvSketch.estimateExpr(
+          KmvSketch.mergeStatesExpr(array(col("sk_a"), col("sk_b")), k), k)
+          .as("est_union"))
+      .select(col(outA), col(outB), col("est_a"), col("est_b"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+      .filter(col("est_overlap") > 0)
+  }
+
+  /** Distinct-text estimate per document source PLUS a `__ALL__` row
+    * whose estimate comes from merging the per-source states — the raw
+    * corpus is scanned exactly once (to build the sketch rows); the
+    * global number is derived from ~#sources tiny arrays. */
+  def sourceDistinctTexts(spark: SparkSession, dir: String,
+      k: Int = 65536): DataFrame = {
+    val sk = sketchTable(docs(spark, dir), "source", col("text"), k)
+    val per = sk.select(col("source").as("scope"),
+      KmvSketch.estimateExpr(col("sketch"), k).as("est_distinct"))
+    val all = sk.agg(collect_list(col("sketch")).as("states"))
+      .select(lit("__ALL__").as("scope"),
+        KmvSketch.estimateExpr(
+          KmvSketch.mergeStatesExpr(col("states"), k), k)
+          .as("est_distinct"))
+    per.union(all)
+  }
+
+  /** Audience overlap between event types — shared distinct users per
+    * (unordered) event-type pair, straight from the per-type sketch
+    * rows. The cross-shard/cross-snapshot version of "do these two
+    * funnels reach the same people", answered without a user-level
+    * self-join of the event log. */
+  def eventTypeUserOverlap(spark: SparkSession, dir: String,
+      k: Int = 65536): DataFrame =
+    overlapMatrix(Relational.events(spark, dir), "event_type",
+      col("user_id").cast("string"), k, outA = "type_a", outB = "type_b")
+}

@@ -105,6 +105,30 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(dupErr.getMessage.contains("duplicates"), dupErr.getMessage)
   }
 
+  test("corpus_repeated_spans / corpus_span_excise bind, match the Scala " +
+      "factories, and reject degenerate k") {
+    ready
+    val spansSql = spark.sql(
+      s"SELECT * FROM corpus_repeated_spans('$sfDir', 6)").collect()
+    val spansScala = graft.operators.Dedup
+      .repeatedSpans(spark, sfDir, k = 6).collect()
+    assert(spansSql.toSet === spansScala.toSet)
+    val excSql = spark.sql("SELECT doc_id, n_dropped_words FROM " +
+      s"corpus_span_excise('$sfDir', k => 6)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(excSql ===
+      graft.operators.Dedup.repeatedSpanExcise(spark, sfDir, k = 6)
+        .select("doc_id", "n_dropped_words").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val badK = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_repeated_spans('$sfDir', 1)"))
+    assert(badK.getMessage.contains("'k' must be >= 2"), badK.getMessage)
+    val badM = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_span_excise('$sfDir', min_docs => 0)"))
+    assert(badM.getMessage.contains("'min_docs' must be >= 2"),
+      badM.getMessage)
+  }
+
   test("decontamination TVFs bind and match the Scala factories") {
     ready
     assert(spark.sql(

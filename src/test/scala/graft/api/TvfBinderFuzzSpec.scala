@@ -28,7 +28,8 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_neardup_pairs", "corpus_dedup_keep", "corpus_keep_best",
     "corpus_soft_dedup", "corpus_mixture_schedule", "corpus_pagerank",
     "corpus_decontaminate", "corpus_eval_containment",
-    "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe")
+    "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe",
+    "corpus_repeated_spans", "corpus_span_excise")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;

@@ -34,4 +34,44 @@ class KmvSketchSpec extends SparkSpec {
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }
   }
+
+  test("state merge law: merging per-group stored states estimates the " +
+      "union like one sketch over all data (estimator regime)") {
+    import spark.implicits._
+    val k = 256
+    // 3 groups, ~3500 distinct values with planted cross-group overlap
+    val rows = (0 until 6000).map { i =>
+      (s"g${i % 3}", s"v${i / 3 * 2}") // values shared across groups
+    } ++ (0 until 1500).map(i => (s"g${i % 3}", s"only_${i}"))
+    val df = rows.toDF("g", "s")
+    val perGroup = df.groupBy("g")
+      .agg(KmvSketch.sketchState(col("s"), k).as("sketch"))
+    val merged = perGroup.agg(collect_list(col("sketch")).as("states"))
+      .select(KmvSketch.estimateExpr(
+        KmvSketch.mergeStatesExpr(col("states"), k), k).as("est"))
+      .collect()(0).getLong(0)
+    val oneShot = df.agg(KmvSketch.approxDistinct(col("s"), k))
+      .collect()(0).getLong(0)
+    assert(merged === oneShot,
+      s"row-level state merge ($merged) must equal the one-shot sketch " +
+        s"($oneShot) — KMV union is lossless at equal k")
+    val exact = df.select("s").distinct().count()
+    assert(math.abs(merged - exact.toDouble) / exact < 0.25,
+      s"merged estimate $merged vs exact $exact")
+  }
+
+  test("estimateExpr matches the aggregator's finish in both regimes") {
+    import spark.implicits._
+    val k = 32
+    // below k: exact size; above k: same round-half-up arithmetic
+    for (n <- Seq(10, 500)) {
+      val df = (1 to n).map(i => s"item$i").toDF("s")
+      val viaExpr = df.agg(KmvSketch.sketchState(col("s"), k).as("st"))
+        .select(KmvSketch.estimateExpr(col("st"), k))
+        .collect()(0).getLong(0)
+      val viaFinish = df.agg(KmvSketch.approxDistinct(col("s"), k))
+        .collect()(0).getLong(0)
+      assert(viaExpr === viaFinish, s"n=$n: $viaExpr vs $viaFinish")
+    }
+  }
 }

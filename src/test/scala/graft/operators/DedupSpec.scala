@@ -842,4 +842,54 @@ class DedupSpec extends SparkSpec {
         s"constant (was $fBefore before compaction)")
     Ivf.deleteRecursively(tmpRoot.toFile)
   }
+
+  test("repeatedSpans finds arbitrary-offset shared substrings, merges " +
+      "overlapping windows into maximal regions, splits on gaps > k") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 9).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $common s1 s2"),      // block at word offset 3
+      (2L, s"q1 $common r1 r2 r3 r4"),      // SAME block at offset 1
+      (3L, (100 to 114).map(i => s"u$i").mkString(" ")), // unique
+      (4L, s"$common $filler $common"))     // block twice, gap 9 > k=8
+    val tmp = java.nio.file.Files.createTempDirectory("repspan").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.repeatedSpans(spark, tmp, k = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    // the 10-word block holds stride-1 8-grams at 3 offsets; a block at
+    // word b flags positions b..b+2 → one region [b, b+10)
+    assert(out === Array(
+      (1L, 3L, 13L, 10L, 3L),
+      (2L, 1L, 11L, 10L, 3L),
+      (4L, 0L, 10L, 10L, 3L),   // two occurrences, 9-word gap > k
+      (4L, 19L, 29L, 10L, 3L)), // → two distinct maximal regions
+      s"got ${out.mkString(", ")}")
+  }
+
+  test("repeatedSpanExcise removes repeated regions everywhere, keeps " +
+      "unique docs intact, and its plan stays equi-join-only") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $common s1 s2"),
+      (2L, s"q1 $common r1 r2 r3 r4"),
+      (3L, "short unique doc"))
+    val tmp = java.nio.file.Files.createTempDirectory("repexc").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df = Dedup.repeatedSpanExcise(spark, tmp, k = 8, minDocs = 2)
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out === Array(
+      (1L, "p1 p2 p3 s1 s2", 10L),
+      (2L, "q1 r1 r2 r3 r4", 10L),
+      (3L, "short unique doc", 0L)), s"got ${out.mkString(", ")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"repeated-span pipeline must stay equi-join-only, got:\n$plan")
+  }
 }
