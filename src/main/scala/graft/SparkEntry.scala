@@ -130,6 +130,8 @@ object SparkEntry {
     // cross-doc maximal repeated substrings (Lee et al. substring dedup)
     "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(s, d)),
     "q_repeated_span_excise" -> ((s, d) => Dedup.repeatedSpanExcise(s, d)),
+    // admission-time substring guard vs the bucket-partitioned gram index
+    "q_span_guard" -> ((s, d) => Dedup.spanGuard(s, d)),
     "q_bloom_join" -> ((s, d) => BloomFilterJoin.urgentOrderRevenue(s, d)),
     "q_source_cap" -> ((s, d) =>
       graft.operators.Pipeline.sourceCap(s, d, cap = 20)),
@@ -509,21 +511,38 @@ object SparkEntry {
     "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
       "x -> len(x) > 0)) AS BIGINT)"
 
-  // shared CTE prefix for the repeated-substring oracles: stride-1
-  // 8-word anchors over every doc, the >=2-distinct-doc repeated gram
-  // set, and the flagged (doc_id, position) stream — mirrors
-  // Dedup.repeatedPositions (k = 8, minDocs = 2)
-  private val repeatedAnchorCtes =
+  // shared CTE prefixes for the repeated-substring oracles: stride-1
+  // 8-word anchors over every doc (anchorCtes), the >=2-distinct-doc
+  // repeated flagged stream (repeatedAnchorCtes — mirrors
+  // Dedup.repeatedPositions at k = 8, minDocs = 2), and the
+  // gaps-and-islands region merge tail (islandRegionSql — mirrors
+  // Dedup.islandRegions; expects a CTE `f`(doc_id, p))
+  private val anchorCtes =
     "WITH toks AS (SELECT doc_id, list_filter(" +
       "string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w " +
       "FROM documents), " +
       "anch AS (SELECT doc_id, CAST(u AS INT) AS p, array_to_string(" +
       "list_slice(w, CAST(u AS INT) + 1, CAST(u AS INT) + 8), ' ') " +
       "AS gram FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) " +
-      "AS u FROM toks WHERE len(w) >= 8)), " +
-      "rep AS (SELECT gram FROM anch GROUP BY gram " +
+      "AS u FROM toks WHERE len(w) >= 8)), "
+
+  private val repeatedAnchorCtes = anchorCtes +
+    "rep AS (SELECT gram FROM anch GROUP BY gram " +
       "HAVING count(DISTINCT doc_id) >= 2), " +
       "f AS (SELECT a.doc_id, a.p FROM anch a JOIN rep USING (gram)), "
+
+  private val islandRegionSql =
+    "isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
+      "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS brk " +
+      "FROM f), " +
+      "g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id " +
+      "ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS grp FROM isl) " +
+      "SELECT doc_id, CAST(min(p) AS BIGINT) AS start_word, " +
+      "CAST(max(p) + 8 AS BIGINT) AS end_word, " +
+      "CAST(max(p) + 8 - min(p) AS BIGINT) AS span_words, " +
+      "CAST(count(*) AS BIGINT) AS n_windows " +
+      "FROM g GROUP BY doc_id, grp"
 
   /** Golden VALUES for the 18-state table (iso, names, centroid, geometry
     * length + MultiPolygon prefix) — from the embedded resource, matching
@@ -1094,19 +1113,18 @@ object SparkEntry {
     // or touching flagged windows (gap <= 8) merge into one region via
     // gaps-and-islands. The Spark side's xxhash64 pre-group is a pure
     // pruning optimization (exact string confirm follows), invisible here.
-    "q_repeated_spans" ->
-      (repeatedAnchorCtes +
-        "isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
-        "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS brk " +
-        "FROM f), " +
-        "g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id " +
-        "ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS grp FROM isl) " +
-        "SELECT doc_id, CAST(min(p) AS BIGINT) AS start_word, " +
-        "CAST(max(p) + 8 AS BIGINT) AS end_word, " +
-        "CAST(max(p) + 8 - min(p) AS BIGINT) AS span_words, " +
-        "CAST(count(*) AS BIGINT) AS n_windows " +
-        "FROM g GROUP BY doc_id, grp"),
+    "q_repeated_spans" -> (repeatedAnchorCtes + islandRegionSql),
+    // span guard: history = doc_id % 5 != 0 (the indexed corpus),
+    // incoming = doc_id % 5 = 0; an incoming position is flagged when
+    // its 8-gram exists ANYWHERE in history, regions merge as above.
+    // The Spark side's bucket-partitioned hash index + static partition
+    // prune is invisible here (hash-bucket prune, exact string confirm).
+    "q_span_guard" ->
+      (anchorCtes +
+        "hist AS (SELECT DISTINCT gram FROM anch WHERE doc_id % 5 != 0), " +
+        "f AS (SELECT a.doc_id, a.p FROM anch a JOIN hist USING (gram) " +
+        "WHERE a.doc_id % 5 = 0), " +
+        islandRegionSql),
     // remove-everywhere excision of the same repeated regions: word
     // indexes covered by any flagged window drop; survivors reassemble
     // in order (same string_agg idiom as q_span_dedup)

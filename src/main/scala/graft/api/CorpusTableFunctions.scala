@@ -181,6 +181,18 @@ object CorpusTableFunctions {
         k = spanK(fn, bound), minDocs = spanMinDocs(fn, bound)))
     }
 
+    tvf("corpus_span_guard",
+      "corpus_span_guard(dir[, k]) - Admission-time substring guard " +
+        "demo: regions of held-out documents (doc_id % 5 = 0) whose " +
+        "k-gram windows already exist in the rest of the corpus, probed " +
+        "against a bucket-partitioned gram index.",
+      "SELECT * FROM corpus_span_guard('/data/c1');") { args =>
+      val fn = "corpus_span_guard"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      plan(Dedup.spanGuard(SparkSession.active, reqDir(fn, bound),
+        k = spanK(fn, bound)))
+    }
+
     tvf("corpus_keep_best",
       "corpus_keep_best(dir[, threshold]) - Quality-weighted dedup: keep " +
         "the LONGEST member of each near-dup cluster (tie -> min doc_id) " +

@@ -1376,19 +1376,45 @@ object Dedup {
     *     hint: AQE falls back to a shuffled semi-join and the contract
     *     is unchanged.)
     */
-  private[operators] def repeatedPositions(spark: SparkSession, dir: String,
-      k: Int, minDocs: Int): DataFrame = {
-    require(k >= 2, "k must be >= 2")
-    require(minDocs >= 2, "minDocs must be >= 2")
-    val toks = docs(spark, dir)
-      .select(col("doc_id"),
+  /** (doc_id, p, gram) stride-1 k-word anchors of a (doc_id, text)
+    * frame — one narrow codegen'd pass, no shuffle. */
+  private def anchorGrams(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
       .filter(size(col("w")) >= k)
-    val anchors = toks
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), size(col("w")) - k)).as("p"))
       .select(col("doc_id"), col("p"),
         concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("gram"))
+
+  /** Gaps-and-islands merge of flagged (doc_id, p) anchor positions
+    * into maximal `[start_word, end_word)` regions: windows at p and q
+    * overlap or touch iff |q − p| <= k. Two window passes + a group-by
+    * over the flagged subset only. */
+  private[operators] def islandRegions(flagged: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("doc_id").orderBy("p")
+    flagged
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(ord) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("grp",
+        sum("brk").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("p").as("mn"), max("p").as("mx"), count(lit(1)).as("nw"))
+      .select(col("doc_id"),
+        col("mn").cast("long").as("start_word"),
+        (col("mx") + k).cast("long").as("end_word"),
+        (col("mx") + k - col("mn")).cast("long").as("span_words"),
+        col("nw").cast("long").as("n_windows"))
+  }
+
+  private[operators] def repeatedPositions(spark: SparkSession, dir: String,
+      k: Int, minDocs: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val anchors = anchorGrams(docs(spark, dir), k)
     val repHash = anchors
       .select(xxhash64(col("gram")).as("gh"), col("doc_id"))
       .groupBy("gh")
@@ -1420,23 +1446,8 @@ object Dedup {
     * island merge is two window passes + a group-by over the flagged
     * subset only (duplicated-content-sized, not corpus-sized). */
   def repeatedSpans(spark: SparkSession, dir: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy("doc_id").orderBy("p")
-    repeatedPositions(spark, dir, k, minDocs)
-      .withColumn("brk",
-        when(col("p") - lag("p", 1).over(ord) <= k, lit(0)).otherwise(lit(1)))
-      .withColumn("grp",
-        sum("brk").over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min("p").as("mn"), max("p").as("mx"), count(lit(1)).as("nw"))
-      .select(col("doc_id"),
-        col("mn").cast("long").as("start_word"),
-        (col("mx") + k).cast("long").as("end_word"),
-        (col("mx") + k - col("mn")).cast("long").as("span_words"),
-        col("nw").cast("long").as("n_windows"))
-  }
+      k: Int = 8, minDocs: Int = 2): DataFrame =
+    islandRegions(repeatedPositions(spark, dir, k, minDocs), k)
 
   /** Cross-document substring EXCISION: rewrite each document with every
     * word inside a repeated region ([[repeatedSpans]]) removed. The
@@ -1473,5 +1484,85 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         (col("n_words") - coalesce(col("n_kept"), lit(0L)))
           .cast("long").as("n_dropped_words"))
+  }
+
+  // --------------------------------------------------- span-guard index
+
+  /** Build the span-guard index at `indexDir`: every DISTINCT k-gram of
+    * `history`, stored as (gh = xxhash64(gram), gram) PARTITIONED by
+    * `bucket = pmod(gh, nBuckets)`. The serving-side twin of
+    * [[repeatedSpans]]: instead of finding repeats WITHIN a corpus, the
+    * index answers "does this incoming document contain text the corpus
+    * already has" — the gram-level analogue of the live near-dup ingest
+    * index, for exact substring decontamination at admission time.
+    *
+    * Size is bounded by DISTINCT gram content (dedup within the build),
+    * and the bucket partitioning is what keeps probes sublinear: a
+    * probe's static `bucket IN` filter prunes whole directories, so a
+    * small batch touches a handful of buckets regardless of how big
+    * history is. Storing the gram string alongside its hash makes the
+    * probe EXACT (hash-bucket prune, string confirm); a hash-only index
+    * is 8 bytes/gram when ~2⁻⁶⁴ false flags are acceptable.
+    *
+    * `nBuckets` is part of the index LAYOUT: probes must pass the same
+    * value (a mismatched probe prunes to the wrong directories and
+    * silently misses — spec-pinned via the matched-value round-trip). */
+  def materializeGramIndex(spark: SparkSession, history: DataFrame,
+      indexDir: String, k: Int = 8, nBuckets: Int = 64): Unit =
+    anchorGrams(history, k)
+      .select(col("gram")).distinct()
+      .select(xxhash64(col("gram")).as("gh"), col("gram"))
+      .withColumn("bucket", pmod(col("gh"), lit(nBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+
+  /** Probe the span-guard index with a batch of incoming documents:
+    * maximal regions of each incoming doc whose k-gram windows already
+    * exist in the indexed history (same region semantics as
+    * [[repeatedSpans]]).
+    *
+    * Probe cost shape: the incoming batch's anchors are batch-sized;
+    * its distinct bucket set (≤ nBuckets ints, a batch-local job)
+    * becomes a STATIC partition filter on the index scan, the join is
+    * an equi-join on (gh, gram) — hash first, exact string confirm in
+    * the same key — and the island merge touches flagged positions
+    * only. History size enters ONLY through the pruned buckets read. */
+  def spanGuardProbe(spark: SparkSession, indexDir: String,
+      incoming: DataFrame, k: Int = 8, nBuckets: Int = 64): DataFrame = {
+    val probe = anchorGrams(incoming, k)
+      .withColumn("gh", xxhash64(col("gram")))
+      .withColumn("bucket", pmod(col("gh"), lit(nBuckets.toLong)))
+    val buckets = probe.select("bucket").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val none = islandRegions(
+      probe.select(col("doc_id"), col("p")).where(lit(false)), k)
+    if (buckets.isEmpty) return none
+    val hist = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("gh"), col("gram"))
+    val flagged = probe.join(hist, Seq("gh", "gram"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    islandRegions(flagged, k)
+  }
+
+  private val gramIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), String]
+
+  def clearGramIndexCache(): Unit = gramIndexCache.clear()
+
+  /** Demo split of the guard over one corpus dir (the oracle-able
+    * entry): documents with `doc_id % holdoutMod != 0` are "history"
+    * (indexed once per session), the rest are "incoming" and probed —
+    * regions reported are incoming text that history already contains. */
+  def spanGuard(spark: SparkSession, dir: String, k: Int = 8,
+      nBuckets: Int = 64, holdoutMod: Int = 5): DataFrame = {
+    val d = docs(spark, dir)
+    val idx = gramIndexCache.getOrElseUpdate((dir, k, nBuckets, holdoutMod), {
+      val p = java.nio.file.Files.createTempDirectory("gramindex").toString
+      materializeGramIndex(spark,
+        d.filter(col("doc_id") % holdoutMod =!= 0), p, k, nBuckets)
+      p
+    })
+    spanGuardProbe(spark, idx,
+      d.filter(col("doc_id") % holdoutMod === 0), k, nBuckets)
   }
 }

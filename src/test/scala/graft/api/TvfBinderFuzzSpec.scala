@@ -17,8 +17,8 @@ class TvfBinderFuzzSpec extends SparkSpec {
     CorpusTableFunctions.registerRuntime(spark)
   }
 
-  // BOTH registries, complete: the 11 SUDAN_* source TVFs and the 12
-  // corpus_* pipeline TVFs — the corpus family's num/numSeq binders have
+  // BOTH registries, complete: the 11 SUDAN_* source TVFs and every
+  // corpus_* pipeline TVF — the corpus family's num/numSeq binders have
   // malformed-literal paths the source TVFs never exercise
   private val fns = Seq("SUDAN_Providers", "SUDAN_States",
     "SUDAN_Boundaries", "SUDAN_WB_Indicators", "SUDAN_WHO_Indicators",
@@ -29,7 +29,7 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_soft_dedup", "corpus_mixture_schedule", "corpus_pagerank",
     "corpus_decontaminate", "corpus_eval_containment",
     "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe",
-    "corpus_repeated_spans", "corpus_span_excise")
+    "corpus_repeated_spans", "corpus_span_excise", "corpus_span_guard")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;

@@ -892,4 +892,56 @@ class DedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"repeated-span pipeline must stay equi-join-only, got:\n$plan")
   }
+
+  test("span-guard index: probe flags incoming text that history " +
+      "contains, reads only its buckets (static partition prune), and " +
+      "misses nothing vs a direct gram join") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this site" // 10 words
+    val hist = (0 until 30).map { i =>
+      val filler = (0 until 12).map(j => s"h${i}w$j").mkString(" ")
+      (100L + i, if (i % 3 == 0) s"$filler $boiler" else filler)
+    }
+    val tmpRoot = java.nio.file.Files.createTempDirectory("spanguard")
+    val idx = s"$tmpRoot/index"
+    Dedup.materializeGramIndex(spark,
+      hist.toDF("doc_id", "text"), idx, k = 8, nBuckets = 64)
+    // incoming: one doc embedding the boilerplate mid-text, one clean
+    val incoming = Seq(
+      (900L, s"fresh a1 a2 $boiler b1 b2"),
+      (901L, (0 until 20).map(j => s"new$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = Dedup.spanGuardProbe(spark, idx, incoming,
+      k = 8, nBuckets = 64)
+    val out = probe.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // boiler = 10 words at offset 3 → flagged anchors 3..5, one region
+    assert(out === Array((900L, 3L, 13L, 10L)), s"got ${out.mkString(",")}")
+    // the scan must carry a bucket partition filter and read fewer
+    // files than the index holds (the probe's ≤ a-few-buckets subset)
+    val scans = fileScans(probe.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.references.exists(
+        _.name == "bucket")))
+    assert(scans.nonEmpty, "no bucket-pruned index scan in the plan")
+    def idxFiles: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val read = scans.map(_.metrics("numFiles").value).sum
+    assert(read < idxFiles,
+      s"probe read $read of $idxFiles index files — pruning lost")
+    // exactness: the pruned probe equals an unpruned single-bucket
+    // index (nBuckets=1 → every gram in one partition, nothing prunable)
+    val idx1 = s"$tmpRoot/index1"
+    Dedup.materializeGramIndex(spark,
+      hist.toDF("doc_id", "text"), idx1, k = 8, nBuckets = 1)
+    val direct = Dedup.spanGuardProbe(spark, idx1, incoming,
+      k = 8, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(direct === out,
+      s"pruned probe diverged from unpruned: ${direct.mkString(",")}")
+    Ivf.deleteRecursively(tmpRoot.toFile)
+  }
 }
