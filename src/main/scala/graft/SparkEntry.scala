@@ -132,6 +132,9 @@ object SparkEntry {
     "q_repeated_span_excise" -> ((s, d) => Dedup.repeatedSpanExcise(s, d)),
     // admission-time substring guard vs the bucket-partitioned gram index
     "q_span_guard" -> ((s, d) => Dedup.spanGuard(s, d)),
+    // EXACT set-similarity join (PPJoin prefix filter) on the SAME
+    // shingle-Jaccard measure as q_minhash_pairs — recall-1, no LSH
+    "q_setsim_pairs" -> ((s, d) => Dedup.setSimPairs(s, d)),
     "q_bloom_join" -> ((s, d) => BloomFilterJoin.urgentOrderRevenue(s, d)),
     "q_source_cap" -> ((s, d) =>
       graft.operators.Pipeline.sourceCap(s, d, cap = 20)),
@@ -1125,6 +1128,16 @@ object SparkEntry {
         "f AS (SELECT a.doc_id, a.p FROM anch a JOIN hist USING (gram) " +
         "WHERE a.doc_id % 5 = 0), " +
         islandRegionSql),
+    // exact set-similarity join: the oracle IS the brute-force all-pairs
+    // shingle Jaccard (recall 1 is the contract — the prefix filter must
+    // find every pair the quadratic scan finds; same CTE + measure as
+    // q_minhash_pairs, whose LSH recall on this corpus this proves)
+    "q_setsim_pairs" ->
+      (shingleCte +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        s"round($jaccardSqlExpr, 4) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5"),
     // remove-everywhere excision of the same repeated regions: word
     // indexes covered by any flagged window drop; survivors reassemble
     // in order (same string_agg idiom as q_span_dedup)

@@ -146,6 +146,20 @@ object CorpusTableFunctions {
         threshold = optNum(fn, bound, "threshold", 0.5)))
     }
 
+    tvf("corpus_setsim_pairs",
+      "corpus_setsim_pairs(dir[, threshold]) - EXACT set-similarity " +
+        "join (PPJoin prefix filtering) on the same shingle-Jaccard " +
+        "measure as corpus_neardup_pairs, recall 1 (no LSH).",
+      "SELECT * FROM corpus_setsim_pairs('/data/c1', 0.7);") { args =>
+      val fn = "corpus_setsim_pairs"
+      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      val t = optNum(fn, bound, "threshold", 0.5)
+      if (t <= 0.0 || t > 1.0) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'threshold' must be in (0, 1], got $t.")
+      plan(Dedup.setSimPairs(SparkSession.active, reqDir(fn, bound),
+        threshold = t))
+    }
+
     tvf("corpus_dedup_keep",
       "corpus_dedup_keep(dir[, threshold]) - Near-duplicate cluster " +
         "representatives: one kept doc_id per connected near-dup cluster.",

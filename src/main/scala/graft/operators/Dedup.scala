@@ -1486,6 +1486,186 @@ object Dedup {
           .cast("long").as("n_dropped_words"))
   }
 
+  // ------------------------------------------- exact set-similarity join
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/All-Pairs family — Xiao et al. WWW'08, Bayardo et al.
+    * WWW'07): all document pairs whose word-`shingleK`-gram SHINGLE-set
+    * Jaccard (4-dp rounded, the repo-wide compare grid) is >=
+    * `threshold`, with recall exactly 1 — the deterministic counterpart
+    * of [[minHashPairs]] on the SAME similarity measure (on a corpus
+    * where LSH recall happens to be 1, the two outputs coincide; this
+    * one needs no recall argument).
+    *
+    * Shingle sets, not word sets, deliberately: set-similarity joins
+    * need a token universe where rarity EXISTS. This corpus has 31
+    * distinct words each in ~75% of documents (word sets are
+    * degenerate — measured ~7M qualifying pairs at sf0.1 even at 0.9),
+    * but 27k distinct 3-word shingles with max df 25 — which is also
+    * why the MinHash path shingles first. Natural corpora are zipfian
+    * in both, but the shingle tail is always the fatter one.
+    *
+    * Why candidates stay bounded without hashing: order every
+    * document's shingles by GLOBAL rarity (document frequency asc,
+    * shingle asc — any consistent total order works), and keep only
+    * each document's first `n − ceil(t'·n) + 1` as its PREFIX. Two sets
+    * with Jaccard >= t MUST share a prefix token (pigeonhole on the
+    * overlap bound), so an equi-join on prefix tokens finds every
+    * qualifying pair — and because prefixes are the RAREST shingles,
+    * join buckets are small by construction. `t' = threshold − 0.001`
+    * slack keeps generation a superset under the 4-dp rounding
+    * contract (verification is exact, so slack only costs candidates,
+    * never correctness).
+    *
+    * Shuffle ledger: (1) shingle → document-frequency group-by;
+    * (2) rarity join + per-doc sort group-by (doc_id); (3) prefix
+    * equi-join on shingle with the two-sided size filter
+    * (t'·max(na,nb) <= min(na,nb) — necessary for J >= t); (4) exact
+    * `array_intersect` verify on the candidate pairs only. Nothing is
+    * all-pairs; [[setSimHotTokens]] is the observability twin listing
+    * any prefix shingle whose bucket exceeds `maxBucket` (the LSH-cap
+    * analogue — here it only reports, since capping would break the
+    * exactness contract).
+    *
+    * Stages (1)–(2) run ONCE per corpus via the build-once tables
+    * ([[materializeSetSimTables]], `materialized = true` default) —
+    * without that, the self-join + verify recompute the shingle
+    * explode on four plan branches (measured 17 s → ~1 s warm at
+    * sf0.1, the same trade every materialized table here makes). */
+  private val setSimCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Double, Int), String]()
+
+  /** Build-once tables for [[setSimPairs]] (same immutable-corpus
+    * session-cache contract as [[materializeSignatures]]):
+    * `<path>/prefix` = the rarity-ordered prefix tokens (doc_id, n,
+    * tok) and `<path>/sets` = the full shingle arrays (doc_id, ws).
+    * The shingle explode + df group-by + per-doc rarity sort — the
+    * dominant cost, and one the join would otherwise recompute on
+    * every plan branch — runs once per (dir, threshold, k). */
+  def materializeSetSimTables(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, shingleK: Int = 3): String =
+    setSimCache.computeIfAbsent((dir, threshold, shingleK), { _ =>
+      val path = java.nio.file.Files.createTempDirectory("setsim").toString
+      // `wh` = per-element xxhash64 of the shingle set: the bulk verify
+      // intersects the LONG arrays (8 B/element, no string equality)
+      // and only survivors touch the string arrays — same
+      // hash-prune/string-confirm split as repeatedPositions
+      val sets = docs(spark, dir)
+        .select(col("doc_id"),
+          shingleArray(col("text"), shingleK).as("ws"))
+        .withColumn("wh", transform(col("ws"), x => xxhash64(x)))
+      sets.write.mode("overwrite").parquet(s"$path/sets")
+      setSimPrefixes(spark.read.parquet(s"$path/sets"), threshold - 0.001)
+        .write.mode("overwrite").parquet(s"$path/prefix")
+      path
+    })
+
+  /** Drop materialized set-sim tables AND delete their directories. */
+  def clearSetSimCache(): Unit = {
+    setSimCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
+    setSimCache.clear()
+  }
+
+  def setSimPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      materialized: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val tSlack = threshold - 0.001
+    val (sets, prefixed) =
+      if (materialized) {
+        val p = materializeSetSimTables(spark, dir, threshold, shingleK)
+        (spark.read.parquet(s"$p/sets"),
+          spark.read.parquet(s"$p/prefix"))
+      } else {
+        val s = docs(spark, dir).select(col("doc_id"),
+          shingleArray(col("text"), shingleK).as("ws"))
+          .withColumn("wh", transform(col("ws"), x => xxhash64(x)))
+        (s, setSimPrefixes(s, tSlack))
+      }
+    // positional filter (PPJoin proper): every shared element of two
+    // sets sorted in the SAME global order sits at sorted-position
+    // >= the first shared token's position in BOTH, so the overlap is
+    // bounded by min(remaining) — a pair survives iff SOME shared
+    // prefix token passes, and its first shared token always does when
+    // J >= t. The un-ceiled alpha keeps the bound a superset under fp
+    // rounding.
+    val alpha = tSlack / (1.0 + tSlack)
+    val cand = prefixed
+      .select(col("tok"), col("doc_id").as("doc_a"), col("n").as("na"),
+        col("pos").as("pa"))
+      .join(prefixed.select(col("tok"), col("doc_id").as("doc_b"),
+        col("n").as("nb"), col("pos").as("pb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("na") * tSlack <= col("nb") &&
+        col("nb") * tSlack <= col("na"))
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        lit(alpha) * (col("na") + col("nb")) - lit(1e-9))
+      .select("doc_a", "doc_b").distinct()
+    // bulk verify on the LONG hash arrays with a slack prune, exact
+    // string confirm on the survivors only (a 64-bit collision would
+    // shift the hash-Jaccard by ~2/n — the 0.05 slack absorbs orders of
+    // magnitude more than that; the final filter is string-exact)
+    val bulk = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("wh").as("wh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("wh").as("wh_b")),
+        Seq("doc_b"))
+      .withColumn("ih", size(array_intersect(col("wh_a"), col("wh_b"))))
+      .filter(col("ih").cast("double") /
+        (size(col("wh_a")) + size(col("wh_b")) - col("ih"))
+          .cast("double") >= threshold - 0.05)
+      .select("doc_a", "doc_b")
+    bulk
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("ws_a")) + size(col("ws_b")) - col("inter"))
+            .cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Rarity-ordered prefix tokens of each doc's shingle set:
+    * (doc_id, n = set size, pos = 0-based sorted position, tok) for the
+    * first `n − ceil(t'·n) + 1` shingles in (global df asc, shingle
+    * asc) order. */
+  private def setSimPrefixes(sets: DataFrame, tSlack: Double): DataFrame = {
+    val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("sw"))
+      .select(col("doc_id"),
+        expr("transform(sw, x -> x.tok)").as("w"), size(col("sw")).as("n"))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * tSlack) + 1).cast("int"))
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("w"), lit(1), col("plen")))
+          .as(Seq("pos", "tok")))
+  }
+
+  /** Prefix shingles whose candidate bucket exceeds `maxBucket` — what
+    * a skewed corpus would pay in candidate volume. Non-empty output is
+    * the signal to raise the threshold or pre-drop boilerplate docs;
+    * the join itself stays exact (no silent capping). */
+  def setSimHotTokens(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sets = docs(spark, dir)
+      .select(col("doc_id"), shingleArray(col("text"), shingleK).as("ws"))
+    setSimPrefixes(sets, threshold - 0.001)
+      .groupBy("tok").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+  }
+
   // --------------------------------------------------- span-guard index
 
   /** Build the span-guard index at `indexDir`: every DISTINCT k-gram of

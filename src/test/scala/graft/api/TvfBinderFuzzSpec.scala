@@ -29,7 +29,8 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_soft_dedup", "corpus_mixture_schedule", "corpus_pagerank",
     "corpus_decontaminate", "corpus_eval_containment",
     "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe",
-    "corpus_repeated_spans", "corpus_span_excise", "corpus_span_guard")
+    "corpus_repeated_spans", "corpus_span_excise", "corpus_span_guard",
+    "corpus_setsim_pairs")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;

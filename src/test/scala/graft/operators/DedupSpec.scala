@@ -944,4 +944,53 @@ class DedupSpec extends SparkSpec {
       s"pruned probe diverged from unpruned: ${direct.mkString(",")}")
     Ivf.deleteRecursively(tmpRoot.toFile)
   }
+
+  test("setSimPairs: prefix filtering finds EXACTLY the brute-force " +
+      "shingle-Jaccard pairs (recall 1) with no cartesian plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val randomDocs = (1 to 40).map { i =>
+      (i.toLong, (0 until 30).map(_ => s"w${rnd.nextInt(60)}")
+        .mkString(" "))
+    }
+    // planted near-identical pair (shingle Jaccard well above threshold)
+    val base = (0 until 20).map(j => s"p$j")
+    val planted = Seq(
+      (41L, base.mkString(" ")),
+      (42L, (base.drop(2) ++ Seq("x1", "x2")).mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("setsim").toString
+    (randomDocs ++ planted).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dfOut = Dedup.setSimPairs(spark, tmp, threshold = 0.5)
+    val got = dfOut.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side brute force over every pair, same shingle helper
+    val sets = (randomDocs ++ planted).map { case (id, t) =>
+      id -> Dedup.shingles(t, 3)
+    }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      if jr >= 0.5
+    } yield (ia, ib) -> jr).toMap
+    assert(want.contains((41L, 42L)), "fixture must plant a real pair")
+    assert(got.keySet === want.keySet,
+      s"prefix filter missed/added pairs: got ${got.keySet} want " +
+        s"${want.keySet}")
+    want.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-9, s"$k: ${got(k)} vs $j")
+    }
+    val plan = dfOut.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the prefix equi-join, got:\n$plan")
+    // materialized (default) ≡ recomputing form — the standard pin for
+    // every build-once table here
+    val recomputed = Dedup.setSimPairs(spark, tmp, threshold = 0.5,
+      materialized = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(recomputed === got, "materialized form diverged")
+  }
 }
