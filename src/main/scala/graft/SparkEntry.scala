@@ -287,6 +287,8 @@ object SparkEntry {
     // pairwise-overlap estimates derived from the states alone
     "q_sketch_sources" -> ((s, d) =>
       graft.operators.SketchOps.sourceDistinctTexts(s, d)),
+    // hourly LOCF gap-fill resample of each user's event stream
+    "q_resample_locf" -> (Relational.resampleLocf _),
     "q_sketch_overlap" -> ((s, d) =>
       graft.operators.SketchOps.eventTypeUserOverlap(s, d)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -2556,6 +2558,25 @@ object SparkEntry {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
         "count(DISTINCT user_id) AS n_users " +
         "FROM events GROUP BY 1, 2, 3"),
+    // hourly LOCF resample: epoch-hour LONG buckets (engine-exact), the
+    // same rn-desc last-observation rule, dense per-user grid, and
+    // IGNORE NULLS carry-forward — carried values are exact copies of
+    // parquet doubles, so no rounding is needed anywhere
+    "q_resample_locf" ->
+      ("WITH e AS (SELECT user_id, event_id, value, ts, " +
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events), " +
+        "h AS (SELECT user_id, hb, value AS v FROM (SELECT user_id, hb, " +
+        "value, row_number() OVER (PARTITION BY user_id, hb " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM e) t WHERE rn = 1), " +
+        "b AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM e " +
+        "GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb FROM b), " +
+        "j AS (SELECT g.user_id, g.hb, h.v FROM g LEFT JOIN h " +
+        "ON h.user_id = g.user_id AND h.hb = g.hb) " +
+        "SELECT user_id, hb AS hour_bucket, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS value, v IS NULL AS filled FROM j"),
     // embedding near-dup pairs: same bucket re-derivation, threshold filter
     "q_embed_neardup" ->
       ("WITH b AS (SELECT vec_id, e, " + bucketSqlExpr(8) + " AS bucket " +

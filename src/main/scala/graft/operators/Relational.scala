@@ -632,4 +632,41 @@ object Relational {
   /** [[summarize]] over the orders table — the oracle-checked entry. */
   def summarizeOrders(spark: SparkSession, dir: String): DataFrame =
     summarize(spark.read.parquet(s"$dir/orders.parquet"))
+
+  /** Time-series gap-fill: resample each user's event stream onto a
+    * dense hourly grid with last-observation-carried-forward (LOCF) —
+    * the standard irregular→regular series prep (feature snapshots,
+    * "state as of hour H" joins). Per (user, hour) the LAST observation
+    * wins ((ts, event_id) descending — deterministic under same-second
+    * ties); hours with no event carry the previous value and are marked
+    * `filled`.
+    *
+    * Scale shape: one keyed window per (user, hour) for the last
+    * observation, one tiny per-user min/max aggregate, a grid explode
+    * bounded by users × span-hours (NOT events — the grid is the
+    * output's own size), and one per-user ordered window for the fill.
+    * All shuffles key on user_id and reuse the partitioning; nothing is
+    * corpus-quadratic. Epoch-hour LONG buckets keep the arithmetic
+    * engine-exact (same trick as the windowed-stats oracle). */
+  def resampleLocf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"))
+    val wlast = Window.partitionBy("user_id", "hb")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = e.withColumn("rn", row_number().over(wlast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hb"), col("value").as("v"))
+    val grid = e.groupBy("user_id")
+      .agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("hb"))
+    val wfill = Window.partitionBy("user_id").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hb"), "left")
+      .select(col("user_id"), col("hb").as("hour_bucket"),
+        last(col("v"), ignoreNulls = true).over(wfill).as("value"),
+        col("v").isNull.as("filled"))
+  }
 }

@@ -241,4 +241,32 @@ class RelationalSpec extends SparkSpec {
     assert("Expand".r.findAllIn(plan).length <= 1,
       "multi-distinct resolves to one Expand pass")
   }
+
+  test("resampleLocf: dense hourly grid, last-in-hour wins, gaps carry " +
+      "forward and are marked filled") {
+    import spark.implicits._
+    val h0 = 1704067200L // 2024-01-01 00:00:00 UTC, hour-aligned
+    def ts(hour: Long, sec: Long) =
+      new java.sql.Timestamp((h0 + hour * 3600 + sec) * 1000)
+    // user 1: hours 0 (two events — later one wins), 3; user 2: hour 1
+    val rows = Seq(
+      (1L, 10L, 1.0, ts(0, 100)),
+      (1L, 11L, 2.0, ts(0, 200)), // same hour, later ts → wins
+      (1L, 12L, 9.0, ts(3, 50)),
+      (2L, 20L, 5.0, ts(1, 10)))
+    val tmp = java.nio.file.Files.createTempDirectory("locf").toString
+    rows.toDF("user_id", "event_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Relational.resampleLocf(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    val base = h0 / 3600
+    assert(out === Map(
+      (1L, base + 0) -> (2.0, false), // last-in-hour rule
+      (1L, base + 1) -> (2.0, true),  // gap: carried + filled
+      (1L, base + 2) -> (2.0, true),
+      (1L, base + 3) -> (9.0, false),
+      (2L, base + 1) -> (5.0, false)), s"got $out")
+  }
 }
