@@ -287,8 +287,18 @@ object SparkEntry {
     // pairwise-overlap estimates derived from the states alone
     "q_sketch_sources" -> ((s, d) =>
       graft.operators.SketchOps.sourceDistinctTexts(s, d)),
+    // cross-snapshot sketch persistence: two STORED snapshot sketch
+    // tables merge into combined-corpus estimates without rescanning
+    // snapshot 1 (incremental maintenance, exact below k)
+    "q_sketch_snapshot_merge" -> ((s, d) =>
+      graft.operators.SketchOps.snapshotSketchMerge(s, d)),
+    // mergeable bottom-k quantile sketch table: per-source length
+    // percentiles + a row-level-merged __ALL__ row (exact below k,
+    // discrete-quantile rule shared with the oracle)
+    "q_quantile_sources" -> ((s, d) =>
+      graft.operators.SketchOps.sourceLengthQuantiles(s, d)),
     // hourly LOCF gap-fill resample of each user's event stream
-    "q_resample_locf" -> (Relational.resampleLocf _),
+    "q_resample_locf" -> ((s, d) => Relational.resampleLocf(s, d)),
     "q_sketch_overlap" -> ((s, d) =>
       graft.operators.SketchOps.eventTypeUserOverlap(s, d)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -2481,6 +2491,29 @@ object SparkEntry {
         "AS est_distinct FROM documents GROUP BY source " +
         "UNION ALL SELECT '__ALL__' AS scope, " +
         "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents"),
+    // merging the two persisted snapshot sketch tables must equal the
+    // whole-corpus distinct counts (the snapshots partition the corpus
+    // by doc_id parity; states stay exact below k)
+    "q_sketch_snapshot_merge" ->
+      ("SELECT source AS scope, CAST(count(DISTINCT text) AS BIGINT) " +
+        "AS est_distinct FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents"),
+    // bottom-k quantile sketch, exact-below-k regime: the state holds
+    // every (hash, n_chars) row, and quantileExpr's ceil(q*n) discrete
+    // rule is quantile_disc's — so sketch quantiles ARE the exact ones
+    "q_quantile_sources" ->
+      ("SELECT source AS scope, " +
+        "CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25, " +
+        "CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50, " +
+        "CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75 " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25, " +
+        "CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50, " +
+        "CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75 " +
         "FROM documents"),
     "q_sketch_overlap" ->
       ("WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +

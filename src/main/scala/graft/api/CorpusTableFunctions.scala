@@ -336,6 +336,51 @@ object CorpusTableFunctions {
         maxEpochs = optNum(fn, bound, "max_epochs", 2.0)))
     }
 
+    tvf("corpus_sketch_sources",
+      "corpus_sketch_sources(dir[, k]) - Distinct-text estimate per " +
+        "document source plus a __ALL__ row merged from the per-source " +
+        "KMV sketch states (k-minimum-values, default k = 65536; exact " +
+        "below k).",
+      "SELECT * FROM corpus_sketch_sources('/data/c1');") { args =>
+      val fn = "corpus_sketch_sources"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.sourceDistinctTexts(
+        SparkSession.active, reqDir(fn, bound), k))
+    }
+
+    tvf("corpus_sketch_snapshot_merge",
+      "corpus_sketch_snapshot_merge(dir[, k]) - Combined-corpus distinct " +
+        "estimates derived by merging two STORED snapshot sketch tables " +
+        "(parquet) — the incremental-maintenance path: snapshot 1's raw " +
+        "data is never rescanned.",
+      "SELECT * FROM corpus_sketch_snapshot_merge('/data/c1');") { args =>
+      val fn = "corpus_sketch_snapshot_merge"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.snapshotSketchMerge(
+        SparkSession.active, reqDir(fn, bound), k))
+    }
+
+    tvf("corpus_quantile_sources",
+      "corpus_quantile_sources(dir[, k]) - Per-source document-length " +
+        "quantiles (p25/p50/p75) plus a __ALL__ row merged from stored-" +
+        "shape bottom-k quantile sketch states (exact below k, discrete-" +
+        "quantile rule).",
+      "SELECT * FROM corpus_quantile_sources('/data/c1');") { args =>
+      val fn = "corpus_quantile_sources"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.sourceLengthQuantiles(
+        SparkSession.active, reqDir(fn, bound), k))
+    }
+
     tvf("corpus_ann_probe",
       "corpus_ann_probe(dir, query_id[, k]) - Top-k approximate nearest " +
         "neighbours of embedding `query_id` via the build-once IVF-PQ " +

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.immutable.TreeSet
+
+/** Bottom-k uniform-sample quantile sketch — the quantile analogue of
+  * [[KmvSketch]]: per group, keep the rows whose 64-bit row-id hashes
+  * are the k smallest. Because the hash is uniform over row ids, the
+  * kept rows are a uniform without-replacement sample of the group, so
+  * the sample's empirical quantiles estimate the group's; below k the
+  * state holds EVERY row and quantiles are exact (the oracle regime).
+  *
+  * Like the KMV sketch, the state is STORABLE and MERGEABLE with a
+  * closed-form row-level merge (union the (hash, value) pairs, keep
+  * the k smallest hashes — exactly what a one-shot sketch over the
+  * union would have kept), so per-shard/per-snapshot sketch tables
+  * answer later cross-shard quantile questions without rescanning raw
+  * data. Deterministic end to end (fixed FNV hash, no RNG).
+  *
+  * Quantile rule: value at 1-based index `ceil(q·n)` of the
+  * value-sorted sample — the discrete quantile (smallest value with
+  * cumulative fraction >= q), matching DuckDB's `quantile_disc` /
+  * Postgres `percentile_disc`, which is what lets the driver's SQL
+  * oracle pin results exactly in the below-k regime.
+  */
+object QuantileSketch {
+
+  /** Sketch state: the k pairs with smallest hashes, ordered by
+    * (hash, value). */
+  final case class State(k: Int, mins: TreeSet[(Long, Double)])
+
+  /** FNV-1a 64-bit over the 8 bytes of a row id — stable across JVMs,
+    * no dependencies, non-negative (ordering-friendly). */
+  private[functions] def hash64(id: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < 8) {
+      h ^= (id >>> (i * 8)) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h & Long.MaxValue
+  }
+
+  /** Typed aggregator over (row id, value) pairs; finishes to the
+    * storable state: (hash, value) pairs sorted by hash ascending. */
+  final class QuantileStateSketch(k: Int)
+      extends Aggregator[(Long, Double), State, Seq[(Long, Double)]] {
+    override def zero: State = State(k, TreeSet.empty)
+
+    override def reduce(b: State, a: (Long, Double)): State = {
+      val e = (hash64(a._1), a._2)
+      if (b.mins.size < b.k) b.copy(mins = b.mins + e)
+      else if (Ordering[(Long, Double)].lt(e, b.mins.last))
+        b.copy(mins = (b.mins + e).take(b.k))
+      else b
+    }
+
+    override def merge(x: State, y: State): State =
+      x.copy(mins = (x.mins ++ y.mins).take(x.k))
+
+    override def finish(s: State): Seq[(Long, Double)] = s.mins.toSeq
+
+    override def bufferEncoder: Encoder[State] =
+      org.apache.spark.sql.Encoders.kryo[State]
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** Sketch STATE as a column value (array of (hash, value) structs,
+    * hash-ascending). `id` must be row-unique (e.g. doc_id) — it seeds
+    * the uniform sample. */
+  def sketchState(id: Column, v: Column, k: Int = 65536): Column =
+    org.apache.spark.sql.functions.udaf(new QuantileStateSketch(k))
+      .apply(id, v)
+
+  /** Merge an array-of-states column back into one valid state: the k
+    * smallest (hash, value) pairs of the union — bit-identical to a
+    * one-shot sketch over the concatenated inputs (struct array_sort
+    * orders by the leading hash field). Pure codegen'd array
+    * expressions; never touches raw data. */
+  def mergeStatesExpr(states: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_distinct(flatten(states))), 1, k)
+  }
+
+  /** Discrete quantile over a state column: value at 1-based index
+    * ceil(q·n) of the value-sorted sample (exact below k). */
+  def quantileExpr(state: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val vals = array_sort(transform(state, x => x.getField("_2")))
+    element_at(vals,
+      greatest(lit(1), ceil(lit(q) * size(state))).cast("int"))
+  }
+}

@@ -648,9 +648,25 @@ object Relational {
     * All shuffles key on user_id and reuse the partitioning; nothing is
     * corpus-quadratic. Epoch-hour LONG buckets keep the arithmetic
     * engine-exact (same trick as the windowed-stats oracle). */
-  def resampleLocf(spark: SparkSession, dir: String): DataFrame = {
+  def resampleLocf(spark: SparkSession, dir: String,
+      maxGridHours: Int = 8784): DataFrame =
+    resampleLocfFrom(events(spark, dir), maxGridHours)
+
+  /** [[resampleLocf]] over an arbitrary (user_id, event_id, value, ts)
+    * frame. `maxGridHours` bounds the per-user grid (default one leap
+    * year of hours): a single user whose history spans a decade would
+    * otherwise explode an unbounded `sequence(lo, hi)` inside ONE task
+    * at production depth. Out-of-contract users are CLAMPED to their
+    * most recent `maxGridHours` hours (their old observations still
+    * seed the LOCF carry at the clamped window's left edge), and the
+    * clamp is observable inline — an `observe` metric + WARN listener,
+    * the same convention as the LSH `maxBucket` cap — so a silent
+    * semantics change cannot hide. */
+  private[operators] def resampleLocfFrom(eventsDf: DataFrame,
+      maxGridHours: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = events(spark, dir)
+    require(maxGridHours > 0, "maxGridHours must be positive")
+    val e = eventsDf
       .select(col("user_id"), col("event_id"), col("value"), col("ts"),
         floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"))
     val wlast = Window.partitionBy("user_id", "hb")
@@ -658,15 +674,87 @@ object Relational {
     val hourly = e.withColumn("rn", row_number().over(wlast))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("hb"), col("value").as("v"))
-    val grid = e.groupBy("user_id")
+    val spans = e.groupBy("user_id")
       .agg(min("hb").as("lo"), max("hb").as("hi"))
-      .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"))).as("hb"))
+      .withColumn("clamped_lo",
+        greatest(col("lo"), col("hi") - lit(maxGridHours.toLong) + 1))
+    ensureClampListener(eventsDf.sparkSession)
+    val observed = spans.observe(gridClampMetricName(),
+      coalesce(sum(when(col("clamped_lo") > col("lo"), 1L)
+        .otherwise(0L)), lit(0L)).as("clamped_users"),
+      coalesce(sum(col("clamped_lo") - col("lo")), lit(0L))
+        .as("dropped_hours"))
+    val grid = observed.select(col("user_id"),
+      explode(sequence(col("clamped_lo"), col("hi"))).as("hb"))
+      .join(hourly, Seq("user_id", "hb"), "left")
+      .select(col("user_id"), col("hb"), col("v"),
+        lit(true).as("in_grid"))
+    // clamped users' PRE-window observations ride along (event-sized,
+    // never exploded) so the LOCF carry at the window's left edge sees
+    // them, then drop out of the emitted grid
+    val pre = hourly
+      .join(spans.select(col("user_id"), col("clamped_lo")),
+        Seq("user_id"))
+      .filter(col("hb") < col("clamped_lo"))
+      .select(col("user_id"), col("hb"), col("v"),
+        lit(false).as("in_grid"))
     val wfill = Window.partitionBy("user_id").orderBy("hb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hb"), "left")
+    grid.unionByName(pre)
       .select(col("user_id"), col("hb").as("hour_bucket"),
         last(col("v"), ignoreNulls = true).over(wfill).as("value"),
-        col("v").isNull.as("filled"))
+        col("v").isNull.as("filled"), col("in_grid"))
+      .filter(col("in_grid"))
+      .drop("in_grid")
   }
+
+  private val gridClampSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def gridClampMetricName(): String =
+    s"graft_grid_clamp_${gridClampSeq.incrementAndGet()}"
+
+  /** Last clamp counts per observation name — (clamped_users,
+    * dropped_hours); test hook + ops surface, bounded like
+    * [[Dedup.lastPrune]]. */
+  private[operators] val lastGridClamp: java.util.Map[String, (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long)](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+          size() > 256
+      })
+
+  private val clampListenerInstalled =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Install (once per session) the listener surfacing grid clamps
+    * inline — same shape as [[Dedup.ensurePruneListener]]. */
+  private def ensureClampListener(spark: SparkSession): Unit =
+    if (clampListenerInstalled.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_grid_clamp")) {
+                val users = row.getAs[Long]("clamped_users")
+                val hours = row.getAs[Long]("dropped_hours")
+                lastGridClamp.put(name, (users, hours))
+                if (users > 0)
+                  log.warn(s"$name: maxGridHours clamped $users user(s)" +
+                    s", dropping $hours grid hour(s) of pre-window " +
+                    "fill — their LOCF series starts at the window's " +
+                    "left edge (older observations still seed the carry)")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
 }

@@ -86,4 +86,92 @@ object SketchOps {
       k: Int = 65536): DataFrame =
     overlapMatrix(Relational.events(spark, dir), "event_type",
       col("user_id").cast("string"), k, outA = "type_a", outB = "type_b")
+
+  // --------------------------------------------- quantile sketch table
+
+  /** Per-source document-length quantiles PLUS an `__ALL__` row, all
+    * derived from stored-shape [[graft.functions.QuantileSketch]]
+    * states — the quantile twin of [[sourceDistinctTexts]]: one
+    * map-side-combined pass builds a bounded (k-pair) state per source,
+    * and the global row is a row-level state merge, never a rescan. At
+    * 100 TB this is how per-shard length/quality distributions roll up
+    * into corpus-wide percentile reports: nightly sketch rows, array
+    * arithmetic after. Exact below k (discrete-quantile rule matches
+    * DuckDB `quantile_disc`), so the driver's oracle pins every value. */
+  def sourceLengthQuantiles(spark: SparkSession, dir: String,
+      k: Int = 65536, qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import graft.functions.QuantileSketch
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    def qCols(state: Column): Seq[Column] =
+      qs.map(q => QuantileSketch.quantileExpr(state,
+        q).as(s"p${math.round(q * 100)}"))
+    val sk = docs(spark, dir).groupBy(col("source"))
+      .agg(QuantileSketch.sketchState(col("doc_id"),
+        col("n_chars").cast("double"), k).as("qsk"))
+    val per = sk.select(col("source").as("scope") +: qCols(col("qsk")): _*)
+    val all = sk.agg(collect_list(col("qsk")).as("states"))
+      .select(lit("__ALL__").as("scope") +:
+        qCols(QuantileSketch.mergeStatesExpr(col("states"), k)): _*)
+    per.union(all)
+  }
+
+  // ------------------------------------ persisted cross-snapshot merge
+
+  /** Session cache for the persisted-snapshot demo: two sketch TABLES
+    * written to parquet once per (dir, k). */
+  private val snapshotDemoCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), String]()
+
+  def clearSnapshotDemoCache(): Unit = {
+    snapshotDemoCache.values.forEach(p =>
+      Ivf.deleteRecursively(new java.io.File(p)))
+    snapshotDemoCache.clear()
+  }
+
+  /** Write the two demo snapshot sketch tables (doc_id parity split of
+    * the corpus — a deterministic stand-in for "last night's shard" and
+    * "tonight's shard") and return their root. Each table is one
+    * (source, sketch) row per source, a few KB — the artifact a nightly
+    * job would land next to its shard. */
+  private[operators] def snapshotTables(spark: SparkSession, dir: String,
+      k: Int): String =
+    snapshotDemoCache.computeIfAbsent((dir, k), { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("sketch_snapshots").toString
+      val d = docs(spark, dir)
+      sketchTable(d.filter(col("doc_id") % 2 === 0), "source",
+        col("text"), k).write.mode("overwrite").parquet(s"$root/snap1")
+      sketchTable(d.filter(col("doc_id") % 2 =!= 0), "source",
+        col("text"), k).write.mode("overwrite").parquet(s"$root/snap2")
+      root
+    })
+
+  /** The incremental-maintenance proof, executed: per-source (and
+    * `__ALL__`) distinct-text estimates for the COMBINED corpus, derived
+    * by merging the two STORED snapshot sketch tables — the raw corpus
+    * of snapshot 1 is never rescanned (the plan reads only the two
+    * sketch parquet files; spec-asserted). This is how the nightly
+    * pipeline answers "how many distinct docs do we have now" after
+    * every incremental shard: sketch ONLY the new shard, then row-merge
+    * the stored states. Estimates are exact below k (both snapshot
+    * states and their union hold every distinct hash), which is what
+    * lets the driver's SQL oracle pin them as exact distinct counts. */
+  def snapshotSketchMerge(spark: SparkSession, dir: String,
+      k: Int = 65536): DataFrame = {
+    val root = snapshotTables(spark, dir, k)
+    val stored = spark.read.parquet(s"$root/snap1")
+      .unionByName(spark.read.parquet(s"$root/snap2"))
+    val merged = stored.groupBy("source")
+      .agg(KmvSketch.mergeStatesExpr(collect_list(col("sketch")), k)
+        .as("sketch"))
+    val per = merged.select(col("source").as("scope"),
+      KmvSketch.estimateExpr(col("sketch"), k).as("est_distinct"))
+    val all = merged.agg(collect_list(col("sketch")).as("states"))
+      .select(lit("__ALL__").as("scope"),
+        KmvSketch.estimateExpr(
+          KmvSketch.mergeStatesExpr(col("states"), k), k)
+          .as("est_distinct"))
+    per.union(all)
+  }
 }

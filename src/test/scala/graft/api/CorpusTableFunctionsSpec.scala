@@ -142,6 +142,28 @@ class CorpusTableFunctionsSpec extends SparkSpec {
         materialized = true).count())
   }
 
+  test("corpus_sketch_sources / corpus_sketch_snapshot_merge bind, " +
+      "match Scala, and validate k") {
+    ready
+    val sqlSrc = spark.sql(
+      s"SELECT * FROM corpus_sketch_sources('$sfDir')").collect()
+    val scalaSrc = graft.operators.SketchOps
+      .sourceDistinctTexts(spark, sfDir).collect()
+    assert(sqlSrc.toSet === scalaSrc.toSet)
+    val sqlMerge = spark.sql(
+      s"SELECT * FROM corpus_sketch_snapshot_merge('$sfDir', k => 65536)")
+      .collect()
+    val scalaMerge = graft.operators.SketchOps
+      .snapshotSketchMerge(spark, sfDir).collect()
+    assert(sqlMerge.toSet === scalaMerge.toSet)
+    // merging persisted snapshots == sketching the whole corpus (exact
+    // below k on this fixture)
+    assert(sqlMerge.toSet === sqlSrc.toSet)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_sketch_sources('$sfDir', 0)"))
+    assert(e.getMessage.contains("'k' must be >= 1"), e.getMessage)
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(

@@ -60,6 +60,37 @@ class KmvSketchSpec extends SparkSpec {
       s"merged estimate $merged vs exact $exact")
   }
 
+  test("snapshotSketchMerge reads ONLY the stored sketch tables — the " +
+      "raw corpus is never rescanned — and equals the one-shot sketch") {
+    import graft.operators.SketchOps
+    val merged = SketchOps.snapshotSketchMerge(spark, sfDir)
+    // the plan's file scans must all point at the snapshot tables, not
+    // documents.parquet (the incremental-maintenance contract)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val scanned = scans(merged.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.nonEmpty && scanned.forall(p =>
+      p.contains("sketch_snapshots")),
+      s"merge must scan only stored sketch tables, scanned: $scanned")
+    assert(!scanned.exists(_.contains("documents.parquet")))
+    // snapshot-merged estimates == direct whole-corpus sketch (KMV
+    // union is lossless at equal k)
+    val direct = SketchOps.sourceDistinctTexts(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === direct, s"merged $got vs direct $direct")
+    SketchOps.clearSnapshotDemoCache()
+  }
+
   test("estimateExpr matches the aggregator's finish in both regimes") {
     import spark.implicits._
     val k = 32

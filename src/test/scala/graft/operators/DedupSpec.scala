@@ -993,4 +993,201 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(recomputed === got, "materialized form diverged")
   }
+
+  test("connectedComponents converges in O(log diameter) rounds on " +
+      "adversarial chain graphs, not O(diameter)") {
+    import spark.implicits._
+    def roundsFor(edges: Seq[(Long, Long)], expectLabels: Map[Long, Long],
+        diameter: Int, what: String): Unit = {
+      val cc = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+        maxIters = 50)
+      val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expectLabels, s"$what labels wrong")
+      val rounds = Dedup.lastCcRounds.get()
+      val bound = math.ceil(math.log(diameter.toDouble) /
+        math.log(2.0)).toInt + 2
+      assert(rounds <= bound,
+        s"$what: $rounds rounds for diameter $diameter — path-halving " +
+          s"degraded (bound log2+2 = $bound)")
+    }
+    // 1000-node path: every fixture elsewhere is near-clique; this is
+    // the worst-case long chain (diameter 999)
+    val path = (1L until 1000L).map(i => (i, i + 1))
+    roundsFor(path, (1L to 1000L).map(_ -> 1L).toMap, 999, "path-1000")
+    // star-of-chains: center 0, eight 50-node chains (diameter 100)
+    val star = (0 until 8).flatMap { c =>
+      val ids = (1 to 50).map(j => (c * 50 + j).toLong)
+      (0L, ids.head) +: ids.zip(ids.tail)
+    }
+    val starNodes = 0L +: (1 to 400).map(_.toLong)
+    roundsFor(star, starNodes.map(_ -> 0L).toMap, 100, "star-of-chains")
+  }
+
+  test("span-guard hash-only index: identical regions on a collision-" +
+      "free corpus, a strictly smaller index, and meta-driven probes") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this site"
+    val hist = (0 until 30).map { i =>
+      val filler = (0 until 12).map(j => s"h${i}w$j").mkString(" ")
+      (100L + i, if (i % 3 == 0) s"$filler $boiler" else filler)
+    }.toDF("doc_id", "text")
+    val incoming = Seq(
+      (900L, s"fresh a1 a2 $boiler b1 b2"),
+      (901L, (0 until 20).map(j => s"new$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("spanguardh")
+    val (exactIdx, hashIdx) = (s"$tmpRoot/exact", s"$tmpRoot/hash")
+    Dedup.materializeGramIndex(spark, hist, exactIdx, k = 8, nBuckets = 16)
+    Dedup.materializeGramIndex(spark, hist, hashIdx, k = 8, nBuckets = 16,
+      exact = false)
+    // probes take layout from the index meta — no k/nBuckets repeated
+    def regions(idx: String) = Dedup.spanGuardProbe(spark, idx, incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val e = regions(exactIdx)
+    assert(e === Array((900L, 3L, 13L, 10L)), s"got ${e.mkString(",")}")
+    assert(regions(hashIdx) === e,
+      "hash-only mode must flag the same regions on a collision-free corpus")
+    // the hash-only index drops the gram strings: strictly smaller
+    def bytes(idx: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    assert(bytes(hashIdx) < bytes(exactIdx),
+      s"hash index ${bytes(hashIdx)}B must be smaller than exact " +
+        s"${bytes(exactIdx)}B")
+    assert(Dedup.readGramIndexMeta(spark, hashIdx)
+      === Some(Dedup.GramIndexMeta(8, 16, exact = false)))
+    // layout mismatches fail loudly instead of silently missing
+    val eK = intercept[IllegalArgumentException] {
+      Dedup.spanGuardProbe(spark, exactIdx, incoming, k = 4)
+    }
+    assert(eK.getMessage.contains("built with k=8"), eK.getMessage)
+    val eB = intercept[IllegalArgumentException] {
+      Dedup.spanGuardProbe(spark, exactIdx, incoming, nBuckets = 64)
+    }
+    assert(eB.getMessage.contains("16 buckets"), eB.getMessage)
+    // pre-meta index (meta file removed): explicit layout still probes,
+    // layoutless probe names the problem
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(exactIdx, "_graft_gram_meta"))
+    val legacy = Dedup.spanGuardProbe(spark, exactIdx, incoming,
+      k = 8, nBuckets = 16).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(legacy === e, "explicit-layout fallback must still be exact")
+    val eM = intercept[IllegalArgumentException] {
+      Dedup.spanGuardProbe(spark, exactIdx, incoming)
+    }
+    assert(eM.getMessage.contains("_graft_gram_meta"), eM.getMessage)
+    Ivf.deleteRecursively(tmpRoot.toFile)
+  }
+
+  test("span-guard empty-history bootstrap: a zero-gram index probes to " +
+      "zero regions instead of throwing on schema inference") {
+    import spark.implicits._
+    val tmpRoot = java.nio.file.Files.createTempDirectory("spanguarde")
+    val idx = s"$tmpRoot/index"
+    // every history doc is shorter than k words → zero anchor grams →
+    // the partitioned write commits no part files
+    Dedup.materializeGramIndex(spark,
+      Seq((1L, "too short"), (2L, "also tiny")).toDF("doc_id", "text"),
+      idx, k = 8, nBuckets = 16)
+    val out = Dedup.spanGuardProbe(spark, idx,
+      Seq((900L, (0 until 20).map(j => s"w$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+    assert(out.count() === 0L, "empty history flags nothing")
+    Ivf.deleteRecursively(tmpRoot.toFile)
+  }
+
+  test("clearGramIndexCache deletes the materialized demo index dirs") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = (0 until 10).map(i => (i.toLong,
+      s"${(0 until 10).map(j => s"d${i}x$j").mkString(" ")} $boiler"))
+    val tmp = java.nio.file.Files.createTempDirectory("sgcache").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Dedup.clearGramIndexCache()
+    Dedup.spanGuard(spark, tmp).count()
+    val dirs = Dedup.gramIndexCache.values.toList
+    assert(dirs.nonEmpty, "spanGuard must register its demo index")
+    assert(dirs.forall(p => new java.io.File(p).exists()))
+    Dedup.clearGramIndexCache()
+    assert(dirs.forall(p => !new java.io.File(p).exists()),
+      "clear must delete the temp index dirs, not just forget them")
+    assert(Dedup.gramIndexCache.isEmpty)
+  }
+
+  test("live span guard rides the ingest loop: regions emitted per " +
+      "batch against committed history only, gram legs grow " +
+      "idempotently, and layout drift across restarts is rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = (1 to 12).map(i => s"lic$i").mkString(" ") // 12 words
+    val tmpRoot = java.nio.file.Files.createTempDirectory("livespan")
+    val (idx, out, ckpt, gidx, gout) = (s"$tmpRoot/index", s"$tmpRoot/out",
+      s"$tmpRoot/ckpt", s"$tmpRoot/gram", s"$tmpRoot/spans")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // pairing rule is enforced before anything starts
+    intercept[IllegalArgumentException] {
+      Dedup.liveNearDupIngest(input.toDF().toDF("doc_id", "text"),
+        spark, idx, out, ckpt, gramIndexDir = Some(gidx))
+    }
+    val query = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt,
+      gramIndexDir = Some(gidx), spanOutDir = Some(gout))
+    try {
+      // batch 0: empty history → no regions, but grams enter the index
+      input.addData(
+        (1L, s"${(0 until 10).map(j => s"a$j").mkString(" ")} $boiler"),
+        (2L, (0 until 15).map(j => s"b$j").mkString(" ")))
+      query.processAllAvailable()
+      // batch 1: one doc embeds batch 0's boilerplate, one is novel
+      input.addData(
+        (10L, s"x1 x2 x3 $boiler y1 y2"),
+        (11L, (0 until 15).map(j => s"c$j").mkString(" ")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val b0 = spark.read.parquet(s"$gout/batch=0")
+    assert(b0.count() === 0L, "no history yet — batch 0 flags nothing")
+    val b1 = spark.read.parquet(s"$gout/batch=1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12-word boiler at offset 3 → anchors 3..7 (k=8), one region [3, 15)
+    assert(b1.toSeq === Seq((10L, 3L, 15L, 12L)), s"got ${b1.toSeq}")
+    // gram leg: one _SUCCESS-gated bucket-partitioned dir per batch
+    val gdirs = new java.io.File(gidx).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gdirs === Set("batch=0", "batch=1"), gdirs.toString)
+    // replay cannot double-insert grams (same idempotent sink contract)
+    val replayed = graft.streaming.EventStream.idempotentBatchSink(
+      gidx, partitionBy = Seq("bucket"))(
+      Seq((0L, "zz", 0L)).toDF("gh", "gram", "bucket"), 0L)
+    assert(!replayed, "committed gram batch dirs are skipped on replay")
+    // a restart with a different gram layout is rejected before starting
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.liveNearDupIngest(
+        input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt,
+        gramIndexDir = Some(gidx), spanOutDir = Some(gout),
+        gramBuckets = 128)
+    }
+    assert(drift.getMessage.contains("nBuckets=64"), drift.getMessage)
+    // restart with the SAME layout continues the guard: a doc quoting
+    // batch 1's novel text is flagged against the grown index
+    val query2 = Dedup.liveNearDupIngest(
+      input.toDF().toDF("doc_id", "text"), spark, idx, out, ckpt,
+      gramIndexDir = Some(gidx), spanOutDir = Some(gout))
+    try {
+      input.addData((20L,
+        s"pre1 pre2 ${(0 until 15).map(j => s"c$j").mkString(" ")}"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val b2 = spark.read.parquet(s"$gout/batch=2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(b2.toSeq === Seq((20L, 2L, 17L, 15L)), s"got ${b2.toSeq}")
+    Dedup.clearSignatureCache()
+    Ivf.deleteRecursively(tmpRoot.toFile)
+  }
 }

@@ -269,4 +269,48 @@ class RelationalSpec extends SparkSpec {
       (1L, base + 3) -> (9.0, false),
       (2L, base + 1) -> (5.0, false)), s"got $out")
   }
+
+  test("resampleLocf maxGridHours: a decade-spanning user is clamped to " +
+      "the recent window, pre-window observations still seed the carry, " +
+      "and the clamp is observable; in-contract users are untouched") {
+    import spark.implicits._
+    val h0 = 1704067200L // 2024-01-01 00:00:00 UTC, hour-aligned
+    def ts(hour: Long) = new java.sql.Timestamp((h0 + hour * 3600) * 1000)
+    val rows = Seq(
+      (1L, 10L, 5.0, ts(0)),       // ancient observation (pre-window)
+      (1L, 11L, 7.0, ts(100000L)), // ~11 years later
+      (2L, 20L, 3.0, ts(50)),      // in-contract user: 3-hour span
+      (2L, 21L, 4.0, ts(52)))
+    val df = rows.toDF("user_id", "event_id", "value", "ts")
+    val out = Relational.resampleLocfFrom(df, maxGridHours = 100)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    val base = h0 / 3600
+    // user 1: exactly 100 grid hours ending at the last event, NOT
+    // a 100k-row explosion
+    val u1 = got.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted
+    assert(u1.size === 100 && u1.head === base + 99901 &&
+      u1.last === base + 100000, s"clamped window wrong: $u1")
+    // the ancient value CARRIES into the clamped window's left edge
+    assert(got((1L, base + 99901)) === ((5.0, true)),
+      s"pre-window observation must seed LOCF: ${got((1L, base + 99901))}")
+    assert(got((1L, base + 100000)) === ((7.0, false)))
+    // user 2 (span 3 <= 100) is bit-identical to the unclamped run
+    val un = Relational.resampleLocfFrom(df, maxGridHours = 1000000)
+      .filter(col("user_id") === 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.filter(_._1._1 == 2L) === un, "in-contract user changed")
+    // the clamp surfaced through the (async) observe-metric listener
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def clamps = Relational.lastGridClamp.values()
+      .toArray(Array.empty[(Long, Long)])
+    while (!clamps.contains((1L, 99901L)) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(clamps.contains((1L, 99901L)),
+      s"expected (1 user, 99901 dropped hours) in ${clamps.toSeq}")
+    intercept[IllegalArgumentException] {
+      Relational.resampleLocfFrom(df, maxGridHours = 0)
+    }
+  }
 }
