@@ -183,6 +183,10 @@ object SparkEntry {
     // per session — the report and the keep-filter both scan it)
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.minHashClusters(s, d, materialized = true)),
+    // incremental CC: history half labeled once, new half folded in via
+    // label edges — history's EDGES never re-read, output ≡ one-shot
+    "q_cc_incremental" -> ((s, d) =>
+      Dedup.minHashClustersIncremental(s, d)),
     "q_cluster_keep" -> ((s, d) =>
       Dedup.minHashClusterKeep(s, d, materialized = true)),
     // quality-weighted canonical selection: keep the LONGEST member of
@@ -297,6 +301,20 @@ object SparkEntry {
     // discrete-quantile rule shared with the oracle)
     "q_quantile_sources" -> ((s, d) =>
       graft.operators.SketchOps.sourceLengthQuantiles(s, d)),
+    // sketch CUBE: every (source, lang) rollup level from ONE pass of
+    // leaf states — upper levels are row-level merges, never rescans
+    "q_sketch_rollup" -> ((s, d) =>
+      graft.operators.SketchOps.sourceLangDistinctRollup(s, d)),
+    // mergeable priority-sample table (DLT subset-sum states):
+    // per-source total chars + a row-level-merged __ALL__ row
+    // (exact below n — τ = 0 ⇒ the estimate is the true sum)
+    "q_priority_totals" -> ((s, d) =>
+      graft.operators.SketchOps.sourceCharTotals(s, d)),
+    // admission against a bloom'd blocklist: per-source bloom states
+    // OR-merged into one codegen'd map-side probe; bloom-positives
+    // alone pay the exact confirm join, so the output is EXACT
+    "q_bloom_guard" -> ((s, d) =>
+      graft.operators.SketchOps.bloomBlocklistAdmit(s, d)),
     // hourly LOCF gap-fill resample of each user's event stream
     "q_resample_locf" -> ((s, d) => Relational.resampleLocf(s, d)),
     "q_sketch_overlap" -> ((s, d) =>
@@ -1563,6 +1581,21 @@ object SparkEntry {
         "FROM walk GROUP BY v) " +
         "SELECT doc_id, cluster_id, " +
         "count(*) OVER (PARTITION BY cluster_id) AS cluster_n FROM comp"),
+    // incremental CC maintenance must equal the one-shot labeling over
+    // ALL pairs — same oracle as q_dedup_clusters, which is the theorem
+    "q_cc_incremental" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.u), " +
+        "comp AS (SELECT v AS doc_id, least(v, min(u)) AS cluster_id " +
+        "FROM walk GROUP BY v) " +
+        "SELECT doc_id, cluster_id, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_n FROM comp"),
     // quality-weighted canonical: the kept member is the LONGEST of each
     // component (tie → min doc_id) — same recursive components, the
     // representative rule swapped for the rank-1-by-(n_chars desc, id)
@@ -2515,6 +2548,39 @@ object SparkEntry {
         "CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50, " +
         "CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75 " +
         "FROM documents"),
+    // sketch cube rollup, exact-below-k regime: every level's merged
+    // state still holds every distinct hash, so each cell is the exact
+    // distinct count the corresponding GROUP BY would produce
+    "q_sketch_rollup" ->
+      ("SELECT source AS scope_source, lang AS scope_lang, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents GROUP BY source, lang " +
+        "UNION ALL SELECT source, '__ALL__', " +
+        "CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
+        "GROUP BY source " +
+        "UNION ALL SELECT '__ALL__', lang, " +
+        "CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
+        "GROUP BY lang " +
+        "UNION ALL SELECT '__ALL__', '__ALL__', " +
+        "CAST(count(DISTINCT text) AS BIGINT) FROM documents"),
+    // priority sampling, exact-below-n regime: the state holds every
+    // (priority, id, weight) row, τ = 0, and the DLT estimator
+    // Σ max(w, τ) collapses to the exact BIGINT sum
+    "q_priority_totals" ->
+      ("SELECT source AS scope, " +
+        "CAST(sum(n_chars) AS DOUBLE) AS est_total_chars " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(sum(n_chars) AS DOUBLE) AS est_total_chars " +
+        "FROM documents"),
+    // bloom guard is EXACT by composition (no false negatives; false
+    // positives die in the confirm join) — the oracle is the plain
+    // blocklist anti-semantics the bloom accelerates
+    "q_bloom_guard" ->
+      ("SELECT d.doc_id, d.source FROM documents d " +
+        "WHERE d.doc_id % 7 <> 0 AND NOT EXISTS (" +
+        "SELECT 1 FROM documents b " +
+        "WHERE b.doc_id % 7 = 0 AND b.text = d.text)"),
     "q_sketch_overlap" ->
       ("WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s " +

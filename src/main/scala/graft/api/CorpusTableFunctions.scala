@@ -381,6 +381,56 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k))
     }
 
+    tvf("corpus_sketch_rollup",
+      "corpus_sketch_rollup(dir[, k]) - Distinct-text counts at every " +
+        "level of the (source, lang) hierarchy, all derived from one " +
+        "pass of leaf KMV sketch states (__ALL__ marks the rolled-up " +
+        "position; exact below k).",
+      "SELECT * FROM corpus_sketch_rollup('/data/c1');") { args =>
+      val fn = "corpus_sketch_rollup"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.sourceLangDistinctRollup(
+        SparkSession.active, reqDir(fn, bound), k))
+    }
+
+    tvf("corpus_priority_totals",
+      "corpus_priority_totals(dir[, n]) - Per-source total characters " +
+        "plus a __ALL__ row merged from stored-shape priority-sample " +
+        "states (Duffield-Lund-Thorup subset-sum sketch, default " +
+        "n = 65536; exact below n).",
+      "SELECT * FROM corpus_priority_totals('/data/c1');") { args =>
+      val fn = "corpus_priority_totals"
+      val bound = bind(fn, args, Seq("dir", "n"), Set.empty)
+      val n = optNum(fn, bound, "n", 65536).toInt
+      if (n < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'n' must be >= 1, got $n.")
+      plan(graft.operators.SketchOps.sourceCharTotals(
+        SparkSession.active, reqDir(fn, bound), n))
+    }
+
+    tvf("corpus_bloom_guard",
+      "corpus_bloom_guard(dir[, nbits, nhashes]) - Admit documents " +
+        "against the bloom'd blocklist (doc_id % 7 = 0 holdout): " +
+        "map-side codegen'd bloom probe, exact confirm join on the " +
+        "flagged sliver only — exact output, no false negatives.",
+      "SELECT * FROM corpus_bloom_guard('/data/c1');") { args =>
+      val fn = "corpus_bloom_guard"
+      val bound = bind(fn, args, Seq("dir", "nbits", "nhashes"), Set.empty)
+      val nBits = optNum(fn, bound, "nbits", 65536).toInt
+      val nh = optNum(fn, bound, "nhashes", 4).toInt
+      if (nBits < 64 || (nBits & (nBits - 1)) != 0)
+        throw new IllegalArgumentException(
+          s"SUDAN: $fn() parameter 'nbits' must be a power of two " +
+            s">= 64, got $nBits.")
+      if (nh < 1 || nh > 16) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'nhashes' must be in [1, 16], got $nh.")
+      plan(graft.operators.SketchOps.bloomBlocklistAdmit(
+        SparkSession.active, reqDir(fn, bound), nBits, nh))
+    }
+
     tvf("corpus_ann_probe",
       "corpus_ann_probe(dir, query_id[, k]) - Top-k approximate nearest " +
         "neighbours of embedding `query_id` via the build-once IVF-PQ " +

@@ -1047,6 +1047,53 @@ object Dedup {
         .partitionBy("cluster_id")))
   }
 
+  /** Incremental connected-components MAINTENANCE: fold a new edge
+    * batch into an existing label table without re-reading historical
+    * edges. The prior labeling collapses each old component to a star —
+    * every (doc_id → cluster_id) row is an edge to the component's min
+    * id — so CC over (label edges ∪ new edges) reconnects exactly what
+    * history connected, bridges exactly what the new batch bridges, and
+    * (because every label IS a member id) lands on the same min-id
+    * labels a one-shot run over ALL edges would produce. Bit-identical
+    * output, spec-pinned.
+    *
+    * This is what turns the nightly dedup job incremental at 100 TB:
+    * the CC input shrinks from |E_history| (grows forever) to
+    * |V_labeled| + |ΔE| (bounded by corpus + batch), and the seeded
+    * graph's components are stars-plus-delta — diameter ~2 — so the
+    * O(log d) loop converges in 2-3 rounds regardless of how tangled
+    * history was. Singleton rows (doc_id = cluster_id) pass through as
+    * self-loops and keep their vertices in the output. */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 25): DataFrame =
+    connectedComponents(
+      prevLabels.select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
+        .unionByName(newEdges.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIters)
+
+  /** The incremental-maintenance proof over the real pair graph: split
+    * the build-once MinHash pair table into a deterministic "history"
+    * half and a "tonight's batch" half (parity of doc_a + doc_b), label
+    * history one-shot, then fold the new half in via
+    * [[incrementalComponents]] — history's EDGES are never re-read, only
+    * its labels. Output shape = [[minHashClusters]]; the driver's oracle
+    * (the one-shot recursive-CTE closure over ALL pairs) pins that the
+    * two-step maintenance path equals the from-scratch labeling. */
+  def minHashClustersIncremental(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minHashPairsCached(spark, dir, numHashes, bands,
+      threshold, maxBucket)
+    val history = pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0)
+    val fresh = pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1)
+    val prev = connectedComponents(history)
+    incrementalComponents(prev, fresh)
+      .withColumn("cluster_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+  }
+
   /** Transitive near-dedup filter: keep the minimum-id representative of
     * every near-dup component (plus all singletons) — the strictly
     * stronger form of [[minHashKeep]] (see [[connectedComponents]] for

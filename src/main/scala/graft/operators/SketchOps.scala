@@ -174,4 +174,139 @@ object SketchOps {
           .as("est_distinct"))
     per.union(all)
   }
+
+  // ---------------------------------------------- sketch cube rollup
+
+  /** Distinct-text counts at EVERY level of the (source, lang)
+    * hierarchy — leaf cells, per-source, per-lang, grand total — all
+    * derived from ONE pass of leaf sketch states: the upper levels are
+    * row-level merges of the leaf rows, never rescans. This is the
+    * OLAP-cube form of the sketch algebra: at 100 TB a nightly job
+    * lands one sketch row per (shard, dimension-cell), and every
+    * rollup/slice in the cube is a `collect_list` + merge over a
+    * #cells-row table. (Spark's own ROLLUP/CUBE can't do this over
+    * count-distinct without rescanning the corpus per grouping set —
+    * mergeable states are what collapse the cube to one scan.)
+    * `__ALL__` marks the rolled-up position; exact below k, so the
+    * driver's oracle pins every cell of every level. */
+  def sourceLangDistinctRollup(spark: SparkSession, dir: String,
+      k: Int = 65536): DataFrame = {
+    // one raw scan builds the leaf states; localCheckpoint so the four
+    // level branches share the materialized #cells-row table instead of
+    // each re-running the corpus aggregation
+    val leaf = docs(spark, dir).groupBy(col("source"), col("lang"))
+      .agg(KmvSketch.sketchState(col("text"), k).as("sk"))
+      .localCheckpoint()
+    def est(states: Column) =
+      KmvSketch.estimateExpr(KmvSketch.mergeStatesExpr(states, k), k)
+        .as("est_distinct")
+    val cells = leaf.select(col("source").as("scope_source"),
+      col("lang").as("scope_lang"),
+      KmvSketch.estimateExpr(col("sk"), k).as("est_distinct"))
+    val bySource = leaf.groupBy(col("source"))
+      .agg(collect_list(col("sk")).as("states"))
+      .select(col("source").as("scope_source"),
+        lit("__ALL__").as("scope_lang"), est(col("states")))
+    val byLang = leaf.groupBy(col("lang"))
+      .agg(collect_list(col("sk")).as("states"))
+      .select(lit("__ALL__").as("scope_source"),
+        col("lang").as("scope_lang"), est(col("states")))
+    val total = leaf.agg(collect_list(col("sk")).as("states"))
+      .select(lit("__ALL__").as("scope_source"),
+        lit("__ALL__").as("scope_lang"), est(col("states")))
+    cells.unionByName(bySource).unionByName(byLang).unionByName(total)
+  }
+
+  // ------------------------------------------ priority sample table
+
+  /** Per-source TOTAL characters PLUS an `__ALL__` row, all derived
+    * from stored-shape [[graft.functions.PrioritySample]] states — the
+    * subset-SUM member of the sketch-table family (KMV = distinct,
+    * quantile = percentiles, priority = weighted totals): one
+    * map-side-combined pass keeps the n+1 highest-priority (q = w/u,
+    * deterministic u) docs per source, the global row is a row-level
+    * state merge, and the DLT estimator Σ max(w, τ) reads totals off
+    * the samples. At 100 TB this is the "how many tokens does slice X
+    * hold" primitive: nightly per-shard sample rows a few hundred KB
+    * each, any later slice's size estimated without a rescan. Exact
+    * below n (τ = 0 ⇒ the estimate is the true BIGINT sum), which is
+    * what lets the driver's SQL oracle pin every value. */
+  def sourceCharTotals(spark: SparkSession, dir: String,
+      n: Int = 65536): DataFrame = {
+    import graft.functions.PrioritySample
+    val sk = docs(spark, dir).groupBy(col("source"))
+      .agg(PrioritySample.sketchState(col("doc_id"),
+        col("n_chars").cast("long"), n).as("psk"))
+    val per = sk.select(col("source").as("scope"),
+      PrioritySample.totalExpr(col("psk"), n).as("est_total_chars"))
+    val all = sk.agg(collect_list(col("psk")).as("states"))
+      .select(lit("__ALL__").as("scope"),
+        PrioritySample.totalExpr(
+          PrioritySample.mergeStatesExpr(col("states"), n), n)
+          .as("est_total_chars"))
+    per.union(all)
+  }
+
+  // --------------------------------------------- bloom blocklist guard
+
+  /** Admission against a bloom'd blocklist, end to end — the map-side
+    * membership twin of the span guard: documents whose doc_id ≡ 0
+    * (mod `holdoutMod`) form the BLOCKLIST (the stand-in for a
+    * billion-entry ban list); the rest are the incoming corpus. The
+    * blocklist is bloomed PER SOURCE (the stored sketch-table shape),
+    * the per-source states OR-merge into one global filter (row-level
+    * merge, spec-pinned ≡ one-shot), and the merged words — nBits/8
+    * bytes regardless of blocklist cardinality — ride inside a
+    * codegen'd [[graft.functions.BloomMightContainExpression]] probe.
+    *
+    * Plan shape at 100 TB: the corpus scan filters MAP-SIDE (no
+    * shuffle, no join) into a clean stream (bloom-negative: definitely
+    * not blocked, admitted untouched) and a flagged sliver
+    * (bloom-positive: true hits + the ~(1−e^(−kn/m))^k false-positive
+    * rate), and only the sliver pays the exact confirm anti-join
+    * against the blocklist texts. No false negatives ⇒ the composition
+    * is EXACT — the driver's oracle pins it as a plain NOT EXISTS.
+    * Catalyst additionally propagates the bloom predicate through the
+    * join constraint onto the blocklist scan, so the confirm join's
+    * build side never exceeds the blocklist itself; if that side
+    * outgrows the broadcast budget at production scale, AQE falls back
+    * to a shuffle join whose probe side is still only the sliver. */
+  /** Session cache of built blocklist blooms — the merged word array is
+    * nBits/64 longs by construction (never data-sized), so caching it
+    * is the build-once convention at its cheapest. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Array[Long]]()
+
+  def clearBloomCache(): Unit = bloomCache.clear()
+
+  def bloomBlocklistAdmit(spark: SparkSession, dir: String,
+      nBits: Int = 1 << 16, numHashes: Int = 4,
+      holdoutMod: Int = 7): DataFrame = {
+    import graft.functions.BloomSketch
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2, got $holdoutMod")
+    val d = docs(spark, dir)
+    val block = d.filter(col("doc_id") % holdoutMod === 0)
+    val incoming = d.filter(col("doc_id") % holdoutMod =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    // stored-table shape: one bloom row per source, then the row-level
+    // OR-merge; the driver collect is the merged words only — bounded
+    // at nBits/64 longs by construction, never data-sized
+    val merged = bloomCache.computeIfAbsent(
+      (dir, nBits, numHashes, holdoutMod), { _ =>
+        val states = block.groupBy(col("source"))
+          .agg(BloomSketch.sketchState(col("text"), nBits, numHashes)
+            .as("bloom"))
+        states.agg(collect_list(col("bloom")).as("states"))
+          .select(BloomSketch.mergeStatesExpr(col("states"), nBits))
+          .collect()(0).getSeq[Long](0).toArray
+      })
+    val flaggedCol = BloomSketch.mightContain(col("text"), merged,
+      numHashes)
+    val clean = incoming.filter(!flaggedCol)
+    val rescued = incoming.filter(flaggedCol)
+      .join(block.select(col("text")).distinct(), Seq("text"),
+        "left_anti")
+    clean.select(col("doc_id"), col("source"))
+      .unionByName(rescued.select(col("doc_id"), col("source")))
+  }
 }

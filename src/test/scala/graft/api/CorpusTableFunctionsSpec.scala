@@ -164,6 +164,37 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("'k' must be >= 1"), e.getMessage)
   }
 
+  test("corpus_priority_totals / corpus_bloom_guard bind, match Scala, " +
+      "and validate params") {
+    ready
+    val sqlPri = spark.sql(
+      s"SELECT * FROM corpus_priority_totals('$sfDir')").collect()
+    val scalaPri = graft.operators.SketchOps
+      .sourceCharTotals(spark, sfDir).collect()
+    assert(sqlPri.toSet === scalaPri.toSet)
+    val sqlBloom = spark.sql(
+      s"SELECT * FROM corpus_bloom_guard('$sfDir', nbits => 65536)")
+      .collect()
+    val scalaBloom = graft.operators.SketchOps
+      .bloomBlocklistAdmit(spark, sfDir).collect()
+    assert(sqlBloom.toSet === scalaBloom.toSet)
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_priority_totals('$sfDir', 0)"))
+    assert(e1.getMessage.contains("'n' must be >= 1"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_bloom_guard('$sfDir', nbits => 1000)"))
+    assert(e2.getMessage.contains("power of two"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_bloom_guard('$sfDir', nhashes => 99)"))
+    assert(e3.getMessage.contains("'nhashes' must be in [1, 16]"),
+      e3.getMessage)
+    val sqlRoll = spark.sql(
+      s"SELECT * FROM corpus_sketch_rollup('$sfDir')").collect()
+    val scalaRoll = graft.operators.SketchOps
+      .sourceLangDistinctRollup(spark, sfDir).collect()
+    assert(sqlRoll.toSet === scalaRoll.toSet)
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(

@@ -31,7 +31,9 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_dataset_card", "corpus_mixture_plan", "corpus_ann_probe",
     "corpus_repeated_spans", "corpus_span_excise", "corpus_span_guard",
     "corpus_setsim_pairs", "corpus_sketch_sources",
-    "corpus_sketch_snapshot_merge", "corpus_quantile_sources")
+    "corpus_sketch_snapshot_merge", "corpus_quantile_sources",
+    "corpus_priority_totals", "corpus_bloom_guard",
+    "corpus_sketch_rollup")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;

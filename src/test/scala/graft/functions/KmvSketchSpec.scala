@@ -91,6 +91,24 @@ class KmvSketchSpec extends SparkSpec {
     SketchOps.clearSnapshotDemoCache()
   }
 
+  test("sketch rollup: every level exact below k, one raw scan") {
+    import graft.operators.SketchOps
+    val got = SketchOps.sourceLangDistinctRollup(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cells = d.groupBy("source", "lang")
+      .agg(countDistinct("text").as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bySource = d.groupBy("source").agg(countDistinct("text")).collect()
+      .map(r => (r.getString(0), "__ALL__") -> r.getLong(1)).toMap
+    val byLang = d.groupBy("lang").agg(countDistinct("text")).collect()
+      .map(r => ("__ALL__", r.getString(0)) -> r.getLong(1)).toMap
+    val total = Map(("__ALL__", "__ALL__") ->
+      d.agg(countDistinct("text")).collect()(0).getLong(0))
+    assert(got === cells ++ bySource ++ byLang ++ total)
+  }
+
   test("estimateExpr matches the aggregator's finish in both regimes") {
     import spark.implicits._
     val k = 32

@@ -1190,4 +1190,45 @@ class DedupSpec extends SparkSpec {
     Dedup.clearSignatureCache()
     Ivf.deleteRecursively(tmpRoot.toFile)
   }
+
+  test("incremental CC: label-seeded fold-in is bit-identical to " +
+      "one-shot, converges star-fast, and never bridges unrelated " +
+      "components") {
+    import spark.implicits._
+    // two 12-node chains + an untouched triangle; history = the chains,
+    // the new batch = one bridge edge (10, 101)
+    val chainA = (1L until 12L).map(i => (i, i + 1))
+    val chainB = (101L until 112L).map(i => (i, i + 1))
+    val tri = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val prev = Dedup.connectedComponents(
+      (chainA ++ chainB ++ tri).toDF("doc_a", "doc_b"))
+    val inc = Dedup.incrementalComponents(prev,
+      Seq((10L, 101L)).toDF("doc_a", "doc_b"))
+    val got = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incRounds = Dedup.lastCcRounds.get()
+    val oneShot = Dedup.connectedComponents(
+      (chainA ++ chainB ++ tri :+ (10L, 101L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShotRounds = Dedup.lastCcRounds.get()
+    assert(got === oneShot, "fold-in diverged from one-shot")
+    // merged chains all label 1; the triangle is untouched at 500
+    assert((1L to 12L).forall(got(_) == 1L))
+    assert((101L to 112L).forall(got(_) == 1L))
+    assert(Seq(500L, 501L, 502L).forall(got(_) == 500L))
+    // the seeded graph is stars-plus-delta (depth ~2): the fold-in must
+    // converge in no more rounds than the chain-shaped one-shot
+    assert(incRounds <= 4 && incRounds <= oneShotRounds,
+      s"fold-in took $incRounds rounds (one-shot: $oneShotRounds)")
+  }
+
+  test("minHashClustersIncremental equals minHashClusters on the " +
+      "real pair graph") {
+    val inc = Dedup.minHashClustersIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val oneShot = Dedup.minHashClusters(spark, sfDir, materialized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(inc === oneShot)
+  }
 }
