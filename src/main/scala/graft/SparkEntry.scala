@@ -70,6 +70,11 @@ object SparkEntry {
     "q_join_full" -> (Relational.joinFull _),
     "q_join_2key" -> (Relational.join2Key _),
     "q_agg_q1" -> (Relational.aggQ1 _),
+    // multi-join analytics battery (3/6/4-table TPC-H-shaped plans:
+    // broadcast dims, pushed date/flag filters, TakeOrdered top-k)
+    "q_tpch_q3" -> (Relational.tpchQ3 _),
+    "q_tpch_q5" -> (Relational.tpchQ5 _),
+    "q_tpch_q10" -> (Relational.tpchQ10 _),
     "q_agg_having" -> (Relational.aggHaving _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
     "q_sort_limit" -> (Relational.sortLimit _),
@@ -867,6 +872,50 @@ object SparkEntry {
         "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
         "count(*) AS count_order, count(DISTINCT l_orderkey) AS n_orders " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    // multi-join battery: the decimal discounted-price convention of
+    // q_agg_q1 keeps revenue engine-exact; ORDER BY carries a unique
+    // tiebreak so LIMIT selects identically in both engines
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey AS orderkey, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+        "AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, orderkey ASC LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name AS nation, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+        "AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, nation ASC"),
+    "q_tpch_q10" ->
+      ("SELECT c_custkey AS custkey, c_name AS name, n_name AS nation, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+        "AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, custkey ASC LIMIT 20"),
     "q_agg_having" ->
       ("SELECT CAST(FLOOR(year(l_shipdate) / 10.0) * 10 AS INTEGER) AS decade, " +
         "count(*) AS n_items, round(avg(l_extendedprice), 2) AS avg_price " +

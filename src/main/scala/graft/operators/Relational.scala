@@ -112,6 +112,99 @@ object Relational {
       .filter(col("n_orders") >= 2)
   }
 
+  /** Exact decimal discounted price — price and discount are 2-decimal
+    * values, so decimal×decimal is exact in both engines (the
+    * [[aggQ1]] convention, shared by the multi-join battery). */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+
+  /** TPC-H Q3-shaped 3-table analytics: two filtered fact tables joined
+    * on the order key, a broadcast-pruned dim (segment-filtered
+    * customers), revenue top-10. The join-order story at 100 TB: both
+    * fact scans carry their date filter into the parquet read (NTZ
+    * timestamp pushdown), the dim is `broadcast()`-hinted so the
+    * fact⋈fact shuffle never carries customer rows, and the top-10 is
+    * TakeOrderedAndProject (per-partition heap, k-row driver merge),
+    * never a global sort. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-06-01"))
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey").as("orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped 6-table join: local-supplier volume per nation in
+    * one region-year slice — lineitem ⋈ orders ⋈ customer ⋈ supplier
+    * (with the customer-nation = supplier-nation "local" condition
+    * folded into the supplier join) ⋈ nation ⋈ region. The dims chain
+    * region→nation BEFORE touching facts (5-row broadcast prunes
+    * nation, which broadcasts into the fact pipeline), so the only
+    * shuffles are the fact-side equi-joins; Catalyst reorders freely
+    * because everything is declarative equi-join + filter. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val nat = table(spark, dir, "nation")
+      .join(broadcast(table(spark, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val sup = table(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), discPrice.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("nation").asc)
+  }
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer in one quarter, top-20 — lineitem(returnflag R) ⋈
+    * orders(quarter) ⋈ customer ⋈ nation. Same physical discipline as
+    * [[tpchQ3]]: date + flag filters at the scans, nation broadcast,
+    * top-k without a global sort. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    val cust = table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nat = table(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("n_name").as("nation"))
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("custkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q1-shaped aggregation: SUM/AVG/MIN/MAX/COUNT/COUNT DISTINCT
     * over a 2-column group key (SURVEY §2B aggregation). */
   def aggQ1(spark: SparkSession, dir: String): DataFrame =

@@ -313,4 +313,28 @@ class RelationalSpec extends SparkSpec {
       Relational.resampleLocfFrom(df, maxGridHours = 0)
     }
   }
+
+  test("multi-join battery: broadcast dims, pushed scan filters, " +
+      "TakeOrdered top-k, no cartesian") {
+    for ((name, df) <- Seq(
+        "q3" -> Relational.tpchQ3(spark, sfDir),
+        "q5" -> Relational.tpchQ5(spark, sfDir),
+        "q10" -> Relational.tpchQ10(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dims must broadcast\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: no nested-loop/cartesian\n$plan")
+      assert(df.collect().nonEmpty, s"$name returned no rows")
+    }
+    // Q3/Q10's top-k never globally sorts; date filters reach the scan
+    val q3 = Relational.tpchQ3(spark, sfDir).queryExecution
+      .executedPlan.toString
+    assert(q3.contains("TakeOrderedAndProject"), q3)
+    assert(q3.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+        "GreaterThan(l_shipdate") ||
+      q3.matches("(?s).*PushedFilters.*GreaterThan\\(l_shipdate.*"),
+      s"l_shipdate filter must push to the parquet scan\n$q3")
+  }
 }
