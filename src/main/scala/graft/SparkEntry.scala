@@ -496,6 +496,12 @@ object SparkEntry {
     // key in event-time order; streaming form pinned in EventStreamSpec)
     "q_ingest_dedup" -> ((s, d) =>
       graft.streaming.EventStream.ingestDedupBatch(Relational.events(s, d))),
+    // streaming sketch ingest (batch twin): per-micro-batch KMV rows
+    // through the idempotent sink, lifetime per-type distinct users
+    // merged from the STORED rows only (exact below k)
+    "q_stream_sketch" -> ((s, d) =>
+      graft.streaming.EventStream.sketchIngestBatchDemo(s,
+        Relational.events(s, d), d)),
     // streaming twin: per-window event-type KL drift vs the global mix
     // (batch form; the fixed-reference streaming form is spec-pinned
     // equivalent in EventStreamSpec)
@@ -1967,6 +1973,11 @@ object SparkEntry {
     // first occurrence per content key in event-time order (micros —
     // the Spark session's timestamp precision — so both engines rank
     // at identical resolution)
+    // lifetime distinct users per type from merged batch sketch rows —
+    // exact below k, so the oracle is the plain distinct count
+    "q_stream_sketch" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) " +
+        "AS est_users FROM events GROUP BY event_type"),
     "q_ingest_dedup" ->
       ("SELECT event_id, user_id, event_type, value FROM " +
         "(SELECT event_id, user_id, event_type, value, " +

@@ -127,7 +127,7 @@ object Ivf {
     indexCache.clear()
   }
 
-  private[operators] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit

@@ -249,6 +249,79 @@ object EventStream {
       }
       .start()
 
+  /** Streaming SKETCH ingest — the mergeable-state answer to "how many
+    * distinct users has each event type EVER seen" on an unbounded
+    * stream. The naive answers both fail at scale: `dropDuplicates`
+    * state grows with lifetime distinct count (unbounded, no watermark
+    * can evict it — lifetime means forever), and a nightly batch
+    * recount rescans all history. Here each micro-batch lands ONE
+    * bounded KMV state row per event type (k longs, map-side combined)
+    * through the `_SUCCESS`-gated [[idempotentBatchSink]] — replay
+    * cannot double-write — and the lifetime answer is a row-level merge
+    * over the committed sketch rows ([[sketchIngestTotals]]): #batches ×
+    * #types tiny arrays, NEVER the event history. The stream itself
+    * carries zero state-store entries beyond checkpoint offsets. */
+  def sketchIngest(events: DataFrame, outDir: String,
+      checkpointDir: String, k: Int = 65536)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        idempotentBatchSink(outDir)(batchSketchRows(df, k), id); ()
+      }
+      .start()
+
+  /** One micro-batch's sketch rows: (event_type, sketch) with a
+    * k-bounded KMV state per type. */
+  private[streaming] def batchSketchRows(events: DataFrame,
+      k: Int): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch.sketchState(
+        col("user_id").cast("string"), k).as("sketch"))
+
+  /** Lifetime distinct-user estimate per event type from the COMMITTED
+    * sketch rows alone (exact below k): the serving-side read of
+    * [[sketchIngest]]'s table. */
+  def sketchIngestTotals(spark: SparkSession, outDir: String,
+      k: Int = 65536): DataFrame = {
+    import graft.functions.KmvSketch
+    spark.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.estimateExpr(
+        KmvSketch.mergeStatesExpr(collect_list(col("sketch")), k), k)
+        .as("est_users"))
+  }
+
+  /** Batch-twin demo of the sketch-ingest loop (the oracle-able entry):
+    * the events table split into 4 deterministic "micro-batches"
+    * (event_id mod 4), each batch's sketch rows written through the
+    * SAME idempotent sink, totals derived from the stored rows only.
+    * Exact below k ⇒ the driver's oracle pins per-type distinct users. */
+  def sketchIngestBatchDemo(spark: SparkSession, events: DataFrame,
+      dir: String, k: Int = 65536): DataFrame = {
+    val root = sketchDemoCache.computeIfAbsent((dir, k), { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("sketch_ingest").toString
+      (0L until 4L).foreach { b =>
+        idempotentBatchSink(out)(
+          batchSketchRows(events.filter(
+            org.apache.spark.sql.functions.pmod(col("event_id"),
+              lit(4L)) === b), k), b)
+      }
+      out
+    })
+    sketchIngestTotals(spark, root, k)
+  }
+
+  private val sketchDemoCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), String]()
+
+  def clearSketchDemoCache(): Unit = {
+    sketchDemoCache.values.forEach(p =>
+      graft.operators.Ivf.deleteRecursively(new java.io.File(p)))
+    sketchDemoCache.clear()
+  }
+
   /** Per-window distribution-drift monitor (batch form): KL divergence of
     * each tumbling window's event-type mix against the corpus-global mix,
     * add-λ smoothed over the global type support so every term is finite.

@@ -348,4 +348,50 @@ class EventStreamSpec extends SparkSpec {
         "fixed-reference streaming drift must equal the batch twin")
     } finally query.stop()
   }
+
+  test("sketch ingest: per-batch KMV rows through the idempotent sink, " +
+      "lifetime totals from stored states, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sk_ingest")
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val input = MemoryStream[Event]
+    val query = sketchIngest(input.toDF(), out, ckpt, k = 1024)
+    try {
+      input.addData((1 to 40).map(i =>
+        Event(i, ts(i % 50), 100 + i % 7, "click", 1.0)) ++
+        (1 to 10).map(i => Event(100 + i, ts(i % 50), 200, "view", 2.0)): _*)
+      query.processAllAvailable()
+      input.addData((1 to 20).map(i =>
+        Event(200 + i, ts(i % 50), 300 + i % 3, "click", 1.0)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // two committed batch dirs, each _SUCCESS-gated
+    val fs = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(fs.count(_.startsWith("batch=")) === 2, fs.toSeq)
+    // lifetime totals from the stored rows = exact distinct users
+    val got = sketchIngestTotals(spark, out, k = 1024).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("click" -> 10L, "view" -> 1L), got)
+    // replay of a committed batch id is a no-op (idempotent recovery)
+    val replayed = idempotentBatchSink(out)(
+      batchSketchRows(Seq(Event(999, ts(1), 777, "click", 1.0)).toDF(),
+        1024), 1L)
+    assert(!replayed, "committed batch must not rewrite")
+    assert(sketchIngestTotals(spark, out, k = 1024).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === got)
+    graft.operators.Ivf.deleteRecursively(root.toFile)
+  }
+
+  test("sketchIngestBatchDemo totals equal exact per-type distincts " +
+      "on the fixture") {
+    val events = graft.operators.Relational.events(spark, sfDir)
+    val got = sketchIngestBatchDemo(spark, events, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    clearSketchDemoCache()
+  }
 }
