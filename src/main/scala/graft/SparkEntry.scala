@@ -160,6 +160,10 @@ object SparkEntry {
     // snapshot diff: the "new" snapshot is a deterministic derivation of
     // the corpus (drop doc_id%7==0, rewrite text for %11==0, add shifted
     // ids), so both engines rebuild the identical pair of snapshots
+    // CDC MERGE: apply a deterministic I/U/D change batch to the
+    // snapshot in one broadcast anti-join + union (Delta MERGE shape)
+    "q_cdc_merge" -> ((s, d) =>
+      graft.operators.Pipeline.cdcMergeDemo(s, d)),
     "q_corpus_diff" -> ((s, d) => {
       val docs = graft.operators.Tables.documents(s, d)
         .select("doc_id", "text")
@@ -1386,6 +1390,19 @@ object SparkEntry {
     },
     // snapshot diff: rebuild the same derived "new" snapshot, hash-join
     // full-outer on doc_id, classify per row
+    // CDC merge: kept = NOT (delete ∪ update) keys; updates and inserts
+    // union in; md5 pins content without hauling full texts
+    "q_cdc_merge" ->
+      ("SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 " +
+        "FROM (" +
+        "SELECT doc_id, lang, source, n_chars, text FROM documents " +
+        "WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 3 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars + 7, text || ' [rev2]' " +
+        "FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 3 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, lang, source, n_chars, 'ins:' || text " +
+        "FROM documents WHERE doc_id % 13 = 5)"),
     "q_corpus_diff" ->
       ("WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents), " +
         "nb AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +

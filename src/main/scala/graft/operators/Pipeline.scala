@@ -450,6 +450,52 @@ object Pipeline {
           .otherwise("unchanged").as("status"))
   }
 
+  /** MERGE INTO semantics without a table format — the snapshot
+    * maintenance twin of [[corpusDiff]]: apply a CDC change batch
+    * (op ∈ I/U/D, one op per key — upstream CDC compaction's contract)
+    * to an immutable snapshot. Deletes and updates anti-join their keys
+    * out; updates and inserts union in. The change batch is
+    * `broadcast()`-hinted (CDC batches are deltas — tiny next to the
+    * snapshot), so the 100 TB snapshot is ONE map-side anti-join plus a
+    * union: never shuffled, never rewritten in place — the output is
+    * the next snapshot, written alongside (the Delta/Iceberg MERGE
+    * plan shape, minus the format). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    val touched = changes.filter(col("op").isin("U", "D"))
+      .select(col(keyCol)).distinct()
+    snapshot.join(broadcast(touched), Seq(keyCol), "left_anti")
+      .unionByName(changes.filter(col("op").isin("U", "I")).drop("op"))
+  }
+
+  /** [[applyChanges]] demo over the corpus (the oracle-able entry): a
+    * deterministic change batch derived from the snapshot itself —
+    * deletes (doc_id ≡ 0 mod 11), revisions (≡ 3 mod 7, text + ' [rev2]',
+    * n_chars + 7), inserts (new ids at +1,000,000 for ≡ 5 mod 13) —
+    * applied in one pass; rows report md5(text) so the merged content
+    * is pinned without hauling full texts through the compare. */
+  def cdcMergeDemo(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val dels = d.filter(col("doc_id") % 11 === 0)
+      .select(lit("D").as("op"), col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))
+    val upds = d.filter(col("doc_id") % 11 =!= 0 &&
+        col("doc_id") % 7 === 3)
+      .select(lit("U").as("op"), col("doc_id"), col("lang"),
+        col("source"), (col("n_chars") + 7).as("n_chars"),
+        concat(col("text"), lit(" [rev2]")).as("text"))
+    val ins = d.filter(col("doc_id") % 13 === 5)
+      .select(lit("I").as("op"),
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("source"), col("n_chars"),
+        concat(lit("ins:"), col("text")).as("text"))
+    applyChanges(d, dels.unionByName(upds).unionByName(ins))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+  }
+
   /** Dataset card — the release-note summary every corpus drop ships:
     * size, provenance spread, duplication, token volume, length
     * percentiles and quality mix, as (metric, value) rows. ONE pass:

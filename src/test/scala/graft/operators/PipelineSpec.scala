@@ -507,4 +507,47 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pipeline.mixtureSchedule(spark, sfDir, targets, 0L))
   }
+
+  test("applyChanges: MERGE semantics (delete/update/insert/upsert), " +
+      "snapshot never shuffled") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val changes = Seq(
+      ("D", 2L, ""),          // delete 2
+      ("U", 3L, "c2"),        // revise 3
+      ("I", 4L, "d"),         // insert 4
+      ("U", 9L, "upserted")   // U on a missing key inserts (upsert)
+    ).toDF("op", "doc_id", "text")
+    val out = Pipeline.applyChanges(snap, changes)
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 3L -> "c2", 4L -> "d",
+      9L -> "upserted"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"change keys must broadcast into a left-anti join\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the snapshot side must not shuffle\n$plan")
+  }
+
+  test("cdcMergeDemo matches the recomputed merge on the fixture") {
+    val d = graft.operators.Tables.documents(spark, sfDir)
+    val got = Pipeline.cdcMergeDemo(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3))).toMap
+    val base = d.collect().map { r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")),
+        r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("n_chars")))
+    }
+    val kept = base.filter { case (id, _, _, _) =>
+      id % 11 != 0 && id % 7 != 3 }
+      .map { case (id, l, s, n) => id -> (l, s, n) }
+    val upd = base.filter { case (id, _, _, _) =>
+      id % 11 != 0 && id % 7 == 3 }
+      .map { case (id, l, s, n) => id -> (l, s, n + 7) }
+    val ins = base.filter(_._1 % 13 == 5)
+      .map { case (id, l, s, n) => (id + 1000000L) -> (l, s, n) }
+    assert(got === (kept ++ upd ++ ins).toMap)
+  }
 }
