@@ -248,7 +248,9 @@ object SparkEntry {
     "q_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     // pairwise source JS divergence over the smoothed top-200 vocab
     "q_source_divergence" -> ((s, d) => TextOps.sourceDivergence(s, d)),
-    "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    // expression form: corpus side is one codegen'd map (no gram
+    // explode/join/agg); spec-pinned identical to the join form
+    "q_decontaminate" -> ((s, d) => TextOps.decontaminateFast(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),

@@ -438,6 +438,35 @@ object TextOps {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** [[decontaminate]] with the corpus side collapsed to ONE codegen'd
+    * map ([[graft.functions.SharedGramsExpression]]): the benchmark's
+    * distinct gram set — small by nature, the same payload the join
+    * form broadcasts — is driver-collected once and rides inside the
+    * expression, so the corpus side is scan → project → filter with NO
+    * Generate, no join, no aggregate, no shuffle (the gram row-burst
+    * the declarative form pays ×n_words per doc disappears). Output
+    * identical to [[decontaminate]] row-for-row (spec-pinned; same
+    * tokenization and distinct-count semantics), ~3× faster at sf0.1.
+    * At 100 TB the contract is the usual one: eval sets are thousands
+    * of items (MBs of grams) — if a blocklist ever outgrows executor
+    * closures, pre-filter with [[graft.functions.BloomSketch]] and
+    * confirm with the join form. */
+  def decontaminateFast(spark: SparkSession, dir: String,
+      benchmarkMaxId: Long = 10L, n: Int = 8): DataFrame = {
+    val d = docs(spark, dir)
+    val benchGrams = d.filter(col("doc_id") < benchmarkMaxId)
+      .select(explode(graft.operators.Dedup.shingleArray(col("text"), n))
+        .as("gram"))
+      .distinct().collect().map(_.getString(0))
+    val set = new java.util.HashSet[String](benchGrams.length * 2)
+    benchGrams.foreach(set.add)
+    d.filter(col("doc_id") >= benchmarkMaxId)
+      .select(col("doc_id"),
+        graft.functions.SharedGramsExpression.native(col("text"), set, n)
+          .as("n_shared_grams"))
+      .filter(col("n_shared_grams") > 0)
+  }
+
   /** TF-IDF term weighting — the classic relevance/quality signal of a
     * text pipeline. Plan: tf = one partial-agg shuffle on (doc, word);
     * df = a COUNT WINDOW over word on the tf frame (tf is unique per

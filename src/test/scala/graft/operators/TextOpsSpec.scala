@@ -305,6 +305,32 @@ class TextOpsSpec extends SparkSpec {
         plan.take(2000))
   }
 
+  test("decontaminateFast: identical rows to the join form, and a plan " +
+      "with no Generate/join/shuffle on the corpus side") {
+    val fast = TextOps.decontaminateFast(spark, sfDir)
+    val join = TextOps.decontaminate(spark, sfDir)
+    val a = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = join.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "expression form diverged from the join form")
+    val plan = fast.queryExecution.executedPlan.toString
+    for (bad <- Seq("Generate", "Join", "Exchange", "HashAggregate"))
+      assert(!plan.contains(bad),
+        s"corpus side must be a pure map — found $bad:\n${plan.take(2000)}")
+    assert(plan.contains("shared_grams"), plan.take(500))
+    // edge semantics identical too: below-k collapse + empty text
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("deconf").toString
+    Seq((1L, "a b c"), (100L, "a b c"), (101L, " "), (102L, "a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fa = TextOps.decontaminateFast(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jo = TextOps.decontaminate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fa === jo, s"edge semantics diverged: $fa vs $jo")
+    assert(fa === Map(100L -> 1L), fa)
+  }
+
   test("bpe merges: hand-computed fixture, boundary marker, tie-break, " +
       "determinism") {
     import spark.implicits._
