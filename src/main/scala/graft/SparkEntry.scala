@@ -196,6 +196,11 @@ object SparkEntry {
     // label edges — history's EDGES never re-read, output ≡ one-shot
     "q_cc_incremental" -> ((s, d) =>
       Dedup.minHashClustersIncremental(s, d)),
+    // contrastive training pairs: near-dup positives + deterministic
+    // sharded hash-rotation negatives (anti-joined against the pair
+    // table) — the embedding-model training-data consumer of the graph
+    "q_contrastive_pairs" -> ((s, d) =>
+      Dedup.contrastivePairs(s, d)),
     "q_cluster_keep" -> ((s, d) =>
       Dedup.minHashClusterKeep(s, d, materialized = true)),
     // quality-weighted canonical selection: keep the LONGEST member of
@@ -1655,6 +1660,30 @@ object SparkEntry {
         "FROM walk GROUP BY v) " +
         "SELECT doc_id, cluster_id, " +
         "count(*) OVER (PARTITION BY cluster_id) AS cluster_n FROM comp"),
+    // contrastive pairs: positives = the exact-Jaccard pair set;
+    // negatives = md5-shard rotation partners minus real pairs — every
+    // hash is md5/row_number arithmetic both engines share
+    "q_contrastive_pairs" ->
+      (shingleCte +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        s"round($jaccardSqlExpr, 4) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        "d AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || " +
+        "'graft-neg-shard-v1'), 1, 1) AS shard FROM documents), " +
+        "rk AS (SELECT doc_id, shard, row_number() OVER (" +
+        "PARTITION BY shard ORDER BY md5(CAST(doc_id AS VARCHAR) || " +
+        "'graft-neg-order-v1'), doc_id) AS r, " +
+        "count(*) OVER (PARTITION BY shard) AS n FROM d), " +
+        "neg AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM rk a JOIN rk b ON a.shard = b.shard " +
+        "AND (a.r % a.n) + 1 = b.r AND a.doc_id <> b.doc_id " +
+        "WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE " +
+        "(p.doc_a = a.doc_id AND p.doc_b = b.doc_id) OR " +
+        "(p.doc_a = b.doc_id AND p.doc_b = a.doc_id))) " +
+        "SELECT doc_a, doc_b, 'pos' AS label, jaccard AS score " +
+        "FROM pairs " +
+        "UNION ALL SELECT doc_a, doc_b, 'neg', 0.0 FROM neg"),
     // incremental CC maintenance must equal the one-shot labeling over
     // ALL pairs — same oracle as q_dedup_clusters, which is the theorem
     "q_cc_incremental" ->

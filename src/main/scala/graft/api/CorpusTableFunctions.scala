@@ -146,6 +146,21 @@ object CorpusTableFunctions {
         threshold = optNum(fn, bound, "threshold", 0.5)))
     }
 
+    tvf("corpus_contrastive_pairs",
+      "corpus_contrastive_pairs(dir[, threshold]) - Contrastive " +
+        "training pairs: near-dup positives (exact Jaccard >= " +
+        "threshold, default 0.5) plus deterministic md5-shard rotation " +
+        "negatives disjoint from the pair set.",
+      "SELECT * FROM corpus_contrastive_pairs('/data/c1');") { args =>
+      val fn = "corpus_contrastive_pairs"
+      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      val t = optNum(fn, bound, "threshold", 0.5)
+      if (t <= 0.0 || t > 1.0) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'threshold' must be in (0, 1], got $t.")
+      plan(Dedup.contrastivePairs(SparkSession.active, reqDir(fn, bound),
+        threshold = t))
+    }
+
     tvf("corpus_setsim_pairs",
       "corpus_setsim_pairs(dir[, threshold]) - EXACT set-similarity " +
         "join (PPJoin prefix filtering) on the same shingle-Jaccard " +

