@@ -176,6 +176,9 @@ object SparkEntry {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.operators.Pipeline.corpusDiff(docs, newSnap)
     }),
+    // SCD2 history of the same two-snapshot evolution: one narrow
+    // full-outer join fans into closed/open version-interval rows
+    "q_scd2" -> ((s, d) => graft.operators.Pipeline.scd2Demo(s, d)),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -321,6 +324,10 @@ object SparkEntry {
     // leaf states — upper levels are row-level merges, never rescans
     "q_sketch_rollup" -> ((s, d) =>
       graft.operators.SketchOps.sourceLangDistinctRollup(s, d)),
+    // pre-flight join sizing from key sketches: two map-side passes
+    // instead of running the join (exact below k)
+    "q_join_estimate" -> ((s, d) =>
+      graft.operators.SketchOps.ordersCustomerJoinEstimate(s, d)),
     // mergeable priority-sample table (DLT subset-sum states):
     // per-source total chars + a row-level-merged __ALL__ row
     // (exact below n — τ = 0 ⇒ the estimate is the true sum)
@@ -1397,6 +1404,29 @@ object SparkEntry {
     },
     // snapshot diff: rebuild the same derived "new" snapshot, hash-join
     // full-outer on doc_id, classify per row
+    // SCD2: the corpus-diff classes fanned into version intervals —
+    // unchanged = one open v1 row, changed = closed v1 + open v2,
+    // removed = closed v1, added = open v2
+    "q_scd2" ->
+      ("WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents), " +
+        "nb AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+        "THEN text || ' v2' ELSE text END AS text FROM documents " +
+        "WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents " +
+        "WHERE doc_id % 13 = 0), " +
+        "b AS (SELECT doc_id, md5(text) AS h_new FROM nb), " +
+        "j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h_old, " +
+        "h_new, a.doc_id IS NOT NULL AS in_old, " +
+        "b.doc_id IS NOT NULL AS in_new " +
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) " +
+        "SELECT doc_id, h_old AS text_md5, CAST(1 AS BIGINT) AS " +
+        "valid_from, CASE WHEN NOT in_new OR h_old IS DISTINCT FROM " +
+        "h_new THEN CAST(2 AS BIGINT) ELSE NULL END AS valid_to, " +
+        "NOT (NOT in_new OR h_old IS DISTINCT FROM h_new) AS is_current " +
+        "FROM j WHERE in_old " +
+        "UNION ALL SELECT doc_id, h_new, CAST(2 AS BIGINT), " +
+        "CAST(NULL AS BIGINT), true FROM j " +
+        "WHERE in_new AND (NOT in_old OR h_old IS DISTINCT FROM h_new)"),
     // CDC merge: kept = NOT (delete ∪ update) keys; updates and inserts
     // union in; md5 pins content without hauling full texts
     "q_cdc_merge" ->
@@ -2671,6 +2701,23 @@ object SparkEntry {
         "GROUP BY lang " +
         "UNION ALL SELECT '__ALL__', '__ALL__', " +
         "CAST(count(DISTINCT text) AS BIGINT) FROM documents"),
+    // join pre-flight, exact-below-k regime: distincts and overlap are
+    // exact, est_rows is the same arithmetic over the exact inputs
+    "q_join_estimate" ->
+      ("WITH ka AS (SELECT CAST(count(*) AS BIGINT) AS n_a, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS est_keys_a " +
+        "FROM orders), " +
+        "kb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, " +
+        "CAST(count(DISTINCT c_custkey) AS BIGINT) AS est_keys_b " +
+        "FROM customer), " +
+        "ov AS (SELECT CAST(count(*) AS BIGINT) AS est_key_overlap " +
+        "FROM (SELECT DISTINCT o_custkey FROM orders " +
+        "INTERSECT SELECT DISTINCT c_custkey FROM customer)) " +
+        "SELECT n_a, n_b, est_keys_a, est_keys_b, est_key_overlap, " +
+        "round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * " +
+        "CAST(est_key_overlap AS DOUBLE) / " +
+        "(CAST(est_keys_a AS DOUBLE) * CAST(est_keys_b AS DOUBLE)), 4) " +
+        "AS est_rows FROM ka, kb, ov"),
     // priority sampling, exact-below-n regime: the state holds every
     // (priority, id, weight) row, τ = 0, and the DLT estimator
     // Σ max(w, τ) collapses to the exact BIGINT sum

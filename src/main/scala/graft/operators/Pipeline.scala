@@ -496,6 +496,64 @@ object Pipeline {
         md5(col("text")).as("text_md5"))
   }
 
+  /** SCD2 history construction — the versioned-corpus complement of
+    * [[corpusDiff]] (what changed) and [[applyChanges]] (apply the
+    * change): collapse two snapshots into one type-2 slowly-changing
+    * history table, one row per (doc_id, version-interval):
+    * `valid_from`/`valid_to` version stamps (`valid_to` NULL = open) and
+    * an `is_current` flag. Unchanged docs carry ONE open row from v1;
+    * changed docs carry a CLOSED v1 row plus an open v2 row; removed
+    * docs a closed v1 row; added docs an open v2 row. Content is pinned
+    * by md5 (the corpusDiff convention) so the history table stays
+    * narrow.
+    *
+    * Scale shape: exactly [[corpusDiff]]'s narrow full-outer join on
+    * doc_id (48 bytes/row), then a pure projection fans each class into
+    * its 1-2 interval rows — no extra shuffle, no window. Longer
+    * histories accrete per transition: run scd2(v_n, v_n+1) with the
+    * next version stamps, drop the prior history's open rows for the
+    * doc_ids the new run re-emits (one anti-join on the transition's
+    * touched keys — change-batch-sized), and union. */
+  def scd2(oldSnap: DataFrame, newSnap: DataFrame,
+      vOld: Long = 1L, vNew: Long = 2L): DataFrame = {
+    require(vNew > vOld, s"vNew must exceed vOld, got $vOld -> $vNew")
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"),
+      lit(true).as("in_old"))
+    val b = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"),
+      lit(true).as("in_new"))
+    val j = a.join(b, Seq("doc_id"), "full_outer")
+    val lit0 = lit(vOld); val lit1 = lit(vNew)
+    val nullV = lit(null).cast("long")
+    // one interval row per (class, side); unchanged emits the v1 row
+    // open-ended, every other class closes/openes per SCD2
+    val oldRow = j.filter(col("in_old").isNotNull)
+      .select(col("doc_id"), col("h_old").as("text_md5"),
+        lit0.as("valid_from"),
+        when(col("in_new").isNull || !(col("h_old") <=> col("h_new")),
+          lit1).otherwise(nullV).as("valid_to"))
+    val newRow = j.filter(col("in_new").isNotNull &&
+        (col("in_old").isNull || !(col("h_old") <=> col("h_new"))))
+      .select(col("doc_id"), col("h_new").as("text_md5"),
+        lit1.as("valid_from"), nullV.as("valid_to"))
+    oldRow.unionByName(newRow)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** [[scd2]] demo over the corpus (oracle-able entry): v2 = the same
+    * deterministic evolution `q_corpus_diff` uses (doc_id ≡ 0 mod 7
+    * removed, ≡ 0 mod 11 revised with ' v2', ≡ 0 mod 13 re-inserted at
+    * +1,000,000). */
+  def scd2Demo(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    scd2(d, v2)
+  }
+
   /** Dataset card — the release-note summary every corpus drop ships:
     * size, provenance spread, duplication, token volume, length
     * percentiles and quality mix, as (metric, value) rows. ONE pass:

@@ -175,6 +175,51 @@ object SketchOps {
     per.union(all)
   }
 
+  // ----------------------------------------- join pre-flight estimate
+
+  /** Pre-flight equi-join cardinality estimate from key sketches — the
+    * planner-style "how big is this join going to be" answered WITHOUT
+    * running it: one sketch row per side (KMV over the key column) plus
+    * the row counts give distinct-key counts, the key-domain overlap
+    * (inclusion-exclusion over the merged states), and the
+    * uniform-multiplicity output estimate
+    * `n_a·n_b·overlap/(keys_a·keys_b)`. At 100 TB this is two map-side
+    * passes (each side once, combinable aggregates) versus actually
+    * shuffling the join — the sanity check a pipeline runs before
+    * committing a cluster to a fat join, and the stats feed
+    * broadcast-vs-shuffle and salting decisions. Exact below k (the
+    * states hold every distinct key hash), so the driver's oracle pins
+    * every column; the multiplicity model's accuracy against the TRUE
+    * join size is spec-pinned on the FK fixture. */
+  def joinCardinalityEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String, k: Int = 65536): DataFrame = {
+    val sa = a.agg(count(lit(1)).as("n_a"),
+      KmvSketch.sketchState(col(aKey).cast("string"), k).as("sk_a"))
+    val sb = b.agg(count(lit(1)).as("n_b"),
+      KmvSketch.sketchState(col(bKey).cast("string"), k).as("sk_b"))
+    sa.crossJoin(sb)
+      .select(col("n_a"), col("n_b"),
+        KmvSketch.estimateExpr(col("sk_a"), k).as("est_keys_a"),
+        KmvSketch.estimateExpr(col("sk_b"), k).as("est_keys_b"),
+        (KmvSketch.estimateExpr(col("sk_a"), k) +
+          KmvSketch.estimateExpr(col("sk_b"), k) -
+          KmvSketch.estimateExpr(KmvSketch.mergeStatesExpr(
+            array(col("sk_a"), col("sk_b")), k), k))
+          .as("est_key_overlap"))
+      .withColumn("est_rows",
+        round(col("n_a").cast("double") * col("n_b").cast("double") *
+          col("est_key_overlap").cast("double") /
+          (col("est_keys_a").cast("double") *
+            col("est_keys_b").cast("double")), 4))
+  }
+
+  /** Demo entry: pre-flight the orders ⋈ customer join on custkey. */
+  def ordersCustomerJoinEstimate(spark: SparkSession, dir: String,
+      k: Int = 65536): DataFrame =
+    joinCardinalityEstimate(
+      spark.read.parquet(s"$dir/orders.parquet"), "o_custkey",
+      spark.read.parquet(s"$dir/customer.parquet"), "c_custkey", k)
+
   // ---------------------------------------------- sketch cube rollup
 
   /** Distinct-text counts at EVERY level of the (source, lang)

@@ -109,6 +109,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(got === cells ++ bySource ++ byLang ++ total)
   }
 
+  test("join pre-flight: estimate within 15% of the true join size on " +
+      "the FK fixture, exact key stats below k") {
+    import graft.operators.SketchOps
+    val row = SketchOps.ordersCustomerJoinEstimate(spark, sfDir)
+      .collect()(0)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    assert(row.getAs[Long]("n_a") === orders.count())
+    assert(row.getAs[Long]("est_keys_a") ===
+      orders.select("o_custkey").distinct().count())
+    assert(row.getAs[Long]("est_keys_b") ===
+      customer.select("c_custkey").distinct().count())
+    val trueRows = orders.join(customer,
+      col("o_custkey") === col("c_custkey")).count()
+    val est = row.getAs[Double]("est_rows")
+    assert(math.abs(est - trueRows) / trueRows < 0.15,
+      s"est $est vs true $trueRows")
+  }
+
   test("estimateExpr matches the aggregator's finish in both regimes") {
     import spark.implicits._
     val k = 32

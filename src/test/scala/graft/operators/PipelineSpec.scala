@@ -530,6 +530,31 @@ class PipelineSpec extends SparkSpec {
       s"the snapshot side must not shuffle\n$plan")
   }
 
+  test("scd2: unchanged/changed/removed/added fan into the right " +
+      "version intervals") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.scd2(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).toSet
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Set(
+      (1L, h("same"), 1L, None, true),            // unchanged: open v1
+      (2L, h("will change"), 1L, Some(2L), false), // changed: closed v1
+      (2L, h("changed!"), 2L, None, true),         //   + open v2
+      (3L, h("will vanish"), 1L, Some(2L), false), // removed: closed v1
+      (4L, h("brand new"), 2L, None, true)))       // added: open v2
+    // exactly one current row per live doc, none for removed
+    val cur = got.filter(_._5).map(_._1)
+    assert(cur === Set(1L, 2L, 4L))
+    intercept[IllegalArgumentException](Pipeline.scd2(v1, v2, 2L, 2L))
+  }
+
   test("cdcMergeDemo matches the recomputed merge on the fixture") {
     val d = graft.operators.Tables.documents(spark, sfDir)
     val got = Pipeline.cdcMergeDemo(spark, sfDir).collect()
