@@ -328,6 +328,10 @@ object SparkEntry {
     // instead of running the join (exact below k)
     "q_join_estimate" -> ((s, d) =>
       graft.operators.SketchOps.ordersCustomerJoinEstimate(s, d)),
+    // range-predicate selectivity from the same stored quantile states
+    // that serve percentiles (exact below k)
+    "q_range_estimate" -> ((s, d) =>
+      graft.operators.SketchOps.sourceLengthSelectivity(s, d)),
     // mergeable priority-sample table (DLT subset-sum states):
     // per-source total chars + a row-level-merged __ALL__ row
     // (exact below n — τ = 0 ⇒ the estimate is the true sum)
@@ -2718,6 +2722,17 @@ object SparkEntry {
         "CAST(est_key_overlap AS DOUBLE) / " +
         "(CAST(est_keys_a AS DOUBLE) * CAST(est_keys_b AS DOUBLE)), 4) " +
         "AS est_rows FROM ka, kb, ov"),
+    // range selectivity, exact-below-k regime: the sample IS the
+    // population, so the fraction is the exact row fraction
+    "q_range_estimate" ->
+      ("SELECT source AS scope, " +
+        "round(CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 400 " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) " +
+        "AS selectivity FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "round(CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 400 " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) " +
+        "AS selectivity FROM documents"),
     // priority sampling, exact-below-n regime: the state holds every
     // (priority, id, weight) row, τ = 0, and the DLT estimator
     // Σ max(w, τ) collapses to the exact BIGINT sum

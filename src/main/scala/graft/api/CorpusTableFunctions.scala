@@ -411,6 +411,25 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k))
     }
 
+    tvf("corpus_range_estimate",
+      "corpus_range_estimate(dir[, lo, hi, k]) - Fraction of documents " +
+        "per source (plus __ALL__) with n_chars in [lo, hi] (defaults " +
+        "200..400), read off stored quantile-sketch states (exact " +
+        "below k).",
+      "SELECT * FROM corpus_range_estimate('/data/c1', 100, 500);") { args =>
+      val fn = "corpus_range_estimate"
+      val bound = bind(fn, args, Seq("dir", "lo", "hi", "k"), Set.empty)
+      val lo = optNum(fn, bound, "lo", 200.0)
+      val hi = optNum(fn, bound, "hi", 400.0)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (lo > hi) throw new IllegalArgumentException(
+        s"SUDAN: $fn() requires lo <= hi, got [$lo, $hi].")
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.sourceLengthSelectivity(
+        SparkSession.active, reqDir(fn, bound), lo, hi, k))
+    }
+
     tvf("corpus_priority_totals",
       "corpus_priority_totals(dir[, n]) - Per-source total characters " +
         "plus a __ALL__ row merged from stored-shape priority-sample " +

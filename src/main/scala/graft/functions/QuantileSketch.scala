@@ -94,4 +94,21 @@ object QuantileSketch {
     element_at(vals,
       greatest(lit(1), ceil(lit(q) * size(state))).cast("int"))
   }
+
+  /** Estimated fraction of the group's rows with value in [lo, hi]
+    * (inclusive), read off a state column: the state is a uniform
+    * without-replacement sample, so the sample fraction estimates the
+    * population fraction — and below k the sample IS the population,
+    * making the selectivity EXACT (the oracle regime). The planner-stat
+    * use: range-predicate selectivity from stored sketch rows, no
+    * rescan. Empty states report NULL (no evidence ≠ zero). */
+  def rangeSelectivityExpr(state: Column, lo: Double,
+      hi: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val inRange = size(filter(state,
+      x => x.getField("_2") >= lo && x.getField("_2") <= hi))
+    when(size(state) === 0, lit(null).cast("double"))
+      .otherwise(round(inRange.cast("double") /
+        size(state).cast("double"), 4))
+  }
 }

@@ -262,6 +262,35 @@ object SketchOps {
     cells.unionByName(bySource).unionByName(byLang).unionByName(total)
   }
 
+  // ------------------------------------- range selectivity estimate
+
+  /** Range-predicate selectivity per source PLUS the merged `__ALL__`
+    * row, from stored quantile-sketch states — the second planner stat
+    * next to [[joinCardinalityEstimate]]: "what fraction of docs has
+    * n_chars in [lo, hi]" answered from the same nightly sketch rows
+    * that serve percentiles, no rescan. Exact below k (the state holds
+    * every row), so the driver's oracle pins each fraction; above k the
+    * uniform-sample estimator's error is the standard binomial bound
+    * (spec-pinned on a synthetic overflow case). */
+  def sourceLengthSelectivity(spark: SparkSession, dir: String,
+      lo: Double = 200.0, hi: Double = 400.0,
+      k: Int = 65536): DataFrame = {
+    import graft.functions.QuantileSketch
+    require(lo <= hi, s"lo must be <= hi, got [$lo, $hi]")
+    val sk = docs(spark, dir).groupBy(col("source"))
+      .agg(QuantileSketch.sketchState(col("doc_id"),
+        col("n_chars").cast("double"), k).as("qsk"))
+    val per = sk.select(col("source").as("scope"),
+      QuantileSketch.rangeSelectivityExpr(col("qsk"), lo, hi)
+        .as("selectivity"))
+    val all = sk.agg(collect_list(col("qsk")).as("states"))
+      .select(lit("__ALL__").as("scope"),
+        QuantileSketch.rangeSelectivityExpr(
+          QuantileSketch.mergeStatesExpr(col("states"), k), lo, hi)
+          .as("selectivity"))
+    per.union(all)
+  }
+
   // ------------------------------------------ priority sample table
 
   /** Per-source TOTAL characters PLUS an `__ALL__` row, all derived

@@ -198,6 +198,14 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     val scalaCp = graft.operators.Dedup.contrastivePairs(spark, sfDir)
       .collect()
     assert(sqlCp.toSet === scalaCp.toSet)
+    val sqlRe = spark.sql(
+      s"SELECT * FROM corpus_range_estimate('$sfDir')").collect()
+    val scalaRe = graft.operators.SketchOps
+      .sourceLengthSelectivity(spark, sfDir).collect()
+    assert(sqlRe.toSet === scalaRe.toSet)
+    val e4 = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_range_estimate('$sfDir', 9, 1)"))
+    assert(e4.getMessage.contains("lo <= hi"), e4.getMessage)
   }
 
   test("binder errors: missing dir / unknown param") {

@@ -33,7 +33,8 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_setsim_pairs", "corpus_sketch_sources",
     "corpus_sketch_snapshot_merge", "corpus_quantile_sources",
     "corpus_priority_totals", "corpus_bloom_guard",
-    "corpus_sketch_rollup", "corpus_contrastive_pairs")
+    "corpus_sketch_rollup", "corpus_contrastive_pairs",
+    "corpus_range_estimate")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;

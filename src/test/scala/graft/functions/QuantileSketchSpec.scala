@@ -83,4 +83,35 @@ class QuantileSketchSpec extends SparkSpec {
     assert(got("__ALL__") ===
       ((disc(all, 0.25), disc(all, 0.5), disc(all, 0.75))))
   }
+
+  test("range selectivity: exact below k, sampled within 5 points " +
+      "above k, NULL on empty, lo>hi rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // above-k regime: 20k rows, k=512 — uniform-sample estimate of the
+    // fraction in [0, 2999] (true 3/10)
+    val df = (1L to 20000L).map(i => (i, (i % 10000).toDouble))
+      .toDF("id", "v")
+    val est = df.agg(QuantileSketch.sketchState(col("id"), col("v"),
+        k = 512).as("s"))
+      .select(QuantileSketch.rangeSelectivityExpr(col("s"), 0.0, 2999.0))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 0.3) < 0.05, s"sampled selectivity $est")
+    // below k: exact
+    val exact = df.limit(100)
+      .agg(QuantileSketch.sketchState(col("id"), col("v"), k = 512)
+        .as("s"))
+      .select(QuantileSketch.rangeSelectivityExpr(col("s"), 0.0, 50.0))
+      .collect()(0).getDouble(0)
+    assert(exact === 0.5)
+    val empty = df.filter(lit(false))
+      .agg(QuantileSketch.sketchState(col("id"), col("v"), k = 16)
+        .as("s"))
+      .select(QuantileSketch.rangeSelectivityExpr(col("s"), 0.0, 1.0))
+      .collect()(0)
+    assert(empty.isNullAt(0), "empty state must report NULL")
+    intercept[IllegalArgumentException](
+      graft.operators.SketchOps.sourceLengthSelectivity(spark, sfDir,
+        lo = 5.0, hi = 1.0))
+  }
 }
