@@ -179,6 +179,10 @@ object SparkEntry {
     // SCD2 history of the same two-snapshot evolution: one narrow
     // full-outer join fans into closed/open version-interval rows
     "q_scd2" -> ((s, d) => graft.operators.Pipeline.scd2Demo(s, d)),
+    // fixed-size token windows across doc boundaries (the pretraining
+    // concat-and-cut manifest; per-shard cumulative sums, no global)
+    "q_token_windows" -> ((s, d) =>
+      graft.operators.Pipeline.tokenWindows(s, d)),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -1408,6 +1412,26 @@ object SparkEntry {
     },
     // snapshot diff: rebuild the same derived "new" snapshot, hash-join
     // full-outer on doc_id, classify per row
+    // token windows: the same per-shard cumulative offsets + covered-
+    // window expansion, range() in place of sequence()
+    "q_token_windows" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "substr(md5(CAST(doc_id AS VARCHAR) || 'graft-pack-v1'), 1, 1) " +
+        "AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "o AS (SELECT doc_id, shard, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS off " +
+        "FROM t WHERE n_tokens > 0), " +
+        "e AS (SELECT doc_id, shard, n_tokens, off, " +
+        "unnest(range(CAST(floor(off / 2048.0) AS BIGINT), " +
+        "CAST(floor((off + n_tokens - 1) / 2048.0) AS BIGINT) + 1)) " +
+        "AS window_id FROM o) " +
+        "SELECT shard, window_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(least((window_id + 1) * 2048, off + n_tokens) - " +
+        "greatest(window_id * 2048, off)) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM e GROUP BY shard, window_id"),
     // SCD2: the corpus-diff classes fanned into version intervals —
     // unchanged = one open v1 row, changed = closed v1 + open v2,
     // removed = closed v1, added = open v2

@@ -369,6 +369,56 @@ object Pipeline {
           lit(capacityTokens.toDouble))).cast("long"))
   }
 
+  /** Fixed-size token WINDOWS across document boundaries — the actual
+    * pretraining batch-prep shape ([[packSequences]] bins whole docs
+    * into capacity packs; trainers consume CONCATENATED token streams
+    * cut into exact `windowTokens` windows, docs spanning cuts): per
+    * md5-prefix shard, documents concatenate in deterministic doc_id
+    * order and the stream splits at every `windowTokens` boundary. One
+    * row per (shard, window): how many docs touch it, the tokens it
+    * holds (= windowTokens except each shard's tail), and its
+    * first/last doc — the manifest a loader uses to seek.
+    *
+    * Plan shape: one per-shard cumulative-sum window (the pack shuffle)
+    * → each doc explodes into its ⌈tokens/W⌉+1 covered windows (narrow,
+    * bounded) → one keyed agg on (shard, window). Nothing global; a
+    * shard's stream order is its doc_id order, so the manifest is
+    * reproducible across runs, engines, and partitionings. Tokens =
+    * ceil(chars/4), the corpus-wide estimate convention. */
+  def tokenWindows(spark: SparkSession, dir: String,
+      windowTokens: Long = 2048L, shardHexDigits: Int = 1,
+      salt: String = "graft-pack-v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(shardHexDigits >= 0 && shardHexDigits <= 8,
+      "0 <= shardHexDigits <= 8")
+    val tokens = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val shard = substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))),
+      1, shardHexDigits)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val withOff = Tables.documents(spark, dir)
+      .select(col("doc_id"), shard.as("shard"), tokens.as("n_tokens"))
+      // zero-token docs occupy no window (and would otherwise turn the
+      // covered-window sequence() descending — engine-divergent)
+      .filter(col("n_tokens") > 0)
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val W = lit(windowTokens)
+    withOff
+      .withColumn("window_id", explode(sequence(
+        floor(col("off") / W).cast("long"),
+        floor((col("off") + col("n_tokens") - 1) / W).cast("long"))))
+      .withColumn("win_tokens",
+        least((col("window_id") + 1) * W, col("off") + col("n_tokens")) -
+          greatest(col("window_id") * W, col("off")))
+      .groupBy(col("shard"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("win_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Per-source quota cap — the curation rule that stops any single
     * domain/source from dominating the mix: keep at most `cap` documents
     * per source, preferring a deterministic quality proxy (longest first,

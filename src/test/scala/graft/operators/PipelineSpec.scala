@@ -555,6 +555,39 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pipeline.scd2(v1, v2, 2L, 2L))
   }
 
+  test("tokenWindows: exact-size windows except shard tails, token " +
+      "conservation, contiguous ids, zero-token docs dropped") {
+    val W = 512L
+    val out = Pipeline.tokenWindows(spark, sfDir, windowTokens = W)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byShard = out.groupBy(_._1)
+    byShard.foreach { case (shard, ws) =>
+      val sorted = ws.sortBy(_._2)
+      // window ids are 0..max contiguous
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq,
+        s"shard $shard ids")
+      // every window but the tail holds exactly W tokens
+      sorted.dropRight(1).foreach(w =>
+        assert(w._4 === W, s"shard $shard window ${w._2} has ${w._4}"))
+      assert(sorted.last._4 <= W && sorted.last._4 > 0)
+    }
+    // token conservation: sum over windows == sum of per-doc estimates
+    val total = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(ceil(length(col("text")) / 4.0).cast("long").as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(out.map(_._4).sum === total)
+    // a doc spanning a cut appears in consecutive windows: first/last
+    // doc ranges of consecutive windows overlap or abut
+    byShard.foreach { case (_, ws) =>
+      ws.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._6,
+          s"window ${b._2} starts before ${a._2} ends")
+        case _ =>
+      }
+    }
+  }
+
   test("cdcMergeDemo matches the recomputed merge on the fixture") {
     val d = graft.operators.Tables.documents(spark, sfDir)
     val got = Pipeline.cdcMergeDemo(spark, sfDir).collect()
