@@ -89,6 +89,9 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
     "q_transitions" -> (Relational.eventTransitions _),
     "q_user_rfm" -> (Relational.userRfm _),
+    // per-user z-score anomaly flags (personal baselines; exact
+    // decimal sums feed the one division/sqrt — engine-identical)
+    "q_user_anomalies" -> ((s, d) => Relational.userAnomalies(s, d)),
     "q_funnel" -> (Relational.funnel _),
     "q_window_topn" -> (Relational.windowTopN _),
     "q_window_offsets" -> (Relational.windowOffsets _),
@@ -183,6 +186,10 @@ object SparkEntry {
     // concat-and-cut manifest; per-shard cumulative sums, no global)
     "q_token_windows" -> ((s, d) =>
       graft.operators.Pipeline.tokenWindows(s, d)),
+    // data-quality expectations gate: named checks with observed
+    // values and pass/fail, one corpus pass (stack-unpivoted agg)
+    "q_expectations" -> ((s, d) =>
+      graft.operators.Pipeline.expectations(s, d)),
     "q_jaccard" -> (Dedup.jaccardPairs _),
     "q_char_jaccard" -> ((s, d) => Dedup.charJaccardPairs(s, d)),
     // the entries run the build-once/probe-many shape (signatures read
@@ -1049,6 +1056,24 @@ object SparkEntry {
         "CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p " +
         "FROM (SELECT event_type AS from_type, to_type, count(*) AS n " +
         "FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2) t"),
+    // per-user anomalies: mean/std from exact decimal sums, one IEEE
+    // division/sqrt each, filter on the ROUNDED z in both engines
+    "q_user_anomalies" ->
+      ("WITH st AS (SELECT user_id, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS s1, " +
+        "sum(CAST(value AS DECIMAL(18,2)) * " +
+        "CAST(value AS DECIMAL(18,2))) AS s2 " +
+        "FROM events GROUP BY user_id HAVING count(*) >= 2), " +
+        "m AS (SELECT user_id, " +
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
+        "sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS std FROM st) " +
+        "SELECT e.event_id, e.user_id, " +
+        "round((e.value - m.mean) / m.std, 4) AS z " +
+        "FROM events e JOIN m ON m.user_id = e.user_id " +
+        "WHERE m.std > 0 " +
+        "AND abs(round((e.value - m.mean) / m.std, 4)) > 3"),
     // RFM segmentation: fixed thresholds, decimal-exact monetary
     "q_user_rfm" ->
       ("WITH l AS (SELECT max(CAST(ts AS DATE)) AS corpus_last FROM events), " +
@@ -1412,6 +1437,33 @@ object SparkEntry {
     },
     // snapshot diff: rebuild the same derived "new" snapshot, hash-join
     // full-outer on doc_id, classify per row
+    // expectations: the same seven checks as scalar aggregates fanned
+    // into rows (VALUES in place of stack)
+    "q_expectations" ->
+      ("WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n_rows, " +
+        "CAST(count(*) AS DOUBLE) - " +
+        "CAST(count(DISTINCT doc_id) AS DOUBLE) AS dup_ids, " +
+        "avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) " +
+        "AS text_nonnull, " +
+        "avg(CASE WHEN n_chars = length(text) THEN 1.0 ELSE 0.0 END) " +
+        "AS len_consistent, " +
+        "avg(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1.0 " +
+        "ELSE 0.0 END) AS len_in_range, " +
+        "avg(CASE WHEN lang IS NOT NULL AND length(lang) > 0 " +
+        "THEN 1.0 ELSE 0.0 END) AS lang_present, " +
+        "avg(CASE WHEN source IS NOT NULL AND length(source) > 0 " +
+        "THEN 1.0 ELSE 0.0 END) AS source_present FROM documents) " +
+        "SELECT t.check, round(t.observed, 4) AS observed, t.passed " +
+        "FROM a, LATERAL (VALUES " +
+        "('row_count_positive', a.n_rows, a.n_rows > 0), " +
+        "('doc_id_unique', a.dup_ids, a.dup_ids = 0.0), " +
+        "('text_nonnull', a.text_nonnull, a.text_nonnull >= 0.99), " +
+        "('n_chars_consistent', a.len_consistent, " +
+        "a.len_consistent = 1.0), " +
+        "('n_chars_in_range', a.len_in_range, a.len_in_range >= 0.999), " +
+        "('lang_present', a.lang_present, a.lang_present >= 0.99), " +
+        "('source_present', a.source_present, a.source_present >= 0.99)" +
+        ") AS t(\"check\", observed, passed)"),
     // token windows: the same per-shard cumulative offsets + covered-
     // window expansion, range() in place of sequence()
     "q_token_windows" ->

@@ -419,6 +419,47 @@ object Pipeline {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Data-quality EXPECTATIONS report — the contract gate a corpus
+    * drop runs before anything downstream trusts it (the
+    * Great-Expectations pattern as one Spark aggregate): each row is a
+    * named check with its observed value and pass/fail against a fixed
+    * threshold. Checks cover key integrity (doc_id uniqueness),
+    * completeness (null fractions), consistency (n_chars ≡
+    * length(text)), and domain sanity (length bounds, nonempty
+    * lang/source). ONE corpus pass: every observation folds into a
+    * single map-side-combined aggregate row, then `stack` unpivots —
+    * the dataset-card economics applied to validation. A failed row is
+    * the signal to quarantine the drop, not a crash: the report always
+    * materializes (monitoring reads it), callers decide policy. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = count(lit(1)).cast("double")
+    val agg = d.agg(
+      n.as("n_rows"),
+      (n - countDistinct(col("doc_id")).cast("double")).as("dup_ids"),
+      avg(col("text").isNotNull.cast("double")).as("text_nonnull"),
+      avg((col("n_chars") === length(col("text"))).cast("double"))
+        .as("len_consistent"),
+      avg((col("n_chars") >= 1 && col("n_chars") <= 100000)
+        .cast("double")).as("len_in_range"),
+      avg((col("lang").isNotNull && length(col("lang")) > 0)
+        .cast("double")).as("lang_present"),
+      avg((col("source").isNotNull && length(col("source")) > 0)
+        .cast("double")).as("source_present"))
+    agg.select(expr(
+      """stack(7,
+        'row_count_positive', n_rows, CAST(n_rows > 0 AS BOOLEAN),
+        'doc_id_unique', dup_ids, CAST(dup_ids = 0.0 AS BOOLEAN),
+        'text_nonnull', text_nonnull, CAST(text_nonnull >= 0.99 AS BOOLEAN),
+        'n_chars_consistent', len_consistent, CAST(len_consistent = 1.0 AS BOOLEAN),
+        'n_chars_in_range', len_in_range, CAST(len_in_range >= 0.999 AS BOOLEAN),
+        'lang_present', lang_present, CAST(lang_present >= 0.99 AS BOOLEAN),
+        'source_present', source_present, CAST(source_present >= 0.99 AS BOOLEAN)
+      ) AS (check, observed, passed)"""))
+      .select(col("check"), round(col("observed"), 4).as("observed"),
+        col("passed"))
+  }
+
   /** Per-source quota cap — the curation rule that stops any single
     * domain/source from dominating the mix: keep at most `cap` documents
     * per source, preferring a deterministic quality proxy (longest first,

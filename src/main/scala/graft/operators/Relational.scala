@@ -628,6 +628,41 @@ object Relational {
     * (not per-corpus quantiles) keep the labels stable across
     * reprocessing windows — the production choice for downstream
     * joins. */
+  /** Per-user event-value anomaly flags — the outlier monitor of an
+    * event pipeline: each user's values get a z-score against THEIR OWN
+    * history (personal baselines, not a global one — a whale's normal
+    * is another user's anomaly), and |z| > `zThreshold` rows surface
+    * with their score. Engine-exactness discipline: mean and variance
+    * derive from EXACT decimal sums (Σv, Σv² as DECIMAL — `value` is a
+    * 2-dp money-like column, so v² has ≤4 dp and both sums are exact),
+    * then one division/sqrt each in IEEE double — bit-identical across
+    * engines, so the oracle pins z to 4 dp with no stddev-
+    * implementation drift. Population variance (÷n); users with <2
+    * events or zero variance emit nothing (no division-by-zero NULLs).
+    * Plan: one map-side-combined per-user agg + a join back keyed the
+    * same — two passes over events, no per-user window sort. */
+  def userAnomalies(spark: SparkSession, dir: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, "zThreshold must be positive")
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).as("s2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), mean.as("mean"),
+        sqrt(col("s2").cast("double") / col("n").cast("double") -
+          mean * mean).as("std"))
+      .filter(col("std") > 0)
+    ev.join(stats, Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        round((col("value") - col("mean")) / col("std"), 4).as("z"))
+      .filter(abs(col("z")) > zThreshold)
+  }
+
   def userRfm(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val lastDay = ev.agg(max(to_date(col("ts"))).as("corpus_last"))

@@ -588,6 +588,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("expectations: all checks pass on the fixture; planted " +
+      "violations flip exactly their checks") {
+    import spark.implicits._
+    val clean = Pipeline.expectations(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(clean.size === 7 && clean.values.forall(identity), clean)
+    // planted: duplicate id, null text, n_chars drift, empty lang
+    val tmp = java.nio.file.Files.createTempDirectory("expect").toString
+    Seq(
+      (1L, Some("ok text"), "en", "s1", 7L),
+      (1L, Some("dup id"), "en", "s1", 99L),    // dup + wrong n_chars
+      (2L, None: Option[String], "en", "s1", 5L), // null text
+      (3L, Some("fine"), "", "s1", 4L))          // empty lang
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dirty = Pipeline.expectations(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(dirty("row_count_positive"))
+    assert(!dirty("doc_id_unique"))
+    assert(!dirty("text_nonnull"))
+    assert(!dirty("n_chars_consistent"))
+    assert(!dirty("lang_present"))
+    assert(dirty("source_present"))
+  }
+
   test("cdcMergeDemo matches the recomputed merge on the fixture") {
     val d = graft.operators.Tables.documents(spark, sfDir)
     val got = Pipeline.cdcMergeDemo(spark, sfDir).collect()

@@ -314,6 +314,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("userAnomalies: planted outlier flagged, constant-value and " +
+      "single-event users emit nothing") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // user 1: 20 values of 10.0 plus one 500.0 outlier; user 2:
+    // constant (std 0); user 3: single event
+    val rows = (1 to 20).map(i => (i.toLong, 1L, 10.0, ts)) ++
+      Seq((21L, 1L, 500.0, ts)) ++
+      (30 to 35).map(i => (i.toLong, 2L, 7.0, ts)) ++
+      Seq((40L, 3L, 99.0, ts))
+    val tmp = java.nio.file.Files.createTempDirectory("anom").toString
+    rows.toDF("event_id", "user_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.userAnomalies(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet === Set(21L), s"got ${got.toSeq}")
+    assert(got.head._3 > 4.0, s"outlier z ${got.head._3}")
+    intercept[IllegalArgumentException](
+      Relational.userAnomalies(spark, tmp, zThreshold = 0.0))
+  }
+
   test("multi-join battery: broadcast dims, pushed scan filters, " +
       "TakeOrdered top-k, no cartesian") {
     for ((name, df) <- Seq(
