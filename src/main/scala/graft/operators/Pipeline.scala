@@ -601,10 +601,9 @@ object Pipeline {
     * Scale shape: exactly [[corpusDiff]]'s narrow full-outer join on
     * doc_id (48 bytes/row), then a pure projection fans each class into
     * its 1-2 interval rows — no extra shuffle, no window. Longer
-    * histories accrete per transition: run scd2(v_n, v_n+1) with the
-    * next version stamps, drop the prior history's open rows for the
-    * doc_ids the new run re-emits (one anti-join on the transition's
-    * touched keys — change-batch-sized), and union. */
+    * histories accrete per transition via [[scd2Accrete]] (close the
+    * touched docs' open rows IN PLACE — their original valid_from must
+    * survive — and append the new open rows). */
   def scd2(oldSnap: DataFrame, newSnap: DataFrame,
       vOld: Long = 1L, vNew: Long = 2L): DataFrame = {
     require(vNew > vOld, s"vNew must exceed vOld, got $vOld -> $vNew")
@@ -628,6 +627,40 @@ object Pipeline {
         lit1.as("valid_from"), nullV.as("valid_to"))
     oldRow.unionByName(newRow)
       .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Fold the NEXT snapshot transition into an existing SCD2 history.
+    * Subtlety the naive "re-run scd2 and union" approach gets wrong: a
+    * doc untouched for ten versions then changed must keep its ORIGINAL
+    * `valid_from` on the closing row — so touched docs' open rows close
+    * IN PLACE (valid_to stamped `vNew`) and only the new open rows
+    * append; untouched docs' rows pass through bit-identical.
+    *
+    * Scale shape: the touched-key set is transition-sized (a diff, not
+    * a corpus), so the close is a broadcast join against the history
+    * and the appended rows are change-batch-sized — accretion costs the
+    * diff of the new transition, never a history rewrite. Chain law
+    * (spec-pinned): accreting v1→v2→…→vN transition by transition
+    * yields a history whose "as of v" slice reproduces snapshot v
+    * exactly, for every v. */
+  def scd2Accrete(history: DataFrame, oldSnap: DataFrame,
+      newSnap: DataFrame, vNew: Long): DataFrame = {
+    val touched = corpusDiff(oldSnap, newSnap)
+      .filter(col("status") =!= "unchanged").select(col("doc_id"))
+    val closed = history
+      .join(broadcast(touched.withColumn("touched", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_md5"), col("valid_from"),
+        when(col("touched").isNotNull && col("is_current"), lit(vNew))
+          .otherwise(col("valid_to")).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+    val opened = newSnap
+      .join(broadcast(touched), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        lit(vNew).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    closed.unionByName(opened)
   }
 
   /** [[scd2]] demo over the corpus (oracle-able entry): v2 = the same

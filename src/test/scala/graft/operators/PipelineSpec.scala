@@ -613,6 +613,38 @@ class PipelineSpec extends SparkSpec {
     assert(dirty("source_present"))
   }
 
+  test("scd2Accrete chain law: as-of-v slices reproduce every " +
+      "snapshot; original valid_from survives late changes") {
+    import spark.implicits._
+    val v1 = Seq((1L, "stable"), (2L, "late bloomer"), (3L, "temp"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "stable"), (2L, "late bloomer"), (4L, "joined v2"))
+      .toDF("doc_id", "text") // 3 removed, 4 added, 1 & 2 unchanged
+    val v3 = Seq((1L, "stable"), (2L, "finally changed"),
+      (4L, "joined v2")).toDF("doc_id", "text") // 2 changes at v3
+    val hist = Pipeline.scd2Accrete(Pipeline.scd2(v1, v2, 1L, 2L),
+      v2, v3, 3L)
+    val rows = hist.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getBoolean(4)))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 2 was untouched v1→v2 then changed at v3: its closing row
+    // must keep valid_from = 1 (the naive re-run-and-union restamps 2)
+    assert(rows.toSet.contains((2L, h("late bloomer"), 1L, Some(3L),
+      false)), rows.toSet.mkString("\n"))
+    // as-of-v slice == snapshot v, for every version
+    def asOf(v: Long) = rows.filter(r =>
+      r._3 <= v && r._4.forall(_ > v)).map(r => r._1 -> r._2).toMap
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> h(r.getString(1))).toMap
+    assert(asOf(1L) === snap(v1))
+    assert(asOf(2L) === snap(v2))
+    assert(asOf(3L) === snap(v3))
+    // exactly one current row per live doc
+    assert(rows.filter(_._5).map(_._1).toSet === Set(1L, 2L, 4L))
+  }
+
   test("cdcMergeDemo matches the recomputed merge on the fixture") {
     val d = graft.operators.Tables.documents(spark, sfDir)
     val got = Pipeline.cdcMergeDemo(spark, sfDir).collect()
