@@ -363,6 +363,8 @@ object SparkEntry {
         .select(explode(arrays_zip(col("hh.items"), col("hh.counts"))).as("x"))
         .select(col("x.items").as("source"), col("x.counts").as("n_docs"))),
     "q_lang_id" -> (TextOps.langId _),
+    // langID vs declared-label confusion matrix (label-quality audit)
+    "q_langid_confusion" -> ((s, d) => TextOps.langIdConfusion(s, d)),
     "q_fingerprints" -> (TextOps.fingerprints _),
     "q_tfidf" -> (TextOps.tfIdf _),
     "q_char_entropy" -> (TextOps.charEntropy _),
@@ -2599,6 +2601,22 @@ object SparkEntry {
               "THEN 1 ELSE 0 END").mkString(" + ") + s"), 'l': '$lang'}"
         }.mkString(", ") +
         "]) AS m FROM documents)"),
+    // confusion matrix over the same classifier CTE + share-of-declared
+    "q_langid_confusion" ->
+      ("WITH p AS (SELECT doc_id, lang AS declared_lang, " +
+        "CASE WHEN m.s > 0 THEN m.l ELSE 'und' END AS predicted_lang " +
+        "FROM (SELECT doc_id, lang, list_max([" +
+        graft.operators.TextOps.langProfiles.map { case (lang, toks) =>
+          "{'s': (" + toks.map(t =>
+            s"CASE WHEN contains(' ' || lower(text) || ' ', '$t') " +
+              "THEN 1 ELSE 0 END").mkString(" + ") + s"), 'l': '$lang'}"
+        }.mkString(", ") +
+        "]) AS m FROM documents)) " +
+        "SELECT declared_lang, predicted_lang, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER " +
+        "(PARTITION BY declared_lang) AS DOUBLE), 4) AS share " +
+        "FROM p GROUP BY declared_lang, predicted_lang"),
     // winnowing fingerprints (Schleimer et al., SIGMOD'03): see fpCte
     "q_fingerprints" ->
       (fpCte + " SELECT doc_id, fp_hash FROM fp"),

@@ -321,6 +321,24 @@ object TextOps {
         greatest(best: _*).getField("l")).otherwise("und").as("predicted_lang"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the quality audit of [[langId]]
+    * against the declared labels: (declared, predicted, n, share-of-
+    * declared). The operational read: off-diagonal mass is either
+    * classifier error (tune profiles) or LABEL error (the upstream
+    * metadata lied — at 100 TB crawl scale both happen constantly, and
+    * this matrix is how a curation run decides which langs need manual
+    * audit before mixture weights trust the labels). Same one-pass
+    * classifier projection, one extra keyed agg (|langs|² output). */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, dir)
+      .groupBy(col("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("declared_lang"))
+          .cast("double"), 4))
+  }
+
   /** Document fingerprinting via winnowing (Schleimer et al., SIGMOD'03):
     * rolling Karp-Rabin hashes of k-grams, keep the min hash in each window
     * → a compact, position-robust fingerprint set per document.

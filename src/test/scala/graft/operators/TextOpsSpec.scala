@@ -73,6 +73,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === "und") // no profile hit → undetermined
   }
 
+  test("langIdConfusion: shares sum to 1 per declared lang, matrix " +
+      "consistent with per-doc predictions") {
+    val conf = TextOps.langIdConfusion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val byDecl = conf.groupBy(_._1)
+    byDecl.foreach { case (decl, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 0.001,
+        s"$decl shares sum ${rows.map(_._4).sum}")
+    }
+    val perDoc = TextOps.langId(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(conf.map(c => (c._1, c._2) -> c._3).toMap === perDoc)
+  }
+
   test("winnowing fingerprint: deterministic, shift-robust, short-text safe") {
     val t = "abcdefghijklmnopqrstuvwxyz0123456789"
     assert(TextOps.fingerprintSet(t) === TextOps.fingerprintSet(t))
