@@ -55,9 +55,13 @@ object PrioritySample {
       val (id, w) = a
       val e: Entry = (w.toDouble / uniform(id), id, w)
       if (b.top.size < b.n + 1) b.copy(top = b.top + e)
-      else if (Ordering[Entry].gt(e, b.top.head))
-        b.copy(top = (b.top + e).drop(1))
-      else b
+      else if (Ordering[Entry].gt(e, b.top.head)) {
+        // a duplicate id fed twice is a TreeSet no-op: only drop the
+        // current minimum when the insert actually grew the set, else
+        // the sample silently shrinks and the estimator biases.
+        val u = b.top + e
+        b.copy(top = if (u.size > b.n + 1) u.drop(1) else u)
+      } else b
     }
 
     override def merge(x: State, y: State): State = {
@@ -91,7 +95,10 @@ object PrioritySample {
     * n+1 and reverse. Pure codegen'd array expressions. */
   def mergeStatesExpr(states: Column, n: Int): Column = {
     import org.apache.spark.sql.functions._
-    val asc = array_sort(flatten(states))
+    // array_distinct matches the aggregator's TreeSet-union merge:
+    // states sharing rows (same snapshot listed twice, overlapping
+    // inputs) must not double-count entries, or the merge law breaks.
+    val asc = array_sort(array_distinct(flatten(states)))
     reverse(slice(asc, greatest(lit(1), size(asc) - n), lit(n + 1)))
   }
 

@@ -91,8 +91,13 @@ object QuantileSketch {
   def quantileExpr(state: Column, q: Double): Column = {
     import org.apache.spark.sql.functions._
     val vals = array_sort(transform(state, x => x.getField("_2")))
-    element_at(vals,
-      greatest(lit(1), ceil(lit(q) * size(state))).cast("int"))
+    // empty merged state (e.g. mergeStatesExpr over an empty
+    // collect_list) must report NULL, not index position 1 of an empty
+    // array — which errors under ANSI mode. Mirrors
+    // rangeSelectivityExpr's no-evidence guard.
+    when(size(state) === 0, lit(null).cast("double"))
+      .otherwise(element_at(vals,
+        greatest(lit(1), ceil(lit(q) * size(state))).cast("int")))
   }
 
   /** Estimated fraction of the group's rows with value in [lo, hi]

@@ -1134,7 +1134,11 @@ object Dedup {
   def contrastivePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minHashPairsCached(spark, dir)
+    // threshold MUST flow into the pair build (cache key includes it):
+    // a post-filter over the default-0.5 pair table would silently drop
+    // true near-dups in [threshold, 0.5) from the positives AND let them
+    // re-enter as label='neg' rows — actively wrong training labels.
+    val pairs = minHashPairsCached(spark, dir, threshold = threshold)
       .filter(col("jaccard") >= threshold)
     val pos = pairs.select(col("doc_a"), col("doc_b"),
       lit("pos").as("label"), round(col("jaccard"), 4).as("score"))
@@ -1155,7 +1159,10 @@ object Dedup {
         col("doc_a").as("pb")))
     val neg = a.join(b, Seq("shard", "pr"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .join(broadcast(undirected),
+      // pair-table-sized, not corpus² — but pair-table size is data-
+      // dependent (a dup-heavy corpus can blow it up), so the broadcast
+      // is size-gated and degrades to a shuffle anti-join above bound
+      .join(Relational.broadcastIfUnder(undirected),
         col("doc_a") === col("pa") && col("doc_b") === col("pb"),
         "left_anti")
       .select(col("doc_a"), col("doc_b"), lit("neg").as("label"),

@@ -438,10 +438,14 @@ object Pipeline {
       n.as("n_rows"),
       (n - countDistinct(col("doc_id")).cast("double")).as("dup_ids"),
       avg(col("text").isNotNull.cast("double")).as("text_nonnull"),
-      avg((col("n_chars") === length(col("text"))).cast("double"))
-        .as("len_consistent"),
-      avg((col("n_chars") >= 1 && col("n_chars") <= 100000)
-        .cast("double")).as("len_in_range"),
+      // NULL text/n_chars makes the comparison NULL and avg would SKIP
+      // the row — reading 1.0 on exactly the data the gate exists to
+      // catch. coalesce(.., 0.0) counts a NULL comparison as a check
+      // failure (the oracle's CASE WHEN .. ELSE 0.0 semantics).
+      avg(coalesce((col("n_chars") === length(col("text")))
+        .cast("double"), lit(0.0))).as("len_consistent"),
+      avg(coalesce((col("n_chars") >= 1 && col("n_chars") <= 100000)
+        .cast("double"), lit(0.0))).as("len_in_range"),
       avg((col("lang").isNotNull && length(col("lang")) > 0)
         .cast("double")).as("lang_present"),
       avg((col("source").isNotNull && length(col("source")) > 0)
@@ -545,9 +549,10 @@ object Pipeline {
     * maintenance twin of [[corpusDiff]]: apply a CDC change batch
     * (op ∈ I/U/D, one op per key — upstream CDC compaction's contract)
     * to an immutable snapshot. Deletes and updates anti-join their keys
-    * out; updates and inserts union in. The change batch is
-    * `broadcast()`-hinted (CDC batches are deltas — tiny next to the
-    * snapshot), so the 100 TB snapshot is ONE map-side anti-join plus a
+    * out; updates and inserts union in. The change batch is broadcast
+    * via the size-gated [[Relational.broadcastIfUnder]] (CDC batches
+    * are deltas — tiny next to the snapshot — but only by convention),
+    * so the 100 TB snapshot is ONE map-side anti-join plus a
     * union: never shuffled, never rewritten in place — the output is
     * the next snapshot, written alongside (the Delta/Iceberg MERGE
     * plan shape, minus the format). */
@@ -555,7 +560,11 @@ object Pipeline {
       keyCol: String = "doc_id"): DataFrame = {
     val touched = changes.filter(col("op").isin("U", "D"))
       .select(col(keyCol)).distinct()
-    snapshot.join(broadcast(touched), Seq(keyCol), "left_anti")
+    // size-gated: a CDC batch is delta-sized by CONVENTION, not by
+    // construction — a backfill-shaped batch must degrade to a shuffle
+    // join, not OOM the driver mid-broadcast.
+    snapshot.join(Relational.broadcastIfUnder(touched), Seq(keyCol),
+        "left_anti")
       .unionByName(changes.filter(col("op").isin("U", "I")).drop("op"))
   }
 
@@ -637,7 +646,9 @@ object Pipeline {
     * append; untouched docs' rows pass through bit-identical.
     *
     * Scale shape: the touched-key set is transition-sized (a diff, not
-    * a corpus), so the close is a broadcast join against the history
+    * a corpus), so the close is a size-gated broadcast join against the
+    * history ([[Relational.broadcastIfUnder]] — a pathological full-
+    * churn transition degrades to a shuffle join instead of OOMing)
     * and the appended rows are change-batch-sized — accretion costs the
     * diff of the new transition, never a history rewrite. Chain law
     * (spec-pinned): accreting v1→v2→…→vN transition by transition
@@ -645,17 +656,22 @@ object Pipeline {
     * exactly, for every v. */
   def scd2Accrete(history: DataFrame, oldSnap: DataFrame,
       newSnap: DataFrame, vNew: Long): DataFrame = {
-    val touched = corpusDiff(oldSnap, newSnap)
+    // size-gated broadcast: transition-sized by construction, but a
+    // pathological full-corpus churn transition would broadcast
+    // millions of keys — above the bound both joins degrade to plain
+    // shuffle joins and the operator stays total.
+    val touchedRaw = corpusDiff(oldSnap, newSnap)
       .filter(col("status") =!= "unchanged").select(col("doc_id"))
+    val touched = Relational.broadcastIfUnder(touchedRaw)
     val closed = history
-      .join(broadcast(touched.withColumn("touched", lit(true))),
+      .join(touched.withColumn("touched", lit(true)),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("text_md5"), col("valid_from"),
         when(col("touched").isNotNull && col("is_current"), lit(vNew))
           .otherwise(col("valid_to")).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
     val opened = newSnap
-      .join(broadcast(touched), Seq("doc_id"), "left_semi")
+      .join(touched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text")).as("text_md5"),
         lit(vNew).as("valid_from"),
         lit(null).cast("long").as("valid_to"),

@@ -27,6 +27,25 @@ object Relational {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Size-gated broadcast hint for DATA-DEPENDENT small sides (diff
+    * sets, touched-key sets, pair tables): below `maxRows` the frame is
+    * `broadcast()`-hinted; at/above it the hint is withheld and the
+    * join falls back to a plain shuffle join — making the operator
+    * TOTAL instead of correct-until-a-pathological-input OOMs the
+    * driver. The probe is `limit(maxRows+1).count()`, which short-
+    * circuits once the bound is exceeded (never materializes the full
+    * set just to decide) — one cheap extra job on the hinted path,
+    * bounded work on the fallback path. Constant-sized small sides
+    * (dimension tables, 1-row aggregates) should keep the plain hint;
+    * this gate is for sets whose size is a function of the DATA, where
+    * "transition-sized by construction" is an assumption, not a bound.
+    * Default 4M rows ≈ 32 MB of bare keys — comfortably broadcastable,
+    * far under Spark's 8 GB hard cap. */
+  def broadcastIfUnder(df: DataFrame, maxRows: Long = 4000000L): DataFrame = {
+    val probe = math.min(maxRows + 1L, Int.MaxValue.toLong).toInt
+    if (df.limit(probe).count() <= maxRows) broadcast(df) else df
+  }
+
   /** Money-sum with deterministic, engine-independent result: cast each
     * value to DECIMAL(18,2) (cents), sum exactly, cast back to double.
     * A plain double sum depends on accumulation order, which differs

@@ -69,6 +69,32 @@ class PrioritySampleSpec extends SparkSpec {
       s"estimate $got vs true $want")
   }
 
+  test("reduce is idempotent on duplicate ids in the full regime: " +
+      "a repeated entry must not shrink the sample") {
+    val agg = new PrioritySample.PriorityStateSketch(4)
+    // fill past n+1 so the overflow branch is active
+    val base = (1L to 10L).foldLeft(agg.zero)((s, i) => agg.reduce(s, (i, 100L + i)))
+    assert(base.top.size === 5)
+    // re-feed the CURRENT MAXIMUM entry (guaranteed in the sample and
+    // above the minimum): TreeSet no-op insert must not drop(1)
+    val (_, maxId, maxW) = base.top.last
+    val again = agg.reduce(base, (maxId, maxW))
+    assert(again.top === base.top,
+      s"duplicate feed shrank/changed the sample: ${again.top.size}")
+  }
+
+  test("mergeStatesExpr dedups shared rows: state merged with itself " +
+      "is the state (matches the aggregator's TreeSet-union merge)") {
+    import spark.implicits._
+    val st = (1L to 200L).map(i => (i, 100L + i)).toDF("id", "w")
+      .agg(PrioritySample.sketchState(col("id"), col("w"), n = 50).as("s"))
+    val self = st.select(array(col("s"), col("s")).as("states"))
+      .select(PrioritySample.mergeStatesExpr(col("states"), 50))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val plain = st.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(self === plain)
+  }
+
   test("sourceCharTotals: exact per-source + __ALL__ on the fixture") {
     val got = graft.operators.SketchOps.sourceCharTotals(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -60,6 +60,25 @@ class QuantileSketchSpec extends SparkSpec {
     assert(run() === est, "fixed hash → deterministic estimate")
   }
 
+  test("quantileExpr on an empty state reports NULL (no ANSI " +
+      "element_at error), matching rangeSelectivityExpr's guard") {
+    import spark.implicits._
+    val empty = Seq(Seq.empty[(Long, Double)]).toDF("st")
+    val row = empty.select(
+      QuantileSketch.quantileExpr(col("st"), 0.5).as("q"),
+      QuantileSketch.rangeSelectivityExpr(col("st"), 0.0, 1.0).as("sel"))
+      .collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // and under ANSI mode the old unguarded form would have thrown
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val r2 = empty.select(QuantileSketch.quantileExpr(col("st"), 0.5))
+        .collect()(0)
+      assert(r2.isNullAt(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("sourceLengthQuantiles: __ALL__ comes from the state merge and " +
       "every value matches the exact discrete quantiles (below-k oracle " +
       "regime on the test corpus)") {

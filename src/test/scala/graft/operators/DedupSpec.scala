@@ -1249,6 +1249,42 @@ class DedupSpec extends SparkSpec {
     assert(again.toSet === out.toSet, "must be deterministic")
   }
 
+  test("contrastivePairs threshold < 0.5 flows into the pair build: " +
+      "moderate near-dups are positives, never negatives") {
+    import spark.implicits._
+    // synthetic corpus with pairs whose word-3gram jaccard lands in
+    // [0.3, 0.5): shared 20-word prefix + disjoint suffixes. The
+    // regression (pair table built at default 0.5, post-filtered) would
+    // drop these from pos and let them re-enter as label='neg'.
+    val shared = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val rows = (for {
+      sufLen <- 8 to 14; v <- 0 until 6
+    } yield Seq(
+      shared + " " + (1 to sufLen).map(i => s"beta${v}x$i").mkString(" "),
+      shared + " " + (1 to sufLen).map(i => s"gamma${v}x$i").mkString(" ")
+    )).flatten.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+    val tmp = java.nio.file.Files.createTempDirectory("cpthr").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'s1' as source",
+        "length(text) as n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val truePairs = Dedup.minHashPairs(spark, tmp, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val moderate = truePairs.filter(_._3 < 0.5)
+    assert(moderate.nonEmpty, "corpus must yield detected pairs in " +
+      "[0.4, 0.5) for this test to bite")
+    val out = Dedup.contrastivePairs(spark, tmp, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pos = out.filter(_._3 == "pos").map(p => (p._1, p._2)).toSet
+    val neg = out.filter(_._3 == "neg").map(p => (p._1, p._2)).toSet
+    assert(pos === truePairs.map(p => (p._1, p._2)).toSet)
+    moderate.foreach { case (a, b, j) =>
+      assert(pos.contains((a, b)), s"moderate pair ($a,$b) j=$j missing")
+      assert(!neg.contains((a, b)) && !neg.contains((b, a)),
+        s"moderate pair ($a,$b) j=$j mislabeled negative")
+    }
+  }
+
   test("minHashClustersIncremental equals minHashClusters on the " +
       "real pair graph") {
     val inc = Dedup.minHashClustersIncremental(spark, sfDir)

@@ -613,6 +613,33 @@ class PipelineSpec extends SparkSpec {
     assert(dirty("source_present"))
   }
 
+  test("expectations: NULL comparisons count as check FAILURES, not " +
+      "skipped rows (avg-skips-null regression)") {
+    import spark.implicits._
+    // the only defects are NULLs — under the old avg-over-nullable
+    // semantics every comparison row would be skipped and all checks
+    // would read a clean 1.0; the oracle's CASE WHEN .. ELSE 0.0
+    // counts them as failures.
+    val tmp = java.nio.file.Files.createTempDirectory("expnull").toString
+    Seq(
+      (1L, Some("good row"), "en", "s1", Some(8L)),
+      (2L, None: Option[String], "en", "s1", Some(5L)), // null text
+      (3L, Some("ok"), "en", "s1", None: Option[Long])) // null n_chars
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.expectations(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(!got("n_chars_consistent")._2 &&
+      got("n_chars_consistent")._1 === 0.3333,
+      s"null text/n_chars must fail consistency: $got")
+    assert(!got("n_chars_in_range")._2 &&
+      got("n_chars_in_range")._1 === 0.6667,
+      s"null n_chars must fail the range check: $got")
+    assert(!got("text_nonnull")._2)
+    assert(got("doc_id_unique")._2 && got("lang_present")._2)
+  }
+
   test("scd2Accrete chain law: as-of-v slices reproduce every " +
       "snapshot; original valid_from survives late changes") {
     import spark.implicits._

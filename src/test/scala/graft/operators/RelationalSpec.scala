@@ -358,4 +358,38 @@ class RelationalSpec extends SparkSpec {
       q3.matches("(?s).*PushedFilters.*GreaterThan\\(l_shipdate.*"),
       s"l_shipdate filter must push to the parquet scan\n$q3")
   }
+
+  test("broadcastIfUnder: hints below the bound, withholds the hint " +
+      "above it (falls back to a shuffle join), same rows either way") {
+    import spark.implicits._
+    // kill every OTHER broadcast source so the hint is the only one
+    val priors = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    priors.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      val fact = (1L to 2000L).map(i => (i % 50 + 1, i)).toDF("k", "v")
+      def run(dimRows: Long) = {
+        val dim = (1L to dimRows).toDF("k")
+        // .withColumn mirrors the scd2Accrete shape: the hint must
+        // survive a projection on top of the gated frame
+        val j = fact.join(
+          Relational.broadcastIfUnder(dim, maxRows = 100)
+            .withColumn("t", lit(true)), Seq("k"))
+        val rows = j.count()
+        (rows, j.queryExecution.executedPlan.toString)
+      }
+      val (smallRows, smallPlan) = run(10)
+      assert(smallPlan.contains("BroadcastHashJoin"),
+        s"below-bound side must broadcast:\n$smallPlan")
+      val (bigRows, bigPlan) = run(500)
+      assert(!bigPlan.contains("BroadcastHashJoin"),
+        s"above-bound side must fall back to a shuffle join:\n$bigPlan")
+      assert(smallRows === 2000L / 50 * 10 && bigRows === 2000L,
+        "gating must not change join results")
+    } finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
