@@ -270,6 +270,8 @@ object SparkEntry {
     // expression form: corpus side is one codegen'd map (no gram
     // explode/join/agg); spec-pinned identical to the join form
     "q_decontaminate" -> ((s, d) => TextOps.decontaminateFast(s, d)),
+    // the over-closure-budget path: bloom pre-filter + exact confirm
+    "q_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
     "q_source_report" -> ((s, d) => graft.operators.Pipeline.sourceReport(s, d)),
     "q_chunk_docs" -> ((s, d) => graft.operators.Pipeline.chunkDocuments(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
@@ -2147,6 +2149,20 @@ object SparkEntry {
     // decontamination: word 8-gram overlap vs the doc_id<10 stand-in
     // benchmark (same shingle semantics as Dedup.shingleArray at k=8)
     "q_decontaminate" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) " +
+        "AS w FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 6), i -> " +
+        "array_to_string(w[i:i+7], ' ')) END)) AS gram FROM w), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10) " +
+        "SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams " +
+        "FROM g JOIN b ON b.gram = g.gram WHERE g.doc_id >= 10 " +
+        "GROUP BY g.doc_id"),
+    // bloom pre-filter + exact confirm is EXACT by construction → the
+    // oracle is the same decontamination SQL
+    "q_decontaminate_bloom" ->
       ("WITH w AS (SELECT doc_id, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) " +
         "AS w FROM documents), " +

@@ -318,7 +318,7 @@ object CorpusTableFunctions {
         "provenance, duplication, token volume, length percentiles and " +
         "quality mix as (metric, value) rows, from one corpus pass.",
       "SELECT * FROM corpus_dataset_card('/data/c1');")(
-      dirOnly("corpus_dataset_card")(Pipeline.datasetCard))
+      dirOnly("corpus_dataset_card")(Pipeline.datasetCard(_, _)))
 
     tvf("corpus_mixture_plan",
       "corpus_mixture_plan(dir, sources => array(...), shares => " +
@@ -429,6 +429,60 @@ object CorpusTableFunctions {
       plan(graft.operators.SketchOps.sourceLengthSelectivity(
         SparkSession.active, reqDir(fn, bound), lo, hi, k))
     }
+
+    tvf("corpus_join_estimate",
+      "corpus_join_estimate(dir[, k]) - Pre-flight size estimate of the " +
+        "orders JOIN customer equi-join from two per-side KMV key " +
+        "sketches: row counts, distinct-key estimates, key overlap and " +
+        "the estimated join cardinality (exact below k).",
+      "SELECT * FROM corpus_join_estimate('/data/c1');") { args =>
+      val fn = "corpus_join_estimate"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.ordersCustomerJoinEstimate(
+        SparkSession.active, reqDir(fn, bound), k))
+    }
+
+    tvf("corpus_scd2",
+      "corpus_scd2(dir) - SCD2 validity-interval history of the " +
+        "deterministic v1 -> v2 corpus evolution (doc_id, text_md5, " +
+        "valid_from, valid_to, is_current); the as-of-v slice " +
+        "reproduces snapshot v exactly.",
+      "SELECT * FROM corpus_scd2('/data/c1') WHERE is_current;")(
+      dirOnly("corpus_scd2")(Pipeline.scd2Demo))
+
+    tvf("corpus_apply_changes",
+      "corpus_apply_changes(dir) - MERGE-INTO semantics without a table " +
+        "format: the next corpus snapshot after applying the " +
+        "deterministic CDC change batch (I/U/D) — map-side anti-join " +
+        "plus union, the snapshot is never shuffled.",
+      "SELECT count(*) FROM corpus_apply_changes('/data/c1');")(
+      dirOnly("corpus_apply_changes")(Pipeline.cdcMergeDemo))
+
+    tvf("corpus_token_windows",
+      "corpus_token_windows(dir[, window_tokens]) - Cross-document " +
+        "fixed-width token-window manifest (concat-and-cut packing): " +
+        "per md5-shard window ids with doc span and token counts, " +
+        "default window 2048 tokens.",
+      "SELECT * FROM corpus_token_windows('/data/c1', 4096);") { args =>
+      val fn = "corpus_token_windows"
+      val bound = bind(fn, args, Seq("dir", "window_tokens"), Set.empty)
+      val w = optNum(fn, bound, "window_tokens", 2048).toLong
+      if (w < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'window_tokens' must be >= 1, got $w.")
+      plan(Pipeline.tokenWindows(SparkSession.active, reqDir(fn, bound),
+        windowTokens = w))
+    }
+
+    tvf("corpus_expectations",
+      "corpus_expectations(dir) - The data-quality expectations gate: " +
+        "named checks (key uniqueness, null fractions, length " +
+        "consistency and bounds) with observed values and pass/fail, " +
+        "from one corpus pass.",
+      "SELECT * FROM corpus_expectations('/data/c1') WHERE NOT passed;")(
+      dirOnly("corpus_expectations")(Pipeline.expectations))
 
     tvf("corpus_priority_totals",
       "corpus_priority_totals(dir[, n]) - Per-source total characters " +

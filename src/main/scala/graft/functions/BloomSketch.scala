@@ -165,6 +165,18 @@ object BloomSketch {
         org.apache.spark.sql.graft.ColumnBridge.expression(key),
         words, numHashes))
   }
+
+  /** Column-API gram probe: true iff ANY word k-gram of `text` bloom-
+    * hits (see [[BloomAnyGramExpression]]) — the map-side pre-filter of
+    * [[graft.operators.TextOps.decontaminateBloom]]. */
+  def anyGramMightContain(text: Column, words: Array[Long],
+      numHashes: Int, k: Int): Column = {
+    requireLayout(words.length * 64)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BloomAnyGramExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        words, numHashes, k))
+  }
 }
 
 /** Native Catalyst expression for the bloom probe — the map-side
@@ -223,4 +235,86 @@ object BloomMightContainExpression {
   def probe(text: org.apache.spark.unsafe.types.UTF8String,
       words: Array[Long], numHashes: Int): Boolean =
     text != null && BloomSketch.testBits(words, text.toString, numHashes)
+}
+
+/** Gram-level bloom probe: true iff ANY word k-gram of the text might
+  * be in the bloomed gram set — the map-side escape hatch
+  * [[SharedGramsExpression]]'s scaladoc promises for when a
+  * decontamination blocklist outgrows executor closures. The exact gram
+  * set may be GBs; its bloom is `nBits/8` bytes and rides via
+  * `addReferenceObj`, so a 100 TB corpus scan pre-filters to the
+  * flagged sliver with no join, no shuffle, no gram row-burst. No false
+  * negatives (bloom guarantee) → a downstream exact confirm on the
+  * sliver makes the composition EXACT. Tokenization is gram-for-gram
+  * [[SharedGramsExpression.count]] / [[graft.operators.Dedup
+  * .shingleArray]]: split on `\s+`, drop empties, below-k collapses to
+  * the whole-text gram. Early-exits on the first hit.
+  */
+final case class BloomAnyGramExpression(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    words: Array[Long], numHashes: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+
+  override def dataType: DataType = BooleanType
+  // total function: NULL text trivially shares nothing
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_any_gram"
+  override def inputTypes = Seq(StringType)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else BloomAnyGramExpression.probe(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      words, numHashes, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val childGen = child.genCode(ctx)
+    val fn = "graft.functions.BloomAnyGramExpression.probe"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.value} = !${childGen.isNull} &&
+          $fn(${childGen.value}, $ref, $numHashes, $k);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : BloomAnyGramExpression = copy(child = newChild)
+}
+
+object BloomAnyGramExpression {
+  /** Codegen entry point: rolling k-gram window over the text, probing
+    * each gram against the bloom; true on the first hit. */
+  def probe(text: org.apache.spark.unsafe.types.UTF8String,
+      words: Array[Long], numHashes: Int, k: Int): Boolean = {
+    if (text == null) return false
+    val w = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (w.length < k)
+      return BloomSketch.testBits(words, w.mkString(" "), numHashes)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= w.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      if (BloomSketch.testBits(words, sb.toString, numHashes)) return true
+      i += 1
+    }
+    false
+  }
 }

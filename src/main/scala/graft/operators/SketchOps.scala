@@ -40,12 +40,23 @@ object SketchOps {
     * union state is the row-level merge of the two stored sketches. The
     * pairwise inequality join runs over the SKETCH TABLE (#groups rows,
     * never the raw data), so the quadratic term is bounded by the group
-    * count — the standard sketch-algebra trade. Pairs with no estimated
-    * overlap are dropped. */
+    * count — the standard sketch-algebra trade. That bound is ENFORCED:
+    * a high-cardinality `groupCol` (user ids, urls) would quietly turn
+    * the matrix into #groups² rows, so above `maxGroups` the operator
+    * fails loudly at build time (one limit-probed count of the sketch
+    * table — group-count work, not pair work) with the fix in the
+    * message; raising the bound is a deliberate caller decision.
+    * Pairs with no estimated overlap are dropped. */
   def overlapMatrix(df: DataFrame, groupCol: String, value: Column,
-      k: Int, outA: String = "group_a", outB: String = "group_b")
-      : DataFrame = {
+      k: Int, outA: String = "group_a", outB: String = "group_b",
+      maxGroups: Int = 10000): DataFrame = {
     val sk = sketchTable(df, groupCol, value, k)
+    val g = sk.select(col(groupCol)).limit(maxGroups + 1).count()
+    require(g <= maxGroups,
+      s"overlapMatrix: groupCol '$groupCol' has more than $maxGroups " +
+        s"groups - the pairwise matrix would exceed ${maxGroups.toLong *
+          maxGroups / 2} rows. Pre-bucket the groups or raise " +
+        "maxGroups deliberately.")
     val a = sk.select(col(groupCol).as(outA), col("sketch").as("sk_a"))
     val b = sk.select(col(groupCol).as(outB), col("sketch").as("sk_b"))
     a.join(b, col(outA) < col(outB))

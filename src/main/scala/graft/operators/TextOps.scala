@@ -466,9 +466,9 @@ object TextOps {
     * identical to [[decontaminate]] row-for-row (spec-pinned; same
     * tokenization and distinct-count semantics), ~3× faster at sf0.1.
     * At 100 TB the contract is the usual one: eval sets are thousands
-    * of items (MBs of grams) — if a blocklist ever outgrows executor
-    * closures, pre-filter with [[graft.functions.BloomSketch]] and
-    * confirm with the join form. */
+    * of items (MBs of grams) — when a blocklist outgrows executor
+    * closures, use [[decontaminateBloom]] (fixed-size bloom pre-filter
+    * map-side, exact confirm join on the flagged sliver). */
   def decontaminateFast(spark: SparkSession, dir: String,
       benchmarkMaxId: Long = 10L, n: Int = 8): DataFrame = {
     val d = docs(spark, dir)
@@ -483,6 +483,53 @@ object TextOps {
         graft.functions.SharedGramsExpression.native(col("text"), set, n)
           .as("n_shared_grams"))
       .filter(col("n_shared_grams") > 0)
+  }
+
+  /** [[decontaminate]] for blocklists TOO BIG for executor closures —
+    * the escape hatch [[decontaminateFast]]'s contract names. Two
+    * stages, exact by construction:
+    *
+    *  1. MAP-SIDE bloom pre-filter: the benchmark gram set folds into a
+    *     single bloom state (`nBits/8` bytes — a fixed size chosen up
+    *     front, regardless of how many grams went in) that rides inside
+    *     a codegen'd expression ([[graft.functions
+    *     .BloomAnyGramExpression]]); the 100 TB corpus scans once, no
+    *     join, no gram row-burst, and only docs with a POSSIBLE shared
+    *     gram survive. Bloom false negatives are impossible, so nothing
+    *     real is lost here.
+    *  2. EXACT confirm on the flagged sliver: the surviving docs — the
+    *     true positives plus the bloom's false-positive rate of the
+    *     corpus — run the same explode → join-with-bench-grams →
+    *     per-doc distinct count as [[decontaminate]]. The bench gram
+    *     table stays a TABLE (shuffle-joinable at any size; Catalyst/
+    *     AQE still broadcasts it when it is actually small) — never a
+    *     closure.
+    *
+    * Output ≡ [[decontaminate]] row-for-row (spec-pinned): stage-1
+    * survivors that share nothing get zero confirm-join matches and
+    * drop, exactly as the join form drops them. Size `nBits` ≈ 10× the
+    * expected gram count for a ~1% false-positive sliver. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      benchmarkMaxId: Long = 10L, n: Int = 8, nBits: Int = 1 << 20,
+      numHashes: Int = 4): DataFrame = {
+    val d = docs(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingleArray(col("text"), n))
+          .as("gram"))
+    val bench = grams(d.filter(col("doc_id") < benchmarkMaxId))
+      .select("gram").distinct()
+    val state = bench
+      .agg(graft.functions.BloomSketch.sketchState(col("gram"), nBits,
+        numHashes).as("s"))
+      .collect()(0).getSeq[Long](0).toArray
+    val flagged = d.filter(col("doc_id") >= benchmarkMaxId)
+      .filter(graft.functions.BloomSketch.anyGramMightContain(
+        col("text"), state, numHashes, n))
+    grams(flagged)
+      .join(bench, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
 
   /** TF-IDF term weighting — the classic relevance/quality signal of a

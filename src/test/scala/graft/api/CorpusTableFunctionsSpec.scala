@@ -208,6 +208,36 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(e4.getMessage.contains("lo <= hi"), e4.getMessage)
   }
 
+  test("r10-family TVFs (scd2 / apply_changes / token_windows / " +
+      "join_estimate / expectations) bind, match Scala, validate params") {
+    ready
+    assert(spark.sql(s"SELECT * FROM corpus_scd2('$sfDir')").collect()
+      .toSet === graft.operators.Pipeline.scd2Demo(spark, sfDir)
+      .collect().toSet)
+    assert(spark.sql(s"SELECT * FROM corpus_apply_changes('$sfDir')")
+      .collect().toSet ===
+      graft.operators.Pipeline.cdcMergeDemo(spark, sfDir).collect().toSet)
+    assert(spark.sql(
+      s"SELECT * FROM corpus_token_windows('$sfDir', " +
+        "window_tokens => 4096)").collect().toSet ===
+      graft.operators.Pipeline.tokenWindows(spark, sfDir, 4096L)
+        .collect().toSet)
+    assert(spark.sql(s"SELECT * FROM corpus_join_estimate('$sfDir')")
+      .collect().toSet ===
+      graft.operators.SketchOps.ordersCustomerJoinEstimate(spark, sfDir)
+        .collect().toSet)
+    assert(spark.sql(s"SELECT * FROM corpus_expectations('$sfDir')")
+      .collect().toSet ===
+      graft.operators.Pipeline.expectations(spark, sfDir).collect().toSet)
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_token_windows('$sfDir', 0)"))
+    assert(e1.getMessage.contains("'window_tokens' must be >= 1"),
+      e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_join_estimate('$sfDir', k => 0)"))
+    assert(e2.getMessage.contains("'k' must be >= 1"), e2.getMessage)
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(

@@ -34,7 +34,9 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_sketch_snapshot_merge", "corpus_quantile_sources",
     "corpus_priority_totals", "corpus_bloom_guard",
     "corpus_sketch_rollup", "corpus_contrastive_pairs",
-    "corpus_range_estimate")
+    "corpus_range_estimate", "corpus_join_estimate", "corpus_scd2",
+    "corpus_apply_changes", "corpus_token_windows",
+    "corpus_expectations")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;
@@ -49,7 +51,7 @@ class TvfBinderFuzzSpec extends SparkSpec {
   private val keyGen: Gen[String] = Gen.oneOf("countries", "search",
     "query", "level", "dir", "threshold", "min_words", "sources",
     "shares", "budget", "max_epochs", "k", "query_id", "eval_max_id",
-    "n", "epochs", "t_start", "t_end", "bogus", "WAT")
+    "n", "epochs", "t_start", "t_end", "window_tokens", "bogus", "WAT")
   private val argGen: Gen[String] = Gen.oneOf(
     valueGen,
     Gen.zip(keyGen, valueGen).map { case (k, v) => s"$k => $v" })

@@ -142,4 +142,24 @@ class KmvSketchSpec extends SparkSpec {
       assert(viaExpr === viaFinish, s"n=$n: $viaExpr vs $viaFinish")
     }
   }
+
+  test("overlapMatrix maxGroups guard: fails loudly above the bound, " +
+      "identical rows below it") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (s"g${i % 10}", s"v$i")).toDF("g", "v")
+    val ok = graft.operators.SketchOps
+      .overlapMatrix(df, "g", col("v"), k = 1024, maxGroups = 10)
+      .collect()
+    val loose = graft.operators.SketchOps
+      .overlapMatrix(df, "g", col("v"), k = 1024, maxGroups = 10000)
+      .collect()
+    assert(ok.toSeq === loose.toSeq,
+      "the guard must not change results below the bound")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SketchOps
+        .overlapMatrix(df, "g", col("v"), k = 1024, maxGroups = 9)
+    }
+    assert(e.getMessage.contains("more than 9 groups") &&
+      e.getMessage.contains("maxGroups"), e.getMessage)
+  }
 }

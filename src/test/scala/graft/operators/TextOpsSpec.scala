@@ -347,6 +347,43 @@ class TextOpsSpec extends SparkSpec {
     assert(fa === Map(100L -> 1L), fa)
   }
 
+  test("decontaminateBloom: identical rows to the join form — even at " +
+      "nBits=64 where the bloom saturates (false-positive flood) — and " +
+      "the map-side closure is nBits/8 bytes regardless of gram count") {
+    val exact = TextOps.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextOps.decontaminateBloom(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact, "bloom+confirm diverged from the join form")
+    // exactness survives a saturated 64-bit bloom: every doc gets
+    // flagged, the confirm join still yields the same rows
+    val tiny = TextOps.decontaminateBloom(spark, sfDir, nBits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny === exact, "a false-positive flood must not change rows")
+    // the shipped closure is the bloom word array: exactly nBits/64
+    // longs = nBits/8 bytes, INDEPENDENT of how many grams went in
+    import spark.implicits._
+    val nBits = 1 << 14
+    def stateFor(rows: Seq[String]): Array[Long] =
+      rows.toDF("gram")
+        .agg(graft.functions.BloomSketch.sketchState(col("gram"), nBits, 4))
+        .collect()(0).getSeq[Long](0).toArray
+    val small = stateFor(Seq("a b"))
+    val big = stateFor((1 to 5000).map(i => s"gram number $i here"))
+    assert(small.length === nBits / 64 && big.length === nBits / 64)
+    def serializedBytes(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    assert(serializedBytes(big) <= nBits / 8 + 64,
+      s"bloom closure must ship ~nBits/8 bytes, got ${serializedBytes(big)}")
+    // and the pre-filter stage is the native probe, not shared_grams
+    val plan = TextOps.decontaminateBloom(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_any_gram"), plan.take(800))
+  }
+
   test("bpe merges: hand-computed fixture, boundary marker, tie-break, " +
       "determinism") {
     import spark.implicits._
