@@ -17,7 +17,14 @@ object Bench {
     // most one of the three samples, so the reported time is a property of
     // the plan, not of the machine's worst moment. (r2 lost ~85 s to one
     // stall smeared across 5 contiguous one-shot timings.)
-    val Reps = 3
+    // SPARK_GRAFT_REPS raises the pass count for cross-run drift work:
+    // the medians file below turns N interleaved passes into per-query
+    // median + spread, replacing eyeballed comparison of separate runs.
+    val Reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_OUT_PREFIX redirects the artifact files (default
+    // "bench") so an off-gate run (sf1 scaling, diagnosis) never
+    // clobbers the round's committed bench_*.json.
+    val prefix = sys.env.getOrElse("SPARK_GRAFT_OUT_PREFIX", "bench")
     // optional focus filter for local diagnosis: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
@@ -43,7 +50,7 @@ object Bench {
       name -> dt
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_build_costs.json"),
+      java.nio.file.Paths.get(s"${prefix}_build_costs.json"),
       buildCosts.sortBy { case (_, v) => -v }
         .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
         .mkString("{", ",", "}").getBytes("UTF-8"))
@@ -85,10 +92,29 @@ object Bench {
     val fullJson = sorted.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries_full.json"),
+      java.nio.file.Paths.get(s"${prefix}_queries_full.json"),
       fullJson.getBytes("UTF-8"))
+    // Median ledger: per-query median + spread across the interleaved
+    // passes — the drift detector PLANS.md band claims cite, instead of
+    // manually comparing separate single-run minimums. Spread that is
+    // UNIFORM across queries = host noise; one query's spread moving
+    // alone = a real plan change (the sentinel rule, now measurable
+    // from one artifact). Run with SPARK_GRAFT_REPS=9 for band work.
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val mediansJson = sorted.map { case (k, _) =>
+      val xs = samples.getOrElse(k, Nil)
+      if (xs.isEmpty) s""""$k":{"med":-1,"min":-1,"max":-1,"n":0}"""
+      else s""""$k":{"med":${fmt(median(xs))},"min":${fmt(xs.min)},""" +
+        s""""max":${fmt(xs.max)},"n":${xs.size}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${prefix}_medians.json"),
+      mediansJson.getBytes("UTF-8"))
     val LineBudget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"bench_queries_full.json","build":"bench_build_costs.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full.json","build":"${prefix}_build_costs.json","queries":{"""
     val tailFixed = s"""},"omitted":NNN}""" // placeholder sizing for the closer
     var used = head.length + tailFixed.length
     val kept = collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,192 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, BloomFilterJoin, Dedup, Multimodal,
+  RangeJoin, Relational, Similarity, TextOps}
+import OracleLib._
+
+/** Sketch-table algebra: KMV/quantile/priority/bloom
+  * states and the estimates derived from stored rows.
+  *
+  * Split out of the monolithic `graft.SparkEntry` (round 11): one module
+  * per operator family, each holding the family's `queries` entries and
+  * their DuckDB `oracleSql` twins. `SparkEntry` aggregates the modules;
+  * `SparkEntrySpec` still guards queries↔oracle key parity on the
+  * aggregate. Shared oracle SQL fragments live in [[OracleLib]].
+  */
+private[graft] object SketchEntries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> ((s, d) => Relational.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.KmvSketch.approxDistinct(
+        col("user_id").cast("string")).as("approx_users"))),
+    // sketch-TABLE algebra: per-source stored KMV states, global and
+    // pairwise-overlap estimates derived from the states alone
+    "q_sketch_sources" -> ((s, d) =>
+      graft.operators.SketchOps.sourceDistinctTexts(s, d)),
+    // cross-snapshot sketch persistence: two STORED snapshot sketch
+    // tables merge into combined-corpus estimates without rescanning
+    // snapshot 1 (incremental maintenance, exact below k)
+    "q_sketch_snapshot_merge" -> ((s, d) =>
+      graft.operators.SketchOps.snapshotSketchMerge(s, d)),
+    // mergeable bottom-k quantile sketch table: per-source length
+    // percentiles + a row-level-merged __ALL__ row (exact below k,
+    // discrete-quantile rule shared with the oracle)
+    "q_quantile_sources" -> ((s, d) =>
+      graft.operators.SketchOps.sourceLengthQuantiles(s, d)),
+    // sketch CUBE: every (source, lang) rollup level from ONE pass of
+    // leaf states — upper levels are row-level merges, never rescans
+    "q_sketch_rollup" -> ((s, d) =>
+      graft.operators.SketchOps.sourceLangDistinctRollup(s, d)),
+    // pre-flight join sizing from key sketches: two map-side passes
+    // instead of running the join (exact below k)
+    "q_join_estimate" -> ((s, d) =>
+      graft.operators.SketchOps.ordersCustomerJoinEstimate(s, d)),
+    // range-predicate selectivity from the same stored quantile states
+    // that serve percentiles (exact below k)
+    "q_range_estimate" -> ((s, d) =>
+      graft.operators.SketchOps.sourceLengthSelectivity(s, d)),
+    // mergeable priority-sample table (DLT subset-sum states):
+    // per-source total chars + a row-level-merged __ALL__ row
+    // (exact below n — τ = 0 ⇒ the estimate is the true sum)
+    "q_priority_totals" -> ((s, d) =>
+      graft.operators.SketchOps.sourceCharTotals(s, d)),
+    // admission against a bloom'd blocklist: per-source bloom states
+    // OR-merged into one codegen'd map-side probe; bloom-positives
+    // alone pay the exact confirm join, so the output is EXACT
+    "q_bloom_guard" -> ((s, d) =>
+      graft.operators.SketchOps.bloomBlocklistAdmit(s, d)),
+    "q_sketch_overlap" -> ((s, d) =>
+      graft.operators.SketchOps.eventTypeUserOverlap(s, d)),
+    "q_heavy_hitters" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .agg(graft.functions.HeavyHitters.topItems(col("source"), 64).as("hh"))
+        .select(explode(arrays_zip(col("hh.items"), col("hh.counts"))).as("x"))
+        .select(col("x.items").as("source"), col("x.counts").as("n_docs"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // KMV sketch: EXACT below k by construction (it keeps all hashes until
+    // k distinct are seen — the contract KmvSketchSpec pins). The oracle SF
+    // has 150 distinct users per event_type < k=256, so count(DISTINCT) is
+    // a true oracle of the sketch here; the estimator regime (1500 > k at
+    // the bench SF) is covered by the spec's error-bound test.
+    "q_kmv_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS approx_users " +
+        "FROM events GROUP BY event_type"),
+    // sketch-table estimates, exact-below-k regime (distinct texts per
+    // scope << k=65536, so the stored states hold every distinct hash and
+    // estimates/inclusion-exclusion overlaps are exact counts — same
+    // oracle pattern as q_kmv_distinct; estimator-regime error bounds and
+    // the state merge law are pinned in KmvSketchSpec)
+    "q_sketch_sources" ->
+      ("SELECT source AS scope, CAST(count(DISTINCT text) AS BIGINT) " +
+        "AS est_distinct FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents"),
+    // merging the two persisted snapshot sketch tables must equal the
+    // whole-corpus distinct counts (the snapshots partition the corpus
+    // by doc_id parity; states stay exact below k)
+    "q_sketch_snapshot_merge" ->
+      ("SELECT source AS scope, CAST(count(DISTINCT text) AS BIGINT) " +
+        "AS est_distinct FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents"),
+    // bottom-k quantile sketch, exact-below-k regime: the state holds
+    // every (hash, n_chars) row, and quantileExpr's ceil(q*n) discrete
+    // rule is quantile_disc's — so sketch quantiles ARE the exact ones
+    "q_quantile_sources" ->
+      ("SELECT source AS scope, " +
+        "CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25, " +
+        "CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50, " +
+        "CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75 " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25, " +
+        "CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50, " +
+        "CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75 " +
+        "FROM documents"),
+    // sketch cube rollup, exact-below-k regime: every level's merged
+    // state still holds every distinct hash, so each cell is the exact
+    // distinct count the corresponding GROUP BY would produce
+    "q_sketch_rollup" ->
+      ("SELECT source AS scope_source, lang AS scope_lang, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
+        "FROM documents GROUP BY source, lang " +
+        "UNION ALL SELECT source, '__ALL__', " +
+        "CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
+        "GROUP BY source " +
+        "UNION ALL SELECT '__ALL__', lang, " +
+        "CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
+        "GROUP BY lang " +
+        "UNION ALL SELECT '__ALL__', '__ALL__', " +
+        "CAST(count(DISTINCT text) AS BIGINT) FROM documents"),
+    // join pre-flight, exact-below-k regime: distincts and overlap are
+    // exact, est_rows is the same arithmetic over the exact inputs
+    "q_join_estimate" ->
+      ("WITH ka AS (SELECT CAST(count(*) AS BIGINT) AS n_a, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS est_keys_a " +
+        "FROM orders), " +
+        "kb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, " +
+        "CAST(count(DISTINCT c_custkey) AS BIGINT) AS est_keys_b " +
+        "FROM customer), " +
+        "ov AS (SELECT CAST(count(*) AS BIGINT) AS est_key_overlap " +
+        "FROM (SELECT DISTINCT o_custkey FROM orders " +
+        "INTERSECT SELECT DISTINCT c_custkey FROM customer)) " +
+        "SELECT n_a, n_b, est_keys_a, est_keys_b, est_key_overlap, " +
+        "round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * " +
+        "CAST(est_key_overlap AS DOUBLE) / " +
+        "(CAST(est_keys_a AS DOUBLE) * CAST(est_keys_b AS DOUBLE)), 4) " +
+        "AS est_rows FROM ka, kb, ov"),
+    // range selectivity, exact-below-k regime: the sample IS the
+    // population, so the fraction is the exact row fraction
+    "q_range_estimate" ->
+      ("SELECT source AS scope, " +
+        "round(CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 400 " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) " +
+        "AS selectivity FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "round(CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 400 " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) " +
+        "AS selectivity FROM documents"),
+    // priority sampling, exact-below-n regime: the state holds every
+    // (priority, id, weight) row, τ = 0, and the DLT estimator
+    // Σ max(w, τ) collapses to the exact BIGINT sum
+    "q_priority_totals" ->
+      ("SELECT source AS scope, " +
+        "CAST(sum(n_chars) AS DOUBLE) AS est_total_chars " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "CAST(sum(n_chars) AS DOUBLE) AS est_total_chars " +
+        "FROM documents"),
+    // bloom guard is EXACT by composition (no false negatives; false
+    // positives die in the confirm join) — the oracle is the plain
+    // blocklist anti-semantics the bloom accelerates
+    "q_bloom_guard" ->
+      ("SELECT d.doc_id, d.source FROM documents d " +
+        "WHERE d.doc_id % 7 <> 0 AND NOT EXISTS (" +
+        "SELECT 1 FROM documents b " +
+        "WHERE b.doc_id % 7 = 0 AND b.text = d.text)"),
+    "q_sketch_overlap" ->
+      ("WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s " +
+        "GROUP BY event_type), " +
+        "ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS est_overlap FROM s a JOIN s b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY a.event_type, b.event_type) " +
+        "SELECT ov.type_a, ov.type_b, ca.n AS est_a, cb.n AS est_b, " +
+        "ov.est_overlap FROM ov " +
+        "JOIN c ca ON ca.event_type = ov.type_a " +
+        "JOIN c cb ON cb.event_type = ov.type_b"),
+    // Misra-Gries heavy hitters, exact-below-k regime (distinct sources
+    // <= k=64, so no decrement/truncation ever fires and the sketch IS
+    // the histogram — same oracle pattern as q_kmv_distinct; the
+    // estimate-regime N/(k+1) bounds are pinned in HeavyHittersSpec)
+    "q_heavy_hitters" ->
+      "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+  )
+}
