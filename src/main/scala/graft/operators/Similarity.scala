@@ -104,6 +104,23 @@ object Similarity {
     }
   }
 
+  /** The bucket-count sizing rule as code — the mitigation the sf1
+    * scale run measured (PLANS.md "Scale validation"): the LSH
+    * self-join generates ~n²/2^numPlanes candidate pairs, so holding
+    * per-vector cost flat as n grows means growing the plane count,
+    * not the bucket cap. Returns the smallest `numPlanes` whose
+    * EXPECTED bucket occupancy n/2^p is at or under `targetBucket`
+    * (default 250 — the middle of capBuckets' documented 100–500
+    * band), clamped to [1, 30]. Deterministic hyperplanes mean two
+    * runs with the same n bucket identically. */
+  def planesFor(n: Long, targetBucket: Int = 250): Int = {
+    require(n > 0 && targetBucket > 0, "n and targetBucket must be > 0")
+    var p = 1
+    while (p < 30 && (n.toDouble / (1L << p).toDouble) > targetBucket)
+      p += 1
+    p
+  }
+
   /** Sign-pattern LSH bucket id of each vector against `numPlanes` fixed
     * hyperplanes (bit i = sign of dot with plane i). A native codegen'd
     * expression ([[graft.functions.HyperplaneBucketExpression]]) — the

@@ -533,4 +533,21 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("eval"))
   }
+
+  test("planesFor: smallest plane count with expected occupancy at or " +
+      "under target, clamped, input-validated") {
+    // n/2^p <= target at the returned p, and not at p-1
+    for ((n, t) <- Seq((20000L, 250), (2000L, 250), (1000000000L, 500),
+        (20000L, 10))) {
+      val p = Similarity.planesFor(n, t)
+      assert(n.toDouble / (1L << p) <= t, s"occupancy bound at p=$p")
+      assert(p == 1 || n.toDouble / (1L << (p - 1)) > t,
+        s"p=$p not minimal for n=$n t=$t")
+    }
+    assert(Similarity.planesFor(20000) === 7)
+    assert(Similarity.planesFor(1L << 62, 1) === 30, "clamped at 30")
+    assert(Similarity.planesFor(1) === 1)
+    intercept[IllegalArgumentException](Similarity.planesFor(0))
+    intercept[IllegalArgumentException](Similarity.planesFor(10, 0))
+  }
 }
