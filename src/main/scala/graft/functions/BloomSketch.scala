@@ -26,7 +26,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object BloomSketch {
 
-  /** First FNV-1a 64-bit hash (the [[KmvSketch]] hash). */
+  /** First FNV-1a 64-bit hash, avalanche-finalized ([[KmvSketch
+    * .fmix64]]) — without the finalizer, short similar grams cluster in
+    * the probe space and the measured FP rate (and the fill-based
+    * cardinality estimate of [[estimateExpr]]) drifts from the
+    * (1-e^{-kn/m})^k model. */
   private[functions] def hash1(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -35,7 +39,7 @@ object BloomSketch {
       h *= 0x100000001b3L
       i += 1
     }
-    h
+    KmvSketch.fmix64(h)
   }
 
   /** Second, independent FNV-1a stream (distinct offset basis), forced
@@ -49,7 +53,7 @@ object BloomSketch {
       h *= 0x100000001b3L
       i += 1
     }
-    h | 1L
+    KmvSketch.fmix64(h) | 1L
   }
 
   private def requireLayout(nBits: Int): Unit = {

@@ -20,8 +20,26 @@ object KmvSketch {
   /** Sketch state: the k smallest hashes (as a sorted set). */
   final case class State(k: Int, mins: TreeSet[Long])
 
+  /** MurmurHash3's 64-bit avalanche finalizer (fmix64, public domain).
+    * FNV-1a alone is NOT uniform enough for order statistics: on short
+    * sequential keys (numeric ids rendered as strings) the raw k-minimum
+    * estimate measured -24% at n=15k/k=256 and +85% at n=150k/k=1024 on
+    * the sf1 fixtures; with this finalizer the same draws land within
+    * KMV's expected ~1/sqrt(k-2) error. Every estimator that divides by
+    * a hash FRACTION (KMV, quantile bottom-k sampling) must route
+    * through this. */
+  private[functions] def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   private def hash64(s: String): Long = {
-    // FNV-1a 64-bit: stable across JVMs, no dependencies
+    // FNV-1a 64-bit (stable across JVMs, no dependencies) + fmix64
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
@@ -29,7 +47,7 @@ object KmvSketch {
       h *= 0x100000001b3L
       i += 1
     }
-    h & Long.MaxValue // non-negative for the fraction estimate
+    fmix64(h) & Long.MaxValue // non-negative for the fraction estimate
   }
 
   final class DistinctSketch(k: Int) extends Aggregator[String, State, Long] {

@@ -30,8 +30,12 @@ object QuantileSketch {
     * (hash, value). */
   final case class State(k: Int, mins: TreeSet[(Long, Double)])
 
-  /** FNV-1a 64-bit over the 8 bytes of a row id — stable across JVMs,
-    * no dependencies, non-negative (ordering-friendly). */
+  /** FNV-1a 64-bit over the 8 bytes of a row id, avalanche-finalized
+    * ([[KmvSketch.fmix64]]) — stable across JVMs, no dependencies,
+    * non-negative (ordering-friendly). The finalizer is load-bearing:
+    * the bottom-k-by-hash rows are the SAMPLE the quantile/range
+    * estimators read, and raw FNV on sequential ids is not uniform
+    * enough for that order statistic (see the fmix64 scaladoc). */
   private[functions] def hash64(id: Long): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -40,7 +44,7 @@ object QuantileSketch {
       h *= 0x100000001b3L
       i += 1
     }
-    h & Long.MaxValue
+    KmvSketch.fmix64(h) & Long.MaxValue
   }
 
   /** Typed aggregator over (row id, value) pairs; finishes to the

@@ -524,7 +524,12 @@ object Relational {
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).groupBy("event_type")
       .agg(countDistinct("user_id").as("exact_users"),
-        (abs(approx_count_distinct("user_id").cast("double") -
+        // rsd pinned to 0.01, NOT the 0.05 default: the contract below
+        // asserts within-5%, and a 5%-rsd sketch lands outside 5% about
+        // a third of the time (1 sigma) — at sf1 one such draw failed
+        // all 5 groups at once (same user set -> same estimate). At
+        // rsd=0.01 the 5% bound is 5 sigma: robust at every scale.
+        (abs(approx_count_distinct(col("user_id"), 0.01).cast("double") -
           countDistinct("user_id").cast("double")) /
           countDistinct("user_id").cast("double") <= 0.05)
           .as("within_tol"))

@@ -129,7 +129,7 @@ object GenData {
     val events = spark.range(0, nEvents, 1, parts)
       .select(col("id").as("event_id"))
       .withColumn("ts", (lit(baseEpoch) +
-        u("ts", col("event_id")) * (30L * 86400)).cast("timestamp"))
+        u("ts", col("event_id")) * (30L * 86400)).cast("timestamp").cast("timestamp_ntz"))
       .withColumn("user_id", ui("usr", nUsers.toInt, col("event_id")))
       .withColumn("event_type",
         element_at(array(lit("view"), lit("click"), lit("signup"),
@@ -198,7 +198,7 @@ object GenData {
         .as("o_totalprice"),
       (lit(epoch95) +
         (u("od", col("id")) * 2400).cast("long") * day)
-        .cast("timestamp").as("o_orderdate"),
+        .cast("timestamp").cast("timestamp_ntz").as("o_orderdate"),
       element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
         lit("4-NOT SPECIFIED"), lit("5-LOW")),
         (ui("op", 5, col("id")) + 1).cast("int")).as("o_orderpriority")),
@@ -241,7 +241,7 @@ object GenData {
       .withColumn("l_shipdate", (lit(epoch95) +
         ((u("od", col("l_orderkey")) * 2400).cast("long") +
           ui("lsd", 120, col("l_orderkey"), col("l_linenumber")) + 1) *
-          day).cast("timestamp"))
+          day).cast("timestamp").cast("timestamp_ntz"))
       .drop("n_lines")
     save(li, "lineitem", parts * 2)
 

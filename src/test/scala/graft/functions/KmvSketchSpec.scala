@@ -21,6 +21,20 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(e1 - 5000.0) / 5000.0 < 0.15, s"estimate $e1 vs 5000")
   }
 
+  test("estimator is unbiased on sequential NUMERIC-string keys (the " +
+      "fmix64 regression: raw FNV-1a measured -24% here at n=15k/k=256 " +
+      "and +85% at n=150k/k=1024)") {
+    import spark.implicits._
+    val small = (0 until 15000).map(_.toString).toDF("s").repartition(8)
+    val e1 = small.agg(KmvSketch.approxDistinct(col("s"), k = 256))
+      .collect()(0).getLong(0)
+    assert(math.abs(e1 - 15000.0) / 15000.0 < 0.15, s"estimate $e1 vs 15000")
+    val big = (0 until 150000).map(_.toString).toDF("s").repartition(8)
+    val e2 = big.agg(KmvSketch.approxDistinct(col("s"), k = 1024))
+      .collect()(0).getLong(0)
+    assert(math.abs(e2 - 150000.0) / 150000.0 < 0.10, s"estimate $e2 vs 150000")
+  }
+
   test("grouped sketch: per-event-type distinct users on the real table") {
     val events = graft.operators.Relational.events(spark, sfDir)
     val out = events.groupBy("event_type")
