@@ -366,6 +366,24 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k))
     }
 
+    tvf("corpus_heavy_hitters",
+      "corpus_heavy_hitters(dir[, k[, top]]) - Top sources across the " +
+        "corpus from per-lang Misra-Gries heavy-hitter states, merged " +
+        "row-level (default k = 64, top = 10; counts exact while " +
+        "distinct sources < k, else MG N/(k+1) under-count bound).",
+      "SELECT * FROM corpus_heavy_hitters('/data/c1', top => 5);") { args =>
+      val fn = "corpus_heavy_hitters"
+      val bound = bind(fn, args, Seq("dir", "k", "top"), Set.empty)
+      val k = optNum(fn, bound, "k", 64).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      val top = optNum(fn, bound, "top", 10).toInt
+      if (top < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'top' must be >= 1, got $top.")
+      plan(graft.operators.SketchOps.heavyHitterSources(
+        SparkSession.active, reqDir(fn, bound), k, top))
+    }
+
     tvf("corpus_sketch_snapshot_merge",
       "corpus_sketch_snapshot_merge(dir[, k]) - Combined-corpus distinct " +
         "estimates derived by merging two STORED snapshot sketch tables " +

@@ -37,6 +37,45 @@ private[graft] object SketchEntries {
           countDistinct("user_id").cast("double")) /
           countDistinct("user_id").cast("double") <= 0.5)
           .as("within_tol"))),
+    // quantile-sketch ESTIMATOR-regime contract (same round-11 closure):
+    // k=256 < the gate's 2000 events per type forces the bottom-k
+    // SAMPLING regime at the gate (every gate quantile oracle else sits
+    // below k where the sample IS the population). Each engine checks
+    // its own approximate median against its own exact median within a
+    // fixed value tolerance (value ~ uniform[0,100]: 10.0 ≈ 3.2 sigma
+    // of a 256-row sample median).
+    "q_quantile_error_bound" -> ((s, d) => {
+      val k = 256
+      Relational.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("percentile(value, 0.5)").as("exact_med"),
+          graft.functions.QuantileSketch.sketchState(
+            col("event_id"), col("value"), k).as("sk"))
+        .select(col("event_type"), col("n_rows"),
+          (abs(graft.functions.QuantileSketch.quantileExpr(col("sk"), 0.5) -
+            col("exact_med")) <= 10.0).as("within_tol"))
+    }),
+    // priority-sample ESTIMATOR-regime contract: n=64 < 2000 events per
+    // type forces the tau-censored regime at the gate (the gate total
+    // oracle sits below n where tau=0 makes the sum exact). exact_cents
+    // is integer-exact cross-engine (decimal-cents money convention);
+    // within_tol is the 4-sigma DLT bound (rsd <= 1/sqrt(n-1) ~ 12.6%)
+    // checked against the same-query exact sum — DuckDB has no priority
+    // sampler, so its boolean is the literal contract value.
+    "q_priority_error_bound" -> ((s, d) => {
+      val n = 64
+      Relational.events(s, d)
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(sum("cents").as("exact_cents"),
+          graft.functions.PrioritySample.sketchState(
+            col("event_id"), col("cents"), n).as("st"))
+        .select(col("event_type"), col("exact_cents"),
+          (abs(graft.functions.PrioritySample.totalExpr(col("st"), n) -
+            col("exact_cents").cast("double")) /
+            col("exact_cents").cast("double") <= 0.5).as("within_tol"))
+    }),
     // sketch-TABLE algebra: per-source stored KMV states, global and
     // pairwise-overlap estimates derived from the states alone
     "q_sketch_sources" -> ((s, d) =>
@@ -80,6 +119,49 @@ private[graft] object SketchEntries {
         .agg(graft.functions.HeavyHitters.topItems(col("source"), 64).as("hh"))
         .select(explode(arrays_zip(col("hh.items"), col("hh.counts"))).as("x"))
         .select(col("x.items").as("source"), col("x.counts").as("n_docs"))),
+    // mergeable heavy-hitters TABLE (the corpus_heavy_hitters TVF's
+    // operator): per-lang MG states over source, row-level-merged (pure
+    // expressions, no raw rescan) into the global top-10 sources.
+    // Exact-below-k regime at EVERY scale factor: the source vocabulary
+    // is 20 at sf0.001 and sf1 alike (item domains that grow with the
+    // data, like user ids, belong to the error-bound contract below);
+    // ties at the top-10 cut break (n desc, item asc) in both engines.
+    "q_hh_snapshot_merge" -> ((s, d) =>
+      graft.operators.SketchOps.heavyHitterSources(s, d)),
+    // heavy-hitters ESTIMATOR-regime contract at the gate (the same
+    // round-11 closure as q_kmv/quantile/priority_error_bound): k=16 <
+    // the gate's 150 distinct users per type forces decrements AT the
+    // gate. Unlike the probabilistic sketches this bound is a THEOREM,
+    // not a tail bound: every MG counter underestimates its true count
+    // by at most N/(k+1), and every item with true count > N/(k+1) is
+    // tracked — so within_bound is deterministically true at every SF.
+    // DuckDB has no MG sketch; its boolean is the literal contract value.
+    "q_hh_error_bound" -> ((s, d) => {
+      import graft.functions.HeavyHitters
+      val k = 16
+      val ev = Relational.events(s, d)
+        .withColumn("uid", col("user_id").cast("string"))
+      val exact = ev.groupBy("event_type", "uid")
+        .agg(count(lit(1)).as("true_n"))
+      val est = ev.groupBy("event_type")
+        .agg(HeavyHitters.sketchState(col("uid"), k).as("st"))
+        .select(col("event_type"), explode(col("st")).as("e"))
+        .select(col("event_type"),
+          col("e.item").as("uid"), col("e.n").as("est_n"))
+      val eps = (col("n_rows").cast("double") / (k + 1))
+      exact.join(est, Seq("event_type", "uid"), "left")
+        // 5-row per-type totals: always broadcast-safe
+        .join(broadcast(ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))), Seq("event_type"))
+        // tracked: 0 <= true - est <= N/(k+1); untracked: true <= N/(k+1)
+        .withColumn("ok", when(col("est_n").isNotNull,
+          col("est_n") <= col("true_n") &&
+            (col("true_n") - col("est_n")).cast("double") <= eps)
+          .otherwise(col("true_n").cast("double") <= eps))
+        .groupBy("event_type")
+        .agg(max("n_rows").as("n_rows"),
+          (min(when(col("ok"), 1).otherwise(0)) === 1).as("within_bound"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -100,6 +182,20 @@ private[graft] object SketchEntries {
         "CAST(count(DISTINCT user_id) AS DOUBLE)) / " +
         "CAST(count(DISTINCT user_id) AS DOUBLE)) <= 0.5 AS within_tol " +
         "FROM events GROUP BY event_type"),
+    // quantile estimator-regime contract: DuckDB checks ITS t-digest
+    // median against its exact median under the same value tolerance
+    "q_quantile_error_bound" ->
+      ("SELECT event_type, count(*) AS n_rows, " +
+        "abs(approx_quantile(value, 0.5) - median(value)) <= 10.0 " +
+        "AS within_tol FROM events GROUP BY event_type"),
+    // priority-sample estimator-regime contract: exact_cents is the
+    // integer-exact cross-engine value; DuckDB has no priority sampler,
+    // so within_tol is the literal the Spark side must meet (the
+    // Spark boolean compares its estimator to its OWN exact sum)
+    "q_priority_error_bound" ->
+      ("SELECT event_type, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) " +
+        "* 100 AS BIGINT)) AS BIGINT) AS exact_cents, " +
+        "true AS within_tol FROM events GROUP BY event_type"),
     // sketch-table estimates, exact-below-k regime (distinct texts per
     // scope << k=65536, so the stored states hold every distinct hash and
     // estimates/inclusion-exclusion overlaps are exact counts — same
@@ -213,5 +309,19 @@ private[graft] object SketchEntries {
     // estimate-regime N/(k+1) bounds are pinned in HeavyHittersSpec)
     "q_heavy_hitters" ->
       "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+    // merged per-lang MG states, exact-below-k regime (20 sources <
+    // k=64 at every SF): the expression-merged state holds exact totals
+    // and the top-10 slice is the exact top-10 (tie-break n desc, then
+    // source asc — the state's item ordering)
+    "q_hh_snapshot_merge" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1 " +
+        "ORDER BY n_docs DESC, source LIMIT 10"),
+    // MG estimator-regime contract: the N/(k+1) under-count/coverage
+    // bound is a theorem, so within_bound is the literal contract value
+    // (DuckDB has no MG sketch); n_rows is the exact cross-engine value
+    "q_hh_error_bound" ->
+      ("SELECT event_type, count(*) AS n_rows, true AS within_bound " +
+        "FROM events GROUP BY event_type"),
   )
 }

@@ -35,6 +35,17 @@ private[graft] object StreamEntries {
     "q_stream_sketch" -> ((s, d) =>
       graft.streaming.EventStream.sketchIngestBatchDemo(s,
         Relational.events(s, d), d)),
+    // streaming heavy-hitters ingest (batch twin): per-micro-batch MG
+    // state rows through the idempotent sink, lifetime per-type top-5
+    // hot `props.k` tags merged from the STORED rows only. The tag
+    // vocabulary is 100 at EVERY scale factor (unlike user ids), so
+    // exact-below-k=256 holds at the gate and at the sf1 off-gate twin
+    // alike; ties at the cut break (n desc, tag asc) in both engines.
+    "q_stream_hh" -> ((s, d) =>
+      graft.streaming.EventStream.hhIngestBatchDemo(s,
+        Relational.events(s, d), d,
+        item = get_json_object(col("props"), "$.k"),
+        itemName = "tag")),
     // streaming twin: per-window event-type KL drift vs the global mix
     // (batch form; the fixed-reference streaming form is spec-pinned
     // equivalent in EventStreamSpec)
@@ -66,6 +77,16 @@ private[graft] object StreamEntries {
     "q_stream_sketch" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) " +
         "AS est_users FROM events GROUP BY event_type"),
+    // lifetime per-type top-5 props.k tags from merged batch MG rows —
+    // exact below k, tie-break (count desc, tag asc as text) matches
+    // the MG state ordering
+    "q_stream_hh" ->
+      ("SELECT event_type, tag, n_events FROM (" +
+        "SELECT event_type, json_extract_string(props, '$.k') AS tag, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY count(*) DESC, json_extract_string(props, '$.k') ASC) " +
+        "AS rn FROM events GROUP BY 1, 2) t WHERE rn <= 5"),
     "q_ingest_dedup" ->
       ("SELECT event_id, user_id, event_type, value FROM " +
         "(SELECT event_id, user_id, event_type, value, " +

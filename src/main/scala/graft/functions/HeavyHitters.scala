@@ -81,4 +81,70 @@ object HeavyHitters {
   /** Column form: Misra–Gries top items of a string column. */
   def topItems(c: Column, k: Int = 64): Column =
     org.apache.spark.sql.functions.udaf(new Sketch(k)).apply(c)
+
+  // ---- sketch-TABLE algebra: storable state + expression merge ----
+  // Same three pieces as KmvSketch/QuantileSketch/PrioritySample: a
+  // storable array-of-structs state, a pure-expression row-level merge
+  // (never rescans raw data), and readers over states. Write one MG
+  // state per source/shard/snapshot; every later "top items across any
+  // subset of shards" question is arithmetic over k-entry arrays.
+
+  /** Storable state entry (field names are part of the table schema). */
+  final case class Entry(item: String, n: Long)
+
+  /** Typed aggregator finishing to the STORABLE state: `(item, n)`
+    * entries sorted (n desc, item asc) — ≤ k of them. */
+  final class StateSketch(k: Int)
+      extends Aggregator[String, State, Seq[Entry]] {
+    private val inner = new Sketch(k)
+    override def zero: State = inner.zero
+    override def reduce(b: State, a: String): State = inner.reduce(b, a)
+    override def merge(x: State, y: State): State = inner.merge(x, y)
+    override def finish(s: State): Seq[Entry] =
+      s.counters.toSeq.sortBy { case (item, n) => (-n, item) }
+        .map { case (item, n) => Entry(item, n) }
+    override def bufferEncoder: Encoder[State] = Encoders.kryo[State]
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+
+  def sketchState(c: Column, k: Int = 64): Column =
+    org.apache.spark.sql.functions.udaf(new StateSketch(k)).apply(c)
+
+  /** Merge an array-of-states column (e.g. `collect_list(state)` over
+    * stored sketch rows) back into one valid state, in pure codegen'd
+    * array expressions — the exact [[Sketch.merge]] semantics: sum
+    * counters per item, then the Mergeable-Summaries truncation
+    * (subtract the (k+1)-th largest counter, drop non-positives), with
+    * the same deterministic (n desc, item asc) ordering. The per-item
+    * sum is a transform-over-distinct-items fold — O(k²·states) on
+    * ≤ k-entry arrays, far below any shuffle cost — so cross-snapshot
+    * top-k needs no raw-data rescan and no explode/groupBy. */
+  def mergeStatesExpr(states: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val flat = flatten(states)
+    val items = array_distinct(transform(flat, e => e.getField("item")))
+    val summed = transform(items, it => struct(
+      it.as("item"),
+      aggregate(filter(flat, e => e.getField("item") === it), lit(0L),
+        (acc, e) => acc + e.getField("n")).as("n")))
+    val sorted = array_sort(summed, (a, b) =>
+      when(a.getField("n") > b.getField("n"), -1)
+        .when(a.getField("n") < b.getField("n"), 1)
+        .when(a.getField("item") < b.getField("item"), -1)
+        .when(a.getField("item") > b.getField("item"), 1)
+        .otherwise(0))
+    val pivot = when(size(sorted) > k,
+      element_at(sorted, k + 1).getField("n")).otherwise(lit(0L))
+    filter(
+      transform(sorted, e => struct(
+        e.getField("item").as("item"),
+        (e.getField("n") - pivot).as("n"))),
+      e => e.getField("n") > 0L)
+  }
+
+  /** Top-m reader over a state column: the state is already sorted
+    * (n desc, item asc), so this is a slice. */
+  def topKExpr(state: Column, m: Int): Column =
+    org.apache.spark.sql.functions.slice(state, 1, m)
 }

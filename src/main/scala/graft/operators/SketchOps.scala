@@ -88,6 +88,26 @@ object SketchOps {
     per.union(all)
   }
 
+  /** Top-`top` sources across the whole corpus read off per-lang
+    * Misra–Gries states: one bounded MG state per lang (map-side
+    * combined), row-level expression merge, slice — the frequent-items
+    * twin of [[sourceDistinctTexts]]'s distinct-count shape. At 100 TB
+    * this replaces a full `GROUP BY item` shuffle of every distinct key
+    * with k-entry states per shard; the merged counters are exact while
+    * distinct items stay below k (the oracle regime) and carry the MG
+    * N/(k+1) under-count theorem above it (pinned in
+    * HeavyHittersSpec and `q_hh_error_bound`). */
+  def heavyHitterSources(spark: SparkSession, dir: String,
+      k: Int = 64, top: Int = 10): DataFrame = {
+    import graft.functions.HeavyHitters
+    docs(spark, dir).groupBy("lang")
+      .agg(HeavyHitters.sketchState(col("source"), k).as("st"))
+      .agg(collect_list("st").as("sts"))
+      .select(explode(HeavyHitters.topKExpr(
+        HeavyHitters.mergeStatesExpr(col("sts"), k), top)).as("e"))
+      .select(col("e.item").as("source"), col("e.n").as("n_docs"))
+  }
+
   /** Audience overlap between event types — shared distinct users per
     * (unordered) event-type pair, straight from the per-type sketch
     * rows. The cross-shard/cross-snapshot version of "do these two

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -320,6 +320,85 @@ object EventStream {
     sketchDemoCache.values.forEach(p =>
       graft.operators.Ivf.deleteRecursively(new java.io.File(p)))
     sketchDemoCache.clear()
+  }
+
+  /** Streaming HEAVY-HITTERS ingest — the frequent-items twin of
+    * [[sketchIngest]]: "who are the top users each event type has EVER
+    * seen" on an unbounded stream. Same shape, same guarantees: each
+    * micro-batch lands one bounded Misra–Gries state row per type (≤ k
+    * (item, count) pairs, map-side combined) through the
+    * `_SUCCESS`-gated [[idempotentBatchSink]], and the lifetime top-k
+    * is a pure-expression merge over the committed rows — #batches ×
+    * #types k-entry arrays, never the event history. Counts are exact
+    * while lifetime distinct items stay below k; above it the MG
+    * N/(k+1) under-count theorem holds across the merge
+    * (`HeavyHittersSpec`, `q_hh_error_bound`). */
+  def hhIngest(events: DataFrame, outDir: String,
+      checkpointDir: String, k: Int = 256,
+      item: Column = col("user_id").cast("string"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        idempotentBatchSink(outDir)(batchHhRows(df, k, item), id); ()
+      }
+      .start()
+
+  /** One micro-batch's heavy-hitter rows: (event_type, state). */
+  private[streaming] def batchHhRows(events: DataFrame, k: Int,
+      item: Column = col("user_id").cast("string")): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHitters.sketchState(item, k).as("state"))
+
+  /** Lifetime top-`top` items per event type from the COMMITTED state
+    * rows alone: the serving-side read of [[hhIngest]]'s table. */
+  def hhIngestTotals(spark: SparkSession, outDir: String,
+      k: Int = 256, top: Int = 5,
+      itemName: String = "user_id"): DataFrame = {
+    import graft.functions.HeavyHitters
+    spark.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(collect_list(col("state")).as("sts"))
+      .select(col("event_type"), explode(HeavyHitters.topKExpr(
+        HeavyHitters.mergeStatesExpr(col("sts"), k), top)).as("e"))
+      .select(col("event_type"), col("e.item").as(itemName),
+        col("e.n").as("n_events"))
+  }
+
+  /** Batch-twin demo of the heavy-hitters ingest loop (the oracle-able
+    * entry): the events table split into 4 deterministic
+    * "micro-batches" (event_id mod 4), each batch's MG state rows
+    * written through the SAME idempotent sink, lifetime per-type top
+    * items derived from the stored rows only. Exact below k ⇒ the
+    * driver's oracle pins per-(type, item) event counts; the
+    * `q_stream_hh` entry streams the 100-value `props.k` tag so the
+    * exact regime holds at EVERY scale factor (the item vocabulary,
+    * unlike user ids, does not grow with the data). */
+  def hhIngestBatchDemo(spark: SparkSession, events: DataFrame,
+      dir: String, k: Int = 256, top: Int = 5,
+      item: Column = col("user_id").cast("string"),
+      itemName: String = "user_id"): DataFrame = {
+    val root = hhDemoCache.computeIfAbsent((dir, k, itemName), { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("hh_ingest").toString
+      (0L until 4L).foreach { b =>
+        idempotentBatchSink(out)(
+          batchHhRows(events.filter(
+            org.apache.spark.sql.functions.pmod(col("event_id"),
+              lit(4L)) === b), k, item), b)
+      }
+      out
+    })
+    hhIngestTotals(spark, root, k, top, itemName)
+  }
+
+  private val hhDemoCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), String]()
+
+  def clearHhDemoCache(): Unit = {
+    hhDemoCache.values.forEach(p =>
+      graft.operators.Ivf.deleteRecursively(new java.io.File(p)))
+    hhDemoCache.clear()
   }
 
   /** Per-window distribution-drift monitor (batch form): KL divergence of

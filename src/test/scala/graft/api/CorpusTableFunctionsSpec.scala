@@ -164,6 +164,24 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("'k' must be >= 1"), e.getMessage)
   }
 
+  test("corpus_heavy_hitters binds, matches Scala, and validates params") {
+    ready
+    val sql = spark.sql(
+      s"SELECT * FROM corpus_heavy_hitters('$sfDir', top => 5)").collect()
+    val scala = graft.operators.SketchOps
+      .heavyHitterSources(spark, sfDir, top = 5).collect()
+    assert(sql.toSet === scala.toSet)
+    assert(sql.length === 5)
+    // exact regime on this fixture: merged MG counters == GROUP BY counts
+    val exact = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sql.foreach(r => assert(exact(r.getString(0)) === r.getLong(1)))
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_heavy_hitters('$sfDir', top => 0)"))
+    assert(e.getMessage.contains("'top' must be >= 1"), e.getMessage)
+  }
+
   test("corpus_priority_totals / corpus_bloom_guard bind, match Scala, " +
       "and validate params") {
     ready

@@ -92,6 +92,35 @@ class SketchLawsSpec extends AnyFunSuite {
     assert(res.status == Passed, res.status.toString)
   }
 
+  test("Misra-Gries: exact regime state-identical under any split; " +
+      "estimate regime keeps size, under-count, and coverage bounds " +
+      "under any merge tree") {
+    val prop = Prop.forAll(
+        // zipf-ish: quadratic skew so hot items exist under small k
+        partitioned(Gen.choose(0, 19).map(i => s"v${i * i / 7}")),
+        Gen.oneOf(3, 8, 64)) { case ((xs, parts), k) =>
+      val agg = new HeavyHitters.Sketch(k)
+      val one = xs.foldLeft(agg.zero)(agg.reduce)
+      val merged = foldParts(() => agg.zero, agg.reduce, agg.merge)(parts)
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = xs.size.toDouble
+      val eps = n / (k + 1)
+      if (truth.size <= k) {
+        // exact regime: no decrement can fire in the one-shot fold, no
+        // truncation in any merge — every path IS the histogram
+        merged.counters == truth && one.counters == truth
+      } else {
+        merged.counters.size <= k &&
+          merged.counters.forall { case (item, c) =>
+            val t = truth(item); c <= t && t - c <= eps } &&
+          truth.forall { case (item, t) =>
+            t <= eps || merged.counters.contains(item) }
+      }
+    }
+    val res: Result = check(params, prop)
+    assert(res.status == Passed, res.status.toString)
+  }
+
   test("Bloom: partitioned fold + OR-merge ≡ one-shot words, and no " +
       "false negatives ever") {
     val prop = Prop.forAll(partitioned(Gen.choose(0, 300).map(i => s"b$i")),

@@ -383,6 +383,60 @@ class EventStreamSpec extends SparkSpec {
     graft.operators.Ivf.deleteRecursively(root.toFile)
   }
 
+  test("heavy-hitters ingest: per-batch MG rows through the idempotent " +
+      "sink, lifetime top users from stored states, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hh_ingest_t")
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val input = MemoryStream[Event]
+    val query = hhIngest(input.toDF(), out, ckpt, k = 64)
+    try {
+      // batch 0: user 100 clicks 30x, users 101..110 click once each
+      input.addData((1 to 30).map(i =>
+        Event(i, ts(i % 50), 100, "click", 1.0)) ++
+        (1 to 10).map(i => Event(50 + i, ts(i % 50), 100 + i, "click", 1.0)): _*)
+      query.processAllAvailable()
+      // batch 1: user 100 clicks 5 more, user 101 clicks 20x
+      input.addData((1 to 5).map(i =>
+        Event(200 + i, ts(i % 50), 100, "click", 1.0)) ++
+        (1 to 20).map(i => Event(300 + i, ts(i % 50), 101, "click", 1.0)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val fs = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(fs.count(_.startsWith("batch=")) === 2, fs.toSeq)
+    // lifetime top-2 merged across batches: cross-batch sums, exact
+    // below k
+    val got = hhIngestTotals(spark, out, k = 64, top = 2).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("100", 35L), ("101", 21L)), got.toSeq)
+    // replay of a committed batch id is a no-op
+    val replayed = idempotentBatchSink(out)(
+      batchHhRows(Seq(Event(999, ts(1), 777, "click", 1.0)).toDF(), 64), 1L)
+    assert(!replayed, "committed batch must not rewrite")
+    assert(hhIngestTotals(spark, out, k = 64, top = 2).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq === got.toSeq)
+    graft.operators.Ivf.deleteRecursively(root.toFile)
+  }
+
+  test("hhIngestBatchDemo matches exact per-type top users on the " +
+      "fixture") {
+    val events = graft.operators.Relational.events(spark, sfDir)
+    val got = hhIngestBatchDemo(spark, events, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    val want = events.groupBy(col("event_type"),
+        col("user_id").cast("string").as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("event_type", "user_id", "n_events").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    clearHhDemoCache()
+  }
+
   test("sketchIngestBatchDemo totals equal exact per-type distincts " +
       "on the fixture") {
     val events = graft.operators.Relational.events(spark, sfDir)
