@@ -145,12 +145,14 @@ object BloomSketch {
     * report NULL — "beyond capacity", the honest answer. */
   def estimateExpr(state: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.functions._
-    val m = size(state).cast("double") * 64.0
-    val x = aggregate(state, lit(0L),
-      (acc, w) => acc + bit_count(w).cast("long")).cast("double")
-    when(x >= m, lit(null).cast("long"))
-      .otherwise(round(-(m / numHashes.toDouble) *
-        log(lit(1.0) - x / m)).cast("long"))
+    ExprLet.bindCompound(state) { st =>
+      val m = size(st).cast("double") * 64.0
+      val x = aggregate(st, lit(0L),
+        (acc, w) => acc + bit_count(w).cast("long")).cast("double")
+      when(x >= m, lit(null).cast("long"))
+        .otherwise(round(-(m / numHashes.toDouble) *
+          log(lit(1.0) - x / m)).cast("long"))
+    }
   }
 
   /** Set-bit count of a state (fill observability). */

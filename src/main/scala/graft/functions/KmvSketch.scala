@@ -120,9 +120,11 @@ object KmvSketch {
     * round-half-up on a positive double). */
   def estimateExpr(state: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
-    when(size(state) < k, size(state).cast("long"))
-      .otherwise(round(lit((k - 1).toDouble) /
-        (element_at(state, k).cast("double") / Long.MaxValue.toDouble))
-        .cast("long"))
+    ExprLet.bindCompound(state) { st =>
+      when(size(st) < k, size(st).cast("long"))
+        .otherwise(round(lit((k - 1).toDouble) /
+          (element_at(st, k).cast("double") / Long.MaxValue.toDouble))
+          .cast("long"))
+    }
   }
 }

@@ -108,12 +108,17 @@ object PrioritySample {
     * regime (the aggregate runs on BIGINT weights). */
   def totalExpr(state: Column, n: Int): Column = {
     import org.apache.spark.sql.functions._
-    val exact = aggregate(state, lit(0L),
-      (acc, e) => acc + e.getField("_3")).cast("double")
-    val tau = element_at(state, n + 1).getField("_1")
-    val censored = aggregate(slice(state, 1, n), lit(0.0),
-      (acc, e) => acc +
-        greatest(e.getField("_3").cast("double"), tau))
-    when(size(state) <= n, exact).otherwise(round(censored, 4))
+    // bindCompound matters doubly here: `tau` sits INSIDE the censored
+    // aggregate's lambda, so an unbound merged-state argument would
+    // re-run the whole merge once per sampled element (n× per row).
+    ExprLet.bindCompound(state) { st =>
+      val exact = aggregate(st, lit(0L),
+        (acc, e) => acc + e.getField("_3")).cast("double")
+      val tau = element_at(st, n + 1).getField("_1")
+      val censored = aggregate(slice(st, 1, n), lit(0.0),
+        (acc, e) => acc +
+          greatest(e.getField("_3").cast("double"), tau))
+      when(size(st) <= n, exact).otherwise(round(censored, 4))
+    }
   }
 }

@@ -94,14 +94,16 @@ object QuantileSketch {
     * ceil(q·n) of the value-sorted sample (exact below k). */
   def quantileExpr(state: Column, q: Double): Column = {
     import org.apache.spark.sql.functions._
-    val vals = array_sort(transform(state, x => x.getField("_2")))
-    // empty merged state (e.g. mergeStatesExpr over an empty
-    // collect_list) must report NULL, not index position 1 of an empty
-    // array — which errors under ANSI mode. Mirrors
-    // rangeSelectivityExpr's no-evidence guard.
-    when(size(state) === 0, lit(null).cast("double"))
-      .otherwise(element_at(vals,
-        greatest(lit(1), ceil(lit(q) * size(state))).cast("int")))
+    ExprLet.bindCompound(state) { st =>
+      val vals = array_sort(transform(st, x => x.getField("_2")))
+      // empty merged state (e.g. mergeStatesExpr over an empty
+      // collect_list) must report NULL, not index position 1 of an empty
+      // array — which errors under ANSI mode. Mirrors
+      // rangeSelectivityExpr's no-evidence guard.
+      when(size(st) === 0, lit(null).cast("double"))
+        .otherwise(element_at(vals,
+          greatest(lit(1), ceil(lit(q) * size(st))).cast("int")))
+    }
   }
 
   /** Estimated fraction of the group's rows with value in [lo, hi]
@@ -114,10 +116,12 @@ object QuantileSketch {
   def rangeSelectivityExpr(state: Column, lo: Double,
       hi: Double): Column = {
     import org.apache.spark.sql.functions._
-    val inRange = size(filter(state,
-      x => x.getField("_2") >= lo && x.getField("_2") <= hi))
-    when(size(state) === 0, lit(null).cast("double"))
-      .otherwise(round(inRange.cast("double") /
-        size(state).cast("double"), 4))
+    ExprLet.bindCompound(state) { st =>
+      val inRange = size(filter(st,
+        x => x.getField("_2") >= lo && x.getField("_2") <= hi))
+      when(size(st) === 0, lit(null).cast("double"))
+        .otherwise(round(inRange.cast("double") /
+          size(st).cast("double"), 4))
+    }
   }
 }
