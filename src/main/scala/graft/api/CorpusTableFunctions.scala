@@ -399,6 +399,23 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k))
     }
 
+    tvf("corpus_sketch_delta",
+      "corpus_sketch_delta(dir[, k]) - Snapshot delta report from two " +
+        "STORED sketch tables: per-source (and __ALL__) distinct texts " +
+        "in the previous snapshot, in the new shard, first seen in the " +
+        "new shard (added), gone from it (removed), and present in " +
+        "both (overlap) - no raw rescans; exact below k (default " +
+        "k = 65536).",
+      "SELECT * FROM corpus_sketch_delta('/data/c1');") { args =>
+      val fn = "corpus_sketch_delta"
+      val bound = bind(fn, args, Seq("dir", "k"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      plan(graft.operators.SketchOps.snapshotDelta(
+        SparkSession.active, reqDir(fn, bound), k))
+    }
+
     tvf("corpus_quantile_sources",
       "corpus_quantile_sources(dir[, k]) - Per-source document-length " +
         "quantiles (p25/p50/p75) plus a __ALL__ row merged from stored-" +

@@ -85,6 +85,11 @@ private[graft] object SketchEntries {
     // snapshot 1 (incremental maintenance, exact below k)
     "q_sketch_snapshot_merge" -> ((s, d) =>
       graft.operators.SketchOps.snapshotSketchMerge(s, d)),
+    // snapshot DELTA from the same two stored sketch tables: per-source
+    // distinct texts added by / overlapping with the new shard — the
+    // KMV set-difference and inclusion-exclusion reads (exact below k)
+    "q_sketch_delta" -> ((s, d) =>
+      graft.operators.SketchOps.snapshotDelta(s, d)),
     // mergeable bottom-k quantile sketch table: per-source length
     // percentiles + a row-level-merged __ALL__ row (exact below k,
     // discrete-quantile rule shared with the oracle)
@@ -216,6 +221,25 @@ private[graft] object SketchEntries {
         "UNION ALL SELECT '__ALL__' AS scope, " +
         "CAST(count(DISTINCT text) AS BIGINT) AS est_distinct " +
         "FROM documents"),
+    // snapshot delta, exact-below-k regime: prev = even doc_ids, new =
+    // odd doc_ids (the demo's parity split); added = distinct texts of
+    // the new shard not in prev, overlap = in both — per source + __ALL__
+    "q_sketch_delta" ->
+      ("WITH d AS (SELECT source, text, doc_id % 2 = 0 AS prev " +
+        "FROM documents), " +
+        "g AS (SELECT source AS scope, " +
+        "count(DISTINCT CASE WHEN prev THEN text END) AS p, " +
+        "count(DISTINCT CASE WHEN NOT prev THEN text END) AS n, " +
+        "count(DISTINCT text) AS u FROM d GROUP BY source " +
+        "UNION ALL SELECT '__ALL__' AS scope, " +
+        "count(DISTINCT CASE WHEN prev THEN text END) AS p, " +
+        "count(DISTINCT CASE WHEN NOT prev THEN text END) AS n, " +
+        "count(DISTINCT text) AS u FROM d) " +
+        "SELECT scope, CAST(p AS BIGINT) AS est_prev, " +
+        "CAST(n AS BIGINT) AS est_new, " +
+        "CAST(u - p AS BIGINT) AS est_added, " +
+        "CAST(u - n AS BIGINT) AS est_removed, " +
+        "CAST(p + n - u AS BIGINT) AS est_overlap FROM g"),
     // bottom-k quantile sketch, exact-below-k regime: the state holds
     // every (hash, n_chars) row, and quantileExpr's ceil(q*n) discrete
     // rule is quantile_disc's — so sketch quantiles ARE the exact ones

@@ -206,6 +206,75 @@ object SketchOps {
     per.union(all)
   }
 
+  /** Snapshot DELTA report — what did tonight's shard add, drop, and
+    * repeat? Per source (and `__ALL__`): distinct texts in the
+    * previous snapshot (`est_prev`), in the new shard (`est_new`),
+    * first seen in the new shard (`est_added` = union − prev, the KMV
+    * set-DIFFERENCE read), gone from it (`est_removed` = union − new,
+    * the symmetric difference read), and present in both
+    * (`est_overlap`, inclusion-exclusion) — the full Venn readout,
+    * all derived from the two STORED sketch tables alone, the same
+    * no-rescan contract as [[snapshotSketchMerge]]. This is the
+    * incremental-ingest observability primitive: a crawl whose
+    * `est_added` collapses is re-fetching old pages; an `est_removed`
+    * spike is source rot; an `est_overlap` spike means the dedup
+    * upstream is leaking.
+    *
+    * Scale shape: a #sources-row full-outer join of two few-KB sketch
+    * tables plus row-level state merges — no raw-data access at any
+    * size. Estimates are exact below k (both states and their union
+    * hold every distinct hash), so the driver's oracle pins every
+    * column as exact distinct counts; above k each term carries KMV's
+    * ~1/sqrt(k−2) rsd and the difference the sum of both (the
+    * `q_kmv_error_bound` regime) — and the derived reads are CLAMPED
+    * to the feasible region (0 ≤ added ≤ new, 0 ≤ overlap ≤
+    * min(prev, new)), because raw inclusion-exclusion noise can
+    * otherwise report a negative overlap; the clamp is a no-op in the
+    * exact regime (spec-pinned), so the oracle compare is untouched.
+    * Sources absent from one snapshot merge against an empty state, so
+    * first-appearance and disappearance both report honestly. */
+  def snapshotDelta(spark: SparkSession, dir: String,
+      k: Int = 65536): DataFrame = {
+    import graft.functions.ExprLet.bindOnce
+    val root = snapshotTables(spark, dir, k)
+    val empty = array().cast("array<bigint>")
+    val s1 = spark.read.parquet(s"$root/snap1")
+      .select(col("source"), col("sketch").as("sk1"))
+    val s2 = spark.read.parquet(s"$root/snap2")
+      .select(col("source"), col("sketch").as("sk2"))
+    def report(scope: Column, a: Column, b: Column): Column =
+      bindOnce(KmvSketch.estimateExpr(
+          KmvSketch.mergeStatesExpr(array(a, b), k), k)) { u =>
+        bindOnce(KmvSketch.estimateExpr(a, k)) { prev =>
+          bindOnce(KmvSketch.estimateExpr(b, k)) { nw =>
+            struct(scope.as("scope"),
+              prev.as("est_prev"), nw.as("est_new"),
+              greatest(lit(0L), least(nw, u - prev)).as("est_added"),
+              greatest(lit(0L), least(prev, u - nw)).as("est_removed"),
+              greatest(lit(0L), least(least(prev, nw), prev + nw - u))
+                .as("est_overlap"))
+          }
+        }
+      }
+    val joined = s1.join(s2, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("sk1"), empty).as("sk1"),
+        coalesce(col("sk2"), empty).as("sk2"))
+    val per = joined.select(
+      report(col("source"), col("sk1"), col("sk2")).as("r"))
+    val all = joined
+      .agg(collect_list(col("sk1")).as("a1"),
+        collect_list(col("sk2")).as("a2"))
+      .select(report(lit("__ALL__"),
+        KmvSketch.mergeStatesExpr(col("a1"), k),
+        KmvSketch.mergeStatesExpr(col("a2"), k)).as("r"))
+    per.union(all).select(col("r.scope").as("scope"),
+      col("r.est_prev").as("est_prev"), col("r.est_new").as("est_new"),
+      col("r.est_added").as("est_added"),
+      col("r.est_removed").as("est_removed"),
+      col("r.est_overlap").as("est_overlap"))
+  }
+
   // ----------------------------------------- join pre-flight estimate
 
   /** Pre-flight equi-join cardinality estimate from key sketches — the

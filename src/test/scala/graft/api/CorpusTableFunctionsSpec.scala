@@ -164,6 +164,29 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("'k' must be >= 1"), e.getMessage)
   }
 
+  test("corpus_sketch_delta binds, matches Scala, and validates k") {
+    ready
+    val sql = spark.sql(
+      s"SELECT * FROM corpus_sketch_delta('$sfDir', k => 65536)").collect()
+    val scala = graft.operators.SketchOps.snapshotDelta(spark, sfDir)
+      .collect()
+    assert(sql.toSet === scala.toSet)
+    // the Venn identity that always holds in the exact regime:
+    // |union| = prev + added = new + removed = prev + new - overlap
+    sql.foreach { r =>
+      val (prev, nw, added, removed, overlap) = (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(added >= 0 && removed >= 0 && overlap >= 0)
+      assert(prev + added === nw + removed,
+        s"union identity broken for ${r.getString(0)}")
+      assert(prev + nw - overlap === prev + added,
+        s"inclusion-exclusion broken for ${r.getString(0)}")
+    }
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_sketch_delta('$sfDir', 0)"))
+    assert(e.getMessage.contains("'k' must be >= 1"), e.getMessage)
+  }
+
   test("corpus_heavy_hitters binds, matches Scala, and validates params") {
     ready
     val sql = spark.sql(

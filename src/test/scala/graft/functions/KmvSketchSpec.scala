@@ -105,6 +105,68 @@ class KmvSketchSpec extends SparkSpec {
     SketchOps.clearSnapshotDemoCache()
   }
 
+  test("snapshotDelta: set-difference/overlap reads are exact below k, " +
+      "agree with the raw parity split, and never rescan the corpus") {
+    import graft.operators.SketchOps
+    val delta = SketchOps.snapshotDelta(spark, sfDir)
+    // same no-rescan contract as snapshotSketchMerge
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val scanned = scans(delta.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.nonEmpty &&
+      scanned.forall(_.contains("sketch_snapshots")),
+      s"delta must scan only stored sketch tables, scanned: $scanned")
+    // exact-below-k oracle: recompute the parity split's true distincts
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("text"), (col("doc_id") % 2 === 0).as("p"))
+      .collect()
+    def truth(rows: Seq[(String, String, Boolean)]) = {
+      val prev = rows.filter(_._3).map(_._2).toSet
+      val nw = rows.filter(!_._3).map(_._2).toSet
+      (prev.size.toLong, nw.size.toLong, (nw -- prev).size.toLong,
+        (prev -- nw).size.toLong, (nw & prev).size.toLong)
+    }
+    val rows = d.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val want = rows.groupBy(_._1).map { case (s, rs) =>
+      s -> truth(rs.toSeq) } + ("__ALL__" -> truth(rows.toSeq))
+    val got = delta.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got === want, s"delta $got vs raw truth $want")
+    SketchOps.clearSnapshotDemoCache()
+  }
+
+  test("snapshotDelta estimator regime (k far below distincts): derived " +
+      "reads stay in the feasible region — no negative overlap, no " +
+      "added > new") {
+    import graft.operators.SketchOps
+    // k=32 << distinct texts per scope forces the estimator; raw
+    // inclusion-exclusion noise would report negative overlaps here
+    val delta = SketchOps.snapshotDelta(spark, sfDir, k = 32).collect()
+    assert(delta.nonEmpty)
+    delta.foreach { r =>
+      val (prev, nw, added, removed, overlap) = (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(added >= 0 && added <= nw,
+        s"${r.getString(0)}: added $added outside [0, $nw]")
+      assert(removed >= 0 && removed <= prev,
+        s"${r.getString(0)}: removed $removed outside [0, $prev]")
+      assert(overlap >= 0 && overlap <= math.min(prev, nw),
+        s"${r.getString(0)}: overlap $overlap outside [0, " +
+          s"${math.min(prev, nw)}]")
+    }
+    SketchOps.clearSnapshotDemoCache()
+  }
+
   test("sketch rollup: every level exact below k, one raw scan") {
     import graft.operators.SketchOps
     val got = SketchOps.sourceLangDistinctRollup(spark, sfDir)
