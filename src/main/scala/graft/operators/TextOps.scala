@@ -648,7 +648,40 @@ object TextOps {
     fpTableCache.values.forEach(path =>
       graft.operators.Ivf.deleteRecursively(new java.io.File(path)))
     fpTableCache.clear()
+    prunedFpCache.values.forEach(path =>
+      graft.operators.Ivf.deleteRecursively(new java.io.File(path)))
+    prunedFpCache.clear()
   }
+
+  /** Session registry of PRUNED fingerprint indexes — the production
+    * containment artifact: (fp_hash, doc_id, n_fp) with boilerplate
+    * hashes (df > maxDf) already dropped and each row carrying its
+    * doc's PRUNED fingerprint count. Folding the hot-hash prune and
+    * the per-doc sizes into the build (they are corpus-global facts,
+    * not query-time choices) means the WARM containment plan is one
+    * self-join plus one aggregate: no full-stream df aggregate, no
+    * anti-join per branch, no size joins — the rows on both join
+    * sides already carry n_a/n_b. At 100 TB the index is also
+    * strictly smaller than the raw fingerprint table (the boilerplate
+    * tail is gone), which every consumer pays for otherwise. */
+  private val prunedFpCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  def materializePrunedFingerprints(spark: SparkSession, dir: String,
+      maxDf: Int): String =
+    prunedFpCache.computeIfAbsent((dir, maxDf), { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("winnow_fps_pruned").toString
+      val fps = spark.read.parquet(materializeFingerprints(spark, dir))
+      val hot = fps.groupBy("fp_hash").agg(count(lit(1)).as("hash_df"))
+        .filter(col("hash_df") > maxDf).select("fp_hash")
+      val pruned = fps.join(hot, Seq("fp_hash"), "left_anti")
+      pruned
+        .join(pruned.groupBy("doc_id").agg(count(lit(1)).as("n_fp")),
+          Seq("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
 
   /** Cross-document containment via winnowing fingerprints: pairs of
     * documents sharing fingerprint hashes, scored by
@@ -662,14 +695,36 @@ object TextOps {
     * same hot-bucket cap as Dedup: a gram in thousands of docs carries no
     * pair signal but O(df²) join cost. Sizes use the pruned universe so
     * numerator and denominator agree (exact dups still score 1.0).
-    * @param materialized read fingerprints from the build-once parquet
-    *   table ([[materializeFingerprints]]) instead of winnowing per
-    *   lineage branch — the steady-state production shape (the plan is
-    *   then winnow-free, spec-guarded; the recomputing form re-winnows
-    *   once per consumer branch and exists for one-shot exploration). */
+    * @param materialized read the build-once PRUNED fingerprint index
+    *   ([[materializePrunedFingerprints]]: (fp_hash, doc_id, n_fp),
+    *   hot hashes dropped, per-doc pruned sizes inline) — the
+    *   steady-state production shape: the warm plan is ONE self-join
+    *   plus ONE aggregate (winnow-free and full-stream-agg-free,
+    *   spec-guarded output-identical to the declarative form below;
+    *   the recomputing form re-winnows per consumer branch and exists
+    *   for one-shot exploration). */
   def containmentPairs(spark: SparkSession, dir: String,
       maxDf: Int = 100, minContainment: Double = 0.5,
       materialized: Boolean = false): DataFrame = {
+    if (materialized) {
+      // index rows carry (fp_hash, doc_id, n_fp) with the prune and
+      // sizes baked in at build time: both join sides bring their own
+      // denominator, so the pair aggregate is the whole plan
+      val idx = spark.read
+        .parquet(materializePrunedFingerprints(spark, dir, maxDf))
+      val a = idx.select(col("fp_hash"), col("doc_id").as("doc_a"),
+        col("n_fp").as("n_a"))
+      val b = idx.select(col("fp_hash"), col("doc_id").as("doc_b"),
+        col("n_fp").as("n_b"))
+      return a.join(b, Seq("fp_hash")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("shared"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          round(col("shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 4)
+            .as("containment"))
+        .filter(col("containment") >= minContainment)
+    }
     // Plan shape (round-8 rewrite, was two COUNT WINDOWS): the windowed
     // form shuffled the FULL fingerprint stream twice (fp_hash window,
     // then doc_id window) and — because both self-join branches hang off
@@ -686,10 +741,7 @@ object TextOps {
     //    size table broadcasts (AQE), at 100 TB it shuffle-joins
     //    against the far-smaller pair table instead of widening the
     //    fingerprint stream through an extra keyed shuffle.
-    val fps =
-      if (materialized)
-        spark.read.parquet(materializeFingerprints(spark, dir))
-      else fingerprints(spark, dir)
+    val fps = fingerprints(spark, dir)
     // NO forced broadcast hint on hot: its size is data-dependent (the
     // boilerplate tail can be wide on a diverse corpus). AQE broadcasts
     // it when the aggregate's runtime size is small (the common case —
@@ -795,11 +847,19 @@ object TextOps {
   def bm25(spark: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("join", "scan", "filter"),
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val w = words(spark, dir).select("doc_id", "word")
-    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // per-doc token length is a NARROW per-row expression over the
+    // documents scan (same tokenization as `words`), not a corpus-scale
+    // exploded-words shuffle — dl is a property of the row, so paying a
+    // keyed aggregate for it is pure waste at 100 TB. The dl > 0 filter
+    // keeps the historical semantics (token-less docs carry no dl row).
+    val dl = docs(spark, dir).select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+        .cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("n_docs"))
-    val tf = w.filter(col("word").isin(queryTerms: _*))
+    val tf = words(spark, dir).select("doc_id", "word")
+      .filter(col("word").isin(queryTerms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), Seq("word"))
@@ -840,7 +900,23 @@ object TextOps {
       .withColumn("rank_bm25", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)))
       .select("doc_id", "rank_bm25")
-    val b = tfIdf(spark, dir).filter(col("word").isin(queryTerms: _*))
+    // query-term-SCOPED tf-idf: tf and df only need the rows whose word
+    // is a query term (df of a word = docs containing it — computable
+    // from the scoped tf), so the full-vocabulary aggregation and its
+    // per-word window in [[tfIdf]] never run. Arithmetic is the exact
+    // tfIdf formula (per-word round(…,4) before the sum), so the fused
+    // list is bit-identical to filtering the full table (spec-pinned).
+    val tfq = words(spark, dir).select("doc_id", "word")
+      .filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val b = tfq.join(broadcast(dfq), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")) + 1.0), 4).as("tfidf"))
       .groupBy("doc_id").agg(round(sum("tfidf"), 4).as("s"))
       .orderBy(col("s").desc, col("doc_id").asc).limit(topK)
       .withColumn("rank_tfidf", row_number().over(

@@ -239,6 +239,15 @@ class TextOpsSpec extends SparkSpec {
       // only full-stream shuffle is the pair join itself
       assert(!plan.contains("Window"),
         s"containment must not sort-shuffle the stream through windows:\n$plan")
+      // round-11 shape: the hot-hash prune and per-doc sizes are baked
+      // into the PRUNED index at build time, so the warm plan is ONE
+      // self-join + ONE aggregate — no anti-join, no full-stream df
+      // aggregate, and every scan reads the pruned index
+      assert(!plan.contains("LeftAnti"),
+        s"hot-hash prune must be baked into the index, not re-run:\n$plan")
+      val scanPaths = plan.split('\n').filter(_.contains("FileScan"))
+      assert(scanPaths.forall(_.contains("winnow_fps_pruned")),
+        s"warm plan must scan only the pruned index:\n$plan")
       assert(TextOps.containmentPairs(spark, sfDir)
         .queryExecution.executedPlan.toString.contains("winnow_fingerprints"))
     } finally TextOps.clearFingerprintCache()
