@@ -416,6 +416,28 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k))
     }
 
+    tvf("corpus_quantile_drift",
+      "corpus_quantile_drift(dir[, k[, threshold]]) - Distribution " +
+        "drift between two STORED quantile sketch snapshots: per-source " +
+        "(and __ALL__) previous/new median document length plus the " +
+        "two-sample Kolmogorov-Smirnov statistic, zero raw rescans " +
+        "(exact below k, default k = 65536, threshold = 0.5).",
+      "SELECT * FROM corpus_quantile_drift('/data/c1') WHERE drifted;"
+    ) { args =>
+      val fn = "corpus_quantile_drift"
+      val bound = bind(fn, args, Seq("dir", "k", "threshold"), Set.empty)
+      val k = optNum(fn, bound, "k", 65536).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      val threshold = optNum(fn, bound, "threshold", 0.5)
+      if (threshold <= 0.0 || threshold > 1.0)
+        throw new IllegalArgumentException(
+          s"SUDAN: $fn() parameter 'threshold' must be in (0, 1], " +
+            s"got $threshold.")
+      plan(graft.operators.SketchOps.quantileDrift(
+        SparkSession.active, reqDir(fn, bound), k, threshold))
+    }
+
     tvf("corpus_quantile_sources",
       "corpus_quantile_sources(dir[, k]) - Per-source document-length " +
         "quantiles (p25/p50/p75) plus a __ALL__ row merged from stored-" +

@@ -90,6 +90,11 @@ private[graft] object SketchEntries {
     // KMV set-difference and inclusion-exclusion reads (exact below k)
     "q_sketch_delta" -> ((s, d) =>
       graft.operators.SketchOps.snapshotDelta(s, d)),
+    // distribution drift between two STORED quantile sketch snapshots:
+    // per-source median shift + two-sample KS statistic, zero rescans
+    // (exact below k: each state holds its half's every row)
+    "q_quantile_drift" -> ((s, d) =>
+      graft.operators.SketchOps.quantileDrift(s, d)),
     // mergeable bottom-k quantile sketch table: per-source length
     // percentiles + a row-level-merged __ALL__ row (exact below k,
     // discrete-quantile rule shared with the oracle)
@@ -240,6 +245,34 @@ private[graft] object SketchEntries {
         "CAST(u - p AS BIGINT) AS est_added, " +
         "CAST(u - n AS BIGINT) AS est_removed, " +
         "CAST(p + n - u AS BIGINT) AS est_overlap FROM g"),
+    // quantile drift, exact-below-k regime: both halves' states hold
+    // every row, so the sketch KS is the true population statistic;
+    // the md5 half-split and the inclusive-CDF-with-ties evaluation
+    // (RANGE window) are engine-identical
+    "q_quantile_drift" ->
+      ("WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS v, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN " +
+        "('0','1','2','3','4','5','6','7') AS a FROM documents), " +
+        "dd AS (SELECT source AS scope, v, a FROM d " +
+        "UNION ALL SELECT '__ALL__' AS scope, v, a FROM d), " +
+        "c AS (SELECT scope, v, " +
+        "sum(CASE WHEN a THEN 1 ELSE 0 END) OVER w AS ca, " +
+        "sum(CASE WHEN a THEN 0 ELSE 1 END) OVER w AS cb FROM dd " +
+        "WINDOW w AS (PARTITION BY scope ORDER BY v " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "t AS (SELECT scope, " +
+        "sum(CASE WHEN a THEN 1 ELSE 0 END) AS na, " +
+        "sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb, " +
+        "CAST(quantile_disc(v, 0.5) FILTER (WHERE a) AS DOUBLE) " +
+        "AS med_prev, " +
+        "CAST(quantile_disc(v, 0.5) FILTER (WHERE NOT a) AS DOUBLE) " +
+        "AS med_new FROM dd GROUP BY scope), " +
+        "ks AS (SELECT c.scope, round(max(abs(" +
+        "CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE) - " +
+        "CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 4) AS ks " +
+        "FROM c JOIN t USING (scope) GROUP BY c.scope) " +
+        "SELECT t.scope, t.med_prev, t.med_new, ks.ks, " +
+        "ks.ks > 0.5 AS drifted FROM t JOIN ks USING (scope)"),
     // bottom-k quantile sketch, exact-below-k regime: the state holds
     // every (hash, n_chars) row, and quantileExpr's ceil(q*n) discrete
     // rule is quantile_disc's — so sketch quantiles ARE the exact ones

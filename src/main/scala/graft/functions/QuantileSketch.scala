@@ -106,6 +106,38 @@ object QuantileSketch {
     }
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic from two state columns:
+    * max over the union support of |CDF_a(v) − CDF_b(v)| (inclusive
+    * empirical CDFs — the sup of two step functions is attained at a
+    * sample point, so evaluating at every support value is exact).
+    * Below k each state holds its whole population, so this IS the
+    * exact two-sample KS (the oracle regime); above k each side is a
+    * uniform sample and the statistic carries the usual
+    * ~sqrt((na+nb)/(na·nb)) sampling band. Either side empty → NULL
+    * (no evidence ≠ no drift). O(k²) array arithmetic per row — the
+    * sketch-TABLE regime (#groups rows), never raw data; every
+    * intermediate is [[ExprLet]]-bound per the round-11 rule. */
+  def ksExpr(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    ExprLet.bindCompound(a) { sa =>
+      ExprLet.bindCompound(b) { sb =>
+        ExprLet.bindOnce(transform(sa, x => x.getField("_2"))) { va =>
+          ExprLet.bindOnce(transform(sb, x => x.getField("_2"))) { vb =>
+            val na = size(va).cast("double")
+            val nb = size(vb).cast("double")
+            val support = array_distinct(concat(va, vb))
+            val gaps = transform(support, v =>
+              abs(size(filter(va, x => x <= v)).cast("double") / na -
+                size(filter(vb, x => x <= v)).cast("double") / nb))
+            when(size(sa) === 0 || size(sb) === 0,
+              lit(null).cast("double"))
+              .otherwise(round(array_max(gaps), 4))
+          }
+        }
+      }
+    }
+  }
+
   /** Estimated fraction of the group's rows with value in [lo, hi]
     * (inclusive), read off a state column: the state is a uniform
     * without-replacement sample, so the sample fraction estimates the

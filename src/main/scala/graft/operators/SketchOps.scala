@@ -275,6 +275,89 @@ object SketchOps {
       col("r.est_overlap").as("est_overlap"))
   }
 
+  private val qSnapshotDemoCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Int), String]()
+
+  def clearQuantileSnapshotDemoCache(): Unit = {
+    qSnapshotDemoCache.values.forEach(p =>
+      Ivf.deleteRecursively(new java.io.File(p)))
+    qSnapshotDemoCache.clear()
+  }
+
+  /** Write the two demo QUANTILE snapshot sketch tables (md5 half-split
+    * of the corpus — engine-independent and decorrelated from `source`,
+    * unlike doc_id parity, which the fixture's source assignment makes
+    * degenerate) and return their root. One (source, qsk) state row per
+    * source per half, over n_chars. */
+  private[operators] def quantileSnapshotTables(spark: SparkSession,
+      dir: String, k: Int): String =
+    qSnapshotDemoCache.computeIfAbsent((dir, k), { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("quantile_snapshots").toString
+      val d = docs(spark, dir)
+      val firstHalf = conv(substring(
+        md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int") < 8
+      def states(half: DataFrame) = half.groupBy(col("source"))
+        .agg(graft.functions.QuantileSketch.sketchState(
+          col("doc_id"), col("n_chars").cast("double"), k).as("qsk"))
+      states(d.filter(firstHalf))
+        .write.mode("overwrite").parquet(s"$root/qsnap1")
+      states(d.filter(!firstHalf))
+        .write.mode("overwrite").parquet(s"$root/qsnap2")
+      root
+    })
+
+  /** Distribution-DRIFT detector from stored quantile sketch states —
+    * the continuous twin of [[graft.streaming.EventStream.typeDriftBatch]]
+    * (which watches a categorical mix): per source (and `__ALL__`),
+    * the previous snapshot's and the new shard's median document
+    * length plus the two-sample Kolmogorov–Smirnov statistic between
+    * the two distributions, derived ENTIRELY from the two stored
+    * sketch tables — the "did tonight's shard change what documents
+    * look like" ingest monitor, answered with zero raw-data rescans.
+    * A drifted source means its crawler/extractor changed (truncation
+    * bug, boilerplate regression, new template) even when the row
+    * counts look normal.
+    *
+    * Scale shape: a #sources-row full-outer join of two few-KB sketch
+    * tables + O(k²) array arithmetic per row ([[ExprLet]]-bound).
+    * Exact below k (each state holds its half's every row ⇒ the KS is
+    * the true population statistic, which is what lets the driver's
+    * oracle pin it); above k both sides are uniform samples and the
+    * statistic carries the standard ~sqrt((na+nb)/(na·nb)) band.
+    * Sources missing a side report NULL ks / drifted (no evidence). */
+  def quantileDrift(spark: SparkSession, dir: String,
+      k: Int = 65536, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.QuantileSketch
+    val root = quantileSnapshotTables(spark, dir, k)
+    val empty = array().cast("array<struct<_1:bigint,_2:double>>")
+    val s1 = spark.read.parquet(s"$root/qsnap1")
+      .select(col("source"), col("qsk").as("sk1"))
+    val s2 = spark.read.parquet(s"$root/qsnap2")
+      .select(col("source"), col("qsk").as("sk2"))
+    val joined = s1.join(s2, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("sk1"), empty).as("sk1"),
+        coalesce(col("sk2"), empty).as("sk2"))
+    def report(scope: Column, a: Column, b: Column): Column =
+      struct(scope.as("scope"),
+        QuantileSketch.quantileExpr(a, 0.5).as("med_prev"),
+        QuantileSketch.quantileExpr(b, 0.5).as("med_new"),
+        QuantileSketch.ksExpr(a, b).as("ks"))
+    val per = joined.select(
+      report(col("source"), col("sk1"), col("sk2")).as("r"))
+    val all = joined
+      .agg(collect_list(col("sk1")).as("a1"),
+        collect_list(col("sk2")).as("a2"))
+      .select(report(lit("__ALL__"),
+        QuantileSketch.mergeStatesExpr(col("a1"), k),
+        QuantileSketch.mergeStatesExpr(col("a2"), k)).as("r"))
+    per.union(all).select(col("r.scope").as("scope"),
+      col("r.med_prev").as("med_prev"), col("r.med_new").as("med_new"),
+      col("r.ks").as("ks"),
+      (col("r.ks") > threshold).as("drifted"))
+  }
+
   // ----------------------------------------- join pre-flight estimate
 
   /** Pre-flight equi-join cardinality estimate from key sketches — the

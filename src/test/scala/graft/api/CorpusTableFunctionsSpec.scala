@@ -187,6 +187,25 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("'k' must be >= 1"), e.getMessage)
   }
 
+  test("corpus_quantile_drift binds, matches Scala, and validates " +
+      "threshold") {
+    ready
+    val sql = spark.sql(
+      s"SELECT * FROM corpus_quantile_drift('$sfDir', threshold => 0.5)")
+      .collect()
+    val scala = graft.operators.SketchOps.quantileDrift(spark, sfDir)
+      .collect()
+    assert(sql.toSet === scala.toSet)
+    sql.foreach { r =>
+      val ks = r.getDouble(3)
+      assert(ks >= 0.0 && ks <= 1.0, s"${r.getString(0)}: ks $ks")
+    }
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_quantile_drift('$sfDir', threshold => 1.5)"))
+    assert(e.getMessage.contains("'threshold' must be in (0, 1]"),
+      e.getMessage)
+  }
+
   test("corpus_heavy_hitters binds, matches Scala, and validates params") {
     ready
     val sql = spark.sql(

@@ -133,4 +133,87 @@ class QuantileSketchSpec extends SparkSpec {
       graft.operators.SketchOps.sourceLengthSelectivity(spark, sfDir,
         lo = 5.0, hi = 1.0))
   }
+
+  test("ksExpr: exact two-sample KS below k, hand-checked; identical " +
+      "distributions score 0; disjoint score 1; empty side is NULL") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: inclusive CDF gaps peak at v=2
+    // (2/4 - 0/4 = 0.5); hand value 0.5
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+      .agg(QuantileSketch.sketchState(col("id"), col("v"), 64).as("a"))
+    val df2 = Seq((11L, 3.0), (12L, 4.0), (13L, 5.0), (14L, 6.0))
+      .toDF("id", "v")
+      .agg(QuantileSketch.sketchState(col("id"), col("v"), 64).as("b"))
+    val both = df.crossJoin(df2)
+    val ks = both.select(QuantileSketch.ksExpr(col("a"), col("b")).as("ks"))
+      .collect()(0).getDouble(0)
+    assert(ks === 0.5, s"hand-checked KS, got $ks")
+    // identical distributions -> 0
+    val same = both.select(
+      QuantileSketch.ksExpr(col("a"), col("a")).as("ks"))
+      .collect()(0).getDouble(0)
+    assert(same === 0.0)
+    // disjoint supports -> 1
+    val dj = Seq((21L, 100.0), (22L, 200.0)).toDF("id", "v")
+      .agg(QuantileSketch.sketchState(col("id"), col("v"), 64).as("c"))
+    val one = both.crossJoin(dj)
+      .select(QuantileSketch.ksExpr(col("a"), col("c")).as("ks"))
+      .collect()(0).getDouble(0)
+    assert(one === 1.0)
+    // empty side -> NULL
+    val empty = org.apache.spark.sql.functions.array()
+      .cast("array<struct<_1:bigint,_2:double>>")
+    val nul = both.select(QuantileSketch.ksExpr(col("a"), empty).as("ks"))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("quantileDrift: exact-regime agreement with a raw recompute of " +
+      "the md5 half-split KS, per source and __ALL__; reads only the " +
+      "stored sketch tables") {
+    import graft.operators.SketchOps
+    val drift = SketchOps.quantileDrift(spark, sfDir)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val scanned = scans(drift.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.nonEmpty &&
+      scanned.forall(_.contains("quantile_snapshots")),
+      s"drift must scan only stored sketch tables, scanned: $scanned")
+    // raw truth: inclusive-CDF KS over the same md5 split
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("n_chars").cast("double").as("v"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("a"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    def ksOf(rs: Seq[(String, Double, Boolean)]): (Double, Double, Double) = {
+      val va = rs.filter(_._3).map(_._2).sorted
+      val vb = rs.filter(!_._3).map(_._2).sorted
+      def disc(s: Seq[Double], q: Double) =
+        s(math.max(1, math.ceil(q * s.size).toInt) - 1)
+      val support = (va ++ vb).distinct
+      val ks = support.map { x =>
+        math.abs(va.count(_ <= x).toDouble / va.size -
+          vb.count(_ <= x).toDouble / vb.size)
+      }.max
+      (disc(va, 0.5), disc(vb, 0.5),
+        BigDecimal(ks).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    val want = rows.groupBy(_._1).map { case (s, rs) => s -> ksOf(rs.toSeq) } +
+      ("__ALL__" -> ksOf(rows.toSeq))
+    val got = drift.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === want, s"drift $got vs raw truth $want")
+    SketchOps.clearQuantileSnapshotDemoCache()
+  }
 }
