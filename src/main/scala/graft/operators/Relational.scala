@@ -40,10 +40,28 @@ object Relational {
     * this gate is for sets whose size is a function of the DATA, where
     * "transition-sized by construction" is an assumption, not a bound.
     * Default 4M rows ≈ 32 MB of bare keys — comfortably broadcastable,
-    * far under Spark's 8 GB hard cap. */
+    * far under Spark's 8 GB hard cap.
+    *
+    * The probe REUSES its work (round-12 fix): the probed frame is
+    * persisted before counting, and on the hinted path — where
+    * `limit` did not truncate, so the probed frame IS the full set —
+    * the broadcast consumes the cached rows. The input lineage
+    * (possibly a corpus-wide diff/distinct) is therefore computed
+    * exactly ONCE per call instead of once for the probe and again
+    * per consuming join (the r11-measured 1.7× on q_cdc_merge). The
+    * persist is bounded at maxRows+1 rows by construction; on the
+    * fallback path it is dropped immediately (the truncated frame is
+    * useless there) and the join recomputes the full lineage — the
+    * unavoidable cost of having refused the broadcast. Persisting the
+    * probed frame also closes the plan-time-probe vs execution-time-
+    * join TOCTOU for non-deterministic lineages: the joined rows are
+    * the counted rows. */
   def broadcastIfUnder(df: DataFrame, maxRows: Long = 4000000L): DataFrame = {
     val probe = math.min(maxRows + 1L, Int.MaxValue.toLong).toInt
-    if (df.limit(probe).count() <= maxRows) broadcast(df) else df
+    val probed = df.limit(probe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (probed.count() <= maxRows) broadcast(probed)
+    else { probed.unpersist(false); df }
   }
 
   /** Money-sum with deterministic, engine-independent result: cast each

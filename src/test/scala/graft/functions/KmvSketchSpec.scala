@@ -238,4 +238,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("more than 9 groups") &&
       e.getMessage.contains("maxGroups"), e.getMessage)
   }
+
+  test("overlapMatrix: the raw input is aggregated exactly ONCE per call " +
+      "— the guard reads the persisted sketch table, and so do both " +
+      "sides of the pairwise join (r11 verdict: the unpersisted guard " +
+      "probe doubled the corpus pass)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("om_input_rows")
+    val bump = udf { (s: String) => acc.add(1); s }.asNondeterministic()
+    // i%7 values over i%5 groups: every group shares values with every
+    // other, so the overlap filter keeps pairs and collect() is non-empty
+    val df = (1 to 100).map(i => (s"g${i % 5}", s"v${i % 7}")).toDF("g", "v0")
+      .select(col("g"), bump(col("v0")).as("v"))
+    try {
+      val m = graft.operators.SketchOps
+        .overlapMatrix(df, "g", col("v"), k = 1024, maxGroups = 10)
+      assert(m.collect().nonEmpty)
+      assert(acc.value === 100L,
+        s"raw input must be scanned exactly once (guard + matrix share " +
+          s"the cached sketch table) - scanned ${acc.value / 100.0} times")
+    } finally spark.catalog.clearCache()
+  }
 }

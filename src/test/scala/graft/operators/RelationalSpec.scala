@@ -392,4 +392,24 @@ class RelationalSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("broadcastIfUnder: the gated lineage is computed exactly ONCE per " +
+      "call — the probe's work is persisted and the join consumes it " +
+      "(r11 verdict: the unpersisted probe doubled a corpus pass)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("biu_lineage_rows")
+    val bump = udf { (k: Long) => acc.add(1); k }.asNondeterministic()
+    // the gated side carries an accumulator-bumping stage standing in
+    // for an expensive lineage (corpusDiff / touched-key distinct)
+    val dim = (1L to 20L).toDF("k0").select(bump(col("k0")).as("k"))
+    val fact = (1L to 200L).map(i => (i % 20 + 1, i)).toDF("k", "v")
+    try {
+      val joined = fact.join(Relational.broadcastIfUnder(dim, maxRows = 100),
+        Seq("k"))
+      assert(joined.count() === 200L)
+      assert(acc.value === 20L,
+        s"gated lineage must run exactly once (probe cached, join reuses " +
+          s"the cache) - ran ${acc.value / 20.0} times")
+    } finally spark.catalog.clearCache()
+  }
 }
