@@ -95,6 +95,83 @@ private[graft] object SketchEntries {
     // (exact below k: each state holds its half's every row)
     "q_quantile_drift" -> ((s, d) =>
       graft.operators.SketchOps.quantileDrift(s, d)),
+    // snapshot-delta ESTIMATOR-regime contract (round-12 closure of the
+    // same gate hole the *_error_bound entries closed for the base
+    // sketches): k=64 < the gate's per-source distinct texts forces the
+    // KMV estimator AND snapshotDelta's feasible-region clamps to fire
+    // AT the gate. `feasible` pins the clamps (deterministically true
+    // by construction: 0 <= added <= new, 0 <= removed <= prev,
+    // 0 <= overlap <= min(prev,new)); `within_tol` checks the engine's
+    // own est_prev/est_new against its own exact distincts within 50%
+    // (~4 sigma of KMV's 1/sqrt(k-2) ≈ 12.7% rsd at k=64) — the
+    // q_kmv_error_bound contract pattern; DuckDB's booleans are the
+    // literal contract values and the exact counts are cross-engine.
+    "q_sketch_delta_bound" -> ((s, d) => {
+      val delta = graft.operators.SketchOps.snapshotDelta(s, d, k = 64)
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select(col("source"), col("text"),
+          (col("doc_id") % 2 === 0).as("prev"))
+      val scoped = base.select(col("source").as("scope"), col("text"),
+          col("prev"))
+        .unionByName(base.select(lit("__ALL__").as("scope"), col("text"),
+          col("prev")))
+      val exact = scoped.groupBy("scope")
+        .agg(countDistinct(when(col("prev"), col("text"))).as("exact_prev"),
+          countDistinct(when(!col("prev"), col("text"))).as("exact_new"))
+      delta.join(exact, Seq("scope"))
+        .select(col("scope"), col("exact_prev"), col("exact_new"),
+          (col("est_added").between(lit(0), col("est_new")) &&
+            col("est_removed").between(lit(0), col("est_prev")) &&
+            col("est_overlap").between(lit(0),
+              least(col("est_prev"), col("est_new")))).as("feasible"),
+          // multiplicative form (|est-exact| <= 0.5*exact), not a
+          // division: a scope whose prev half is EMPTY (exact=0, a
+          // one-sided source) must demand est=0 rather than divide by
+          // zero (ANSI mode throws; the sf0.01 fixture has one such)
+          (abs(col("est_prev").cast("double") -
+              col("exact_prev").cast("double")) <=
+            lit(0.5) * col("exact_prev").cast("double") &&
+            abs(col("est_new").cast("double") -
+              col("exact_new").cast("double")) <=
+              lit(0.5) * col("exact_new").cast("double")).as("within_tol"))
+    }),
+    // KS-sampling-band ESTIMATOR-regime contract: k=64 < the gate's
+    // per-source half sizes forces ksExpr's bottom-k SAMPLING regime at
+    // the gate (the q_quantile_drift oracle sits exact-below-k). The
+    // engine computes the EXACT two-sample KS per scope from the raw
+    // halves (the same inclusive-CDF-with-ties evaluation the drift
+    // oracle uses) and asserts its own sketch KS within 0.35 of it —
+    // ~2x the two-sided DKW 95% band for 64-per-side samples
+    // (2*sqrt(ln(2/.05)/(2*64)) ≈ 0.34), measured well clear on every
+    // fixture SF. n_prev/n_new are the exact cross-engine values;
+    // DuckDB's boolean is the literal contract value.
+    "q_ks_bound" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val drift = graft.operators.SketchOps.quantileDrift(s, d, k = 64)
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select(col("source"), col("n_chars").cast("double").as("v"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int") < 8).as("a"))
+      val scoped = base.select(col("source").as("scope"), col("v"), col("a"))
+        .unionByName(base.select(lit("__ALL__").as("scope"), col("v"),
+          col("a")))
+      val w = Window.partitionBy("scope").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("scope")
+      val cdf = scoped
+        .withColumn("ca", sum(when(col("a"), 1L).otherwise(0L)).over(w))
+        .withColumn("cb", sum(when(col("a"), 0L).otherwise(1L)).over(w))
+        .withColumn("na", sum(when(col("a"), 1L).otherwise(0L)).over(wAll))
+        .withColumn("nb", sum(when(col("a"), 0L).otherwise(1L)).over(wAll))
+      val exact = cdf.groupBy("scope")
+        .agg(max("na").as("n_prev"), max("nb").as("n_new"),
+          max(abs(col("ca").cast("double") / col("na").cast("double") -
+            col("cb").cast("double") / col("nb").cast("double")))
+            .as("ks_exact"))
+      drift.join(exact, Seq("scope"))
+        .select(col("scope"), col("n_prev"), col("n_new"),
+          (abs(col("ks") - col("ks_exact")) <= 0.35).as("within_band"))
+    }),
     // mergeable bottom-k quantile sketch table: per-source length
     // percentiles + a row-level-merged __ALL__ row (exact below k,
     // discrete-quantile rule shared with the oracle)
@@ -248,7 +325,11 @@ private[graft] object SketchEntries {
     // quantile drift, exact-below-k regime: both halves' states hold
     // every row, so the sketch KS is the true population statistic;
     // the md5 half-split and the inclusive-CDF-with-ties evaluation
-    // (RANGE window) are engine-identical
+    // (RANGE window) are engine-identical. NULLIF guards the na/nb
+    // divisions so a source whose docs all land in one md5 half yields
+    // NULL ks / NULL drifted — pinning the engine's no-evidence NULL
+    // semantics (quantileDrift/ksExpr report NULL for a missing side)
+    // instead of DuckDB's IEEE inf → drifted=true
     "q_quantile_drift" ->
       ("WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS v, " +
         "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN " +
@@ -268,11 +349,39 @@ private[graft] object SketchEntries {
         "CAST(quantile_disc(v, 0.5) FILTER (WHERE NOT a) AS DOUBLE) " +
         "AS med_new FROM dd GROUP BY scope), " +
         "ks AS (SELECT c.scope, round(max(abs(" +
-        "CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE) - " +
-        "CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 4) AS ks " +
+        "CAST(c.ca AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0) - " +
+        "CAST(c.cb AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0))), 4) AS ks " +
         "FROM c JOIN t USING (scope) GROUP BY c.scope) " +
         "SELECT t.scope, t.med_prev, t.med_new, ks.ks, " +
         "ks.ks > 0.5 AS drifted FROM t JOIN ks USING (scope)"),
+    // snapshot-delta estimator contract: exact distinct counts are the
+    // cross-engine values; the clamp/tolerance booleans are literal
+    // contract values (the Spark side checks its OWN estimator — see
+    // the entry's comment)
+    "q_sketch_delta_bound" ->
+      ("WITH d AS (SELECT source, text, doc_id % 2 = 0 AS prev " +
+        "FROM documents), " +
+        "dd AS (SELECT source AS scope, text, prev FROM d " +
+        "UNION ALL SELECT '__ALL__' AS scope, text, prev FROM d) " +
+        "SELECT scope, " +
+        "CAST(count(DISTINCT CASE WHEN prev THEN text END) AS BIGINT) " +
+        "AS exact_prev, " +
+        "CAST(count(DISTINCT CASE WHEN NOT prev THEN text END) AS BIGINT) " +
+        "AS exact_new, true AS feasible, true AS within_tol " +
+        "FROM dd GROUP BY scope"),
+    // KS sampling-band contract: exact half sizes are the cross-engine
+    // values; within_band is the literal contract value (the Spark
+    // side checks its OWN sketch KS against its own exact KS)
+    "q_ks_bound" ->
+      ("WITH d AS (SELECT source, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN " +
+        "('0','1','2','3','4','5','6','7') AS a FROM documents), " +
+        "dd AS (SELECT source AS scope, a FROM d " +
+        "UNION ALL SELECT '__ALL__' AS scope, a FROM d) " +
+        "SELECT scope, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_prev, " +
+        "CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_new, " +
+        "true AS within_band FROM dd GROUP BY scope"),
     // bottom-k quantile sketch, exact-below-k regime: the state holds
     // every (hash, n_chars) row, and quantileExpr's ceil(q*n) discrete
     // rule is quantile_disc's — so sketch quantiles ARE the exact ones

@@ -113,10 +113,17 @@ object HeavyHitters {
 
   /** Merge an array-of-states column (e.g. `collect_list(state)` over
     * stored sketch rows) back into one valid state, in pure codegen'd
-    * array expressions — the exact [[Sketch.merge]] semantics: sum
-    * counters per item, then the Mergeable-Summaries truncation
-    * (subtract the (k+1)-th largest counter, drop non-positives), with
-    * the same deterministic (n desc, item asc) ordering. The per-item
+    * array expressions — a one-shot m-way merge with a SINGLE
+    * Mergeable-Summaries truncation: sum counters per item, then
+    * subtract the (k+1)-th largest summed counter and drop
+    * non-positives, with the deterministic (n desc, item asc)
+    * ordering. For two states this is exactly [[Sketch.merge]]; for
+    * 3+ states the typed aggregator folds PAIRWISE truncations, so
+    * above k the two can produce different — both valid — states: the
+    * one-shot merge truncates less (it sees the full sums before
+    * subtracting), and both respect the same N/(k+1) under-count
+    * bound, which is the contract the specs pin. Below k (no
+    * truncation fires) the two are identical. The per-item
     * sum is a transform-over-distinct-items fold — O(k²·states) on
     * ≤ k-entry arrays, far below any shuffle cost — so cross-snapshot
     * top-k needs no raw-data rescan and no explode/groupBy.

@@ -193,6 +193,10 @@ object SketchOps {
         col("text"), k).write.mode("overwrite").parquet(s"$root/snap1")
       sketchTable(d.filter(col("doc_id") % 2 =!= 0), "source",
         col("text"), k).write.mode("overwrite").parquet(s"$root/snap2")
+      // hash-version stamp: stored states embed the hash generation
+      // (see graft.functions.SketchMeta) and readers check it
+      graft.functions.SketchMeta.write(spark, s"$root/snap1")
+      graft.functions.SketchMeta.write(spark, s"$root/snap2")
       root
     })
 
@@ -209,6 +213,8 @@ object SketchOps {
   def snapshotSketchMerge(spark: SparkSession, dir: String,
       k: Int = 65536): DataFrame = {
     val root = snapshotTables(spark, dir, k)
+    graft.functions.SketchMeta.check(spark, s"$root/snap1")
+    graft.functions.SketchMeta.check(spark, s"$root/snap2")
     val stored = spark.read.parquet(s"$root/snap1")
       .unionByName(spark.read.parquet(s"$root/snap2"))
     val merged = stored.groupBy("source")
@@ -255,6 +261,8 @@ object SketchOps {
       k: Int = 65536): DataFrame = {
     import graft.functions.ExprLet.bindOnce
     val root = snapshotTables(spark, dir, k)
+    graft.functions.SketchMeta.check(spark, s"$root/snap1")
+    graft.functions.SketchMeta.check(spark, s"$root/snap2")
     val empty = array().cast("array<bigint>")
     val s1 = spark.read.parquet(s"$root/snap1")
       .select(col("source"), col("sketch").as("sk1"))
@@ -322,6 +330,8 @@ object SketchOps {
         .write.mode("overwrite").parquet(s"$root/qsnap1")
       states(d.filter(!firstHalf))
         .write.mode("overwrite").parquet(s"$root/qsnap2")
+      graft.functions.SketchMeta.write(spark, s"$root/qsnap1")
+      graft.functions.SketchMeta.write(spark, s"$root/qsnap2")
       root
     })
 
@@ -348,6 +358,8 @@ object SketchOps {
       k: Int = 65536, threshold: Double = 0.5): DataFrame = {
     import graft.functions.QuantileSketch
     val root = quantileSnapshotTables(spark, dir, k)
+    graft.functions.SketchMeta.check(spark, s"$root/qsnap1")
+    graft.functions.SketchMeta.check(spark, s"$root/qsnap2")
     val empty = array().cast("array<struct<_1:bigint,_2:double>>")
     val s1 = spark.read.parquet(s"$root/qsnap1")
       .select(col("source"), col("qsk").as("sk1"))

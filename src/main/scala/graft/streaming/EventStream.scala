@@ -267,7 +267,12 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        idempotentBatchSink(outDir)(batchSketchRows(df, k), id); ()
+        idempotentBatchSink(outDir)(batchSketchRows(df, k), id)
+        // version-stamp the state table (idempotent tiny-file write):
+        // stored sketch states embed the hash function, and a reader
+        // from a different hash generation must fail loudly, not
+        // estimate wrongly (see SketchMeta)
+        graft.functions.SketchMeta.write(df.sparkSession, outDir); ()
       }
       .start()
 
@@ -285,6 +290,7 @@ object EventStream {
   def sketchIngestTotals(spark: SparkSession, outDir: String,
       k: Int = 65536): DataFrame = {
     import graft.functions.KmvSketch
+    graft.functions.SketchMeta.check(spark, outDir)
     spark.read.parquet(outDir)
       .groupBy(col("event_type"))
       .agg(KmvSketch.estimateExpr(
@@ -299,7 +305,11 @@ object EventStream {
     * Exact below k ⇒ the driver's oracle pins per-type distinct users. */
   def sketchIngestBatchDemo(spark: SparkSession, events: DataFrame,
       dir: String, k: Int = 65536): DataFrame = {
-    val root = sketchDemoCache.computeIfAbsent((dir, k), { _ =>
+    // key includes the events frame's semantic hash (same contract as
+    // hhIngestBatchDemo): a second call with the same dir but a
+    // filtered/transformed events frame gets its own demo table
+    val root = sketchDemoCache.computeIfAbsent(
+      (dir, k, events.queryExecution.analyzed.semanticHash()), { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("sketch_ingest").toString
       (0L until 4L).foreach { b =>
@@ -308,13 +318,14 @@ object EventStream {
             org.apache.spark.sql.functions.pmod(col("event_id"),
               lit(4L)) === b), k), b)
       }
+      graft.functions.SketchMeta.write(spark, out)
       out
     })
     sketchIngestTotals(spark, root, k)
   }
 
   private val sketchDemoCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), String]()
+    (String, Int, Int), String]()
 
   def clearSketchDemoCache(): Unit = {
     sketchDemoCache.values.forEach(p =>
@@ -340,7 +351,10 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        idempotentBatchSink(outDir)(batchHhRows(df, k, item), id); ()
+        idempotentBatchSink(outDir)(batchHhRows(df, k, item), id)
+        // same state-format stamp as sketchIngest (uniform across the
+        // sketch families, MG included)
+        graft.functions.SketchMeta.write(df.sparkSession, outDir); ()
       }
       .start()
 
@@ -356,6 +370,7 @@ object EventStream {
       k: Int = 256, top: Int = 5,
       itemName: String = "user_id"): DataFrame = {
     import graft.functions.HeavyHitters
+    graft.functions.SketchMeta.check(spark, outDir)
     spark.read.parquet(outDir)
       .groupBy(col("event_type"))
       .agg(collect_list(col("state")).as("sts"))
@@ -378,7 +393,14 @@ object EventStream {
       dir: String, k: Int = 256, top: Int = 5,
       item: Column = col("user_id").cast("string"),
       itemName: String = "user_id"): DataFrame = {
-    val root = hhDemoCache.computeIfAbsent((dir, k, itemName), { _ =>
+    // the cache key carries the item expression's canonical SQL and the
+    // events frame's semantic hash, not just (dir, k, itemName): two
+    // calls sharing a dir/name but binding a different item column or a
+    // filtered events frame must land separate demo tables, not silently
+    // read the first call's stored states
+    val root = hhDemoCache.computeIfAbsent(
+      (dir, k, itemName, item.toString,
+        events.queryExecution.analyzed.semanticHash()), { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("hh_ingest").toString
       (0L until 4L).foreach { b =>
@@ -387,13 +409,14 @@ object EventStream {
             org.apache.spark.sql.functions.pmod(col("event_id"),
               lit(4L)) === b), k, item), b)
       }
+      graft.functions.SketchMeta.write(spark, out)
       out
     })
     hhIngestTotals(spark, root, k, top, itemName)
   }
 
   private val hhDemoCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, String), String]()
+    (String, Int, String, String, Int), String]()
 
   def clearHhDemoCache(): Unit = {
     hhDemoCache.values.forEach(p =>
