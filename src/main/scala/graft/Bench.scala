@@ -80,6 +80,23 @@ object Bench {
     }.toMap
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val total = results.values.filter(_ >= 0).sum
+    // Sentinel-normalized drift gauge: five never-touched pure-relational
+    // queries pinned at their round-4 committed times (BENCH_r04.json).
+    // The per-round s/q number moves with the HOST (uniform 1.05-1.2x
+    // windows were diagnosed by hand in r10/r11); dividing by the median
+    // sentinel ratio removes that common factor, so norm_value compares
+    // across rounds and a query moving ALONE stands out. Sentinel rule:
+    // uniform spread = host noise, one query moving alone = real change.
+    val sentinelsR4 = Map(
+      "q_join_2key" -> 0.58484242, "q_join_full" -> 0.290403137,
+      "q_union_all" -> 0.266184982, "q_rollup" -> 0.330907811,
+      "q_datetime_agg" -> 0.208052506)
+    val sentRatios = sentinelsR4.toSeq.flatMap { case (k, r4) =>
+      results.get(k).filter(_ > 0).map(_ / r4) }.sorted
+    val sentinelRatio =
+      if (sentRatios.isEmpty) -1.0
+      else sentRatios(sentRatios.size / 2)
+    val normValue = if (sentinelRatio > 0) total / sentinelRatio else -1.0
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; at ~130 queries a full-precision per-query
     // map is ~4000 chars, so the line's head falls off the tail and the
@@ -114,7 +131,7 @@ object Bench {
       java.nio.file.Paths.get(s"${prefix}_medians.json"),
       mediansJson.getBytes("UTF-8"))
     val LineBudget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full.json","build":"${prefix}_build_costs.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sentinel_ratio":${fmt(sentinelRatio)},"norm_value":${fmt(normValue)},"sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full.json","build":"${prefix}_build_costs.json","queries":{"""
     val tailFixed = s"""},"omitted":NNN}""" // placeholder sizing for the closer
     var used = head.length + tailFixed.length
     val kept = collection.mutable.ArrayBuffer.empty[String]

@@ -54,29 +54,37 @@ private[graft] object SimilarityEntries {
     // Matryoshka two-stage: 16-dim prefix shortlist → full-vector rerank
     "q_ann_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaTopK(s, d, queryId = 0L)),
-    "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    // numPlanes pinned to 8 in every LSH entry below: the SQL oracles
+    // hardcode bucketSqlExpr(8) and committed bench artifacts compare
+    // across rounds — the API itself now defaults to AutoPlanes
+    // (planesFor over the corpus count), the production sizing
+    "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d, numPlanes = 8)),
     // threshold tuned to the synthetic data's cosine range (max ~0.37)
-    "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d, minCosine = 0.3)),
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(s, d, minCosine = 0.3, numPlanes = 8)),
     // SemDeDup-style semantic clustering + keep over the same pair graph
     // (labels scanned from the build-once assignment table)
     "q_embed_clusters" -> ((s, d) =>
-      Similarity.embedClusters(s, d, materialized = true)),
+      Similarity.embedClusters(s, d, numPlanes = 8, materialized = true)),
     "q_embed_cluster_keep" -> ((s, d) =>
-      Similarity.embedClusterKeep(s, d, materialized = true)),
+      Similarity.embedClusterKeep(s, d, numPlanes = 8,
+        materialized = true)),
     "q_label_centroids" -> (Similarity.labelCentroidCosine _),
     // per-label centroid-distance outlier audit (mislabel detector)
     "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
     // neighborhood majority-vote label audit over the LSH-bucketed k-NN
-    "q_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    "q_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(s, d, numPlanes = 8)),
     // per-dimension feature-health stats (dead/dominant dim audit)
     "q_dim_stats" -> (Similarity.dimStats _),
     // z-score standardization vs corpus dim stats, per-vector summaries
     "q_embed_standardize" -> (Similarity.standardizeEmbeddings _),
     // margin-criterion cross-label mining over the LSH candidate stream
-    "q_margin_mine" -> ((s, d) => Similarity.marginMine(s, d)),
+    "q_margin_mine" -> ((s, d) => Similarity.marginMine(s, d, numPlanes = 8)),
     // cluster-balanced diversity sampling (dense buckets capped at
     // ~target kept vectors via the deterministic md5 gate)
-    "q_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
+    "q_diversity_sample" -> ((s, d) =>
+      Similarity.diversitySample(s, d, numPlanes = 8)),
     // dedup-graph QA: degree-oriented triangle counts and fixed-iteration
     // PageRank over the undirected k-NN similarity graph
     // all three graph entries scan the build-once k-NN edge table

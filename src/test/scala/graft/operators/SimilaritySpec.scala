@@ -177,10 +177,10 @@ class SimilaritySpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     // uncapped: the dense bucket contributes 50·49/2 pairs
     assert(Similarity.nearDupPairs(spark, tmp, minCosine = 0.99,
-      maxBucket = 0).count() === 50L * 49 / 2 + 1)
+      numPlanes = 8, maxBucket = 0).count() === 50L * 49 / 2 + 1)
     // capped: dense bucket pruned entirely, the healthy pair survives
     val capped = Similarity.nearDupPairs(spark, tmp, minCosine = 0.99,
-      maxBucket = 10)
+      numPlanes = 8, maxBucket = 10)
     val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((100L, 101L)), pairs.mkString(","))
     // the prune fired INLINE as an observation on the same query...
@@ -200,14 +200,15 @@ class SimilaritySpec extends SparkSpec {
     assert(hot.length === 1 && hot(0).getLong(1) === 50L)
     assert(Similarity.embedHotBuckets(spark, tmp, maxBucket = 100).count() === 0)
     // knnJoin honors the same cap: no vector from the dense bucket remains
-    val knn = Similarity.knnJoin(spark, tmp, k = 3, maxBucket = 10)
+    val knn = Similarity.knnJoin(spark, tmp, k = 3, numPlanes = 8,
+      maxBucket = 10)
       .select("vec_a").distinct().collect().map(_.getLong(0)).toSet
     assert(knn === Set(100L, 101L), s"got $knn")
     // kill switch: metrics off → same pruned pairs, no observation node
     spark.conf.set("spark.graft.dedup.pruneMetrics", "false")
     try {
       val quiet = Similarity.nearDupPairs(spark, tmp, minCosine = 0.99,
-        maxBucket = 10)
+        numPlanes = 8, maxBucket = 10)
       assert(quiet.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         === Seq((100L, 101L)))
       assert(quiet.queryExecution.observedMetrics.isEmpty)
@@ -236,7 +237,8 @@ class SimilaritySpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("divsample").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val kept = Similarity.diversitySample(spark, tmp, target = 8)
+    val kept = Similarity.diversitySample(spark, tmp, target = 8,
+      numPlanes = 8)
       .collect().map(_.getLong(0)).toSet
     // sparse bucket (rate 1) passes through whole
     assert(kept.contains(500L) && kept.contains(501L))
@@ -245,11 +247,13 @@ class SimilaritySpec extends SparkSpec {
     val denseKept = kept.count(_ <= 200L)
     assert(denseKept >= 1 && denseKept <= 30, s"dense kept $denseKept")
     // deterministic: identical set on re-run
-    val again = Similarity.diversitySample(spark, tmp, target = 8)
+    val again = Similarity.diversitySample(spark, tmp, target = 8,
+      numPlanes = 8)
       .collect().map(_.getLong(0)).toSet
     assert(again === kept)
     // higher target keeps strictly more (monotone gate)
-    val wide = Similarity.diversitySample(spark, tmp, target = 200)
+    val wide = Similarity.diversitySample(spark, tmp, target = 200,
+      numPlanes = 8)
       .collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(wide) && wide.size === 202)
   }
@@ -458,7 +462,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("marginMine: forward top-1 within shared buckets, margin " +
       "normalizes by both neighborhoods, accept flag consistent") {
-    val rows = Similarity.marginMine(spark, sfDir).collect()
+    val rows = Similarity.marginMine(spark, sfDir, numPlanes = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getBoolean(4)))
     assert(rows.nonEmpty, "some label-0 vecs must share buckets with label-1")
@@ -549,5 +553,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planesFor(1) === 1)
     intercept[IllegalArgumentException](Similarity.planesFor(0))
     intercept[IllegalArgumentException](Similarity.planesFor(10, 0))
+  }
+
+  test("AutoPlanes default: the LSH self-joins size from the corpus " +
+      "count (identical to an explicit planesFor(n)), and the sizing " +
+      "rule holds expected occupancy in-band across scale-ups") {
+    val n = Similarity.embeddingCount(spark, sfDir)
+    val p = Similarity.planesFor(n)
+    // auto (the default) ≡ explicit planesFor(n): same pair set
+    val auto = Similarity.knnJoin(spark, sfDir, k = 3)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    val expl = Similarity.knnJoin(spark, sfDir, k = 3, numPlanes = p)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    assert(auto === expl, s"auto must resolve planesFor($n) = $p")
+    // matched occupancy at two (and three) scales: the expected bucket
+    // size n/2^p stays within (target/2, target] as the corpus grows
+    // 10x and 100x — the property that killed the ×8.1 growth at sf1
+    for (m <- Seq(n, n * 10, n * 100)) {
+      val pm = Similarity.planesFor(m)
+      val occ = m.toDouble / (1L << pm)
+      assert(occ <= 250.0, s"occupancy $occ above target at n=$m")
+      assert(pm == 1 || occ > 125.0, s"over-sharded at n=$m (occ $occ)")
+    }
   }
 }
