@@ -25,2061 +25,5 @@ import org.apache.spark.sql.functions._
   *    carries no near-dup signal boilerplate/exact-dedup wouldn't catch,
   *    and mass-identical clusters belong to [[exact]] dedup anyway.
   */
-object Dedup {
-
-  /** The (band, band_key) buckets holding more than `maxBucket` docs —
-    * i.e. what [[pruneHotBuckets]] WOULD drop. Run this alongside a capped
-    * dedup to see what pruning costs: a non-empty result means recall was
-    * traded for boundedness on those buckets (legitimate >maxBucket
-    * near-dup clusters lose pairs; boilerplate/exact-dup clusters lose
-    * nothing that [[exact]] dedup wouldn't catch). */
-  private[operators] def hotBuckets(bandKeys: DataFrame,
-      maxBucket: Int): DataFrame =
-    bandKeys.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-
-  /** Candidate pairs by grouped-bucket expansion — the classic LSH shape:
-    * ONE shuffle groups band keys into buckets (`collect_list`, map-side
-    * combined), the `maxBucket` cap is an inline `size` filter on the
-    * grouped array (subsuming the former hot-bucket aggregation + anti-
-    * join — two extra passes over the band keys), and within-bucket pairs
-    * are emitted by a pure array expression over the sorted ids (i < j ⇒
-    * doc_a < doc_b). Bucket arrays are bounded by `maxBucket`, so executor
-    * memory is bounded by construction; `maxBucket <= 0` disables the cap
-    * AND that bound. Pruning is SILENT in the pair output — use
-    * [[minHashHotBuckets]] / [[simHashHotBuckets]] to audit what a cap
-    * dropped. Measured at sf0.1: ~2× faster than the self-join form, and
-    * one pass over the signatures instead of three. */
-  private val pruneMetricSeq = new java.util.concurrent.atomic.AtomicLong()
-
-  /** Fresh observation name for a bucket-prune metric — shared with the
-    * embedding-LSH caps in [[Similarity]] so ONE listener surfaces every
-    * cap's pruning, text and embedding alike. */
-  private[operators] def pruneMetricName(): String =
-    s"graft_bucket_prune_${pruneMetricSeq.incrementAndGet()}"
-
-  /** Last prune counts per observation name — (pruned_buckets,
-    * pruned_docs), updated asynchronously by the per-session listener
-    * [[ensurePruneListener]] installs. Test hook + ops surface. Bounded
-    * to the most recent [[MaxPruneEntries]] observations (each
-    * `bucketPairs` call mints a fresh name, so a long-lived driver would
-    * otherwise grow this map forever). */
-  private val MaxPruneEntries = 256
-
-  private[operators] val lastPrune: java.util.Map[String, (Long, Long)] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, (Long, Long)](16, 0.75f, false) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
-          size() > MaxPruneEntries
-      })
-
-  /** Weak keys: the set must not pin a closed SparkSession (its
-    * listenerManager — and our listener with it — dies with the
-    * session; only this install-once guard could otherwise leak it). */
-  private val pruneListenerInstalled =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
-
-  /** Install (once per session) the listener that surfaces hot-bucket
-    * pruning INLINE: when a capped dedup query finishes and its
-    * `graft_bucket_prune_*` observation shows the `maxBucket` cap
-    * actually dropped buckets, WARN with the counts — production runs
-    * see the recall trade without running a second audit query. */
-  private[operators] def ensurePruneListener(spark: SparkSession): Unit =
-    if (pruneListenerInstalled.add(spark)) {
-      spark.listenerManager.register(
-        new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              durationNs: Long): Unit =
-            qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft_bucket_prune")) {
-                val buckets = row.getAs[Long]("pruned_buckets")
-                val docsDropped = row.getAs[Long]("pruned_docs")
-                lastPrune.put(name, (buckets, docsDropped))
-                if (buckets > 0)
-                  log.warn(s"$name: maxBucket cap pruned $buckets LSH " +
-                    s"bucket(s) holding $docsDropped docs — near-dup " +
-                    "recall was traded for boundedness on those buckets " +
-                    "(run minHashHotBuckets/simHashHotBuckets to see which)")
-              }
-            }
-          override def onFailure(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              exception: Exception): Unit = ()
-        })
-    }
-
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
-  private[operators] def bucketPairs(bandKeys: DataFrame,
-      maxBucket: Int): DataFrame = {
-    val sized = bandKeys.groupBy("band", "band_key")
-      .agg(array_sort(collect_list("doc_id")).as("ids"))
-    val metricsOn = bandKeys.sparkSession.conf
-      .get("spark.graft.dedup.pruneMetrics", "true").toBoolean
-    val capped =
-      if (maxBucket > 0 && metricsOn) {
-        // inline prune accounting: an `observe` (CollectMetrics) node —
-        // the declarative form of a LongAccumulator, zero extra passes.
-        // Unique name per call site: observation names must not collide
-        // within one query (e.g. clean-corpus composes several dedups).
-        // Kill switch: spark.graft.dedup.pruneMetrics=false.
-        ensurePruneListener(bandKeys.sparkSession)
-        val name = pruneMetricName()
-        val over = size(col("ids")) > maxBucket
-        sized.observe(name,
-            coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L))
-              .as("pruned_buckets"),
-            coalesce(sum(when(over, size(col("ids")).cast("long"))
-              .otherwise(0L)), lit(0L)).as("pruned_docs"))
-          .filter(size(col("ids")).between(2, maxBucket))
-      }
-      else if (maxBucket > 0)
-        sized.filter(size(col("ids")).between(2, maxBucket))
-      else sized.filter(size(col("ids")) >= 2)
-    val ids = col("ids")
-    capped.select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + lit(2), size(ids)), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("pr"))
-      .select(col("pr.doc_a"), col("pr.doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-  }
-
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-
-  /** Exact dedup: group identical texts by md5, pick the min doc_id as the
-    * canonical representative. One partial-agg shuffle on the hash. */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
-
-  /** Exact-dedup filter form: keep one row per distinct text. */
-  def exactKeep(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val keep = d.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
-    d.join(keep, Seq("doc_id"), "left_semi")
-  }
-
-  // ---------------------------------------------------------------- MinHash
-
-  /** Word k-shingles of a document (k=3). */
-  def shingles(text: String, k: Int = 3): Set[String] = {
-    if (text == null) return Set.empty
-    val words = text.split("\\s+").filter(_.nonEmpty)
-    if (words.length < k) Set(words.mkString(" "))
-    else words.sliding(k).map(_.mkString(" ")).toSet
-  }
-
-  private val Prime = 2147483647L // 2^31 - 1, Mersenne
-
-  /** Deterministic hash-family parameters (no RNG — fixed SplitMix64 walk
-    * seeded by the function index so signatures are reproducible). */
-  private def hashParams(i: Int): (Long, Long) = {
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-    val a = Math.floorMod(splitmix(i.toLong * 2 + 1), Prime - 1) + 1
-    val b = Math.floorMod(splitmix(i.toLong * 2 + 2), Prime)
-    (a, b)
-  }
-
-  /** Per-numHashes memo of the hash family — the parameters are a pure
-    * function of the index, but re-deriving 64 splitmix walks per ROW was
-    * measurable in the signature pass. */
-  private val paramCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
-  private def cachedParams(numHashes: Int): Array[(Long, Long)] =
-    paramCache.computeIfAbsent(numHashes, n => Array.tabulate(n)(hashParams))
-
-  /** MinHash signature: numHashes permutations approximated by
-    * (a*x + b) mod p over shingle hashes. */
-  def minHashSignature(sh: Set[String], numHashes: Int): Array[Long] = {
-    val params = cachedParams(numHashes)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    sh.foreach { s =>
-      val x = Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, Prime)
-      var i = 0
-      while (i < numHashes) {
-        val (a, b) = params(i)
-        val h = (a * x + b) % Prime
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-    }
-    sig
-  }
-
-  def jaccard(a: Set[String], b: Set[String]): Double =
-    if (a.isEmpty && b.isEmpty) 1.0
-    else (a & b).size.toDouble / (a | b).size.toDouble
-
-  /** Column twin of [[shingles]]: word k-gram shingle set as a pure array
-    * expression (split → transform/slice → array_distinct) — codegen'd, no
-    * UDF, and expressible verbatim in any engine with list functions (the
-    * `q_jaccard` DuckDB oracle is the same computation). */
-  def shingleArray(textCol: Column, k: Int = 3): Column = {
-    val words = filter(split(textCol, "\\s+"), w => length(w) > 0)
-    val n = size(words)
-    array_distinct(
-      when(n < k, array(concat_ws(" ", words)))
-        .otherwise(transform(sequence(lit(1), n - (k - 1)), i =>
-          concat_ws(" ", slice(words, i, lit(k))))))
-  }
-
-  /** Character n-gram shingle set (n=5 default) as a pure array
-    * expression — the character-level twin of [[shingleArray]]: robust to
-    * tokenization differences (CJK, code, no-whitespace scripts) where
-    * word shingles fail. substring is 1-based; texts shorter than n
-    * collapse to a single whole-text shingle. */
-  def charShingleArray(textCol: Column, n: Int = 5): Column = {
-    val len = length(textCol)
-    array_distinct(
-      when(len <= n, array(textCol))
-        .otherwise(transform(sequence(lit(1), len - (n - 1)), i =>
-          textCol.substr(i, lit(n)))))
-  }
-
-  /** Exact Jaccard of two shingle-array columns (both-empty → 1.0),
-    * column twin of [[jaccard]]. */
-  def jaccardExpr(a: Column, b: Column): Column = {
-    val uni = size(array_union(a, b))
-    when(uni === 0, lit(1.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") / uni.cast("double"))
-  }
-
-  /** Consecutive-pair exact Jaccard scaffold shared by the word- and
-    * character-shingle demonstrations: one narrow shuffle-free map per
-    * side + an equi-join on doc_id, scored by `shingle` over both texts. */
-  private def consecutivePairJaccard(spark: SparkSession, dir: String,
-      shingle: Column => Column): DataFrame = {
-    val d = docs(spark, dir)
-    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = d.select((col("doc_id") - 1).as("doc_a"),
-      col("doc_id").as("doc_b"), col("text").as("text_b"))
-    a.join(b, Seq("doc_a"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardExpr(shingle(col("text_a")),
-          shingle(col("text_b"))), 4).as("jaccard"))
-  }
-
-  /** Exact 3-gram Jaccard for each consecutive doc-id pair — the oracle-
-    * backed demonstration of the exact-similarity path (the same
-    * expressions verify LSH candidates in [[minHashPairs]]). */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    consecutivePairJaccard(spark, dir, shingleArray(_))
-
-  /** Exact character-5-gram Jaccard for each consecutive doc-id pair —
-    * the character-level twin of [[jaccardPairs]] (same join shape, the
-    * tokenization-free similarity a multilingual corpus needs). */
-  def charJaccardPairs(spark: SparkSession, dir: String,
-      n: Int = 5): DataFrame =
-    consecutivePairJaccard(spark, dir, charShingleArray(_, n))
-
-  /** MinHash signatures per document: (doc_id, sig: array<bigint>) —
-    * computed by the native codegen expression
-    * ([[graft.functions.MinHashExpression]]), not a UDF, so the signature
-    * pass stays inside WholeStageCodegen (equivalence to the Scala
-    * function is spec-pinned in `MinHashExpressionSpec`). */
-  def minHashSignatures(spark: SparkSession, dir: String,
-      numHashes: Int = 64): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("text"),
-      graft.functions.MinHashExpression.native(col("text"), numHashes)
-        .as("sig"))
-
-  /** MinHash-LSH near-duplicate pairs.
-    * signatures → band keys (explode bands×docs) → bucketed self-join on
-    * (band, band_hash) → exact Jaccard verify on the shingle sets.
-    * bands×rows = numHashes; threshold ≈ (1/bands)^(1/rows). */
-  /** @param persistSignatures cache the signature frame across the two
-    *   sides of the banded self-join. The plan otherwise recomputes the
-    *   shingle+minhash UDF on both sides (verified: two FileScan+UDF
-    *   branches). Default OFF: persisted frames outlive the query and
-    *   pollute later queries sharing the session (observed 4-5x bench
-    *   drift); at real scale, materialize signatures to parquet instead. */
-  /** One row per (doc, band): band key = hash of the band's sig slice. */
-  private def bandKeysOf(sigs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
-          .as("band_key"))
-  }
-
-  private def minHashBandKeys(spark: SparkSession, dir: String,
-      numHashes: Int, bands: Int, persistSignatures: Boolean): DataFrame = {
-    val sigsRaw = minHashSignatures(spark, dir, numHashes)
-    val sigs = if (persistSignatures)
-      sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sigsRaw
-    bandKeysOf(sigs, numHashes, bands)
-  }
-
-  /** Session-scoped registry of materialized signature tables (the same
-    * build-once pattern as `Ivf.materializeIndex`): compute the signatures
-    * ONCE, write them to parquet, and let every downstream pass — both
-    * sides of the banded self-join, keep-filters, cross-run comparisons —
-    * SCAN them instead of recomputing the shingle+minhash pipeline per
-    * lineage branch. At 100 TB this is the difference between hashing the
-    * corpus once and hashing it once per plan branch. */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-
-  def materializeSignatures(spark: SparkSession, dir: String,
-      numHashes: Int = 64): String =
-    sigCache.computeIfAbsent((dir, numHashes), { _ =>
-      val path = java.nio.file.Files.createTempDirectory("minhash_sigs")
-        .toString
-      // (doc_id, sig) ONLY — persisting the text column here would
-      // rewrite the whole corpus into the signature table; the banded
-      // join consumes just ids and signatures, and the verify stage
-      // re-reads texts from the corpus itself
-      minHashSignatures(spark, dir, numHashes).select("doc_id", "sig")
-        .write.mode("overwrite").parquet(path)
-      path
-    })
-
-  /** Drop materialized signature tables AND delete their directories. */
-  def clearSignatureCache(): Unit = {
-    sigCache.values.forEach(path =>
-      Ivf.deleteRecursively(new java.io.File(path)))
-    sigCache.clear()
-  }
-
-  /** [[minHashPairs]] reading a materialized signature table — the 100 TB
-    * shape (signatures scanned, not recomputed, on both self-join sides).
-    * Results are identical to the recomputing form (spec-pinned). */
-  def minHashPairsMaterialized(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val sigs = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
-    verifyPairs(spark, dir,
-      bucketPairs(bandKeysOf(sigs, numHashes, bands), maxBucket), threshold)
-  }
-
-  /** Session registry of materialized PAIR tables — one step further
-    * than the signature table: the banded candidate join + exact-Jaccard
-    * verify runs once per corpus, and every downstream consumer (keep
-    * filter, cluster labeling, clean-corpus pipeline, cross-source
-    * matrix, audits) SCANS the (doc_a, doc_b, jaccard) parquet instead
-    * of re-deriving the pair pipeline. This is the PLANS-prescribed
-    * "materialize the pair graph once, anti-join it into every
-    * downstream read" — the steady-state 100 TB shape, where the pair
-    * table is corpus-sublinear by construction (bucketed candidates,
-    * maxBucket-capped). Immutable-corpus contract as the other caches. */
-  private val pairTableCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Double, Int), String]()
-
-  def materializePairs(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): String =
-    pairTableCache.computeIfAbsent(
-      (dir, numHashes, bands, threshold, maxBucket), { _ =>
-        val path = java.nio.file.Files
-          .createTempDirectory("minhash_pairs").toString
-        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
-          maxBucket).write.mode("overwrite").parquet(path)
-        path
-      })
-
-  /** [[minHashPairs]] served from the build-once pair table. Identical
-    * rows to the computing forms (deterministic pipeline; spec-pinned). */
-  def minHashPairsCached(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame =
-    spark.read.parquet(materializePairs(spark, dir, numHashes, bands,
-      threshold, maxBucket))
-
-  /** Drop materialized pair tables AND delete their directories. */
-  def clearPairCache(): Unit = {
-    pairTableCache.values.forEach(path =>
-      Ivf.deleteRecursively(new java.io.File(path)))
-    pairTableCache.clear()
-  }
-
-  /** Audit query: the MinHash band buckets a `maxBucket` cap prunes
-    * (band, band_key, bucket_n). Empty → the cap dropped nothing. */
-  def minHashHotBuckets(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, maxBucket: Int = 1000): DataFrame =
-    hotBuckets(minHashBandKeys(spark, dir, numHashes, bands,
-      persistSignatures = false), maxBucket)
-
-  def minHashPairs(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5,
-      persistSignatures: Boolean = false,
-      maxBucket: Int = 1000): DataFrame =
-    verifyPairs(spark, dir,
-      bucketPairs(
-        minHashBandKeys(spark, dir, numHashes, bands, persistSignatures),
-        maxBucket),
-      threshold)
-
-  /** Exact-Jaccard verify of a candidate pair frame: join texts back,
-    * compute true n-gram Jaccard with the codegen'd array expressions
-    * (no UDF in the verify stage either). */
-  private def verifyPairs(spark: SparkSession, dir: String,
-      candidates: DataFrame, threshold: Double): DataFrame = {
-    val texts = docs(spark, dir).select(col("doc_id"), col("text"))
-    candidates
-      .join(texts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("text", "text_a"), Seq("doc_a"))
-      .join(texts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("text", "text_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardExpr(shingleArray(col("text_a")),
-          shingleArray(col("text_b"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
-
-  /** End-to-end near-dedup filter: drop every document that near-duplicates
-    * a lower-id document (greedy keep-lowest-id over the MinHash pairs).
-    * This is the operator a pretraining pipeline actually ends with; the
-    * anti-join is the same bucketed shape, no extra shuffle class.
-    * @param materialized read signatures from the build-once parquet table
-    *   ([[materializeSignatures]]) instead of recomputing them per join
-    *   side — the steady-state production shape. */
-  def minHashKeep(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
-    val pairs =
-      if (materialized)
-        minHashPairsCached(spark, dir, numHashes, bands, threshold,
-          maxBucket)
-      else minHashPairs(spark, dir, numHashes, bands, threshold,
-        maxBucket = maxBucket)
-    val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
-    docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
-  }
-
-  /** Stream-static near-dup detection: match a (possibly streaming) frame
-    * of documents against the HISTORICAL corpus's materialized signature
-    * table — the shape of continuous ingest dedup ("is this incoming page
-    * a near-copy of anything already crawled?"). Incoming docs compute
-    * their signature inline (native codegen expression, narrow), explode
-    * band keys, equi-join the static band-key table, then estimate
-    * similarity as the matching-position fraction of the two FULL
-    * signatures (the unbiased MinHash Jaccard estimator) — no text join
-    * against history needed, which is what makes this viable at 100 TB:
-    * the stream touches only the (doc_id, sig) index, never the corpus.
-    *
-    * Streaming semantics: a stream-static equi-join is stateless on the
-    * stream side (the static side is just scanned/broadcast per batch),
-    * so this runs under any output mode with no watermark requirement.
-    * In streaming mode a pair surfaces once per colliding band
-    * (at-least-once flag semantics — a stateful distinct would hold
-    * unbounded state); in batch mode the operator dedups pairs exactly.
-    */
-  def streamNearDupCandidates(stream: DataFrame, spark: SparkSession,
-      dir: String, numHashes: Int = 64, bands: Int = 16,
-      minEstimate: Double = 0.5): DataFrame = {
-    // fail fast on bad banding BEFORE the corpus-wide signature build
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val hist = spark.read.parquet(materializeSignatures(spark, dir, numHashes))
-    candidatesVsIndex(stream, hist, numHashes, bands, minEstimate)
-  }
-
-  /** Shared core of the stream-static near-dup shapes: signature the
-    * incoming docs (native codegen expression), band-join against a
-    * (doc_id, sig) index frame, estimate Jaccard as the agreeing
-    * fraction of the two full signatures, threshold. Batch frames get
-    * exact pair dedup; streams keep at-least-once band flags. */
-  private def candidatesVsIndex(stream: DataFrame, hist: DataFrame,
-      numHashes: Int, bands: Int, minEstimate: Double): DataFrame =
-    candidateSigsVsIndex(
-      stream.select(col("doc_id").as("new_id"),
-        graft.functions.MinHashExpression.native(col("text"), numHashes)
-          .as("sig")),
-      hist, numHashes, bands, minEstimate)
-
-  /** Same, with the probe side's signatures PRE-computed — lets a
-    * caller signature a batch once and reuse the frame across several
-    * match passes (see [[liveNearDupIngest]]). */
-  private def candidateSigsVsIndex(s: DataFrame, hist: DataFrame,
-      numHashes: Int, bands: Int, minEstimate: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val histBands = bandKeysOf(hist, numHashes, bands)
-      .select(col("band"), col("band_key"), col("doc_id").as("hist_id"))
-    val histSigs = hist.select(col("doc_id").as("hist_id"),
-      col("sig").as("hist_sig"))
-    val matched = s
-      .select(col("new_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("new_id"), col("sig"), col("band"),
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1,
-          lit(rows))).as("band_key"))
-      .join(histBands, Seq("band", "band_key"))
-      .select("new_id", "hist_id", "sig")
-    val paired = if (matched.isStreaming) matched
-      else matched.dropDuplicates("new_id", "hist_id")
-    scoreSimEst(paired.join(histSigs, Seq("hist_id")), numHashes,
-      minEstimate)
-  }
-
-  /** Shared tail of every signature-vs-index match: the unbiased MinHash
-    * Jaccard estimate (agreeing fraction of the two full signatures),
-    * thresholded and rounded to the repo-wide 4-dp convention. ONE
-    * definition — the live-ingest probe and the batch/stream paths must
-    * never drift. */
-  private def scoreSimEst(joined: DataFrame, numHashes: Int,
-      minEstimate: Double): DataFrame =
-    joined
-      .withColumn("sim_est",
-        aggregate(zip_with(col("sig"), col("hist_sig"),
-            (a, b) => (a === b).cast("int")),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
-      .filter(col("sim_est") >= minEstimate)
-      .select(col("new_id"), col("hist_id"),
-        round(col("sim_est"), 4).as("sim_est"))
-
-  /** Committed (`_SUCCESS`-gated) `batch=<n>` dirs under `root`,
-    * excluding `exclude` — torn dirs from a crash and the CURRENT batch
-    * id (present on a crash replay — replaying a batch against its own
-    * committed signatures would self-match) never enter a probe. */
-  private def committedBatchDirs(spark: SparkSession, root: String,
-      exclude: Option[Long]): Array[String] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Array.empty[String]
-    else fs.listStatus(p)
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(d => d.getName.startsWith("batch=") &&
-        exclude.forall(id => d.getName != s"batch=$id") &&
-        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-      .map(_.toString)
-  }
-
-  /** Band-key table of a signature frame, tagged with the hash bucket
-    * the live-ingest index is PARTITIONED by. The partition axis is
-    * `pmod(band_key, nBuckets)`, NOT `band`: every probe carries all
-    * `bands` band ids (each doc hashes into each band), so band
-    * partitions could never be skipped — but a small micro-batch only
-    * touches a few band-KEY hash buckets, and those are exactly what a
-    * probe can prune on. */
-  private[operators] def bucketedBandKeys(sigs: DataFrame, numHashes: Int,
-      bands: Int, nBuckets: Int): DataFrame =
-    bandKeysOf(sigs, numHashes, bands)
-      .withColumn("bucket", pmod(col("band_key"), lit(nBuckets)))
-
-  /** Probe the live-ingest index with a batch of pre-computed
-    * signatures `newSigs` (new_id, sig): one output row per
-    * (new_id, hist_id) whose band keys collide with ANY indexed
-    * signature version, scored against the LATEST colliding version
-    * (max committed batch id — a redelivered doc_id's stale versions
-    * can band-match too, and emitting one row per version would break
-    * the exact-pair contract), thresholded at `minEstimate`. "Latest
-    * COLLIDING", not "latest indexed", is deliberate: a stale version
-    * that still collides was genuinely in the corpus (the right dedup
-    * signal), fetching the absolute-latest version instead would force
-    * an unprunable scan of the wide signature table every batch, and
-    * compaction retires stale versions so the two notions converge in
-    * steady state.
-    *
-    * Why this probe stays cheap as history grows (the 100 TB story):
-    *  - The candidate join consumes the NARROW band-key table
-    *    (band, band_key, hist_id — ints), never the 64-element
-    *    signature arrays, and never historical text.
-    *  - That table is partitioned by band-key hash bucket; the probe
-    *    collects its batch's distinct buckets (≤ `nBuckets` ints, a
-    *    batch-local job) into a STATIC `bucket IN (...)` filter, so
-    *    the scan prunes whole partition directories — for a
-    *    small/single-doc micro-batch most of the index is never read
-    *    (spec-asserted via `PartitionFilters`).
-    *  - Full signatures are fetched ONLY for matched candidates, via
-    *    an equi-join keyed on (hist_id, batch): the batch key is the
-    *    signature table's partition axis, so dynamic partition
-    *    pruning can skip whole batch dirs, and compaction
-    *    ([[graft.operators.Pipeline.compact]] over `sigs/`, keeping
-    *    the max-batch version per doc_id) bounds the dir count. */
-  def probeIngestIndex(spark: SparkSession, indexDir: String,
-      newSigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      minEstimate: Double = 0.5, nBuckets: Int = 64,
-      excludeBatchId: Option[Long] = None): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    require(nBuckets > 0, "nBuckets must be positive")
-    val priorBands = committedBatchDirs(spark, s"$indexDir/bands",
-      excludeBatchId)
-    val priorSigs = committedBatchDirs(spark, s"$indexDir/sigs",
-      excludeBatchId)
-    val empty = newSigs
-      .select(col("new_id"), col("new_id").as("hist_id"),
-        lit(0.0).as("sim_est"))
-      .where(lit(false))
-    if (priorBands.isEmpty || priorSigs.isEmpty) return empty
-    // probe band keys inline (not via bandKeysOf) so the batch's sig
-    // rides along for the sim_est stage
-    val rows = numHashes / bands
-    val probe = newSigs
-      .select(col("new_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("new_id"), col("sig"), col("band"),
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1,
-          lit(rows))).as("band_key"))
-      .withColumn("bucket", pmod(col("band_key"), lit(nBuckets)))
-    // batch-local distinct buckets → static partition prune on the scan
-    val buckets = probe.select("bucket").distinct().collect()
-      .map(_.getInt(0)).toSeq
-    if (buckets.isEmpty) return empty
-    val histBands = spark.read
-      .option("basePath", s"$indexDir/bands").parquet(priorBands: _*)
-      .filter(col("bucket").isin(buckets: _*))
-      .select(col("band"), col("band_key"), col("bucket"),
-        col("doc_id").as("hist_id"), col("batch").cast("long").as("batch"))
-    val matched = probe.join(histBands, Seq("band", "band_key", "bucket"))
-      .groupBy("new_id", "hist_id")
-      .agg(max(col("batch")).as("batch"), first(col("sig")).as("sig"))
-    val histSigs = spark.read
-      .option("basePath", s"$indexDir/sigs").parquet(priorSigs: _*)
-      .select(col("doc_id").as("hist_id"), col("sig").as("hist_sig"),
-        col("batch").cast("long").as("batch"))
-    scoreSimEst(matched.join(histSigs, Seq("hist_id", "batch")),
-      numHashes, minEstimate)
-  }
-
-  /** Continuous ingest dedup with a GROWING index — the missing half of
-    * [[streamNearDupCandidates]] (whose index is frozen at query start):
-    * each micro-batch of new documents is (1) matched against every
-    * PREVIOUSLY ingested document's signature AND against the batch's
-    * own documents (intra-batch pairs emitted once, `new_id >
-    * hist_id`), then (2) its signatures are appended to the index, so
-    * batch N+1 dedups against batch N. A redelivered doc_id matching
-    * its own prior indexed version (new_id == hist_id, cross-batch) is
-    * emitted once — that row IS the update/redelivery signal; stale
-    * versions never fan a pair out into duplicates
-    * ([[probeIngestIndex]] scores against the latest colliding
-    * version only).
-    *
-    * Index layout (what makes per-batch cost sublinear in history):
-    *  - `indexDir/bands/batch=<id>/bucket=<b>/` — the narrow
-    *    (band, band_key, doc_id) candidate table, PARTITIONED by
-    *    band-key hash bucket so a probe's static `bucket IN` filter
-    *    prunes directories (see [[probeIngestIndex]] for why bucket,
-    *    not band, is the pruning axis).
-    *  - `indexDir/sigs/batch=<id>/` — (doc_id, sig), fetched only for
-    *    matched candidates, keyed by (doc_id, batch).
-    * Candidates land in `outDir/batch=<id>/`. All three go through the
-    * idempotent per-batch-dir recipe
-    * ([[graft.streaming.EventStream.idempotentBatchSink]]): on a
-    * replay after a crash, committed dirs are skipped and torn dirs
-    * rewritten, so reprocessing cannot double-insert signatures or
-    * re-emit candidates; the sink order (candidates, then sigs, then
-    * bands) keeps every band-indexed version resolvable to its
-    * signature mid-crash. The fresh per-batch directory listing (only
-    * `_SUCCESS`-committed dirs, never the current batch id) is what a
-    * frozen stream-static file scan cannot give. */
-  def liveNearDupIngest(stream: DataFrame, spark: SparkSession,
-      indexDir: String, outDir: String, checkpointDir: String,
-      numHashes: Int = 64, bands: Int = 16, minEstimate: Double = 0.5,
-      nBuckets: Int = 64, gramIndexDir: Option[String] = None,
-      spanOutDir: Option[String] = None, gramK: Int = 8,
-      gramBuckets: Int = 64)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fail fast BEFORE the stream starts: a banding/bucketing error (or
-    // an index in the pre-split layout) must not surface asynchronously
-    // after checkpoint/sink dirs exist
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    require(nBuckets > 0, "nBuckets must be positive")
-    // optional admission-time span guard: a production pipeline runs
-    // BOTH signals per batch — near-dup candidates (whole-doc) and
-    // already-seen substring regions (gram-level). Both legs grow with
-    // the stream through the same idempotent per-batch sinks.
-    require(gramIndexDir.isDefined == spanOutDir.isDefined,
-      "gramIndexDir and spanOutDir come as a pair: the span guard " +
-        "needs both its index and its region sink")
-    require(gramK >= 2, "gramK must be >= 2")
-    require(gramBuckets > 0, "gramBuckets must be positive")
-    gramIndexDir.foreach(ensureLiveGramMeta(spark, _, gramK, gramBuckets))
-    require(committedBatchDirs(spark, indexDir, None).isEmpty,
-      s"$indexDir holds top-level batch dirs — the flat pre-split index " +
-        "layout. Probes read only sigs/ and bands/, so that history " +
-        "would be silently ignored; migrate it (signatures → " +
-        "sigs/batch=N, rebuild bands/ from them) or point the stream at " +
-        "a fresh indexDir.")
-    // a committed-but-unswapped compaction side copy means a compaction
-    // crashed mid-swap: finish it (rerun compactIngestIndex) before
-    // ingesting — probes ignore the side dir, so starting now would
-    // dedup against partially-deleted history
-    Seq("sigs", "bands").foreach { leg =>
-      val pending = new org.apache.hadoop.fs.Path(
-        s"$indexDir/$leg/compact_tmp/_SUCCESS")
-      require(!pending.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).exists(pending),
-        s"a crashed compaction is pending under $indexDir/$leg — run " +
-          "compactIngestIndex to complete it before restarting ingest")
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // collapse duplicate doc_ids WITHIN the batch first (at-least-
-        // once sources can deliver the same doc twice in one trigger):
-        // two signature versions under one (doc_id, batch) key would
-        // fan every later probe match out into duplicate rows. The
-        // representative is the lexicographic-max text — arbitrary but
-        // deterministic across replays; carry a version column upstream
-        // if "latest" must be delivery order.
-        val uniq = batch.select(col("doc_id"), col("text"))
-          .groupBy("doc_id").agg(max(col("text")).as("text"))
-        // signature the batch ONCE: both match passes and the index
-        // sink reuse the cached frame (the MinHash scan over full text
-        // is the dominant per-batch cost)
-        val sigs = uniq.select(col("doc_id"),
-          graft.functions.MinHashExpression.native(col("text"), numHashes)
-            .as("sig")).persist()
-        try {
-          // intra-batch: near-copies arriving TOGETHER must pair up or
-          // they both enter the index as independent canonicals — a
-          // self-match emits both directions, keep one (no broadcast,
-          // no membership probe: the one-direction filter is enough)
-          val intra = candidateSigsVsIndex(
-              sigs.select(col("doc_id").as("new_id"), col("sig")),
-              sigs, numHashes, bands, minEstimate)
-            .filter(col("new_id") > col("hist_id"))
-          // cross-batch: vs prior committed batches only. Id order is
-          // NOT filtered — a redelivered doc_id legitimately matches
-          // other prior docs in either order, and matching its own
-          // prior version (new_id == hist_id) is the update/redelivery
-          // flag. But a pair whose BOTH sides sit in the current batch
-          // is the intra pass's to emit (scored against current
-          // signatures): without the anti-join, a redelivered doc
-          // co-arriving with a new near-copy would surface twice —
-          // once from intra, once against its indexed prior version.
-          val cross = probeIngestIndex(spark, indexDir,
-            sigs.select(col("doc_id").as("new_id"), col("sig")),
-            numHashes, bands, minEstimate, nBuckets,
-            excludeBatchId = Some(id))
-          // ONE anti-join pass (a two-branch union would execute the
-          // whole probe subtree twice — Spark does not share plan
-          // fragments across union arms): drop a cross row only when
-          // its hist side sits in the current batch AND it is not the
-          // new_id == hist_id redelivery flag
-          val inBatch = sigs.select(col("doc_id").as("b_hist_id"))
-          val cands = cross.join(inBatch,
-              cross("hist_id") === inBatch("b_hist_id") &&
-                cross("new_id") =!= cross("hist_id"), "left_anti")
-            .unionByName(intra)
-          graft.streaming.EventStream.idempotentBatchSink(outDir)(cands, id)
-          graft.streaming.EventStream.idempotentBatchSink(
-            s"$indexDir/sigs")(sigs, id)
-          graft.streaming.EventStream.idempotentBatchSink(
-            s"$indexDir/bands", partitionBy = Seq("bucket"))(
-            bucketedBandKeys(sigs, numHashes, bands, nBuckets), id)
-          // span-guard leg: probe THEN append (probe excludes the
-          // current batch id anyway, so a crash replay re-probes the
-          // exact same committed history — regions are deterministic
-          // and the `_SUCCESS`-gated sinks skip already-committed dirs)
-          gramIndexDir.foreach { gdir =>
-            val regions = spanGuardProbeLive(spark, gdir, uniq, gramK,
-              gramBuckets, excludeBatchId = Some(id))
-            graft.streaming.EventStream.idempotentBatchSink(
-              spanOutDir.get)(regions, id)
-            graft.streaming.EventStream.idempotentBatchSink(
-              gdir, partitionBy = Seq("bucket"))(
-              liveBatchGrams(uniq, gramK, gramBuckets), id)
-          }
-        } finally sigs.unpersist()
-        ()
-      }
-      .start()
-  }
-
-  /** OFFLINE maintenance for the live-ingest index: fold every committed
-    * batch into ONE (per leg), keeping only the LATEST signature version
-    * per doc_id — the compaction the probe's cost model assumes (its
-    * matched-candidate signature fetch prunes on batch dirs, so the dir
-    * count must stay bounded; and retiring stale versions here is what
-    * keeps redelivered docs from accumulating index garbage forever).
-    *
-    * Run with the ingest query STOPPED (the standard maintenance-window
-    * contract, same as [[graft.operators.Pipeline.compact]]): the
-    * compacted data lands in `batch=<maxCommittedId>` so a restarted
-    * stream's NEXT batch id (strictly increasing from the checkpoint)
-    * never collides.
-    *
-    * Crash safety is a two-phase swap per leg: (1) the compacted copy
-    * is fully written to a side dir (invisible to probes, which only
-    * list `batch=*`) together with a `_TARGET` marker naming its final
-    * batch dir; (2) old batch dirs are deleted and the side dir renamed
-    * into place (rename result CHECKED — a false return aborts loudly
-    * instead of dropping the index). A crash anywhere leaves either the
-    * old dirs intact (phase 1) or a committed side dir whose `_TARGET`
-    * lets the next compaction run FINISH the swap before doing anything
-    * else — so "rerun compaction" genuinely completes the job, and the
-    * index is never in a state where both the old dirs and the side
-    * copy are gone. A crash between the sigs and bands legs fails
-    * closed ([[probeIngestIndex]] requires both legs committed; bands
-    * are derived data rebuilt from the compacted signatures on rerun).
-    * Recovery deletes ONLY the batches the side copy folded (ids ≤ its
-    * `_TARGET`), so even if the ingest stream ran between the crash and
-    * the rerun, newer batches survive the swap and the rerun folds them
-    * in; [[liveNearDupIngest]] additionally refuses to START while a
-    * committed side copy is pending, keeping the crash → recover →
-    * restart order honest by construction.
-    *
-    * Returns (docs kept, stale versions dropped). No-op (0 dropped)
-    * when every doc has a single version and one batch dir exists. */
-  def compactIngestIndex(spark: SparkSession, indexDir: String,
-      numHashes: Int = 64, bands: Int = 16, nBuckets: Int = 64)
-      : (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    require(nBuckets > 0, "nBuckets must be positive")
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    // phase-2 executor, idempotent: also the crash-recovery entry point
-    def finishSwap(leg: String): Unit = {
-      val side = path(s"$indexDir/$leg/compact_tmp")
-      val marker = path(s"$side/_TARGET")
-      if (!fs.exists(path(s"$side/_SUCCESS")) || !fs.exists(marker)) {
-        fs.delete(side, true) // torn phase-1 remnant: discard
-        return
-      }
-      val target = {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      }
-      val targetId = target.split("=").last.toLong
-      // delete ONLY the batches this side copy folded (id ≤ target):
-      // if the ingest stream ran between a crash and this recovery,
-      // NEWER committed batches are disjoint additions the compacted
-      // copy never saw — they must survive the swap (the enclosing
-      // run re-folds them immediately after)
-      committedBatchDirs(spark, s"$indexDir/$leg", None)
-        .filter(d => d.split("=").last.toLong <= targetId)
-        .foreach(d => fs.delete(path(d), true))
-      // a TORN dir can also occupy the target name (crash between the
-      // two sink legs of a batch): committedBatchDirs skips it, but a
-      // rename onto an existing dir would collide on HDFS and silently
-      // NEST on the local fs — clear the name unconditionally
-      fs.delete(path(s"$indexDir/$leg/$target"), true)
-      // rename AFTER the deletes (the marker rides along inside the
-      // dir): deleting the marker before the rename would open a window
-      // where a crash makes the committed side look like a torn remnant
-      // and the recovery path would discard the only surviving copy
-      if (!fs.rename(side, path(s"$indexDir/$leg/$target")))
-        throw new java.io.IOException(
-          s"compaction rename failed: $side -> $indexDir/$leg/$target " +
-            "(compacted data preserved in the side dir; rerun " +
-            "compactIngestIndex to retry)")
-      // stray-marker cleanup is best-effort: readers ignore _-files
-      fs.delete(path(s"$indexDir/$leg/$target/_TARGET"), false)
-      ()
-    }
-    // recover any half-finished swap from a previous crashed run FIRST,
-    // so the listings below see a consistent index
-    finishSwap("sigs")
-    finishSwap("bands")
-    val sigDirs = committedBatchDirs(spark, s"$indexDir/sigs", None)
-    if (sigDirs.isEmpty) return (0L, 0L)
-    val latest = sigDirs.map(d => d.split("=").last.toLong).max
-    val all = spark.read.option("basePath", s"$indexDir/sigs")
-      .parquet(sigDirs: _*)
-      .select(col("doc_id"), col("sig"), col("batch").cast("long").as("batch"))
-    val total = all.count()
-    // latest version per doc: one keyed shuffle — maintenance-window
-    // cost, not per-batch cost
-    val kept = all
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("batch").desc)))
-      .filter(col("_rn") === 1)
-      .select("doc_id", "sig")
-    def swapIn(leg: String, write: String => Unit): Unit = {
-      val side = path(s"$indexDir/$leg/compact_tmp")
-      fs.delete(side, true)
-      write(side.toString)
-      val out = fs.create(path(s"$side/_TARGET"), true)
-      try out.write(s"batch=$latest".getBytes("UTF-8")) finally out.close()
-      finishSwap(leg)
-    }
-    swapIn("sigs", side =>
-      kept.write.mode("overwrite").parquet(side))
-    // bands are derived: rebuild from the COMPACTED signatures so every
-    // band row resolves to a live (doc_id, batch=latest) version
-    val compacted = spark.read.parquet(s"$indexDir/sigs/batch=$latest")
-    swapIn("bands", side =>
-      bucketedBandKeys(compacted, numHashes, bands, nBuckets)
-        .write.mode("overwrite").partitionBy("bucket").parquet(side))
-    val keptN = compacted.count()
-    (keptN, total - keptN)
-  }
-
-  // ----------------------------------------------- Connected components
-
-  /** Connected components of an undirected pair graph: one row per vertex,
-    * labeled with the MINIMUM vertex id of its component. This is the
-    * missing piece between near-dup PAIRS and production dedup: pair-wise
-    * greedy drops are not transitive (in a component {1,2,3} with edges
-    * (2,3),(1,3) only, doc 2 never appears as a pair's `doc_b` and
-    * survives a greedy drop even though it near-duplicates the cluster),
-    * while component labeling keeps exactly one representative per
-    * transitive cluster.
-    *
-    * Algorithm: iterative min-label propagation (label(v) ← min over self
-    * and neighbors) with a path-halving step (label(v) ← label(label(v)))
-    * per round, so chains converge in O(log diameter) rounds rather than
-    * O(diameter). Each round is two keyed shuffles; the loop is
-    * driver-side but every step is distributed, and near-dup components
-    * are near-cliques in practice (diameter ≤ 3 — one LSH band hit per
-    * pair), so typical runs converge in 2-3 rounds. Convergence is
-    * detected by the label sum (labels are positive ids and strictly
-    * decrease until fixpoint), a scalar aggregate per round.
-    *
-    * Lineage is cut per round (labels would otherwise re-derive the whole
-    * candidate pipeline each iteration). The cut follows the session's
-    * checkpoint configuration: when `spark.sparkContext.setCheckpointDir`
-    * points at reliable storage, rounds use `checkpoint` (executor loss
-    * mid-loop recovers from storage — the 100 TB cluster mode); with no
-    * checkpoint dir set, `localCheckpoint` (executor-local blocks, the
-    * right trade on a single node / small job). The swap is a session
-    * flag, not a code edit.
-    */
-  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
-    val cut: DataFrame => DataFrame =
-      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df => df.checkpoint()
-      else df => df.localCheckpoint()
-    val half = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    val edges = cut(half.union(half.select(col("dst").as("src"),
-      col("src").as("dst"))))
-    var labels = cut(edges.select(col("src").as("v"))
-      .distinct().withColumn("label", col("v")))
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIters) {
-      // min over self + neighbors (one shuffle on v)
-      val neighborMin = edges.join(labels, edges("src") === labels("v"))
-        .select(edges("dst").as("v"), col("label"))
-        .union(labels.select(col("v"), col("label")))
-        .groupBy("v").agg(min("label").as("label"))
-      // path-halving: label(v) ← label(label(v)); every label value is a
-      // vertex id, so the self-join is total
-      val hop = neighborMin.select(col("v").as("pv"), col("label").as("pl"))
-      val next = cut(
-        neighborMin.join(hop, neighborMin("label") === hop("pv"))
-          .select(neighborMin("v"), hop("pl").as("label")))
-      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
-        .head.getDecimal(0)
-      done = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      iter += 1
-    }
-    lastCcRounds.set(iter)
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
-  }
-
-  /** Rounds the most recent [[connectedComponents]] run took (driver-
-    * side instrumentation, set at loop exit). The convergence spec pins
-    * rounds ≤ log₂(diameter)+slack on adversarial long-chain graphs, so
-    * an edit that silently degrades the path-halving step back to
-    * O(diameter) propagation fails loudly instead of shipping a 100×
-    * round blowup to production-depth graphs. */
-  private[operators] val lastCcRounds =
-    new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Session registry of materialized cluster-label tables — the
-    * build-once artifact ONE level above the signatures: (doc_id,
-    * cluster_id) from the CC loop, written to parquet once per (corpus,
-    * params) and scanned by every consumer. In production the cluster
-    * report and the keep-filter both read the same assignment table
-    * computed once per ingest batch; re-running a multi-round iterative
-    * CC per downstream query would repeat the most expensive stage of
-    * the whole dedup pipeline. Same immutable-corpus contract as
-    * [[materializeSignatures]]. */
-  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Double, Int), String]()
-
-  /** Run CC over the MinHash pair graph ONCE and persist (doc_id,
-    * cluster_id); returns the parquet path. */
-  def materializeClusters(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): String =
-    clusterCache.computeIfAbsent(
-      (dir, numHashes, bands, threshold, maxBucket), { _ =>
-        val path = java.nio.file.Files
-          .createTempDirectory("minhash_clusters").toString
-        connectedComponents(minHashPairsCached(spark, dir, numHashes,
-          bands, threshold, maxBucket))
-          .write.mode("overwrite").parquet(path)
-        path
-      })
-
-  /** Drop materialized cluster tables AND delete their directories. */
-  def clearClusterCache(): Unit = {
-    clusterCache.values.forEach(path =>
-      Ivf.deleteRecursively(new java.io.File(path)))
-    clusterCache.clear()
-  }
-
-  /** Near-dup clusters over the MinHash pair graph: (doc_id, cluster_id,
-    * cluster_n) for every document that has at least one near-duplicate,
-    * cluster_id = min doc_id of the transitive component. Reads the
-    * build-once signature table ([[materializeSignatures]]); with
-    * `materialized = true` the CC labels themselves come from the
-    * build-once assignment table ([[materializeClusters]]) — output
-    * identical by construction (spec-pinned). */
-  def minHashClusters(spark: SparkSession, dir: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
-    val labels =
-      if (materialized) spark.read.parquet(materializeClusters(spark, dir,
-        numHashes, bands, threshold, maxBucket))
-      else connectedComponents(
-        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
-          maxBucket))
-    labels.withColumn("cluster_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster_id")))
-  }
-
-  /** Incremental connected-components MAINTENANCE: fold a new edge
-    * batch into an existing label table without re-reading historical
-    * edges. The prior labeling collapses each old component to a star —
-    * every (doc_id → cluster_id) row is an edge to the component's min
-    * id — so CC over (label edges ∪ new edges) reconnects exactly what
-    * history connected, bridges exactly what the new batch bridges, and
-    * (because every label IS a member id) lands on the same min-id
-    * labels a one-shot run over ALL edges would produce. Bit-identical
-    * output, spec-pinned.
-    *
-    * This is what turns the nightly dedup job incremental at 100 TB:
-    * the CC input shrinks from |E_history| (grows forever) to
-    * |V_labeled| + |ΔE| (bounded by corpus + batch), and the seeded
-    * graph's components are stars-plus-delta — diameter ~2 — so the
-    * O(log d) loop converges in 2-3 rounds regardless of how tangled
-    * history was. Singleton rows (doc_id = cluster_id) pass through as
-    * self-loops and keep their vertices in the output. */
-  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
-      aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 25): DataFrame =
-    connectedComponents(
-      prevLabels.select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
-        .unionByName(newEdges.select(col(aCol), col(bCol))),
-      aCol, bCol, maxIters)
-
-  /** The incremental-maintenance proof over the real pair graph: split
-    * the build-once MinHash pair table into a deterministic "history"
-    * half and a "tonight's batch" half (parity of doc_a + doc_b), label
-    * history one-shot, then fold the new half in via
-    * [[incrementalComponents]] — history's EDGES are never re-read, only
-    * its labels. Output shape = [[minHashClusters]]; the driver's oracle
-    * (the one-shot recursive-CTE closure over ALL pairs) pins that the
-    * two-step maintenance path equals the from-scratch labeling. */
-  def minHashClustersIncremental(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = minHashPairsCached(spark, dir, numHashes, bands,
-      threshold, maxBucket)
-    // the history labeling is a PERSISTED table (the real production
-    // contract: last night's job wrote it; tonight's fold-in reads it)
-    // — built once per session, so the entry's cost is the fold-in run
-    val prevPath = historyLabelCache.computeIfAbsent(
-      (dir, numHashes, bands, threshold, maxBucket), { _ =>
-        val p = java.nio.file.Files
-          .createTempDirectory("cc_history_labels").toString
-        connectedComponents(pairs.filter(
-            pmod(col("doc_a") + col("doc_b"), lit(2)) === 0))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    val fresh = pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1)
-    incrementalComponents(spark.read.parquet(prevPath), fresh)
-      .withColumn("cluster_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("cluster_id")))
-  }
-
-  private val historyLabelCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Double, Int), String]()
-
-  def clearHistoryLabelCache(): Unit = {
-    historyLabelCache.values.forEach(path =>
-      Ivf.deleteRecursively(new java.io.File(path)))
-    historyLabelCache.clear()
-  }
-
-  /** Contrastive training pairs for embedding/reranker models — the
-    * consumption side of the near-dup graph: POSITIVES are the verified
-    * near-dup pairs (label 'pos', score = exact Jaccard); NEGATIVES
-    * pair every document with a pseudo-random partner via deterministic
-    * hash-order rotation, with any accidental near-dup pair anti-joined
-    * out (label 'neg', score 0).
-    *
-    * The negative pairing is SHARDED, not global: each doc lands in a
-    * 16-way md5-hex-prefix shard (the [[graft.operators.Pipeline
-    * .packSequences]] hash-gate convention — content-free,
-    * engine-portable), ranks WITHIN its shard by a second md5, and
-    * partners with the next rank (wraparound). At 100 TB that's a
-    * per-shard window over ~corpus/16 rows (raise the prefix length for
-    * more shards) — no global sort, no single-partition window — and
-    * the pairing stays reproducible across runs/engines (md5
-    * everywhere, no rand()). Self-pairs (singleton shards) drop; the
-    * anti-join against the pair table is pair-table-sized, not
-    * corpus². */
-  def contrastivePairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // threshold MUST flow into the pair build (cache key includes it):
-    // a post-filter over the default-0.5 pair table would silently drop
-    // true near-dups in [threshold, 0.5) from the positives AND let them
-    // re-enter as label='neg' rows — actively wrong training labels.
-    val pairs = minHashPairsCached(spark, dir, threshold = threshold)
-      .filter(col("jaccard") >= threshold)
-    val pos = pairs.select(col("doc_a"), col("doc_b"),
-      lit("pos").as("label"), round(col("jaccard"), 4).as("score"))
-    val d = docs(spark, dir).select(col("doc_id"))
-      .withColumn("shard", substring(md5(concat(
-        col("doc_id").cast("string"), lit("graft-neg-shard-v1"))), 1, 1))
-      .withColumn("r", row_number().over(Window.partitionBy("shard")
-        .orderBy(md5(concat(col("doc_id").cast("string"),
-          lit("graft-neg-order-v1"))), col("doc_id"))))
-    val shardN = d.groupBy("shard").agg(count(lit(1)).as("n"))
-    val a = d.join(shardN, Seq("shard"))
-      .select(col("shard"), col("doc_id").as("doc_a"),
-        (pmod(col("r"), col("n")) + 1).as("pr"))
-    val b = d.select(col("shard"), col("doc_id").as("doc_b"),
-      col("r").as("pr"))
-    val undirected = pairs.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
-      .unionByName(pairs.select(col("doc_b").as("pa"),
-        col("doc_a").as("pb")))
-    val neg = a.join(b, Seq("shard", "pr"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      // pair-table-sized, not corpus² — but pair-table size is data-
-      // dependent (a dup-heavy corpus can blow it up), so the broadcast
-      // is size-gated and degrades to a shuffle anti-join above bound
-      .join(Relational.broadcastIfUnder(undirected),
-        col("doc_a") === col("pa") && col("doc_b") === col("pb"),
-        "left_anti")
-      .select(col("doc_a"), col("doc_b"), lit("neg").as("label"),
-        lit(0.0).as("score"))
-    pos.unionByName(neg)
-  }
-
-  /** Transitive near-dedup filter: keep the minimum-id representative of
-    * every near-dup component (plus all singletons) — the strictly
-    * stronger form of [[minHashKeep]] (see [[connectedComponents]] for
-    * why greedy pair drops under-delete). Anti-join on the non-canonical
-    * members; same bucketed shuffle class as the pair pipeline. With
-    * `materialized = true` the drop set scans the build-once assignment
-    * table instead of re-running CC. */
-  def minHashClusterKeep(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000, materialized: Boolean = false): DataFrame = {
-    val labels =
-      if (materialized) spark.read.parquet(materializeClusters(spark, dir,
-        numHashes, bands, threshold, maxBucket))
-      else connectedComponents(
-        minHashPairsMaterialized(spark, dir, numHashes, bands, threshold,
-          maxBucket))
-    val drop = labels
-      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
-    docs(spark, dir).join(drop, Seq("doc_id"), "left_anti")
-  }
-
-  /** Quality-weighted canonical selection: keep the BEST member of every
-    * near-dup cluster instead of the arbitrary min-id one — the policy a
-    * production dedup actually wants (near-dup groups usually contain a
-    * full article plus trimmed/boilerplated copies; min-id keeps
-    * whichever crawled first). "Best" = longest text (`n_chars` desc),
-    * doc_id asc as the total-order tiebreak so the kept set is unique
-    * and replay-stable. Singletons pass through untouched.
-    *
-    * Plan shape: build-once cluster labels ⋈ a 2-column slice of the
-    * corpus (doc_id, n_chars) → per-cluster `row_number` (window keyed
-    * by cluster_id — labels only, pair-graph-sized, NOT corpus-sized) →
-    * anti-join of the non-best members against the full corpus. Same
-    * shuffle class as [[minHashClusterKeep]]: every key is doc_id or
-    * cluster_id, unique and skew-free. */
-  def clusterKeepBest(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val labels = spark.read.parquet(materializeClusters(spark, dir,
-      numHashes, bands, threshold, maxBucket))
-    val d = docs(spark, dir)
-    val ranked = labels
-      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("cluster_id")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)))
-    val drop = ranked.filter(col("_rn") > 1).select("doc_id")
-    d.join(drop, Seq("doc_id"), "left_anti")
-  }
-
-  /** Soft dedup — per-document sampling weights instead of hard drops:
-    * weight = 1 / cluster size, so a near-dup cluster contributes ONE
-    * document's worth of expected mass to a downstream weighted sample
-    * while keeping every variant available (the standard alternative to
-    * hard dedup when variants carry signal — formatting diversity,
-    * quotation contexts). Singletons get cluster_id = doc_id, weight 1.
-    *
-    * Plan shape: build-once labels → one tiny count agg keyed by
-    * cluster_id (pair-graph-sized) → two left joins onto the corpus
-    * scan, both doc_id/cluster_id-keyed. The corpus side crosses one
-    * hash shuffle; at 100 TB both joined sides are label-table-sized
-    * and broadcast under AQE. */
-  def softDedupWeights(spark: SparkSession, dir: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val labels = spark.read.parquet(materializeClusters(spark, dir,
-      numHashes, bands, threshold, maxBucket))
-    val sizes = labels.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_n"))
-    docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .join(sizes, Seq("cluster_id"), "left")
-      .withColumn("cluster_n", coalesce(col("cluster_n"), lit(1L)))
-      .select(col("doc_id"), col("lang"), col("source"), col("cluster_id"),
-        col("cluster_n"),
-        round(lit(1.0) / col("cluster_n").cast("double"), 6)
-          .as("sample_weight"))
-  }
-
-  // ---------------------------------------------------------------- SimHash
-
-  /** 64-bit SimHash over word hashes (unweighted). */
-  def simHash64(text: String): Long = {
-    if (text == null) return 0L
-    val acc = new Array[Int](64)
-    text.split("\\s+").withFilter(_.nonEmpty).foreach { w =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
-      }
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-    out
-  }
-
-  /** SimHash per document — computed by the native codegen expression
-    * ([[graft.functions.SimHashExpression]]), not a UDF, so the signature
-    * pass stays inside WholeStageCodegen (equivalence to the Scala
-    * function is spec-pinned). */
-  def simHashes(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      graft.functions.SimHashExpression.native(col("text")).as("simhash"))
-
-  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
-    * within Hamming distance 3 shares at least one full band), bucketed
-    * self-join per band, then exact Hamming check via bit_count(xor). */
-  /** One row per (doc, band): the 64-bit simhash split into 4×16-bit keys. */
-  private def simHashBandKeys(spark: SparkSession, dir: String): DataFrame =
-    simHashes(spark, dir)
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftrightunsigned(simhash, band * 16)")
-          .bitwiseAND(lit(0xffffL)).as("band_key"))
-
-  /** Audit query: the SimHash band buckets a `maxBucket` cap prunes. */
-  def simHashHotBuckets(spark: SparkSession, dir: String,
-      maxBucket: Int = 1000): DataFrame =
-    hotBuckets(simHashBandKeys(spark, dir), maxBucket)
-
-  def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    // same grouped-bucket expansion as [[bucketPairs]], carrying the
-    // simhash alongside the id (struct sort orders by doc_id first, so
-    // i < j still implies doc_a < doc_b)
-    val sized = simHashBandKeys(spark, dir).groupBy("band", "band_key")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ds"))
-    val capped =
-      if (maxBucket > 0) sized.filter(size(col("ds")).between(2, maxBucket))
-      else sized.filter(size(col("ds")) >= 2)
-    val ds = col("ds")
-    capped.select(explode(flatten(transform(ds, (a, i) =>
-        transform(slice(ds, i + lit(2), size(ds)), b =>
-          struct(a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            bit_count(a.getField("simhash")
-              .bitwiseXOR(b.getField("simhash"))).as("hamming"))))))
-        .as("pr"))
-      .select(col("pr.doc_a"), col("pr.doc_b"), col("pr.hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
-  }
-
-  /** C4-style span-level dedup (Raffel et al., JMLR'20 §2.2 — C4 drops
-    * every repeated three-sentence span corpus-wide, keeping one
-    * occurrence): documents are cut into fixed `spanWords`-word windows
-    * (pseudo-sentences — this corpus has no sentence punctuation), each
-    * distinct span keeps only its FIRST occurrence (lexicographic min of
-    * (doc_id, position)), and documents are reassembled from their
-    * surviving spans. A document that is a full exact duplicate loses
-    * all spans and comes back as ''.
-    *
-    * Scale shape: tokenize+window is one narrow codegen pass; the winner
-    * per span is `min(struct(doc_id, pos))` — a partial-aggregable
-    * GROUP BY, so a boilerplate span repeated a billion times is combined
-    * map-side instead of sorting on one reducer (the reason this is NOT a
-    * row_number window); reassembly groups by doc_id with an array sort.
-    * Two keyed shuffles total (span, doc_id), both linear. At 100 TB
-    * shuffle bytes are dominated by the span strings themselves; shuffling
-    * `xxhash64(span)` instead (8 bytes) trades exactness for volume —
-    * collisions would merge unrelated spans, so the exact string is the
-    * default.
-    */
-  def spanDedup(spark: SparkSession, dir: String,
-      spanWords: Int = 10): DataFrame = {
-    val d = docs(spark, dir)
-    val tokens = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val spans = d
-      .select(col("doc_id"), tokens.as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0),
-          ceil(size(col("w")) / lit(spanWords.toDouble)).cast("int") - 1))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ",
-          slice(col("w"), col("pos") * spanWords + 1, lit(spanWords)))
-          .as("span"))
-    val winners = spans.groupBy("span")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
-      .select(col("span").as("w_span"),
-        col("win.doc_id").as("w_doc"), col("win.pos").as("w_pos"))
-    val kept = spans.join(winners,
-      col("span") === col("w_span") && col("doc_id") === col("w_doc") &&
-        col("pos") === col("w_pos"))
-      .select(col("doc_id"), col("pos"), col("span"))
-    val reassembled = kept.groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("span")))),
-          x => x.getField("span"))).as("text_clean"),
-        count(lit(1)).as("n_spans_kept"))
-    d.select(col("doc_id"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
-  }
-
-  // ----------------------------------------------------------- edit distance
-
-  /** Edit-distance (Levenshtein) near-dup pairs, length-banded.
-    *
-    * Candidate generation is an EQUI-join on a length bucket of width
-    * `maxLenDiff`: side A fans each doc out to buckets {b-1, b, b+1} and
-    * joins side B on its single bucket, so any pair within `maxLenDiff`
-    * chars of each other meets on exactly one key (|len diff| <= width ⇒
-    * bucket distance <= 1, and the key equals B's unique bucket). That
-    * keeps the candidate volume length-banded-linear — never all-pairs —
-    * and the shuffle is a plain keyed exchange, the same scale shape as
-    * the LSH banding.
-    *
-    * Two verify-cost levers, both load-bearing at scale (a length band
-    * still holds O(docs-per-band²) candidates):
-    *  - BAG-OF-CHARS LOWER BOUND: one edit changes a character histogram
-    *    by at most 2 in L1 (substitute ±1 twice; insert/delete ±1), so
-    *    L1(bag_a, bag_b)/2 <= lev(a, b) — for ANY projection of the
-    *    alphabet onto classes. 13 two-letter-class counts are computed
-    *    ONCE per doc (narrow codegen'd regexp arithmetic), and the
-    *    per-pair filter `L1 <= 2·maxDist` is ~40 integer ops that prune
-    *    ~86% of the banded candidates (measured sf0.1) before any DP.
-    *    Exact — a surviving true pair can never be pruned.
-    *  - THRESHOLDED Levenshtein (`levenshtein(l, r, k)`, Spark >= 3.5):
-    *    the DP runs a 2k+1 diagonal band and abandons early, so per-pair
-    *    cost is O(len·maxDist), not O(len²).
-    *
-    * Contract (mirrored by the oracle, where the bag prune is invisible
-    * by exactness): pairs with |n_chars diff| <= `maxLenDiff` AND
-    * levenshtein <= `maxDist`. Note `maxLenDiff` bounds recall: a pair
-    * can have distance <= maxDist with a length gap up to maxDist; set
-    * `maxLenDiff = maxDist` for exact recall, or tighter to trade recall
-    * for candidate volume (the usual production choice — wildly
-    * different-length docs are rarely edit-close per char). */
-  def editDistancePairs(spark: SparkSession, dir: String,
-      maxLenDiff: Int = 8, maxDist: Int = 16): DataFrame = {
-    require(maxLenDiff >= 1, "maxLenDiff must be >= 1")
-    // the bag counts are 13 SCALAR columns (not an array): the per-pair
-    // L1 stays plain codegen'd integer arithmetic — zip_with/aggregate
-    // lambdas are interpreted per row and measured 3× the DP itself.
-    // Scanned from the build-once bag table ([[materializeBagTable]]) so
-    // (a) the 13 regexp passes run once per corpus, not once per query,
-    // and (b) CollapseProject can't substitute them into the post-join
-    // filter (recomputed PER PAIR when it does — measured 10×).
-    val base = spark.read.parquet(materializeBagTable(spark, dir))
-    def side(suffix: String): DataFrame = base.select(
-      Seq(col("doc_id").as(s"doc_$suffix"),
-        col("text").as(s"text_$suffix"),
-        col("n_chars").as(s"len_$suffix")) ++
-      (0 until BagClasses.length).map(i => col(s"c$i").as(s"c$i$suffix")): _*)
-    val da = side("a")
-    val db = side("b")
-    val bktA = floor(col("len_a") / lit(maxLenDiff)).cast("long")
-    val a = da.withColumn("bkt",
-      explode(array(bktA - 1, bktA, bktA + 1)))
-    val b = db.withColumn("bkt",
-      floor(col("len_b") / lit(maxLenDiff)).cast("long"))
-    val l1 = (0 until BagClasses.length).map(i =>
-      abs(col(s"c${i}a") - col(s"c${i}b"))).reduce(_ + _)
-    // the DP is GUARDED by the bag bound inside a CASE WHEN: conjunctive
-    // filters get merged and reordered by the optimizer (measured: the
-    // DP ran on every banded candidate), but CASE branches are lazy in
-    // codegen, so the expensive branch runs only on bag-surviving pairs
-    a.join(b, Seq("bkt"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= maxLenDiff)
-      .select(col("doc_a"), col("doc_b"),
-        when(l1 <= 2 * maxDist,
-          levenshtein(col("text_a"), col("text_b"), maxDist))
-          .otherwise(lit(-1)).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
-  }
-
-  /** The 13 two-letter character classes of the bag-of-chars bound. */
-  private val BagClasses: Seq[String] = (0 until 13).map(i =>
-    s"[${('a' + i * 2).toChar}${('a' + i * 2 + 1).toChar}]")
-
-  /** Session registry of materialized bag tables: (doc_id, text, n_chars,
-    * c0..c12) written once per corpus — the edit-distance analogue of
-    * [[materializeSignatures]] (texts ride along because the DP verify
-    * needs them; at 100 TB this is the staged artifact an edit-dedup
-    * pass reads instead of re-deriving histograms per run). */
-  private val bagCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  def materializeBagTable(spark: SparkSession, dir: String): String =
-    bagCache.computeIfAbsent(dir, { _ =>
-      val path = java.nio.file.Files.createTempDirectory("edit_bags").toString
-      val cols = BagClasses.zipWithIndex.map { case (cls, i) =>
-        (length(col("text")) -
-          length(regexp_replace(col("text"), cls, ""))).cast("int")
-          .as(s"c$i")
-      }
-      docs(spark, dir)
-        .select(Seq(col("doc_id"), col("text"), col("n_chars")) ++ cols: _*)
-        .write.mode("overwrite").parquet(path)
-      path
-    })
-
-  /** Drop materialized bag tables AND delete their directories. */
-  def clearBagCache(): Unit = {
-    bagCache.values.forEach(path =>
-      Ivf.deleteRecursively(new java.io.File(path)))
-    bagCache.clear()
-  }
-
-  // ------------------------------------------------- cross-source dup matrix
-
-  /** Cross-source duplication matrix: near-dup pair counts grouped by the
-    * (unordered) source pair — the standard corpus-composition diagnostic
-    * ("how much of source X is a copy of source Y?") that decides which
-    * sources to drop or down-weight before training. Rides entirely on the
-    * build-once MinHash signature table ([[minHashPairsMaterialized]]);
-    * the extra work over the pair query is two broadcast-size joins back
-    * to (doc_id, source) and a tiny group-by — nothing new shuffles at
-    * corpus scale. */
-  def crossSourceDupMatrix(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = minHashPairsCached(spark, dir, threshold = threshold)
-    val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    pairs
-      .join(src.select(col("doc_id").as("doc_a"),
-        col("source").as("src_a")), Seq("doc_a"))
-      .join(src.select(col("doc_id").as("doc_b"),
-        col("source").as("src_b")), Seq("doc_b"))
-      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 4).as("avg_jaccard"))
-  }
-
-  // ------------------------------------------------ repeated-substring spans
-
-  /** Word positions whose stride-1 `k`-gram window is repeated across at
-    * least `minDocs` distinct documents — the anchor stream behind
-    * [[repeatedSpans]] / [[repeatedSpanExcise]] (the cross-document
-    * substring dedup of Lee et al., "Deduplicating Training Data Makes
-    * Language Models Better", arXiv:2107.06499 — suffix-array repeats
-    * re-expressed as a grouped k-gram anchor join).
-    *
-    * Scale shape — the part that must survive 100 TB of stride-1 anchors
-    * (one row per WORD of the corpus):
-    *  1. The full anchor stream shuffles ONCE, keyed on `xxhash64(gram)`
-    *     with a (hash, doc_id) 16-byte projection — never the gram
-    *     strings. `count(DISTINCT doc_id) >= minDocs` over that narrow
-    *     stream yields the repeated-hash set, which is bounded by the
-    *     corpus's duplicated-content volume, not its size.
-    *  2. The repeated-hash set broadcasts back over the (re-scanned,
-    *     still narrow) anchor stream as a semi-join filter, so only
-    *     candidate anchors ever materialize their strings.
-    *  3. Candidates are re-grouped by the exact STRING to discard hash
-    *     collisions — the string shuffle touches candidates only. (At
-    *     petabyte scale with a >8 GB repeated set, drop the broadcast
-    *     hint: AQE falls back to a shuffled semi-join and the contract
-    *     is unchanged.)
-    */
-  /** (doc_id, p, gram) stride-1 k-word anchors of a (doc_id, text)
-    * frame — one narrow codegen'd pass, no shuffle. */
-  private def anchorGrams(d: DataFrame, k: Int): DataFrame =
-    d.select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - k)).as("p"))
-      .select(col("doc_id"), col("p"),
-        concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("gram"))
-
-  /** Gaps-and-islands merge of flagged (doc_id, p) anchor positions
-    * into maximal `[start_word, end_word)` regions: windows at p and q
-    * overlap or touch iff |q − p| <= k. Two window passes + a group-by
-    * over the flagged subset only. */
-  private[operators] def islandRegions(flagged: DataFrame,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy("doc_id").orderBy("p")
-    flagged
-      .withColumn("brk",
-        when(col("p") - lag("p", 1).over(ord) <= k, lit(0)).otherwise(lit(1)))
-      .withColumn("grp",
-        sum("brk").over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min("p").as("mn"), max("p").as("mx"), count(lit(1)).as("nw"))
-      .select(col("doc_id"),
-        col("mn").cast("long").as("start_word"),
-        (col("mx") + k).cast("long").as("end_word"),
-        (col("mx") + k - col("mn")).cast("long").as("span_words"),
-        col("nw").cast("long").as("n_windows"))
-  }
-
-  private[operators] def repeatedPositions(spark: SparkSession, dir: String,
-      k: Int, minDocs: Int): DataFrame = {
-    require(k >= 2, "k must be >= 2")
-    require(minDocs >= 2, "minDocs must be >= 2")
-    val anchors = anchorGrams(docs(spark, dir), k)
-    val repHash = anchors
-      .select(xxhash64(col("gram")).as("gh"), col("doc_id"))
-      .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gh")
-    val cand = anchors
-      .withColumn("gh", xxhash64(col("gram")))
-      .join(repHash.hint("broadcast"), Seq("gh"), "left_semi")
-    val repGram = cand
-      .groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gram")
-    cand.select(col("doc_id"), col("p"), col("gram"))
-      .join(repGram.hint("broadcast"), Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("p"))
-  }
-
-  /** Maximal cross-document repeated regions per document: every word
-    * position whose stride-1 `k`-word window also occurs in >= `minDocs`
-    * distinct documents is flagged, and runs of flagged positions whose
-    * windows overlap or touch (gap <= k) merge into one maximal region
-    * `[start_word, end_word)`. Unlike [[spanDedup]] (fixed non-overlapping
-    * 10-word blocks), this finds ARBITRARY-offset shared substrings — the
-    * boilerplate/license/template text that block alignment misses.
-    *
-    * After [[repeatedPositions]]'s one narrow corpus-wide shuffle, the
-    * island merge is two window passes + a group-by over the flagged
-    * subset only (duplicated-content-sized, not corpus-sized). */
-  def repeatedSpans(spark: SparkSession, dir: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame =
-    islandRegions(repeatedPositions(spark, dir, k, minDocs), k)
-
-  /** Cross-document substring EXCISION: rewrite each document with every
-    * word inside a repeated region ([[repeatedSpans]]) removed. The
-    * remove-everywhere contract (vs keep-one-copy) is the conservative
-    * decontamination-grade variant — no copy of corpus-repeated
-    * boilerplate survives into training text.
-    *
-    * Covered word indexes come from exploding each flagged window
-    * (duplicated-content-sized); the corpus-wide word stream is a narrow
-    * posexplode anti-joined on (doc_id, index) — one keyed shuffle each
-    * side — and reassembly is the same doc_id group-by [[spanDedup]]
-    * uses. */
-  def repeatedSpanExcise(spark: SparkSession, dir: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
-    val covered = repeatedPositions(spark, dir, k, minDocs)
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + k - 1)).as("i"))
-      .distinct()
-    val wi = d.select(col("doc_id"),
-      posexplode(col("w")).as(Seq("i", "word")))
-    val kept = wi.join(covered, Seq("doc_id", "i"), "left_anti")
-    val agg = kept.groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("i"), col("word")))),
-          x => x.getField("word"))).as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    d.select(col("doc_id"), size(col("w")).as("n_words"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
-          .cast("long").as("n_dropped_words"))
-  }
-
-  // ------------------------------------------- exact set-similarity join
-
-  /** EXACT set-similarity self-join via prefix filtering (the
-    * PPJoin/All-Pairs family — Xiao et al. WWW'08, Bayardo et al.
-    * WWW'07): all document pairs whose word-`shingleK`-gram SHINGLE-set
-    * Jaccard (4-dp rounded, the repo-wide compare grid) is >=
-    * `threshold`, with recall exactly 1 — the deterministic counterpart
-    * of [[minHashPairs]] on the SAME similarity measure (on a corpus
-    * where LSH recall happens to be 1, the two outputs coincide; this
-    * one needs no recall argument).
-    *
-    * Shingle sets, not word sets, deliberately: set-similarity joins
-    * need a token universe where rarity EXISTS. This corpus has 31
-    * distinct words each in ~75% of documents (word sets are
-    * degenerate — measured ~7M qualifying pairs at sf0.1 even at 0.9),
-    * but 27k distinct 3-word shingles with max df 25 — which is also
-    * why the MinHash path shingles first. Natural corpora are zipfian
-    * in both, but the shingle tail is always the fatter one.
-    *
-    * Why candidates stay bounded without hashing: order every
-    * document's shingles by GLOBAL rarity (document frequency asc,
-    * shingle asc — any consistent total order works), and keep only
-    * each document's first `n − ceil(t'·n) + 1` as its PREFIX. Two sets
-    * with Jaccard >= t MUST share a prefix token (pigeonhole on the
-    * overlap bound), so an equi-join on prefix tokens finds every
-    * qualifying pair — and because prefixes are the RAREST shingles,
-    * join buckets are small by construction. `t' = threshold − 0.001`
-    * slack keeps generation a superset under the 4-dp rounding
-    * contract (verification is exact, so slack only costs candidates,
-    * never correctness).
-    *
-    * Shuffle ledger: (1) shingle → document-frequency group-by;
-    * (2) rarity join + per-doc sort group-by (doc_id); (3) prefix
-    * equi-join on shingle with the two-sided size filter
-    * (t'·max(na,nb) <= min(na,nb) — necessary for J >= t); (4) exact
-    * `array_intersect` verify on the candidate pairs only. Nothing is
-    * all-pairs; [[setSimHotTokens]] is the observability twin listing
-    * any prefix shingle whose bucket exceeds `maxBucket` (the LSH-cap
-    * analogue — here it only reports, since capping would break the
-    * exactness contract).
-    *
-    * Stages (1)–(2) run ONCE per corpus via the build-once tables
-    * ([[materializeSetSimTables]], `materialized = true` default) —
-    * without that, the self-join + verify recompute the shingle
-    * explode on four plan branches (measured 17 s → ~1 s warm at
-    * sf0.1, the same trade every materialized table here makes). */
-  private val setSimCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Double, Int), String]()
-
-  /** Build-once tables for [[setSimPairs]] (same immutable-corpus
-    * session-cache contract as [[materializeSignatures]]):
-    * `<path>/prefix` = the rarity-ordered prefix tokens (doc_id, n,
-    * tok) and `<path>/sets` = the full shingle arrays (doc_id, ws).
-    * The shingle explode + df group-by + per-doc rarity sort — the
-    * dominant cost, and one the join would otherwise recompute on
-    * every plan branch — runs once per (dir, threshold, k). */
-  def materializeSetSimTables(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, shingleK: Int = 3): String =
-    setSimCache.computeIfAbsent((dir, threshold, shingleK), { _ =>
-      val path = java.nio.file.Files.createTempDirectory("setsim").toString
-      // `wh` = per-element xxhash64 of the shingle set: the bulk verify
-      // intersects the LONG arrays (8 B/element, no string equality)
-      // and only survivors touch the string arrays — same
-      // hash-prune/string-confirm split as repeatedPositions
-      val sets = docs(spark, dir)
-        .select(col("doc_id"),
-          shingleArray(col("text"), shingleK).as("ws"))
-        .withColumn("wh", transform(col("ws"), x => xxhash64(x)))
-      sets.write.mode("overwrite").parquet(s"$path/sets")
-      setSimPrefixes(spark.read.parquet(s"$path/sets"), threshold - 0.001)
-        .write.mode("overwrite").parquet(s"$path/prefix")
-      path
-    })
-
-  /** Drop materialized set-sim tables AND delete their directories. */
-  def clearSetSimCache(): Unit = {
-    setSimCache.values.forEach(path =>
-      Ivf.deleteRecursively(new java.io.File(path)))
-    setSimCache.clear()
-  }
-
-  def setSimPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, shingleK: Int = 3,
-      materialized: Boolean = true): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      "threshold must be in (0, 1]")
-    val tSlack = threshold - 0.001
-    val (sets, prefixed) =
-      if (materialized) {
-        val p = materializeSetSimTables(spark, dir, threshold, shingleK)
-        (spark.read.parquet(s"$p/sets"),
-          spark.read.parquet(s"$p/prefix"))
-      } else {
-        val s = docs(spark, dir).select(col("doc_id"),
-          shingleArray(col("text"), shingleK).as("ws"))
-          .withColumn("wh", transform(col("ws"), x => xxhash64(x)))
-        (s, setSimPrefixes(s, tSlack))
-      }
-    // positional filter (PPJoin proper): every shared element of two
-    // sets sorted in the SAME global order sits at sorted-position
-    // >= the first shared token's position in BOTH, so the overlap is
-    // bounded by min(remaining) — a pair survives iff SOME shared
-    // prefix token passes, and its first shared token always does when
-    // J >= t. The un-ceiled alpha keeps the bound a superset under fp
-    // rounding.
-    val alpha = tSlack / (1.0 + tSlack)
-    val cand = prefixed
-      .select(col("tok"), col("doc_id").as("doc_a"), col("n").as("na"),
-        col("pos").as("pa"))
-      .join(prefixed.select(col("tok"), col("doc_id").as("doc_b"),
-        col("n").as("nb"), col("pos").as("pb")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(col("na") * tSlack <= col("nb") &&
-        col("nb") * tSlack <= col("na"))
-      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        lit(alpha) * (col("na") + col("nb")) - lit(1e-9))
-      .select("doc_a", "doc_b").distinct()
-    // bulk verify on the LONG hash arrays with a slack prune, exact
-    // string confirm on the survivors only (a 64-bit collision would
-    // shift the hash-Jaccard by ~2/n — the 0.05 slack absorbs orders of
-    // magnitude more than that; the final filter is string-exact)
-    val bulk = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("wh").as("wh_a")),
-        Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("wh").as("wh_b")),
-        Seq("doc_b"))
-      .withColumn("ih", size(array_intersect(col("wh_a"), col("wh_b"))))
-      .filter(col("ih").cast("double") /
-        (size(col("wh_a")) + size(col("wh_b")) - col("ih"))
-          .cast("double") >= threshold - 0.05)
-      .select("doc_a", "doc_b")
-    bulk
-      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")),
-        Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")),
-        Seq("doc_b"))
-      .withColumn("inter",
-        size(array_intersect(col("ws_a"), col("ws_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("ws_a")) + size(col("ws_b")) - col("inter"))
-            .cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
-
-  /** Rarity-ordered prefix tokens of each doc's shingle set:
-    * (doc_id, n = set size, pos = 0-based sorted position, tok) for the
-    * first `n − ceil(t'·n) + 1` shingles in (global df asc, shingle
-    * asc) order. */
-  private def setSimPrefixes(sets: DataFrame, tSlack: Double): DataFrame = {
-    val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    toks.join(dfreq, Seq("tok"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-        .as("sw"))
-      .select(col("doc_id"),
-        expr("transform(sw, x -> x.tok)").as("w"), size(col("sw")).as("n"))
-      .withColumn("plen",
-        (col("n") - ceil(col("n") * tSlack) + 1).cast("int"))
-      .select(col("doc_id"), col("n"),
-        posexplode(slice(col("w"), lit(1), col("plen")))
-          .as(Seq("pos", "tok")))
-  }
-
-  /** Prefix shingles whose candidate bucket exceeds `maxBucket` — what
-    * a skewed corpus would pay in candidate volume. Non-empty output is
-    * the signal to raise the threshold or pre-drop boilerplate docs;
-    * the join itself stays exact (no silent capping). */
-  def setSimHotTokens(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, shingleK: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val sets = docs(spark, dir)
-      .select(col("doc_id"), shingleArray(col("text"), shingleK).as("ws"))
-    setSimPrefixes(sets, threshold - 0.001)
-      .groupBy("tok").agg(count(lit(1)).as("bucket_size"))
-      .filter(col("bucket_size") > maxBucket)
-  }
-
-  // --------------------------------------------------- span-guard index
-
-  /** The gram index's layout descriptor, persisted as a one-line
-    * `_graft_gram_meta` file inside the index directory (the `_` prefix
-    * keeps Spark's parquet listing from treating it as data). `k` and
-    * `nBuckets` are part of the LAYOUT — a probe with a mismatched value
-    * would prune to the wrong partition directories and silently miss —
-    * so [[spanGuardProbe]] reads them back from the index instead of
-    * trusting the caller, and rejects explicit mismatches loudly. */
-  private[operators] case class GramIndexMeta(k: Int, nBuckets: Int,
-      exact: Boolean)
-
-  private val GramMetaFile = "_graft_gram_meta"
-
-  private def hadoopFs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private[operators] def writeGramIndexMeta(spark: SparkSession,
-      indexDir: String, meta: GramIndexMeta): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, GramMetaFile)
-    val out = hadoopFs(spark, indexDir).create(p, true)
-    try out.write(
-      s"k=${meta.k}\nnBuckets=${meta.nBuckets}\nexact=${meta.exact}\n"
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private[operators] def readGramIndexMeta(spark: SparkSession,
-      indexDir: String): Option[GramIndexMeta] = {
-    val fs = hadoopFs(spark, indexDir)
-    val p = new org.apache.hadoop.fs.Path(indexDir, GramMetaFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toString("UTF-8")
-      } finally in.close()
-      val kv = body.linesIterator.filter(_.contains("="))
-        .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
-        .toMap
-      Some(GramIndexMeta(kv("k").toInt, kv("nBuckets").toInt,
-        kv("exact").toBoolean))
-    }
-  }
-
-  /** The index scan's explicit schema (partition column included):
-    * `spark.read.parquet` on a ZERO-row partitioned index has no part
-    * files to infer from and throws — empty history is a legitimate
-    * bootstrap state (first admission batch), so probes always read
-    * with the declared schema instead. */
-  private def gramIndexSchema(exact: Boolean)
-      : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    val base = StructType(Seq(StructField("gh", LongType)))
-    val withGram = if (exact) base.add("gram", StringType) else base
-    withGram.add("bucket", LongType)
-  }
-
-  /** Build the span-guard index at `indexDir`: every DISTINCT k-gram of
-    * `history`, stored as (gh = xxhash64(gram)[, gram]) PARTITIONED by
-    * `bucket = pmod(gh, nBuckets)`. The serving-side twin of
-    * [[repeatedSpans]]: instead of finding repeats WITHIN a corpus, the
-    * index answers "does this incoming document contain text the corpus
-    * already has" — the gram-level analogue of the live near-dup ingest
-    * index, for exact substring decontamination at admission time.
-    *
-    * Size is bounded by DISTINCT gram content (dedup within the build),
-    * and the bucket partitioning is what keeps probes sublinear: a
-    * probe's static `bucket IN` filter prunes whole directories, so a
-    * small batch touches a handful of buckets regardless of how big
-    * history is. `exact = true` stores the gram string alongside its
-    * hash so the probe is EXACT (hash-bucket prune, string confirm);
-    * `exact = false` stores the 8-byte hash only — the index shrinks to
-    * distinct-gram-count × 8 bytes, at a ~2⁻⁶⁴-per-window
-    * false-flag rate (collision-free corpora produce identical regions,
-    * spec-pinned).
-    *
-    * The layout (k, nBuckets, exact) is persisted in a `_graft_gram_meta`
-    * file written AFTER the data commit, and probes read it back — the
-    * bucket convention is enforced by the index itself, not by caller
-    * discipline. */
-  def materializeGramIndex(spark: SparkSession, history: DataFrame,
-      indexDir: String, k: Int = 8, nBuckets: Int = 64,
-      exact: Boolean = true): Unit = {
-    val distinctGrams = anchorGrams(history, k)
-      .select(col("gram")).distinct()
-      .select(xxhash64(col("gram")).as("gh"), col("gram"))
-      .withColumn("bucket", pmod(col("gh"), lit(nBuckets.toLong)))
-    val stored =
-      if (exact) distinctGrams
-      else distinctGrams.select(col("gh"), col("bucket"))
-    stored.write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
-    // meta last: its presence marks a complete build (a crashed build
-    // leaves no meta, and the probe's explicit error says to rebuild)
-    writeGramIndexMeta(spark, indexDir, GramIndexMeta(k, nBuckets, exact))
-  }
-
-  /** Probe the span-guard index with a batch of incoming documents:
-    * maximal regions of each incoming doc whose k-gram windows already
-    * exist in the indexed history (same region semantics as
-    * [[repeatedSpans]]).
-    *
-    * Layout comes from the index's own `_graft_gram_meta` (k, nBuckets,
-    * exact); passing `k`/`nBuckets` explicitly is a cross-check — a
-    * mismatch against the stored layout throws instead of silently
-    * missing. Pass -1 (the default) to defer entirely to the meta.
-    *
-    * Probe cost shape: the incoming batch's anchors are computed ONCE
-    * (localCheckpoint — the bucket collect and the semi-join share the
-    * materialized batch-sized frame instead of re-tokenizing); the
-    * distinct bucket set (≤ nBuckets ints, a batch-local job) becomes a
-    * STATIC partition filter on the index scan; the join is an equi-join
-    * on (gh, gram) — hash first, exact string confirm in the same key
-    * (on `gh` alone for a hash-only index) — and the island merge
-    * touches flagged positions only. History size enters ONLY through
-    * the pruned buckets read. */
-  def spanGuardProbe(spark: SparkSession, indexDir: String,
-      incoming: DataFrame, k: Int = -1, nBuckets: Int = -1): DataFrame = {
-    val meta = readGramIndexMeta(spark, indexDir).getOrElse {
-      if (k <= 0 || nBuckets <= 0) throw new IllegalArgumentException(
-        s"SUDAN: no $GramMetaFile under $indexDir — either the build " +
-          "crashed before committing (rebuild via materializeGramIndex) " +
-          "or this is a pre-meta index: pass its k and nBuckets " +
-          "explicitly to probe it.")
-      GramIndexMeta(k, nBuckets, exact = true)
-    }
-    if (k > 0 && k != meta.k) throw new IllegalArgumentException(
-      s"SUDAN: span-guard index at $indexDir was built with k=${meta.k}; " +
-        s"probing with k=$k would miss every window. Use the index's k.")
-    if (nBuckets > 0 && nBuckets != meta.nBuckets)
-      throw new IllegalArgumentException(
-        s"SUDAN: span-guard index at $indexDir is partitioned into " +
-          s"${meta.nBuckets} buckets; probing with nBuckets=$nBuckets " +
-          "would prune to the wrong directories. Use the index's layout.")
-    // one materialization of the batch-sized anchor frame: the bucket
-    // collect AND the semi-join read it (ADVICE r9: without this the
-    // tokenize/explode/hash pipeline ran twice per probe)
-    val probe = anchorGrams(incoming, meta.k)
-      .withColumn("gh", xxhash64(col("gram")))
-      .withColumn("bucket", pmod(col("gh"), lit(meta.nBuckets.toLong)))
-      .localCheckpoint()
-    val buckets = probe.select("bucket").distinct().collect()
-      .map(_.getLong(0)).toSeq
-    val none = islandRegions(
-      probe.select(col("doc_id"), col("p")).where(lit(false)), meta.k)
-    if (buckets.isEmpty) return none
-    val hist = spark.read.schema(gramIndexSchema(meta.exact))
-      .parquet(indexDir)
-      .filter(col("bucket").isin(buckets: _*))
-    val joinKeys = if (meta.exact) Seq("gh", "gram") else Seq("gh")
-    val flagged = probe
-      .join(hist.select(joinKeys.map(col): _*), joinKeys, "left_semi")
-      .select(col("doc_id"), col("p"))
-    islandRegions(flagged, meta.k)
-  }
-
-  // ------------------------------------------- live span-guard (ingest)
-
-  /** The GROWING form of the gram index, for the admission pipeline:
-    * per-batch dirs `gramDir/batch=<id>/bucket=<b>/` of exact
-    * (gh, gram) rows, written through the same idempotent
-    * `_SUCCESS`-gated sink as the near-dup legs — a replayed batch
-    * neither double-inserts grams nor re-probes against its own
-    * committed content ([[committedBatchDirs]] excludes the current
-    * id). Layout (k, nBuckets) is pinned by a `_graft_gram_meta` at
-    * `gramDir` written on first use and validated on every restart.
-    *
-    * Gram rows are deduped WITHIN a batch only; a gram seen in many
-    * batches is stored once per batch — harmless to the left-semi probe
-    * and retired the same way the signature legs are: fold the batch
-    * dirs offline (read all, distinct, rewrite as one max-id batch),
-    * the [[compactIngestIndex]] maintenance pattern. */
-  private[operators] def liveBatchGrams(uniq: DataFrame, k: Int,
-      nBuckets: Int): DataFrame =
-    anchorGrams(uniq, k)
-      .select(col("gram")).distinct()
-      .select(xxhash64(col("gram")).as("gh"), col("gram"))
-      .withColumn("bucket", pmod(col("gh"), lit(nBuckets.toLong)))
-
-  /** [[spanGuardProbe]] against the LIVE batch-dir gram index: same
-    * bucket-pruned semi-join and island merge, over only the committed
-    * prior batches (never the replaying batch's own dirs). */
-  private[operators] def spanGuardProbeLive(spark: SparkSession,
-      gramDir: String, incoming: DataFrame, k: Int, nBuckets: Int,
-      excludeBatchId: Option[Long]): DataFrame = {
-    val probe = anchorGrams(incoming, k)
-      .withColumn("gh", xxhash64(col("gram")))
-      .withColumn("bucket", pmod(col("gh"), lit(nBuckets.toLong)))
-      .localCheckpoint()
-    val none = islandRegions(
-      probe.select(col("doc_id"), col("p")).where(lit(false)), k)
-    val dirs = committedBatchDirs(spark, gramDir, excludeBatchId)
-    if (dirs.isEmpty) return none
-    val buckets = probe.select("bucket").distinct().collect()
-      .map(_.getLong(0)).toSeq
-    if (buckets.isEmpty) return none
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(StructField("gh", LongType),
-      StructField("gram", StringType), StructField("bucket", LongType),
-      StructField("batch", LongType)))
-    val hist = spark.read.schema(schema)
-      .option("basePath", gramDir).parquet(dirs: _*)
-      .filter(col("bucket").isin(buckets: _*))
-      .select(col("gh"), col("gram"))
-    val flagged = probe.join(hist, Seq("gh", "gram"), "left_semi")
-      .select(col("doc_id"), col("p"))
-    islandRegions(flagged, k)
-  }
-
-  /** Validate-or-pin the live gram leg's layout at stream start: first
-    * use writes the meta, a restart with different (k, nBuckets) fails
-    * fast with the same named error the static probe throws. */
-  private def ensureLiveGramMeta(spark: SparkSession, gramDir: String,
-      k: Int, nBuckets: Int): Unit =
-    readGramIndexMeta(spark, gramDir) match {
-      case None =>
-        writeGramIndexMeta(spark, gramDir, GramIndexMeta(k, nBuckets,
-          exact = true))
-      case Some(meta) =>
-        if (meta.k != k || meta.nBuckets != nBuckets)
-          throw new IllegalArgumentException(
-            s"SUDAN: live gram index at $gramDir was built with " +
-              s"k=${meta.k}, nBuckets=${meta.nBuckets}; restarting with " +
-              s"k=$k, nBuckets=$nBuckets would probe the wrong layout.")
-    }
-
-  private[operators] val gramIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), String]
-
-  /** Drop cached demo indexes AND delete their temp directories (same
-    * disk-hygiene contract as [[clearSetSimCache]]). */
-  def clearGramIndexCache(): Unit = {
-    gramIndexCache.values.foreach(p =>
-      Ivf.deleteRecursively(new java.io.File(p)))
-    gramIndexCache.clear()
-  }
-
-  /** Demo split of the guard over one corpus dir (the oracle-able
-    * entry): documents with `doc_id % holdoutMod != 0` are "history"
-    * (indexed once per session), the rest are "incoming" and probed —
-    * regions reported are incoming text that history already contains. */
-  def spanGuard(spark: SparkSession, dir: String, k: Int = 8,
-      nBuckets: Int = 64, holdoutMod: Int = 5): DataFrame = {
-    val d = docs(spark, dir)
-    val idx = gramIndexCache.getOrElseUpdate((dir, k, nBuckets, holdoutMod), {
-      val p = java.nio.file.Files.createTempDirectory("gramindex").toString
-      materializeGramIndex(spark,
-        d.filter(col("doc_id") % holdoutMod =!= 0), p, k, nBuckets)
-      p
-    })
-    spanGuardProbe(spark, idx,
-      d.filter(col("doc_id") % holdoutMod === 0), k, nBuckets)
-  }
-}
+object Dedup extends DedupCore with DedupMinHash with DedupClusters
+  with DedupSpans with DedupSetSim with DedupSpanGuard
