@@ -994,6 +994,49 @@ class DedupSpec extends SparkSpec {
     assert(recomputed === got, "materialized form diverged")
   }
 
+  test("setSimPairs hot-token refinement: exactness holds when hot " +
+      "prefix tokens are demoted to the pair path (saturated-domain " +
+      "corpus), including degenerate tiny docs") {
+    import spark.implicits._
+    // saturated domain: every doc shares a fat boilerplate block, so
+    // EVERY prefix token is hot at hotDf=3; near-dup pairs are planted
+    // on top, and two 1-2-shingle docs exercise the small-doc escape
+    val boiler = (0 until 12).map(j => s"b$j").mkString(" ")
+    val rnd = new scala.util.Random(11)
+    val randomDocs = (1 to 30).map { i =>
+      (i.toLong, boiler + " " + (0 until 10)
+        .map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    val base = (0 until 20).map(j => s"p$j")
+    val planted = Seq(
+      (41L, base.mkString(" ")),
+      (42L, (base.drop(2) ++ Seq("x1", "x2")).mkString(" ")),
+      // tiny docs: 3 words = 1 shingle each, identical → J = 1.0
+      (51L, "t1 t2 t3"), (52L, "t1 t2 t3"))
+    val tmp = java.nio.file.Files.createTempDirectory("setsimhot").toString
+    (randomDocs ++ planted).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def run(hotDf: Int) = Dedup.setSimPairs(spark, tmp, threshold = 0.5,
+        materialized = false, hotDf = hotDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val refined = run(3)            // everything shared is hot
+    val classic = run(Int.MaxValue) // pure single-token path
+    assert(refined === classic,
+      s"hot-pair refinement changed the exact output:\n" +
+        s"refined ${refined.keySet}\nclassic ${classic.keySet}")
+    assert(refined.contains((41L, 42L)) && refined((51L, 52L)) === 1.0,
+      s"planted + tiny pairs must survive: ${refined.keySet}")
+    // the refinement actually engaged: the materialized pair table is
+    // non-empty at hotDf=3 and empty at hotDf=MaxValue
+    val pHot = Dedup.materializeSetSimTables(spark, tmp, 0.5, 3, 3)
+    assert(spark.read.parquet(s"$pHot/prefix2").count() > 0,
+      "hot corpus must emit pair rows")
+    val pCold = Dedup.materializeSetSimTables(spark, tmp, 0.5, 3,
+      Int.MaxValue)
+    assert(spark.read.parquet(s"$pCold/prefix2").count() === 0,
+      "no token is hot at MaxValue - pair table must be empty")
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on " +
       "adversarial chain graphs, not O(diameter)") {
     import spark.implicits._
