@@ -162,17 +162,23 @@ object CorpusTableFunctions {
     }
 
     tvf("corpus_setsim_pairs",
-      "corpus_setsim_pairs(dir[, threshold]) - EXACT set-similarity " +
-        "join (PPJoin prefix filtering) on the same shingle-Jaccard " +
+      "corpus_setsim_pairs(dir[, threshold[, hot_df]]) - EXACT set-" +
+        "similarity join (PPJoin prefix filtering + hot-token pair " +
+        "refinement above hot_df) on the same shingle-Jaccard " +
         "measure as corpus_neardup_pairs, recall 1 (no LSH).",
       "SELECT * FROM corpus_setsim_pairs('/data/c1', 0.7);") { args =>
       val fn = "corpus_setsim_pairs"
-      val bound = bind(fn, args, Seq("dir", "threshold"), Set.empty)
+      val bound = bind(fn, args, Seq("dir", "threshold", "hot_df"),
+        Set.empty)
       val t = optNum(fn, bound, "threshold", 0.5)
       if (t <= 0.0 || t > 1.0) throw new IllegalArgumentException(
         s"SUDAN: $fn() parameter 'threshold' must be in (0, 1], got $t.")
+      val hd = optNum(fn, bound, "hot_df",
+        Dedup.DefaultHotDf.toDouble).toInt
+      if (hd <= 0) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'hot_df' must be positive, got $hd.")
       plan(Dedup.setSimPairs(SparkSession.active, reqDir(fn, bound),
-        threshold = t))
+        threshold = t, hotDf = hd))
     }
 
     tvf("corpus_dedup_keep",
