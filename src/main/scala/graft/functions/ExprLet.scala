@@ -24,6 +24,32 @@ object ExprLet {
     element_at(transform(array(value), body), 1)
   }
 
+  /** O(n log n) replacement for `sort(array_distinct(...))` on
+    * STRUCT-element arrays. Spark's ArrayDistinct takes its hash-set
+    * fast path only for element types with proper equals (atomics);
+    * struct elements fall back to a seen-list scan with an
+    * interpreted-ordering compare per pair — O(n²) with a fat
+    * constant (measured: 59 s for ONE 60k-element array; it wedged
+    * the sf1 quantile-state merge for tens of minutes at 50k
+    * elements, where the same merge over bigint states is
+    * milliseconds). Sorting first and dropping ADJACENT duplicates
+    * yields the same set in the same sorted order at O(n log n)
+    * compares. The sorted array is let-bound (it is referenced inside
+    * the dedup lambda); the previous-element probe clamps its index
+    * to 1 so ANSI `element_at` cannot see index 0 even if an `Or`
+    * operand were evaluated eagerly. */
+  def sortedDedup(arr: Column): Column = {
+    import org.apache.spark.sql.functions._
+    bindOnce(array_sort(arr)) { sorted =>
+      transform(
+        filter(transform(sorted, (x, i) => struct(x.as("x"), i.as("i"))),
+          e => e.getField("i") === 0 ||
+            !(element_at(sorted,
+              greatest(lit(1), e.getField("i"))) <=> e.getField("x"))),
+        e => e.getField("x"))
+    }
+  }
+
   /** Bind only when `value` is a COMPOUND expression. Sketch readers
     * (estimate/quantile/total) reference their state argument several
     * times — free on a plain column, but a merged-state argument like

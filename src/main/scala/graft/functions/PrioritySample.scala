@@ -95,11 +95,16 @@ object PrioritySample {
     * n+1 and reverse. Pure codegen'd array expressions. */
   def mergeStatesExpr(states: Column, n: Int): Column = {
     import org.apache.spark.sql.functions._
-    // array_distinct matches the aggregator's TreeSet-union merge:
-    // states sharing rows (same snapshot listed twice, overlapping
-    // inputs) must not double-count entries, or the merge law breaks.
-    val asc = array_sort(array_distinct(flatten(states)))
-    reverse(slice(asc, greatest(lit(1), size(asc) - n), lit(n + 1)))
+    // dedup matches the aggregator's TreeSet-union merge: states
+    // sharing rows (same snapshot listed twice, overlapping inputs)
+    // must not double-count entries, or the merge law breaks. Via
+    // ExprLet.sortedDedup, not array_distinct — struct elements put
+    // ArrayDistinct on its O(n²) interpreted path (round-12 find) —
+    // and let-bound, since `asc` is referenced three times below (the
+    // unbound form re-ran the sort+dedup per reference).
+    ExprLet.bindOnce(ExprLet.sortedDedup(flatten(states))) { asc =>
+      reverse(slice(asc, greatest(lit(1), size(asc) - n), lit(n + 1)))
+    }
   }
 
   /** The DLT subset-sum estimator over a state column: exact Σw when

@@ -82,12 +82,15 @@ object QuantileSketch {
 
   /** Merge an array-of-states column back into one valid state: the k
     * smallest (hash, value) pairs of the union — bit-identical to a
-    * one-shot sketch over the concatenated inputs (struct array_sort
-    * orders by the leading hash field). Pure codegen'd array
-    * expressions; never touches raw data. */
+    * one-shot sketch over the concatenated inputs (struct sort orders
+    * by the leading hash field). Dedup is [[ExprLet.sortedDedup]]
+    * (sort + adjacent-drop), NOT `array_distinct`: struct elements put
+    * ArrayDistinct on its O(n²) interpreted path, which wedged the
+    * 50k-element sf1 merge for tens of minutes (round-12 find). Never
+    * touches raw data. */
   def mergeStatesExpr(states: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
-    slice(array_sort(array_distinct(flatten(states))), 1, k)
+    slice(ExprLet.sortedDedup(flatten(states)), 1, k)
   }
 
   /** Discrete quantile over a state column: value at 1-based index
