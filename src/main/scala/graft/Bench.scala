@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Pinned round-13 median of the IO sentinel (n=9 interleaved reps,
+    * 2026-08-15 window whose CPU sentinel_ratio was 0.814 — see
+    * PLANS.md "IO sentinel" section): ratio = median(io samples)/this.
+    * Cite io_sentinel_ratio for persist/write-heavy queries
+    * (q_sketch_overlap class), sentinel_ratio for CPU-bound relational
+    * ones — r12 showed the two drift independently. */
+  val IoSentinelR13 = 0.851
+
+  /** Deterministic write+read job: 2M rows of (id, hash, 64-char
+    * string) written to a fresh parquet dir, read back and aggregated.
+    * Everything derives from xxhash64(id) — byte-identical data every
+    * call — so the only variance is the host's IO/persist path. */
+  def ioSentinel(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = "target/bench_io_sentinel.parquet"
+    val t0 = System.nanoTime()
+    spark.range(0L, 2000000L, 1L, 8)
+      .select(col("id"), xxhash64(col("id")).as("h"),
+        sha2(conv(pmod(xxhash64(col("id"), lit(7)), lit(1000000007L))
+          .cast("string"), 10, 16), 256).as("s"))
+      .write.mode("overwrite").parquet(dir)
+    val n = spark.read.parquet(dir)
+      .agg(sum(col("h")), count(col("s"))).count()
+    require(n == 1)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,16 +90,29 @@ object Bench {
     // machine's worst moment. (Stalls only ever ADD time, so min is the
     // unbiased estimator of plan cost here.)
     val samples = collection.mutable.Map.empty[String, List[Double]]
-    for (rep <- 1 to Reps; (name, fn) <- selected) {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
-      spark.catalog.clearCache() // isolate queries from each other's state
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-rep trace on stderr: lets a post-mortem tell a bad plan
-      // (all reps slow) from a transient host stall (one rep slow)
-      System.err.println(f"[bench] $name rep$rep ${dt}%.3f s ok=$ok")
-      if (ok) samples(name) = dt :: samples.getOrElse(name, Nil)
+    val ioSamples = collection.mutable.ListBuffer.empty[Double]
+    for (rep <- 1 to Reps) {
+      for ((name, fn) <- selected) {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        spark.catalog.clearCache() // isolate queries from each other's state
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-rep trace on stderr: lets a post-mortem tell a bad plan
+        // (all reps slow) from a transient host stall (one rep slow)
+        System.err.println(f"[bench] $name rep$rep ${dt}%.3f s ok=$ok")
+        if (ok) samples(name) = dt :: samples.getOrElse(name, Nil)
+      }
+      // IO-shaped sentinel, once per pass (interleaved like everything
+      // else so a host stall poisons at most one sample): the five
+      // relational sentinels are all CPU-bound, and r12 showed
+      // persist/IO-heavy queries (q_sketch_overlap) do NOT track their
+      // drift ratio — this write+read job gives IO-class queries their
+      // own pinned gauge. Deterministic 2M-row frame (~90 MB parquet),
+      // full write + read-back-aggregate, timed end to end.
+      val ioDt = ioSentinel(spark)
+      ioSamples += ioDt
+      System.err.println(f"[bench] __io_sentinel rep$rep ${ioDt}%.3f s")
     }
     val results = selected.map { case (name, _) =>
       // a query that throws in every pass reports -1, never a fast "success"
@@ -127,11 +167,33 @@ object Bench {
       else s""""$k":{"med":${fmt(median(xs))},"min":${fmt(xs.min)},""" +
         s""""max":${fmt(xs.max)},"n":${xs.size}}"""
     }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"${prefix}_medians.json"),
-      mediansJson.getBytes("UTF-8"))
+    // Ledger-degradation guard (round-13, verdict task #3): the driver's
+    // gate run (n=3, default prefix) clobbered the committed n=9 medians
+    // ledger two rounds running. If an existing medians file at this
+    // path holds MORE reps than this run, this run's medians go to a
+    // rep-suffixed sibling and the richer ledger stays byte-identical.
+    val mediansPath = {
+      val p = java.nio.file.Paths.get(s"${prefix}_medians.json")
+      val existingN =
+        if (!java.nio.file.Files.exists(p)) 0
+        else {
+          val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          """"n":(\d+)""".r.findAllMatchIn(body)
+            .map(_.group(1).toInt).foldLeft(0)(math.max)
+        }
+      if (existingN > Reps) {
+        val alt = java.nio.file.Paths.get(s"${prefix}_medians_n$Reps.json")
+        System.err.println(s"[bench] ${prefix}_medians.json holds an " +
+          s"n=$existingN ledger > this run's n=$Reps - writing to $alt " +
+          "instead (refusing to degrade the committed ledger)")
+        alt
+      } else p
+    }
+    java.nio.file.Files.write(mediansPath, mediansJson.getBytes("UTF-8"))
+    val ioMed = if (ioSamples.isEmpty) -1.0 else median(ioSamples.toList)
+    val ioRatio = if (ioMed > 0) ioMed / IoSentinelR13 else -1.0
     val LineBudget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sentinel_ratio":${fmt(sentinelRatio)},"norm_value":${fmt(normValue)},"sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full.json","build":"${prefix}_build_costs.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sentinel_ratio":${fmt(sentinelRatio)},"norm_value":${fmt(normValue)},"io_sentinel_sec":${fmt(ioMed)},"io_sentinel_ratio":${fmt(ioRatio)},"sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full.json","build":"${prefix}_build_costs.json","queries":{"""
     val tailFixed = s"""},"omitted":NNN}""" // placeholder sizing for the closer
     var used = head.length + tailFixed.length
     val kept = collection.mutable.ArrayBuffer.empty[String]

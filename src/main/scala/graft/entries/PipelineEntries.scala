@@ -121,9 +121,7 @@ private[graft] object PipelineEntries {
     // applies to it (singletons key on their own doc_id)
     "q_leakfree_split" ->
       (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+        jaccardPairsCte + ", " +
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
         "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
         "walk(v, u) AS (SELECT src, dst FROM edges " +
@@ -401,10 +399,8 @@ private[graft] object PipelineEntries {
     // near-dup anti (exact all-pairs Jaccard stands in for LSH — recall 1
     // on this corpus, see q_minhash_pairs) ∘ min-words filter ∘ token stats
     "q_clean_corpus" ->
-      (shingleCte +
-        ", drops AS (SELECT DISTINCT b.doc_id FROM s a JOIN s b " +
-        "ON a.doc_id < b.doc_id " +
-        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+      (shingleCte + jaccardPairsCte +
+        ", drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs), " +
         "ek AS (SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(text)) " +
         "SELECT d.doc_id, d.lang, " +
@@ -417,10 +413,8 @@ private[graft] object PipelineEntries {
     // drop-audit twin of q_clean_corpus: same CTEs, inverted predicate,
     // first-matching reason precedence (exact → near → short)
     "q_clean_audit" ->
-      (shingleCte +
-        ", drops AS (SELECT DISTINCT b.doc_id FROM s a JOIN s b " +
-        "ON a.doc_id < b.doc_id " +
-        s"WHERE round($jaccardSqlExpr, 4) >= 0.5), " +
+      (shingleCte + jaccardPairsCte +
+        ", drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs), " +
         "ek AS (SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(text)) " +
         "SELECT d.doc_id, " +

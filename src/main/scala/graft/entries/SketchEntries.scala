@@ -163,10 +163,18 @@ private[graft] object SketchEntries {
         .withColumn("cb", sum(when(col("a"), 0L).otherwise(1L)).over(w))
         .withColumn("na", sum(when(col("a"), 1L).otherwise(0L)).over(wAll))
         .withColumn("nb", sum(when(col("a"), 0L).otherwise(1L)).over(wAll))
+      // nullif-guarded divisors (round-13, mirrors the q_quantile_drift
+      // oracle): a scope whose docs all land in one md5 half has na=0
+      // or nb=0 — an unguarded divide throws under ANSI; with the
+      // guard ks_exact is NULL, within_band null-propagates to NULL,
+      // and the oracle pins the same no-evidence NULL semantics
+      // quantileDrift uses for one-sided scopes.
       val exact = cdf.groupBy("scope")
         .agg(max("na").as("n_prev"), max("nb").as("n_new"),
-          max(abs(col("ca").cast("double") / col("na").cast("double") -
-            col("cb").cast("double") / col("nb").cast("double")))
+          max(abs(col("ca").cast("double") /
+              nullif(col("na").cast("double"), lit(0.0)) -
+            col("cb").cast("double") /
+              nullif(col("nb").cast("double"), lit(0.0))))
             .as("ks_exact"))
       drift.join(exact, Seq("scope"))
         .select(col("scope"), col("n_prev"), col("n_new"),
@@ -381,7 +389,12 @@ private[graft] object SketchEntries {
         "SELECT scope, " +
         "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_prev, " +
         "CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_new, " +
-        "true AS within_band FROM dd GROUP BY scope"),
+        // one-sided scope (na=0 or nb=0): no exact KS evidence -> NULL,
+        // matching the engine's nullif-guarded ks_exact propagation
+        "CASE WHEN sum(CASE WHEN a THEN 1 ELSE 0 END) = 0 " +
+        "OR sum(CASE WHEN a THEN 0 ELSE 1 END) = 0 " +
+        "THEN CAST(NULL AS BOOLEAN) ELSE true END AS within_band " +
+        "FROM dd GROUP BY scope"),
     // bottom-k quantile sketch, exact-below-k regime: the state holds
     // every (hash, n_chars) row, and quantileExpr's ceil(q*n) discrete
     // rule is quantile_disc's — so sketch quantiles ARE the exact ones

@@ -31,6 +31,15 @@ object SketchMeta {
   /** Current persisted-state hash version (2 = FNV-1a + fmix64). */
   val HashVersion = 2
 
+  /** Session conf key for strict reads: when `true`, an ABSENT version
+    * stamp fails closed instead of WARNing. The default stays WARN for
+    * backward compatibility (pre-scheme tables keep reading), but a
+    * production deployment whose sketch tables are all stamped should
+    * set this — a silently-merged pre-fmix64 state is the one remaining
+    * way the v1→v2 migration can produce wrong estimates without error,
+    * and at 100 TB nobody eyeballs the WARN in an executor log. */
+  val StrictConfKey = "spark.graft.sketchMeta.strict"
+
   private val MetaFile = "_graft_sketch_meta"
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -70,8 +79,10 @@ object SketchMeta {
   }
 
   /** Gate a read of a stored sketch table: throw on a version mismatch
-    * (wrong estimates would otherwise flow silently), WARN when the
-    * table carries no stamp. */
+    * (wrong estimates would otherwise flow silently); an ABSENT stamp
+    * WARNs by default, or throws when [[StrictConfKey]] is `true` in
+    * the session conf (fail-closed mode for production reads of
+    * long-lived stored tables). */
   def check(spark: SparkSession, dir: String): Unit = read(spark, dir) match {
     case Some(v) if v != HashVersion => throw new IllegalStateException(
       s"sketch table at $dir was written with hash version $v but this " +
@@ -79,10 +90,17 @@ object SketchMeta {
         "wrong. Rebuild the table from its raw data with this build " +
         "(states are not migratable in place).")
     case Some(_) => ()
-    case None => log.warn(
-      s"sketch table at $dir carries no _graft_sketch_meta stamp - if it " +
-        s"was written before hash version $HashVersion (fmix64), its " +
-        "states must be rebuilt; merging them with current states yields " +
-        "wrong estimates without error.")
+    case None =>
+      val msg =
+        s"sketch table at $dir carries no _graft_sketch_meta stamp - if " +
+          s"it was written before hash version $HashVersion (fmix64), its " +
+          "states must be rebuilt; merging them with current states " +
+          "yields wrong estimates without error."
+      if (spark.conf.get(StrictConfKey, "false").toBoolean)
+        throw new IllegalStateException(
+          msg + s" ($StrictConfKey=true: unstamped reads fail closed; " +
+            "stamp the table with SketchMeta.write after verifying or " +
+            "rebuilding it.)")
+      else log.warn(msg)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -55,14 +55,65 @@ object Relational {
     * unavoidable cost of having refused the broadcast. Persisting the
     * probed frame also closes the plan-time-probe vs execution-time-
     * join TOCTOU for non-deterministic lineages: the joined rows are
-    * the counted rows. */
+    * the counted rows.
+    *
+    * LIFECYCLE (round-13 fix): each hinted call used to leave its
+    * persisted probe cached for the life of the session — bounded per
+    * call but unbounded per SESSION (cdcMerge/SCD2 call this per
+    * invocation; a long-lived service accumulates MEMORY_AND_DISK
+    * blocks with no release). Hinted probes are now registered in a
+    * bounded FIFO ([[ProbeRegistry]]): beyond [[ProbeRegistry.Cap]]
+    * live probes the oldest is unpersisted. Evicting early is SAFE —
+    * unpersist only drops the cache; a consumer that somehow still
+    * needs the frame recomputes its lineage (Spark's contract) — and
+    * callers consume the broadcast immediately after hinting, so in
+    * practice eviction only ever touches already-consumed probes.
+    * [[releaseProbes]] drops everything eagerly (end-of-job hook). */
   def broadcastIfUnder(df: DataFrame, maxRows: Long = 4000000L): DataFrame = {
-    val probe = math.min(maxRows + 1L, Int.MaxValue.toLong).toInt
-    val probed = df.limit(probe)
+    // maxRows >= Int.MaxValue would cap the probe at Int.MaxValue rows:
+    // count() == cap would "pass" the gate while the truncated frame
+    // silently dropped rows from the join. No sane broadcast is 2^31
+    // rows, so refuse the parameter instead of special-casing it.
+    require(maxRows < Int.MaxValue.toLong,
+      s"broadcastIfUnder: maxRows=$maxRows must be < Int.MaxValue - the " +
+        "limit probe is capped at Int.MaxValue rows and a larger bound " +
+        "could silently truncate the broadcast side.")
+    val probed = df.limit((maxRows + 1L).toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (probed.count() <= maxRows) broadcast(probed)
+    if (probed.count() <= maxRows) { ProbeRegistry.register(probed); broadcast(probed) }
     else { probed.unpersist(false); df }
   }
+
+  /** Bounded FIFO of live persisted probe/guard frames: callers of
+    * [[broadcastIfUnder]] (and [[SketchOps.overlapMatrix]]'s guard
+    * persist) register here so a long session holds at most [[Cap]]
+    * cached frames instead of one per historical call. Thread-safe;
+    * eviction unpersists non-blocking. */
+  private[graft] object ProbeRegistry {
+    val Cap = 16
+    private val live = new java.util.ArrayDeque[Dataset[_]]()
+    def register(df: Dataset[_]): Unit = {
+      val evict = live.synchronized {
+        live.addLast(df)
+        if (live.size > Cap) Some(live.pollFirst()) else None
+      }
+      evict.foreach(_.unpersist(false))
+    }
+    /** Number of probe frames currently held (spec hook). */
+    def size: Int = live.synchronized(live.size)
+    /** Eagerly unpersist every registered probe frame. */
+    def clear(): Unit = {
+      val all = live.synchronized {
+        val xs = new java.util.ArrayList[Dataset[_]](live)
+        live.clear(); xs
+      }
+      all.forEach(_.unpersist(false))
+    }
+  }
+
+  /** Drop every probe frame [[broadcastIfUnder]]/guards have cached —
+    * the explicit end-of-job cleanup hook for long-lived sessions. */
+  def releaseProbes(): Unit = ProbeRegistry.clear()
 
   /** Money-sum with deterministic, engine-independent result: cast each
     * value to DECIMAL(18,2) (cents), sum exactly, cast back to double.

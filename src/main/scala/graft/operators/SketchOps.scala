@@ -53,21 +53,30 @@ object SketchOps {
     * (r11 measured the unpersisted probe doubling the corpus pass,
     * 1.59× on q_sketch_overlap). On the guard-pass path the cached
     * table is ≤ maxGroups rows of few-KB states — trivially
-    * cacheable; on the guard-FAIL path the persist is dropped before
-    * throwing (the full materialization it paid is the price of a
-    * loud, total failure — an error path, not a hot path).
-    * Pairs with no estimated overlap are dropped. */
+    * cacheable.
+    *
+    * Round-13 guard refinement: the guard itself is a LIMIT probe
+    * (`limit(maxGroups+1).count()`), not a full count. On the PASS
+    * path the two are identical work — a limit that cannot find
+    * maxGroups+1 rows must exhaust (and therefore cache) every
+    * partition of the persisted table, and the matrix join then reads
+    * pure cache. On the FAIL path — the high-cardinality input the
+    * guard exists FOR — the limit short-circuits the reduce side at
+    * maxGroups+1 states instead of materializing and caching the full
+    * unbounded sketch table (GBs of few-KB states on a user-id-like
+    * key) just to learn the number is too big. The map-side pass over
+    * the raw data still runs (any aggregation pays it) but the
+    * failure stays early-terminating, as the r12-pre-fix probe was.
+    * The persisted table is registered in [[Relational.ProbeRegistry]]
+    * so a long session holds a bounded number of guard caches instead
+    * of one per historical call ([[Relational.releaseProbes]] drops
+    * them eagerly). Pairs with no estimated overlap are dropped. */
   def overlapMatrix(df: DataFrame, groupCol: String, value: Column,
       k: Int, outA: String = "group_a", outB: String = "group_b",
       maxGroups: Int = 10000): DataFrame = {
     val sk = sketchTable(df, groupCol, value, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // full count, not a limit probe: a limit would cache only the
-    // partitions it touched and the matrix would re-shuffle the raw
-    // input for the rest — the count IS the guard quantity and it
-    // materializes every partition of the (bounded) sketch table.
-    val g = sk.count()
-    if (g > maxGroups) {
+    if (sk.limit(maxGroups + 1).count() > maxGroups) {
       sk.unpersist(false)
       throw new IllegalArgumentException(
         s"overlapMatrix: groupCol '$groupCol' has more than $maxGroups " +
@@ -75,6 +84,12 @@ object SketchOps {
             maxGroups / 2} rows. Pre-bucket the groups or raise " +
           "maxGroups deliberately.")
     }
+    // Exhaustive materialization for the pass path: the limit probe
+    // above already touched every partition (it ran out of rows), but
+    // an exhausted CollectLimit is not CONTRACTUALLY a full cache —
+    // this count is, and it reads partitions the probe cached for free.
+    sk.count()
+    Relational.ProbeRegistry.register(sk)
     val a = sk.select(col(groupCol).as(outA), col("sketch").as("sk_a"))
     val b = sk.select(col(groupCol).as(outB), col("sketch").as("sk_b"))
     a.join(b, col(outA) < col(outB))

@@ -412,4 +412,45 @@ class RelationalSpec extends SparkSpec {
           s"the cache) - ran ${acc.value / 20.0} times")
     } finally spark.catalog.clearCache()
   }
+
+  test("broadcastIfUnder: persisted probes are BOUNDED per session — " +
+      "N calls hold at most ProbeRegistry.Cap cached frames, evicted " +
+      "FIFO; releaseProbes() drops them all (r12 verdict task #5)") {
+    import spark.implicits._
+    Relational.releaseProbes()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val fact = (1L to 100L).map(i => (i % 10 + 1, i)).toDF("k", "v")
+    val calls = Relational.ProbeRegistry.Cap + 24
+    try {
+      for (i <- 1 to calls) {
+        // distinct lineage per call (the cdcMerge/SCD2 shape: every
+        // invocation gates a NEW diff frame, nothing is plan-reusable)
+        val dim = (1L to 10L).map(_ + i * 1000L).map(k => k % 10 + 1)
+          .toDF("k").distinct()
+        fact.join(Relational.broadcastIfUnder(dim, maxRows = 100), Seq("k"))
+          .count()
+      }
+      assert(Relational.ProbeRegistry.size === Relational.ProbeRegistry.Cap,
+        "registry must cap at Cap live probes")
+      val grown = sc.getPersistentRDDs.size - before
+      assert(grown <= Relational.ProbeRegistry.Cap,
+        s"$calls calls must not grow the cached-RDD set beyond the cap " +
+          s"(grew $grown) - pre-r13 this leaked one persist per call")
+      Relational.releaseProbes()
+      assert(Relational.ProbeRegistry.size === 0)
+      assert(sc.getPersistentRDDs.size <= before,
+        "releaseProbes must drop every registered probe cache")
+    } finally { Relational.releaseProbes(); spark.catalog.clearCache() }
+  }
+
+  test("broadcastIfUnder: refuses maxRows >= Int.MaxValue — the probe " +
+      "cap would otherwise silently truncate the broadcast side") {
+    import spark.implicits._
+    val dim = (1L to 5L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Relational.broadcastIfUnder(dim, maxRows = Int.MaxValue.toLong)
+    }
+    assert(e.getMessage.contains("Int.MaxValue"), e.getMessage)
+  }
 }
