@@ -29,6 +29,11 @@ private[graft] object MultimodalEntries {
     "q_image_dhash" -> (Multimodal.imageDHash _),
     "q_image_neardup" -> ((s, d) =>
       Multimodal.imageNearDupPairs(s, d, materialized = true)),
+    // linear-scale dedup form: distinct-dHash band join + CC, one
+    // canonical asset per transitive near-dup cluster (the pair set is
+    // output-quadratic on duplication-heavy corpora — see scaladoc)
+    "q_image_keep" -> ((s, d) =>
+      Multimodal.imageNearDupKeep(s, d, materialized = true)),
     // REAL audio codec path (JDK javax.sound.sampled WAV): same
     // codec-free-oracle contract as the image family
     "q_audio_meta" -> (Multimodal.audioMeta _),
@@ -89,6 +94,34 @@ private[graft] object MultimodalEntries {
         "a.dhash_hi // 65536 = b.dhash_hi // 65536) " +
         "WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) + " +
         "bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2"),
+    // keep-filter: recursive closure over DISTINCT-hash edges (all-pairs
+    // over distinct hashes is exactly the engine's banded join by the
+    // 4-band pigeonhole), min asset per cluster survives — the oracle
+    // mirrors the hash-level reduction, so it stays cheap even on a
+    // duplication-heavy corpus where the pair oracle is output-quadratic
+    "q_image_keep" ->
+      (imagePxCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s", $imageDHashCte, " +
+        "dh AS (SELECT dhash_hi, dhash_lo, min(asset_id) AS rep " +
+        "FROM hs GROUP BY 1, 2), " +
+        "e AS (SELECT a.rep AS ra, b.rep AS rb FROM dh a JOIN dh b " +
+        "ON a.rep < b.rep AND " +
+        "bit_count(xor(a.dhash_hi, b.dhash_hi)) + " +
+        "bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2), " +
+        "edges AS (SELECT ra AS src, rb AS dst FROM e " +
+        "UNION ALL SELECT rb, ra FROM e), " +
+        "walk(v, u) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT w.v, e2.dst FROM walk w JOIN edges e2 " +
+        "ON e2.src = w.u), " +
+        "comp AS (SELECT v AS rep, least(v, min(u)) AS cl " +
+        "FROM walk GROUP BY v), " +
+        "lab AS (SELECT dh.dhash_hi, dh.dhash_lo, " +
+        "coalesce(c.cl, dh.rep) AS keep_id FROM dh " +
+        "LEFT JOIN comp c ON c.rep = dh.rep) " +
+        "SELECT hs.asset_id, hs.dhash_hi, hs.dhash_lo FROM hs " +
+        "JOIN lab ON lab.dhash_hi = hs.dhash_hi " +
+        "AND lab.dhash_lo = hs.dhash_lo " +
+        "WHERE hs.asset_id = lab.keep_id"),
     // per-frame video stats: frame rule re-derived in SQL (no codec) —
     // the Spark side demuxes the GFV1 container and PNG-decodes every
     // frame for real, so the hash match proves framing + codec exactness

@@ -69,6 +69,33 @@ private[operators] trait DedupSetSim { self: DedupCore =>
     * relaxed by one position: a rescue single may be s2 with one
     * shared token (the hot s1) before it.
     *
+    * SECOND-DECADE HONESTY (round-13, BENCH_sf10_r13.json): the Δ=2
+    * pair path is collision-scaled, and under full DOMAIN SATURATION
+    * the collisions themselves grow with n — the generator twin's
+    * shingle domain is capped at ~28k by its 30-word vocab, so at 500k
+    * docs (100× the gate twin) every pair key's df also grows ∝ n and
+    * the pair-path candidate term Σ C(df_pair, 2) turns quadratic:
+    * measured warm ×2.3 at the first 10× step but ×33 at the second,
+    * build ×2.8 then ×20. Escalating the pigeonhole to Δ=3 triples
+    * multiplies per-doc key rows by the P3 prefix choose-3 (~14× —
+    * worse than the candidates it saves on anything but the most
+    * extreme saturation), and an exact subquadratic set-similarity
+    * join over a saturated fixed domain is not believed to exist (the
+    * all-pairs term is inherent to exactness once every signature
+    * collides). The production guidance is therefore REGIME-BASED:
+    * this operator is the exact-recall path while prefixes stay
+    * discriminative — [[setSimHotTokens]] is the audit that DETECTS
+    * saturation (hot buckets above `maxBucket`) — and under saturation
+    * the scalable near-dup path is MinHash-LSH ([[minHashPairs]]),
+    * whose band keys hash the whole SET (a combinatorial domain that
+    * never saturates): measured FLAT through both decades on the same
+    * twins (warm ×1.0, build ×1.5 at the second decade) with its
+    * recall quantified against this operator's exact output at the
+    * gate. Real 100 TB text corpora sit between the regimes (shingle
+    * domains grow with the crawl, but head tokens do saturate) — the
+    * hotDf demotion handles the head exactly, and the audit tells an
+    * operator when the corpus has left the exact join's envelope.
+    *
     * Shuffle ledger: (1) shingle → document-frequency group-by;
     * (2) rarity join + per-doc sort group-by (doc_id); (3) prefix
     * equi-join on shingle (cold singles) ∪ equi-join on hot token

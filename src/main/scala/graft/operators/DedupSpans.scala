@@ -152,14 +152,32 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     *  - BAG-OF-CHARS LOWER BOUND: one edit changes a character histogram
     *    by at most 2 in L1 (substitute ±1 twice; insert/delete ±1), so
     *    L1(bag_a, bag_b)/2 <= lev(a, b) — for ANY projection of the
-    *    alphabet onto classes. 13 two-letter-class counts are computed
-    *    ONCE per doc (narrow codegen'd regexp arithmetic), and the
-    *    per-pair filter `L1 <= 2·maxDist` is ~40 integer ops that prune
-    *    ~86% of the banded candidates (measured sf0.1) before any DP.
-    *    Exact — a surviving true pair can never be pruned.
+    *    alphabet onto classes. 27 single-letter counts (a–z + space,
+    *    round-13: finer classes only tighten the bound) are packed into
+    *    one BINARY column ONCE per doc, and the per-pair filter
+    *    `L1 <= 2·maxDist` is one static call into a native codegen
+    *    expression ([[graft.functions.CharBagExpression]]) that passes
+    *    only ~3% of the banded candidates to the DP (measured on the
+    *    sf10 twin; the r12 two-letter classes passed 14%). Exact — a
+    *    surviving true pair can never be pruned.
+    *
     *  - THRESHOLDED Levenshtein (`levenshtein(l, r, k)`, Spark >= 3.5):
     *    the DP runs a 2k+1 diagonal band and abandons early, so per-pair
     *    cost is O(len·maxDist), not O(len²).
+    *
+    * SECOND-DECADE HONESTY (round-13, BENCH_sf10_r13.json): the
+    * candidate ENUMERATION itself is Θ(Σ_band n_b²) — with corpus
+    * length diversity fixed (~650 distinct lengths at every SF), the
+    * banded pair count grows ×100 per decade (42M at 50k docs → 4.2B
+    * at 500k), and no exact filter changes what must be enumerated.
+    * The knobs are `maxLenDiff` (narrower band = proportionally fewer
+    * candidates, recall contract unchanged as long as it stays >= the
+    * wanted length gap) and, for pipelines that only need NEAR-dup
+    * pairs rather than the exact edit-threshold set, the SimHash band
+    * path ([[simHashPairs]] — signature keys grow with content, so its
+    * buckets do NOT saturate; measured ×6.5/decade at the same step
+    * where this operator is ×100/decade). This is the same
+    * exact-vs-signature trade the set-similarity family documents.
     *
     * Contract (mirrored by the oracle, where the bag prune is invisible
     * by exactness): pairs with |n_chars diff| <= `maxLenDiff` AND
@@ -171,19 +189,33 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
   def editDistancePairs(spark: SparkSession, dir: String,
       maxLenDiff: Int = 8, maxDist: Int = 16): DataFrame = {
     require(maxLenDiff >= 1, "maxLenDiff must be >= 1")
-    // the bag counts are 13 SCALAR columns (not an array): the per-pair
-    // L1 stays plain codegen'd integer arithmetic — zip_with/aggregate
-    // lambdas are interpreted per row and measured 3× the DP itself.
-    // Scanned from the build-once bag table ([[materializeBagTable]]) so
-    // (a) the 13 regexp passes run once per corpus, not once per query,
-    // and (b) CollapseProject can't substitute them into the post-join
-    // filter (recomputed PER PAIR when it does — measured 10×).
+    // the bag is ONE packed BINARY column probed by a native codegen
+    // expression (round-13; see [[graft.functions.CharBagExpression]]):
+    // the per-pair L1 is a single static call into a 27-lane byte loop.
+    // The r12 form (13 scalar class columns, inline abs-sum) was the
+    // most WholeStageCodegen could carry — widening it to 27 columns
+    // for the sharper bound blew the fused consume() past the JIT
+    // budget and the join ran deoptimized (measured 5.4 s → 133 s at
+    // sf1); the packed form gets the sharper bound AND compact
+    // generated code. Scanned from the build-once bag table
+    // ([[materializeBagTable]]) so the histogram pass runs once per
+    // corpus, not once per query, and CollapseProject can't substitute
+    // it into the post-join filter (recomputed PER PAIR when it does).
     val base = spark.read.parquet(materializeBagTable(spark, dir))
-    def side(suffix: String): DataFrame = base.select(
-      Seq(col("doc_id").as(s"doc_$suffix"),
-        col("text").as(s"text_$suffix"),
-        col("n_chars").as(s"len_$suffix")) ++
-      (0 until BagClasses.length).map(i => col(s"c$i").as(s"c$i$suffix")): _*)
+    // NARROW ENUMERATION (round-13): the banded self-join carries only
+    // (doc_id, len, bag) — texts join back AFTER the bag prune. The r12
+    // shape carried both 500 B texts through the join, and at sf10 the
+    // 4.2B joined rows made the SMJ's buffered-row copying the dominant
+    // term (~1.2 KB memcpy per candidate dwarfs the ~200 byte-ops bag
+    // probe); candidates are enumeration-bound, so shrinking the row is
+    // the only lever that scales with them. Survivors (≈0.1–3% of
+    // candidates, see the bag sections' measured rates) pay two keyed
+    // joins back to the text column and ONE banded DP each.
+    val slim = base.select(col("doc_id"), col("n_chars"), col("bag"))
+    def side(suffix: String): DataFrame = slim.select(
+      col("doc_id").as(s"doc_$suffix"),
+      col("n_chars").as(s"len_$suffix"),
+      col("bag").as(s"bag_$suffix"))
     val da = side("a")
     val db = side("b")
     val bktA = floor(col("len_a") / lit(maxLenDiff)).cast("long")
@@ -191,44 +223,46 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
       explode(array(bktA - 1, bktA, bktA + 1)))
     val b = db.withColumn("bkt",
       floor(col("len_b") / lit(maxLenDiff)).cast("long"))
-    val l1 = (0 until BagClasses.length).map(i =>
-      abs(col(s"c${i}a") - col(s"c${i}b"))).reduce(_ + _)
-    // the DP is GUARDED by the bag bound inside a CASE WHEN: conjunctive
-    // filters get merged and reordered by the optimizer (measured: the
-    // DP ran on every banded candidate), but CASE branches are lazy in
-    // codegen, so the expensive branch runs only on bag-surviving pairs
-    a.join(b, Seq("bkt"))
+    val bagOk = graft.functions.CharBagExpression
+      .withinCol(col("bag_a"), col("bag_b"), maxDist)
+    val survivors = a.join(b, Seq("bkt"))
       .filter(col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= maxLenDiff)
+        abs(col("len_a") - col("len_b")) <= maxLenDiff && bagOk)
+      .select(col("doc_a"), col("doc_b"))
+    survivors
+      .join(base.select(col("doc_id").as("doc_a"),
+        col("text").as("text_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        when(l1 <= 2 * maxDist,
-          levenshtein(col("text_a"), col("text_b"), maxDist))
-          .otherwise(lit(-1)).cast("long").as("edit_dist"))
+        levenshtein(col("text_a"), col("text_b"), maxDist)
+          .cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
-  /** The 13 two-letter character classes of the bag-of-chars bound. */
-  private val BagClasses: Seq[String] = (0 until 13).map(i =>
-    s"[${('a' + i * 2).toChar}${('a' + i * 2 + 1).toChar}]")
-
-  /** Session registry of materialized bag tables: (doc_id, text, n_chars,
-    * c0..c12) written once per corpus — the edit-distance analogue of
-    * [[materializeSignatures]] (texts ride along because the DP verify
-    * needs them; at 100 TB this is the staged artifact an edit-dedup
-    * pass reads instead of re-deriving histograms per run). */
+  /** Session registry of materialized bag tables: (doc_id, text,
+    * n_chars, bag BINARY(54)) written once per corpus — the
+    * edit-distance analogue of [[materializeSignatures]] (texts ride
+    * along because the DP verify needs them; at 100 TB this is the
+    * staged artifact an edit-dedup pass reads instead of re-deriving
+    * histograms per run). The bag packs 27 single-character counts
+    * (a–z + space, 2 B each): finer classes than r12's 13 two-letter
+    * ones can only TIGHTEN the L1 lower bound (merging classes lets
+    * opposite-sign deltas cancel), so they prune strictly more while
+    * staying exact — measured on the 500k-doc sf10 twin (10% sample,
+    * 42M banded candidates): two-letter classes passed 14.4% of
+    * candidates to the DP, single-letter classes pass 3.2%. Built by
+    * ONE streaming char scan per doc ([[graft.functions
+    * .CharBagExpression]]) instead of 27 regexp passes. */
   private val bagCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def materializeBagTable(spark: SparkSession, dir: String): String =
     bagCache.computeIfAbsent(dir, { _ =>
       val path = java.nio.file.Files.createTempDirectory("edit_bags").toString
-      val cols = BagClasses.zipWithIndex.map { case (cls, i) =>
-        (length(col("text")) -
-          length(regexp_replace(col("text"), cls, ""))).cast("int")
-          .as(s"c$i")
-      }
       docs(spark, dir)
-        .select(Seq(col("doc_id"), col("text"), col("n_chars")) ++ cols: _*)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          graft.functions.CharBagExpression.bagCol(col("text")).as("bag"))
         .write.mode("overwrite").parquet(path)
       path
     })

@@ -540,7 +540,17 @@ object Multimodal {
     * On the synthetic corpus the pixel rule is periodic — assets with
     * id ≡ id' (mod 256) and equal dims are pixel-IDENTICAL (planted
     * exact-dup clusters, hamming 0); the default threshold keeps the
-    * result to those plus genuinely-near neighbors. */
+    * result to those plus genuinely-near neighbors.
+    *
+    * SECOND-DECADE HONESTY (round-13, BENCH_sf10_r13.json): on a
+    * duplication-heavy corpus the PAIR SET ITSELF is quadratic —
+    * the 256-image-periodic twin has ~n²/512 true pairs, so this
+    * operator measured ×92/decade at the second 10× step while doing
+    * nothing wrong (it is OUTPUT-bound; no algorithm emits Θ(n²) rows
+    * in o(n²)). Pipelines that want "drop the copies" rather than the
+    * pair ledger should use [[imageNearDupKeep]], which reduces to
+    * DISTINCT dHashes before any join and measured FLAT (~2.5 s) at
+    * the same step where this operator takes 440 s. */
   def imageNearDupPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 2, materialized: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
@@ -577,5 +587,67 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("asset_a", "asset_b")
+  }
+
+  /** Image dedup KEEP-filter — the linear-scale form of image near-dup
+    * (round-13, motivated by BENCH_sf10_r13.json): one canonical asset
+    * (min asset_id) survives per TRANSITIVE near-dup cluster; assets
+    * with no near-dup pass through untouched.
+    *
+    * Why this exists next to [[imageNearDupPairs]]: the pair
+    * materialization is OUTPUT-bound — on a corpus with heavy exact
+    * duplication (the generator twin has ≤ 256 distinct images by
+    * construction, so ~n²/512 true pairs; real crawls have the same
+    * shape around logo/banner assets) the pair set itself grows Θ(n²)
+    * and NO algorithm returns it in linear time. A pipeline that only
+    * needs "drop the copies" should never enumerate the pairs: this
+    * operator aggregates to DISTINCT dHashes first (d = content
+    * diversity, independent of corpus size), runs the band join + CC
+    * on those d rows, and joins the ≤ d cluster labels back — every
+    * per-asset step is a narrow keyed shuffle or broadcast, the
+    * quadratic term is bounded by d², and the output is ≤ n rows.
+    * Same cluster semantics as pairs→CC at the asset level: same-hash
+    * assets are Hamming-0 near-dups (one survivor), and hash-level
+    * edges reach exactly the asset pairs the band join finds (the
+    * dHash is the asset's whole signature). */
+  def imageNearDupKeep(spark: SparkSession, dir: String,
+      maxHamming: Int = 2, materialized: Boolean = true): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming: with 4 bands the pigeonhole recall " +
+        "guarantee only holds for maxHamming <= 3")
+    val hashes =
+      if (materialized) spark.read.parquet(materializeDHashIndex(spark, dir))
+      else imageDHash(spark, dir).localCheckpoint()
+    // one row per DISTINCT hash; rep = min asset of the hash class is
+    // unique across classes (an asset has exactly one hash)
+    val dh = hashes.groupBy("dhash_hi", "dhash_lo")
+      .agg(min(col("asset_id")).as("rep"))
+    val banded = dh
+      .select(col("rep"), col("dhash_hi"), col("dhash_lo"),
+        explode(dHashBands(col("dhash_hi"), col("dhash_lo"))).as("bk"))
+      .select(col("rep"), col("dhash_hi"), col("dhash_lo"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val l = banded.select(col("band"), col("band_key"),
+      col("rep").as("rep_a"), col("dhash_hi").as("hi_a"),
+      col("dhash_lo").as("lo_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("rep").as("rep_b"), col("dhash_hi").as("hi_b"),
+      col("dhash_lo").as("lo_b"))
+    val edges = l.join(r, Seq("band", "band_key"))
+      .filter(col("rep_a") < col("rep_b") &&
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))) <= maxHamming)
+      .select(col("rep_a"), col("rep_b"))
+      .dropDuplicates("rep_a", "rep_b")
+    // CC over <= d hash-nodes; cluster_id = min reachable rep = the
+    // cluster's min asset_id (reps are the per-hash min assets)
+    val cc = Dedup.connectedComponents(edges, aCol = "rep_a", bCol = "rep_b")
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    val labels = dh.join(cc, Seq("rep"), "left")
+      .select(col("dhash_hi"), col("dhash_lo"),
+        coalesce(col("cluster_id"), col("rep")).as("keep_id"))
+    hashes.join(labels, Seq("dhash_hi", "dhash_lo"))
+      .filter(col("asset_id") === col("keep_id"))
+      .select(col("asset_id"), col("dhash_hi"), col("dhash_lo"))
   }
 }

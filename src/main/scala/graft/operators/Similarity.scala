@@ -144,7 +144,7 @@ object Similarity {
 
   def clearEmbeddingCountCache(): Unit = embCountCache.clear()
 
-  private def resolvePlanes(spark: SparkSession, dir: String,
+  private[graft] def resolvePlanes(spark: SparkSession, dir: String,
       numPlanes: Int, targetBucket: Int = 250): Int =
     if (numPlanes == AutoPlanes)
       planesFor(embeddingCount(spark, dir), targetBucket)

@@ -243,4 +243,29 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.clearDHashCache()
     assert(!new java.io.File(p1).exists())
   }
+
+  test("imageNearDupKeep == asset-level CC over the pair operator: one " +
+      "min-id survivor per transitive cluster, singletons untouched, " +
+      "and the quadratic side lives on DISTINCT hashes only") {
+    try {
+      val pairs = Multimodal.imageNearDupPairs(spark, sfDir,
+        maxHamming = 2, materialized = true)
+      val assets = Multimodal.imageDHash(spark, sfDir)
+        .select("asset_id").collect().map(_.getLong(0)).toSet
+      // reference: asset-level CC, drop non-min members
+      val labels = Dedup.connectedComponents(pairs,
+          aCol = "asset_a", bCol = "asset_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = assets.filter(a => labels.getOrElse(a, a) == a)
+      val got = Multimodal.imageNearDupKeep(spark, sfDir)
+        .select("asset_id").collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+      // scale shape: no cartesian/BNLJ anywhere in the keep plan
+      val plan = Multimodal.imageNearDupKeep(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally Multimodal.clearDHashCache()
+  }
 }
