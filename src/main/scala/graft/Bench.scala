@@ -12,7 +12,16 @@ object Bench {
   /** Deterministic write+read job: 2M rows of (id, hash, 64-char
     * string) written to a fresh parquet dir, read back and aggregated.
     * Everything derives from xxhash64(id) — byte-identical data every
-    * call — so the only variance is the host's IO/persist path. */
+    * call — so the only variance is the host's IO/persist path.
+    *
+    * The read-back leg COLLECTS the aggregate row and requires on its
+    * values (round-14 advice fix): the previous `.agg(...).count()`
+    * let the optimizer prune the unused aggregate expressions and
+    * read zero parquet columns, degrading the "read back" half to a
+    * footer scan. `bit_xor(h)` forces the hash column's decode
+    * without overflow semantics, `sum(length(s))` forces the string
+    * bytes (2M × 64 = 128,000,000 — the require fails loudly if the
+    * decode is ever pruned again). */
   def ioSentinel(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val dir = "target/bench_io_sentinel.parquet"
@@ -22,9 +31,11 @@ object Bench {
         sha2(conv(pmod(xxhash64(col("id"), lit(7)), lit(1000000007L))
           .cast("string"), 10, 16), 256).as("s"))
       .write.mode("overwrite").parquet(dir)
-    val n = spark.read.parquet(dir)
-      .agg(sum(col("h")), count(col("s"))).count()
-    require(n == 1)
+    val r = spark.read.parquet(dir)
+      .agg(expr("bit_xor(h)").as("xh"), sum(length(col("s"))).as("sl"))
+      .collect()(0)
+    require(!r.isNullAt(0) && r.getLong(1) == 128000000L,
+      s"ioSentinel read-back decoded wrong bytes: $r")
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -67,6 +78,30 @@ object Bench {
     // map the cold-vs-warm analysis needs: bench_build_costs.json holds
     // rep0 seconds per query; rep0 − warm-min ≈ that query's build-once
     // share.
+    // Ledger-degradation guard (round-13 verdict task #3, extended to
+    // ALL three artifacts in round 14 per advice): if the committed
+    // medians ledger at this prefix holds MORE reps than this run, the
+    // whole artifact TRIO (medians, queries_full, build_costs) goes to
+    // rep-suffixed siblings — the r13 rule protected only the medians
+    // file, so an n=3 gate run still clobbered the n=9 full-samples
+    // and build-cost ledgers it was meant to preserve.
+    val degradeSuffix: String = {
+      val p = java.nio.file.Paths.get(s"${prefix}_medians.json")
+      val existingN =
+        if (!java.nio.file.Files.exists(p)) 0
+        else {
+          val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          """"n":(\d+)""".r.findAllMatchIn(body)
+            .map(_.group(1).toInt).foldLeft(0)(math.max)
+        }
+      if (existingN > Reps) {
+        System.err.println(s"[bench] ${prefix}_medians.json holds an " +
+          s"n=$existingN ledger > this run's n=$Reps - writing all " +
+          s"artifacts with suffix _n$Reps (refusing to degrade the " +
+          "committed ledgers)")
+        s"_n$Reps"
+      } else ""
+    }
     val buildCosts = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -77,7 +112,7 @@ object Bench {
       name -> dt
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"${prefix}_build_costs.json"),
+      java.nio.file.Paths.get(s"${prefix}_build_costs$degradeSuffix.json"),
       buildCosts.sortBy { case (_, v) => -v }
         .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
         .mkString("{", ",", "}").getBytes("UTF-8"))
@@ -149,7 +184,7 @@ object Bench {
     val fullJson = sorted.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"${prefix}_queries_full.json"),
+      java.nio.file.Paths.get(s"${prefix}_queries_full$degradeSuffix.json"),
       fullJson.getBytes("UTF-8"))
     // Median ledger: per-query median + spread across the interleaved
     // passes — the drift detector PLANS.md band claims cite, instead of
@@ -167,29 +202,12 @@ object Bench {
       else s""""$k":{"med":${fmt(median(xs))},"min":${fmt(xs.min)},""" +
         s""""max":${fmt(xs.max)},"n":${xs.size}}"""
     }.mkString("{", ",", "}")
-    // Ledger-degradation guard (round-13, verdict task #3): the driver's
-    // gate run (n=3, default prefix) clobbered the committed n=9 medians
-    // ledger two rounds running. If an existing medians file at this
-    // path holds MORE reps than this run, this run's medians go to a
-    // rep-suffixed sibling and the richer ledger stays byte-identical.
-    val mediansPath = {
-      val p = java.nio.file.Paths.get(s"${prefix}_medians.json")
-      val existingN =
-        if (!java.nio.file.Files.exists(p)) 0
-        else {
-          val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          """"n":(\d+)""".r.findAllMatchIn(body)
-            .map(_.group(1).toInt).foldLeft(0)(math.max)
-        }
-      if (existingN > Reps) {
-        val alt = java.nio.file.Paths.get(s"${prefix}_medians_n$Reps.json")
-        System.err.println(s"[bench] ${prefix}_medians.json holds an " +
-          s"n=$existingN ledger > this run's n=$Reps - writing to $alt " +
-          "instead (refusing to degrade the committed ledger)")
-        alt
-      } else p
-    }
-    java.nio.file.Files.write(mediansPath, mediansJson.getBytes("UTF-8"))
+    // medians ledger honors the same degradation suffix decided above
+    // (before the build pass), so a low-rep run never clobbers ANY of
+    // the committed high-rep artifacts.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${prefix}_medians$degradeSuffix.json"),
+      mediansJson.getBytes("UTF-8"))
     val ioMed = if (ioSamples.isEmpty) -1.0 else median(ioSamples.toList)
     val ioRatio = if (ioMed > 0) ioMed / IoSentinelR13 else -1.0
     val LineBudget = 1600

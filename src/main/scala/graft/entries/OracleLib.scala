@@ -113,11 +113,14 @@ private[graft] object OracleLib {
     *    DOUBLE is bit-identical.
     *  - pairs sharing NO shingle are absent from `cand` — they have
     *    jaccard 0 < 0.5, so dropping them is exact.
-    *  - the size band `n ≤ 2·m+1` is implied by the threshold: passing
-    *    requires round(inter/union,4) ≥ 0.5 ⇒ inter/union ≥ 0.49995,
-    *    and inter ≤ min, union ≥ max ⇒ max ≤ min/0.49995 < 2·min+1 for
-    *    any min ≤ 4999 (doc shingle counts are ≤ ~100 at every SF; the
-    *    +1 adds slack anyway, and the exact WHERE re-checks survivors).
+    *  - the size band is derived from the threshold in EXACT INTEGER
+    *    form (round-14 advice fix — the old `n ≤ 2·m+1` form silently
+    *    assumed shingle counts ≤ ~5000): passing requires
+    *    round(inter/union,4) ≥ 0.5 ⇒ inter/union ≥ 0.49995, and
+    *    inter ≤ min, union ≥ max ⇒ 49995·max ≤ 100000·min; the band
+    *    adds +100000 slack (one whole shingle) on top, and the exact
+    *    WHERE re-checks every survivor, so the band can only ever be
+    *    loose, never lossy — at ANY future doc size.
     * Cost: Σ_g df(g)² within the band instead of n²·|sh| list
     * intersections — measured 5.8 s vs >120 s on the 50k-doc sf1 twin,
     * same 2 560 pairs. */
@@ -126,7 +129,8 @@ private[graft] object OracleLib {
       "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "max(a.n) AS na, max(b.n) AS nb, count(*) AS inter " +
       "FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id " +
-      "AND a.n <= 2 * b.n + 1 AND b.n <= 2 * a.n + 1 " +
+      "AND a.n * 49995 <= b.n * 100000 + 100000 " +
+      "AND b.n * 49995 <= a.n * 100000 + 100000 " +
       "GROUP BY 1, 2), " +
       "pairs AS (SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / " +
       "CAST(na + nb - inter AS DOUBLE), 4) AS jaccard FROM cand " +

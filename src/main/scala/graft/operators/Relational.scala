@@ -57,18 +57,24 @@ object Relational {
     * join TOCTOU for non-deterministic lineages: the joined rows are
     * the counted rows.
     *
-    * LIFECYCLE (round-13 fix): each hinted call used to leave its
-    * persisted probe cached for the life of the session — bounded per
-    * call but unbounded per SESSION (cdcMerge/SCD2 call this per
-    * invocation; a long-lived service accumulates MEMORY_AND_DISK
-    * blocks with no release). Hinted probes are now registered in a
-    * bounded FIFO ([[ProbeRegistry]]): beyond [[ProbeRegistry.Cap]]
-    * live probes the oldest is unpersisted. Evicting early is SAFE —
-    * unpersist only drops the cache; a consumer that somehow still
-    * needs the frame recomputes its lineage (Spark's contract) — and
-    * callers consume the broadcast immediately after hinting, so in
-    * practice eviction only ever touches already-consumed probes.
-    * [[releaseProbes]] drops everything eagerly (end-of-job hook). */
+    * LIFECYCLE (round-13 fix, round-14 consumption tracking): each
+    * hinted call used to leave its persisted probe cached for the life
+    * of the session — bounded per call but unbounded per SESSION
+    * (cdcMerge/SCD2 call this per invocation; a long-lived service
+    * accumulates MEMORY_AND_DISK blocks with no release). Hinted
+    * probes are registered in [[ProbeRegistry]], which evicts beyond
+    * [[ProbeRegistry.Cap]] live probes — but ONLY probes that have
+    * been CONSUMED (observed inside a completed query, via a
+    * QueryExecutionListener). The r13 FIFO evicted at hint time, so
+    * >Cap hinted-but-not-yet-executed frames in one plan could
+    * unpersist a probe before its join ran; for a non-deterministic
+    * lineage the recomputed `limit(maxRows+1)` frame could then
+    * silently truncate — reopening the exact TOCTOU the persist
+    * exists to close. Unconsumed probes are never silently dropped:
+    * past [[ProbeRegistry.HardCap]] the oldest is evicted with a loud
+    * stderr warning naming the recompute risk (unbounded cache growth
+    * in a long-lived service is also an incident). [[releaseProbes]]
+    * drops everything eagerly (end-of-job hook). */
   def broadcastIfUnder(df: DataFrame, maxRows: Long = 4000000L): DataFrame = {
     // maxRows >= Int.MaxValue would cap the probe at Int.MaxValue rows:
     // count() == cap would "pass" the gate while the truncated frame
@@ -80,34 +86,147 @@ object Relational {
         "could silently truncate the broadcast side.")
     val probed = df.limit((maxRows + 1L).toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (probed.count() <= maxRows) { ProbeRegistry.register(probed); broadcast(probed) }
-    else { probed.unpersist(false); df }
+    if (ProbeRegistry.gateCount(probed) <= maxRows) {
+      ProbeRegistry.register(probed); broadcast(probed)
+    } else { probed.unpersist(false); df }
   }
 
-  /** Bounded FIFO of live persisted probe/guard frames: callers of
+  /** Registry of live persisted probe/guard frames: callers of
     * [[broadcastIfUnder]] (and [[SketchOps.overlapMatrix]]'s guard
-    * persist) register here so a long session holds at most [[Cap]]
-    * cached frames instead of one per historical call. Thread-safe;
-    * eviction unpersists non-blocking. */
+    * persist) register here so a long session holds a bounded number
+    * of cached frames instead of one per historical call.
+    *
+    * CONSUMPTION-AWARE EVICTION (round-14 advice fix): a probe frame
+    * is persisted precisely so the rows the gate COUNTED are the rows
+    * the join CONSUMES (the non-deterministic-lineage TOCTOU). A
+    * session-level QueryExecutionListener marks a probe consumed the
+    * first time a completed query's analyzed plan contains the
+    * probe's plan as a subtree — the probe's own gate count is
+    * excluded by tagging its aggregate output [[GateTag]]. Eviction
+    * beyond [[Cap]] removes the oldest CONSUMED probe only (once
+    * consumed, an evicted probe's recompute can no longer change any
+    * result the caller already holds... the residual exposure — a
+    * caller re-running the SAME returned frame after eviction — is
+    * Spark's ordinary recompute contract and was never covered);
+    * unconsumed probes are kept even above Cap, with a [[HardCap]]
+    * forced-eviction backstop that WARNS loudly, because a plan
+    * holding >HardCap unconsumed persisted probes is itself a leak.
+    * Thread-safe; eviction unpersists non-blocking. */
   private[graft] object ProbeRegistry {
     val Cap = 16
-    private val live = new java.util.ArrayDeque[Dataset[_]]()
-    def register(df: Dataset[_]): Unit = {
-      val evict = live.synchronized {
-        live.addLast(df)
-        if (live.size > Cap) Some(live.pollFirst()) else None
-      }
-      evict.foreach(_.unpersist(false))
+    val HardCap = 64
+    /** Output name tagging a probe's own gate count so the listener
+      * never mistakes the gate for a consumer. */
+    val GateTag = "__graft_probe_gate"
+    private final class Entry(
+        val df: Dataset[_],
+        val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+      @volatile var consumed = false
     }
+    private val live = new java.util.ArrayDeque[Entry]()
+    private val hooked = new java.util.WeakHashMap[SparkSession, AnyRef]()
+
+    /** Count a probe frame through a GateTag-named aggregate: rows
+      * reach the caller like `count()`, but the listener can tell this
+      * gate apart from a real consumer of the probe's lineage. */
+    def gateCount(df: Dataset[_]): Long =
+      df.groupBy().agg(count(lit(1)).as(GateTag)).collect()(0).getLong(0)
+
+    def register(df: Dataset[_]): Unit = {
+      ensureListener(df.sparkSession)
+      val e = new Entry(df, df.queryExecution.analyzed)
+      val (evicted, after) = live.synchronized {
+        live.addLast(e)
+        (evictEligibleLocked(), live.size)
+      }
+      evicted.foreach(_.df.unpersist(false))
+      val forced = evicted.count(!_.consumed)
+      if (after > Cap || forced > 0)
+        System.err.println(s"[graft] ProbeRegistry holds $after live " +
+          s"probe frames (Cap=$Cap) because the oldest are not yet " +
+          "consumed - they will be evicted on first consumption" +
+          (if (forced > 0) s"; HardCap=$HardCap exceeded, force-evicted " +
+            s"$forced UNCONSUMED probe(s) (a later consumer recomputes " +
+            "lineage and may see different rows on non-deterministic " +
+            "input)"
+          else ""))
+    }
+
+    /** Evict, while size > Cap, oldest consumed entries; then, while
+      * size > HardCap, oldest entries regardless. Call under `live`
+      * lock; returns what to unpersist (outside the lock). */
+    private def evictEligibleLocked(): List[Entry] = {
+      val out = collection.mutable.ListBuffer.empty[Entry]
+      var removed = true
+      while (live.size > Cap && removed) {
+        removed = false
+        val it = live.iterator()
+        while (it.hasNext && !removed) {
+          val e = it.next()
+          if (e.consumed) { it.remove(); out += e; removed = true }
+        }
+      }
+      while (live.size > HardCap) out += live.pollFirst()
+      out.toList
+    }
+
+    private def ensureListener(spark: SparkSession): Unit =
+      hooked.synchronized {
+        if (!hooked.containsKey(spark)) {
+          spark.listenerManager.register(
+            new org.apache.spark.sql.util.QueryExecutionListener {
+              override def onSuccess(funcName: String,
+                  qe: org.apache.spark.sql.execution.QueryExecution,
+                  durationNs: Long): Unit = markConsumed(qe)
+              override def onFailure(funcName: String,
+                  qe: org.apache.spark.sql.execution.QueryExecution,
+                  exception: Exception): Unit = ()
+            })
+          hooked.put(spark, java.lang.Boolean.TRUE)
+        }
+      }
+
+    /** Listener body: any completed query whose analyzed plan contains
+      * a live probe's plan marks that probe consumed (gate counts are
+      * excluded by [[GateTag]]); newly-eligible evictions then restore
+      * the Cap. Defensive: a listener must never throw. */
+    private def markConsumed(
+        qe: org.apache.spark.sql.execution.QueryExecution): Unit = try {
+      val out = qe.analyzed.output
+      if (out.length == 1 && out.head.name == GateTag) return
+      val pending = live.synchronized {
+        val xs = new java.util.ArrayList[Entry]()
+        live.forEach(e => if (!e.consumed) xs.add(e))
+        xs
+      }
+      if (pending.isEmpty) return
+      var any = false
+      pending.forEach { e =>
+        if (qe.analyzed.exists(p => p.sameResult(e.plan))) {
+          e.consumed = true; any = true
+        }
+      }
+      if (any) {
+        val evicted = live.synchronized(evictEligibleLocked())
+        evicted.foreach(_.df.unpersist(false))
+      }
+    } catch { case _: Throwable => () }
+
     /** Number of probe frames currently held (spec hook). */
     def size: Int = live.synchronized(live.size)
+    /** Number of held frames already marked consumed (spec hook). */
+    def consumedCount: Int = {
+      var n = 0
+      live.synchronized(live.forEach(e => if (e.consumed) n += 1))
+      n
+    }
     /** Eagerly unpersist every registered probe frame. */
     def clear(): Unit = {
       val all = live.synchronized {
-        val xs = new java.util.ArrayList[Dataset[_]](live)
+        val xs = new java.util.ArrayList[Entry](live)
         live.clear(); xs
       }
-      all.forEach(_.unpersist(false))
+      all.forEach(_.df.unpersist(false))
     }
   }
 

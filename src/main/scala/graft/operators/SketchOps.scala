@@ -76,7 +76,13 @@ object SketchOps {
       maxGroups: Int = 10000): DataFrame = {
     val sk = sketchTable(df, groupCol, value, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (sk.limit(maxGroups + 1).count() > maxGroups) {
+    // both counts below go through gateCount (round-14): a plain
+    // count() would be seen by the ProbeRegistry listener as a
+    // CONSUMER of the sketch table, marking it eviction-eligible
+    // before the caller's matrix join ever runs — reopening the r11
+    // double-scan regression the persist exists to close.
+    if (Relational.ProbeRegistry.gateCount(sk.limit(maxGroups + 1))
+        > maxGroups) {
       sk.unpersist(false)
       throw new IllegalArgumentException(
         s"overlapMatrix: groupCol '$groupCol' has more than $maxGroups " +
@@ -88,7 +94,7 @@ object SketchOps {
     // above already touched every partition (it ran out of rows), but
     // an exhausted CollectLimit is not CONTRACTUALLY a full cache —
     // this count is, and it reads partitions the probe cached for free.
-    sk.count()
+    Relational.ProbeRegistry.gateCount(sk)
     Relational.ProbeRegistry.register(sk)
     val a = sk.select(col(groupCol).as(outA), col("sketch").as("sk_a"))
     val b = sk.select(col(groupCol).as(outB), col("sketch").as("sk_b"))

@@ -413,9 +413,18 @@ class RelationalSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  /** Poll until `cond` holds — consumption marking rides the async
+    * QueryExecutionListener bus, so registry state is eventually
+    * consistent with completed actions, never instantly. */
+  private def awaitProbes(cond: => Boolean, ms: Long = 20000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
   test("broadcastIfUnder: persisted probes are BOUNDED per session — " +
-      "N calls hold at most ProbeRegistry.Cap cached frames, evicted " +
-      "FIFO; releaseProbes() drops them all (r12 verdict task #5)") {
+      "N consumed calls settle at <= ProbeRegistry.Cap cached frames; " +
+      "releaseProbes() drops them all (r12 verdict task #5)") {
     import spark.implicits._
     Relational.releaseProbes()
     val sc = spark.sparkContext
@@ -431,8 +440,12 @@ class RelationalSpec extends SparkSpec {
         fact.join(Relational.broadcastIfUnder(dim, maxRows = 100), Seq("k"))
           .count()
       }
-      assert(Relational.ProbeRegistry.size === Relational.ProbeRegistry.Cap,
-        "registry must cap at Cap live probes")
+      // every probe above was consumed by its join's count(); once the
+      // listener processes those events the registry trims to Cap
+      assert(awaitProbes(
+        Relational.ProbeRegistry.size <= Relational.ProbeRegistry.Cap),
+        s"registry must settle at <= Cap live probes once consumed " +
+          s"(held ${Relational.ProbeRegistry.size})")
       val grown = sc.getPersistentRDDs.size - before
       assert(grown <= Relational.ProbeRegistry.Cap,
         s"$calls calls must not grow the cached-RDD set beyond the cap " +
@@ -441,6 +454,56 @@ class RelationalSpec extends SparkSpec {
       assert(Relational.ProbeRegistry.size === 0)
       assert(sc.getPersistentRDDs.size <= before,
         "releaseProbes must drop every registered probe cache")
+    } finally { Relational.releaseProbes(); spark.catalog.clearCache() }
+  }
+
+  test("ProbeRegistry: hinted-but-UNCONSUMED probes are never evicted " +
+      "at hint time — consumption, not registration order, makes a " +
+      "probe eviction-eligible, and the probe's own gate count does " +
+      "not count as consumption (r13 advice, TOCTOU reopen)") {
+    import spark.implicits._
+    Relational.releaseProbes()
+    val fact = (1L to 100L).map(i => (i % 10 + 1, i)).toDF("k", "v")
+    val n = Relational.ProbeRegistry.Cap + 4
+    try {
+      val joins = (1 to n).map { i =>
+        val dim = (1L to 10L).map(_ + i * 1000L).map(k => k % 10 + 1)
+          .toDF("k").distinct()
+        fact.join(Relational.broadcastIfUnder(dim, maxRows = 100), Seq("k"))
+      }
+      // nothing consumed yet: the r13 FIFO would have evicted 4 probes
+      // here, reopening the recompute TOCTOU for their pending joins
+      Thread.sleep(500) // let any stray listener events drain
+      assert(Relational.ProbeRegistry.size === n,
+        s"all $n unconsumed probes must stay cached " +
+          s"(held ${Relational.ProbeRegistry.size})")
+      assert(Relational.ProbeRegistry.consumedCount === 0,
+        "the gate count must not mark its own probe consumed")
+      // consume them all — every pending join still sees its cached probe
+      joins.foreach(j => assert(j.count() === 100L))
+      assert(awaitProbes(
+        Relational.ProbeRegistry.size <= Relational.ProbeRegistry.Cap),
+        s"after consumption the registry must trim to Cap " +
+          s"(held ${Relational.ProbeRegistry.size})")
+    } finally { Relational.releaseProbes(); spark.catalog.clearCache() }
+  }
+
+  test("ProbeRegistry: HardCap backstop force-evicts (loudly) rather " +
+      "than letting unconsumed probes grow a long session unboundedly") {
+    import spark.implicits._
+    Relational.releaseProbes()
+    val fact = (1L to 100L).map(i => (i % 10 + 1, i)).toDF("k", "v")
+    val n = Relational.ProbeRegistry.HardCap + 3
+    try {
+      for (i <- 1 to n) {
+        val dim = (1L to 10L).map(_ + i * 1000L).map(k => k % 10 + 1)
+          .toDF("k").distinct()
+        Relational.broadcastIfUnder(dim, maxRows = 100)
+      }
+      assert(Relational.ProbeRegistry.size <=
+        Relational.ProbeRegistry.HardCap,
+        s"registry must never exceed HardCap " +
+          s"(held ${Relational.ProbeRegistry.size})")
     } finally { Relational.releaseProbes(); spark.catalog.clearCache() }
   }
 
