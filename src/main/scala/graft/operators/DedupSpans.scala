@@ -202,6 +202,17 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     // corpus, not once per query, and CollapseProject can't substitute
     // it into the post-join filter (recomputed PER PAIR when it does).
     val base = spark.read.parquet(materializeBagTable(spark, dir))
+    // PRE-FLIGHT CANDIDATE GUARD (round-14, verdict task #2): the
+    // banded enumeration below is Θ(Σ_band n_b²) and was MEASURED
+    // quadratic at the second decade (warm ×99.5 at ×10 data,
+    // BENCH_sf10_r14.json) — this one map-side pass prices the join
+    // from the length histogram and refuses the saturated regime in
+    // the first second instead of minute nine.
+    PairGuard.check(spark, "editDistancePairs",
+      editCandidateEstimate(spark, dir, maxLenDiff),
+      "simHashPairs (signature bands grow with content - measured " +
+        "x6.5/decade where this operator is x100/decade) or a tighter " +
+        "maxLenDiff")
     // NARROW ENUMERATION (round-13): the banded self-join carries only
     // (doc_id, len, bag) — texts join back AFTER the bag prune. The r12
     // shape carried both 500 B texts through the join, and at sf10 the
@@ -239,6 +250,36 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
           .cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
+
+  /** Per-(dir, maxLenDiff) cache of [[editCandidateEstimate]] — the
+    * guard costs one histogram pass per corpus, not one per call, so
+    * warm [[editDistancePairs]] timings are unchanged. */
+  private val editGuardCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), java.lang.Double]()
+
+  /** Enumerated-candidate-row count of [[editDistancePairs]]'s banded
+    * self-join, priced BEFORE the join runs: with the length histogram
+    * cnt(b) per `floor(len/maxLenDiff)` bucket, the explode-3-buckets
+    * join enumerates exactly Σ_b cnt(b)·(cnt(b−1)+cnt(b)+cnt(b+1))
+    * rows (ordered pairs incl. self — ~2× the `doc_a < doc_b`
+    * survivors, the right cost metric since enumeration dominates).
+    * One map-side group-by over the build-once bag table; the
+    * collected histogram is bounded by max-doc-length / maxLenDiff
+    * buckets (a bounded dictionary read, ~650/8 entries on the
+    * fixtures), cached per (dir, maxLenDiff). */
+  def editCandidateEstimate(spark: SparkSession, dir: String,
+      maxLenDiff: Int): Double =
+    editGuardCache.computeIfAbsent((dir, maxLenDiff), { _ =>
+      val hist = spark.read.parquet(materializeBagTable(spark, dir))
+        .groupBy(floor(col("n_chars") / lit(maxLenDiff)).cast("long")
+          .as("bkt"))
+        .count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hist.iterator.map { case (b, c) =>
+        c.toDouble * (hist.getOrElse(b - 1, 0L) + c +
+          hist.getOrElse(b + 1, 0L)).toDouble
+      }.sum
+    })
 
   /** Session registry of materialized bag tables: (doc_id, text,
     * n_chars, bag BINARY(54)) written once per corpus — the
