@@ -62,21 +62,26 @@ private[operators] trait DedupSetSim { self: DedupCore =>
     * data. The pair-row table is linear in n (~470 narrow rows/doc on
     * the twin) and zero on any corpus whose prefixes stay rare — the
     * gate fixtures' max prefix df is 11, so their plans carry no pair
-    * rows at all and their candidates are byte-identical. Docs too small for the Δ=2 bound (n·t' < 2, where
+    * rows at all and their candidates are byte-identical. Docs too
+    * small for the Δ=2 bound (n·t' < 2, where
     * a qualifying overlap of 1 is possible) emit ALL their P2 tokens
     * as singles, hot or not — the degenerate-tiny-doc escape hatch
     * that keeps the theorem total. The singles' positional filter is
     * relaxed by one position: a rescue single may be s2 with one
     * shared token (the hot s1) before it.
     *
-    * SECOND-DECADE HONESTY (round-13, BENCH_sf10_r13.json): the Δ=2
-    * pair path is collision-scaled, and under full DOMAIN SATURATION
+    * SECOND-DECADE HONESTY (round 13, measured; committed artifact
+    * BENCH_sf10_r14.json + bench_sfx*_medians.json): the Δ=2 pair
+    * path is collision-scaled, and under full DOMAIN SATURATION
     * the collisions themselves grow with n — the generator twin's
     * shingle domain is capped at ~28k by its 30-word vocab, so at 500k
     * docs (100× the gate twin) every pair key's df also grows ∝ n and
     * the pair-path candidate term Σ C(df_pair, 2) turns quadratic:
-    * measured warm ×2.3 at the first 10× step but ×33 at the second,
-    * build ×2.8 then ×20. Escalating the pigeonhole to Δ=3 triples
+    * measured warm ×2.4 at the first 10× step but ×28 at the second
+    * (8.5 → 238 s), build ×2.8 then ×20. Since round 14 the inline
+    * [[PairGuard]] pre-flight prices this term (Σ_key df²) before the
+    * join and refuses the saturated regime at the default budget.
+    * Escalating the pigeonhole to Δ=3 triples
     * multiplies per-doc key rows by the P3 prefix choose-3 (~14× —
     * worse than the candidates it saves on anything but the most
     * extreme saturation), and an exact subquadratic set-similarity
@@ -88,9 +93,11 @@ private[operators] trait DedupSetSim { self: DedupCore =>
     * saturation (hot buckets above `maxBucket`) — and under saturation
     * the scalable near-dup path is MinHash-LSH ([[minHashPairs]]),
     * whose band keys hash the whole SET (a combinatorial domain that
-    * never saturates): measured FLAT through both decades on the same
-    * twins (warm ×1.0, build ×1.5 at the second decade) with its
-    * recall quantified against this operator's exact output at the
+    * never saturates): measured near-flat through both decades on the
+    * same twins (committed medians: warm 0.18 → 0.15 → 0.31 s — ×2.1
+    * at the second decade but sub-second absolute, i.e. fixed-cost
+    * noise territory; build ×1.5/decade) with its recall quantified
+    * against this operator's exact output at the
     * gate. Real 100 TB text corpora sit between the regimes (shingle
     * domains grow with the crawl, but head tokens do saturate) — the
     * hotDf demotion handles the head exactly, and the audit tells an

@@ -165,17 +165,22 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     *    the DP runs a 2k+1 diagonal band and abandons early, so per-pair
     *    cost is O(len·maxDist), not O(len²).
     *
-    * SECOND-DECADE HONESTY (round-13, BENCH_sf10_r13.json): the
+    * SECOND-DECADE HONESTY (round 13, measured; committed artifact
+    * BENCH_sf10_r14.json + bench_sfx*_medians.json): the
     * candidate ENUMERATION itself is Θ(Σ_band n_b²) — with corpus
     * length diversity fixed (~650 distinct lengths at every SF), the
-    * banded pair count grows ×100 per decade (42M at 50k docs → 4.2B
-    * at 500k), and no exact filter changes what must be enumerated.
+    * banded pair count grows ~×100 per decade (enumerated-row counts
+    * per twin are the pair_volume rows of BENCH_sf10_r14.json; warm
+    * wall ×99.5, 5.7 → 569 s), and no exact filter changes what must
+    * be enumerated — which is why round 14 added the [[PairGuard]]
+    * pre-flight above: the saturated regime now fails in the first
+    * second with the estimate and the alternative, instead of running.
     * The knobs are `maxLenDiff` (narrower band = proportionally fewer
     * candidates, recall contract unchanged as long as it stays >= the
     * wanted length gap) and, for pipelines that only need NEAR-dup
     * pairs rather than the exact edit-threshold set, the SimHash band
     * path ([[simHashPairs]] — signature keys grow with content, so its
-    * buckets do NOT saturate; measured ×6.5/decade at the same step
+    * buckets do NOT saturate; measured ×7.2/decade (committed medians: 6.9 → 49.7 s) at the same step
     * where this operator is ×100/decade). This is the same
     * exact-vs-signature trade the set-similarity family documents.
     *
@@ -211,7 +216,7 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     PairGuard.check(spark, "editDistancePairs",
       editCandidateEstimate(spark, dir, maxLenDiff),
       "simHashPairs (signature bands grow with content - measured " +
-        "x6.5/decade where this operator is x100/decade) or a tighter " +
+        "x7.2/decade where this operator is x100/decade) or a tighter " +
         "maxLenDiff")
     // NARROW ENUMERATION (round-13): the banded self-join carries only
     // (doc_id, len, bag) — texts join back AFTER the bag prune. The r12

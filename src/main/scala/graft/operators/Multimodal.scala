@@ -542,15 +542,19 @@ object Multimodal {
     * exact-dup clusters, hamming 0); the default threshold keeps the
     * result to those plus genuinely-near neighbors.
     *
-    * SECOND-DECADE HONESTY (round-13, BENCH_sf10_r13.json): on a
+    * SECOND-DECADE HONESTY (round 13, measured; committed artifact
+    * BENCH_sf10_r14.json + bench_sfx*_medians.json): on a
     * duplication-heavy corpus the PAIR SET ITSELF is quadratic —
     * the 256-image-periodic twin has ~n²/512 true pairs, so this
-    * operator measured ×92/decade at the second 10× step while doing
-    * nothing wrong (it is OUTPUT-bound; no algorithm emits Θ(n²) rows
-    * in o(n²)). Pipelines that want "drop the copies" rather than the
-    * pair ledger should use [[imageNearDupKeep]], which reduces to
-    * DISTINCT dHashes before any join and measured FLAT (~2.5 s) at
-    * the same step where this operator takes 440 s. */
+    * operator measured warm ×85/decade at the second 10× step
+    * (5.2 → 444 s) while doing nothing wrong (it is OUTPUT-bound; no
+    * algorithm emits Θ(n²) rows in o(n²)). PRODUCTION DEFAULT for
+    * dup-heavy corpora: pipelines that want "drop the copies" rather
+    * than the pair ledger should use [[imageNearDupKeep]], which
+    * reduces to DISTINCT dHashes before any join — measured near-flat
+    * at the same step where this operator takes 444 s (the keep-form
+    * rows are in BENCH_sf10_r14.json). This pairs entry stays because
+    * it proves the band join exact. */
   def imageNearDupPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 2, materialized: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
@@ -590,7 +594,8 @@ object Multimodal {
   }
 
   /** Image dedup KEEP-filter — the linear-scale form of image near-dup
-    * (round-13, motivated by BENCH_sf10_r13.json): one canonical asset
+    * (round-13, motivated by the second-decade sweep now committed as
+    * BENCH_sf10_r14.json): one canonical asset
     * (min asset_id) survives per TRANSITIVE near-dup cluster; assets
     * with no near-dup pass through untouched.
     *

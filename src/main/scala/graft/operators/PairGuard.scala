@@ -34,11 +34,12 @@ object PairGuard {
   /** Session conf key for the enumerated-candidate-row budget. */
   val BudgetConf = "spark.graft.pairGuard.maxCandidates"
 
-  /** Default budget: 5e8 enumerated candidate rows ≈ the sf1-twin
-    * volumes ×5 headroom (edit-distance sf1 ≈ 8e7 enumerated rows,
-    * passes; its sf10 twin ≈ 8e9, fails in the first second instead
-    * of minute 9). Tuned against the committed twin measurements in
-    * `BENCH_sf10_r14.json`. */
+  /** Default budget: 5e8 enumerated candidate rows — calibrated
+    * against the committed twin measurements (pair_volume rows in
+    * `BENCH_sf10_r14.json`): at the sf1 twin both operators pass
+    * silently with >4× headroom (edit 1.17e8, setsim 3.1e7 enumerated
+    * rows); at the sf10 twin both fail fast (edit 1.17e10 — the
+    * 569-second job — and setsim 9.1e8, the 238-second one). */
   val DefaultBudget = 500000000L
 
   def budget(spark: SparkSession): Long =
