@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf10_r14.json — the second-decade evidence artifact
+(r13 verdict task #1).
+
+Reads the committed twin ledgers (bench_sfx01/sfx1/sfx10_{medians,
+build_costs}.json), this round's supplemental rows (bench14_sfx*_
+medians.json from the SPARK_GRAFT_ONLY runs), and the probe outputs
+passed on stdin or inlined below (pair_volume / bag_prune / scale_probe
+JSON lines), then emits one self-describing artifact: per-query warm +
+build medians at the 1x/10x/100x generator twins, both decade ratios,
+and the adjudicated scaling class for every heavy family.
+
+Usage: python3 tools/make_bench_sf10.py <probe_lines.jsonl> > BENCH_sf10_r14.json
+"""
+import json, sys, os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+def load(name):
+    p = os.path.join(ROOT, name)
+    return json.load(open(p)) if os.path.exists(p) else {}
+
+def med(d, q):
+    v = d.get(q)
+    if isinstance(v, dict):
+        return v.get('med')
+    return v
+
+# committed r13 ledgers + r14 supplemental ONLY-run ledgers (merged;
+# supplemental rows only ADD queries the r13 set did not carry)
+m01 = {**load('bench_sfx01_medians.json'), **load('bench14_sfx01_medians.json')}
+m1 = {**load('bench_sfx1_medians.json'), **load('bench14_sfx1_medians.json')}
+m10 = {**load('bench_sfx10_medians.json'), **load('bench14_sfx10_medians.json')}
+b01 = {**load('bench_sfx01_build_costs.json'), **load('bench14_sfx01_build_costs.json')}
+b1 = {**load('bench_sfx1_build_costs.json'), **load('bench14_sfx1_build_costs.json')}
+b10 = {**load('bench_sfx10_build_costs.json'), **load('bench14_sfx10_build_costs.json')}
+
+# adjudicated scaling class per query (the honesty ledger: 'linear'
+# families are proven two decades deep; the three non-linear classes
+# name WHY and what the in-repo scale-safe path is)
+CLASSES = {
+    'q_edit_distance': ('enumeration-bound', 'banded candidate enumeration is Theta(sum_band n_b^2); length diversity is fixed so pairs grow x100/decade (pair_volume rows). Guarded since r14 (PairGuard, default budget fails the sfx10 twin in the first second). Scale-safe: simHashPairs or tighter maxLenDiff.'),
+    'q_setsim_pairs': ('collision-quadratic', 'Delta=2 pair-key document frequencies grow with n once the shingle domain saturates, so sum_key df^2 turns quadratic (x29/decade, pair_volume rows). Guarded since r14 (PairGuard). Scale-safe: minHashPairs (band keys hash whole sets; domain never saturates).'),
+    'q_image_neardup': ('output-bound', 'the 256-periodic twin has ~n^2/512 TRUE pairs; no algorithm emits a quadratic pair set in subquadratic time. Production default on dup-heavy corpora is q_image_keep (distinct-dHash reduction, near-flat below).'),
+    'q_image_keep': ('linear', 'reduces to DISTINCT dHashes (d = content diversity, corpus-independent) before any join; the linear-scale keep form of image near-dup.'),
+    'q_minhash_pairs': ('linear', 'the scale-out backbone: LSH band keys hash whole sets, domain never saturates; near-flat both decades (sub-second absolute).'),
+    'q_minhash_keep': ('linear', 'keep form of the backbone; near-flat.'),
+    'q_simhash_pairs': ('acceptable-superlinear', 'signature keys grow with content so buckets do not fully saturate; x7.2/decade at the second decade.'),
+    'q_stream_neardup': ('acceptable-superlinear', 'x5.5/decade warm.'),
+    'q_repeated_spans': ('linear', 'x2.8 at x10 data, two decades deep.'),
+    'q_span_guard': ('linear', 'x1.9/decade, two decades deep.'),
+    'q_containment': ('linear', 'winnowing fingerprint join; df^2 term bounded by fingerprint sampling (verdict task #7 row).'),
+    'q_graph_pagerank': ('linear', 'iterative message passing, fixed iteration count (verdict task #7 row).'),
+    'q_graph_ppr': ('linear', 'iterative, fixed iterations (verdict task #7 row).'),
+    'q_decontaminate_bloom': ('linear', 'bloom-state probe; map-side (verdict task #7 row).'),
+    'q_priority_totals': ('linear', 'stored-state merge; near-flat.'),
+    'q_quantile_sources': ('linear', 'stored-state merge; near-flat.'),
+    'q_sketch_snapshot_merge': ('linear', 'stored-state reads; FLAT (x0.87) - the 100 TB steady-state shape.'),
+}
+
+queries = {}
+for q, (cls, note) in CLASSES.items():
+    w01, w1, w10 = med(m01, q), med(m1, q), med(m10, q)
+    c01, c1, c10 = b01.get(q), b1.get(q), b10.get(q)
+    row = {
+        'warm_med_s': {'x1': w01, 'x10': w1, 'x100': w10},
+        'build_rep0_s': {'x1': c01, 'x10': c1, 'x100': c10},
+        'class': cls, 'note': note,
+    }
+    if w01 and w1:
+        row['warm_decade1'] = round(w1 / w01, 2)
+    if w1 and w10:
+        row['warm_decade2'] = round(w10 / w1, 2)
+    if c1 and c10:
+        row['build_decade2'] = round(c10 / c1, 2)
+    queries[q] = row
+
+probes = {'pair_volume': [], 'bag_prune': [], 'scale_probe': []}
+if len(sys.argv) > 1:
+    for line in open(sys.argv[1]):
+        line = line.strip()
+        if not line:
+            continue
+        j = json.loads(line)
+        kind = j.get('probe')
+        if kind == 'pair_volume':
+            probes['pair_volume'].append(j)
+        elif kind == 'bag_prune':
+            probes['bag_prune'].append(j)
+        elif kind == 'knn_join_autoplanes':
+            probes['scale_probe'].append(j)
+
+out = {
+    'artifact': 'BENCH_sf10_r14.json',
+    'round': 14,
+    'protocol': (
+        'generator twins (tools/GenData, deterministic xxhash64 fixtures '
+        'matching the sf0.1 schema/domains) at scale 1/10/100 of the '
+        'sf0.1 row counts = sf0.1/sf1/sf10 equivalents; warm = per-query '
+        'median of 3 interleaved passes after a rep-0 build pass '
+        '(committed bench_sfx*_medians.json from r13 + the r14 '
+        'bench14_sfx* supplemental ONLY-runs for rows the r13 set '
+        'lacked); build = rep-0 seconds. pair_volume = exact enumerated '
+        'candidate-row counts (tools/PairVolumeProbe, the PairGuard '
+        'estimates); bag_prune = tools/BagPruneProbe 10%-doc sample; '
+        'scale_probe = tools/ScaleProbe AutoPlanes knn cold/warm per '
+        'scale, fresh JVM each.'),
+    'queries': queries,
+    'probes': probes,
+    'headline': {
+        'linear_backbone': 'minhash pairs/keep, image keep, repeated spans, span guard, sketch merges: all <=x2.8 warm per decade through BOTH decades',
+        'guarded_quadratics': 'q_edit_distance (x99.5 warm, enumeration-bound) and q_setsim_pairs (x28 warm, collision-quadratic) now FAIL FAST via PairGuard above 5e8 enumerated candidates instead of running',
+        'output_bound': 'q_image_neardup x85/decade is the pair SET growing, not the algorithm; q_image_keep is the production default on dup-heavy corpora',
+    },
+}
+json.dump(out, sys.stdout, indent=1)
+print()
