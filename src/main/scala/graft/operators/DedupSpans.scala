@@ -157,8 +157,9 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     *    one BINARY column ONCE per doc, and the per-pair filter
     *    `L1 <= 2·maxDist` is one static call into a native codegen
     *    expression ([[graft.functions.CharBagExpression]]) that passes
-    *    only ~3% of the banded candidates to the DP (measured on the
-    *    sf10 twin; the r12 two-letter classes passed 14%). Exact — a
+    *    only ~2.6% of the banded candidates to the DP (measured on the
+    *    sf10 twin — bag_prune row, BENCH_sf10_r14.json; the r12
+    *    two-letter classes passed ~14%). Exact — a
     *    surviving true pair can never be pruned.
     *
     *  - THRESHOLDED Levenshtein (`levenshtein(l, r, k)`, Spark >= 3.5):
@@ -295,9 +296,11 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     * (a–z + space, 2 B each): finer classes than r12's 13 two-letter
     * ones can only TIGHTEN the L1 lower bound (merging classes lets
     * opposite-sign deltas cancel), so they prune strictly more while
-    * staying exact — measured on the 500k-doc sf10 twin (10% sample,
-    * 42M banded candidates): two-letter classes passed 14.4% of
-    * candidates to the DP, single-letter classes pass 3.2%. Built by
+    * staying exact — measured on the 500k-doc sf10 twin by
+    * `tools/BagPruneProbe` (10% doc sample, 41.7M banded candidates;
+    * the bag_prune row of BENCH_sf10_r14.json): single-letter classes
+    * pass 2.56% of candidates to the DP (the r12 two-letter classes
+    * passed ~14%). Built by
     * ONE streaming char scan per doc ([[graft.functions
     * .CharBagExpression]]) instead of 27 regexp passes. */
   private val bagCache =
