@@ -64,6 +64,17 @@ private[graft] object DedupEntries {
     // Levenshtein near-dup: length-banded equi-join candidates, thresholded
     // DP verify (never all-pairs; see Dedup.editDistancePairs scaladoc)
     "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    // the PairGuard pre-flight's enumerated-candidate count as an
+    // oracle-checked value (round-14): the guard's economics are only
+    // trustworthy if the estimate is EXACT, so the estimate itself is
+    // a gate entry cross-checked against DuckDB's independent
+    // histogram self-join
+    "q_edit_estimate" -> ((s, d) => {
+      val est = Dedup.editCandidateEstimate(s, d, 8)
+      val sp = s
+      import sp.implicits._
+      Seq(est.toLong).toDF("candidates")
+    }),
     // corpus-composition diagnostic over the materialized MinHash pairs
     "q_dup_source_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(s, d)),
     // batch twin of the stream-static ingest dedup (streaming semantics
@@ -309,6 +320,14 @@ private[graft] object DedupEntries {
         "ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8 " +
         s"WHERE ($l1) <= 32 AND levenshtein(a.text, b.text) <= 16"
     },
+    // the guard estimate re-derived independently: histogram over the
+    // same floor(n_chars/8) buckets, 3-bucket-window self-join — must
+    // equal Spark's Σ_b cnt(b)·(cnt(b−1)+cnt(b)+cnt(b+1)) exactly
+    "q_edit_estimate" ->
+      ("WITH h AS (SELECT CAST(floor(n_chars / 8) AS BIGINT) AS bkt, " +
+        "COUNT(*) AS cnt FROM documents GROUP BY 1) " +
+        "SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS candidates " +
+        "FROM h a JOIN h b ON b.bkt BETWEEN a.bkt - 1 AND a.bkt + 1"),
     // cross-source dup matrix over the same exact all-pairs Jaccard graph
     // the q_minhash_pairs oracle uses
     "q_dup_source_matrix" ->

@@ -126,7 +126,11 @@ object Similarity {
     * over the corpus row count — so a 100× ingest gets matched bucket
     * occupancy WITHOUT anyone remembering the knob (the r11 sf1 run
     * measured the fixed default's n²/buckets term at ×8.1 wall growth
-    * vs ×2.3 at matched occupancy). Pass an explicit positive count to
+    * vs ×2.3 at matched occupancy; the committed two-decade probe —
+    * `tools/ScaleProbe`, scale_probe rows of BENCH_sf10_r14.json —
+    * measures the production path at planes 3 → 7 → 10, warm 8.3 →
+    * 15.1 → 63.2 s = ×1.8 then ×4.2 per ×10 data, sublinear through
+    * both decades). Pass an explicit positive count to
     * pin the bucketing — the bench/oracle entries pin 8 so committed
     * artifacts stay comparable across rounds and the SQL oracles'
     * hardcoded bucket expressions keep matching. */

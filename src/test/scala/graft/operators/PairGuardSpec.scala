@@ -46,6 +46,21 @@ class PairGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("minHashPairs"), e.getMessage)
   }
 
+  test("estimate soundness: setsim estimate equals the prefix " +
+      "equi-joins' enumerated row counts (Σ df² per stream)") {
+    import org.apache.spark.sql.functions.col
+    val p = Dedup.materializeSetSimTables(spark, sfDir)
+    val prefix = spark.read.parquet(s"$p/prefix")
+    val prefix2 = spark.read.parquet(s"$p/prefix2")
+    def directRows(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.select(col(key)).join(df.select(col(key)), Seq(key)).count()
+    val direct = directRows(prefix, "tok") + directRows(prefix2, "key")
+    val est = Dedup.setSimCandidateEstimate(spark, sfDir, 0.5, 3,
+      Dedup.DefaultHotDf, prefix, prefix2, cacheable = false)
+    assert(est === direct.toDouble,
+      s"estimate $est must equal the joins' enumerated rows $direct")
+  }
+
   test("estimate soundness: edit estimate equals the banded join's " +
       "enumerated row count (ordered pairs incl. self) on a hand-sized " +
       "frame, and budget <= 0 disables the guard") {
