@@ -46,6 +46,18 @@ class PairGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("minHashPairs"), e.getMessage)
   }
 
+  test("imageNearDupPairs: guard FIRES above budget (output-bound " +
+      "regime), names the keep form; silent at the default") {
+    val e = withBudget(10L) {
+      intercept[IllegalStateException] {
+        Multimodal.imageNearDupPairs(spark, sfDir)
+      }
+    }
+    assert(e.getMessage.contains("imageNearDupPairs"), e.getMessage)
+    assert(e.getMessage.contains("imageNearDupKeep"), e.getMessage)
+    assert(Multimodal.imageNearDupPairs(spark, sfDir).count() >= 0L)
+  }
+
   test("estimate soundness: setsim estimate equals the prefix " +
       "equi-joins' enumerated row counts (Σ df² per stream)") {
     import org.apache.spark.sql.functions.col
