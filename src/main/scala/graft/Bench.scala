@@ -215,7 +215,7 @@ object Bench {
     val ioMed = if (ioSamples.isEmpty) -1.0 else median(ioSamples.toList)
     val ioRatio = if (ioMed > 0) ioMed / IoSentinelR14 else -1.0
     val LineBudget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sentinel_ratio":${fmt(sentinelRatio)},"norm_value":${fmt(normValue)},"io_sentinel_sec":${fmt(ioMed)},"io_sentinel_ratio":${fmt(ioRatio)},"sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full.json","build":"${prefix}_build_costs.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sentinel_ratio":${fmt(sentinelRatio)},"norm_value":${fmt(normValue)},"io_sentinel_sec":${fmt(ioMed)},"io_sentinel_ratio":${fmt(ioRatio)},"sf":"$sfDir","failed":[${failed.mkString(",")}],"full":"${prefix}_queries_full$degradeSuffix.json","build":"${prefix}_build_costs$degradeSuffix.json","queries":{"""
     val tailFixed = s"""},"omitted":NNN}""" // placeholder sizing for the closer
     var used = head.length + tailFixed.length
     val kept = collection.mutable.ArrayBuffer.empty[String]
