@@ -25,6 +25,9 @@ private[graft] object TextEntries {
     "q_stopword_quality" -> (TextOps.stopwordQuality _),
     "q_charclass_quality" -> (TextOps.charClassQuality _),
     "q_repetition" -> (TextOps.repetition _),
+    // cumulative quality-filter funnel: one corpus scan, 4-row
+    // retention curve over the portable rule cascade
+    "q_quality_funnel" -> (TextOps.qualityFunnel _),
     "q_gopher_repetition" -> (TextOps.gopherRepetition _),
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
     "q_bpe_merges" -> ((s, d) => TextOps.learnBpeMerges(s, d)),
@@ -137,6 +140,37 @@ private[graft] object TextEntries {
           }.mkString(", ") +
         " FROM documents"),
     // duplicate-token fraction (Gopher-style repetition rule)
+    // funnel oracle: identical cumulative conditions re-derived in
+    // DuckDB (same \s+ word split, same stop-hit string arithmetic,
+    // same IEEE double repetition ratio), stages via UNION ALL
+    "q_quality_funnel" -> {
+      val sh = Seq(" the ", " and ", " of ", " a ").map { w =>
+        s"(length(concat(' ', text, ' ')) - " +
+          s"length(replace(concat(' ', text, ' '), '$w', ''))) // ${w.length}"
+      }.mkString("(", " + ", ")")
+      val stages = Seq(
+        (1, "nonempty", "nw >= 1"),
+        (2, "min_30_words", "nw >= 30"),
+        (3, "stopword_hits", "nw >= 30 AND sh >= 2"),
+        (4, "low_repetition", "nw >= 30 AND sh >= 2 AND " +
+          "(1.0 - CAST(nd AS DOUBLE) / CAST(nw AS DOUBLE)) <= 0.3"))
+      "WITH t AS (SELECT " +
+        "len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> len(x) > 0)) AS nw, " +
+        "len(list_distinct(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> len(x) > 0))) AS nd, " +
+        s"$sh AS sh FROM documents), " +
+        "f AS (SELECT count(*) AS total, " +
+        stages.map { case (i, _, cond) =>
+          s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS s$i"
+        }.mkString(", ") + " FROM t) " +
+        stages.map { case (i, name, _) =>
+          s"SELECT CAST($i AS BIGINT) AS stage_idx, '$name' AS stage, " +
+            s"CAST(s$i AS BIGINT) AS survivors, " +
+            s"round(CAST(s$i AS DOUBLE) / CAST(total AS DOUBLE), 4) " +
+            "AS yield_ratio FROM f"
+        }.mkString(" UNION ALL ")
+    },
     "q_repetition" ->
       ("SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
         "CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, " +

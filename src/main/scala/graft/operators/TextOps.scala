@@ -1161,4 +1161,52 @@ object TextOps {
       .groupBy("source_a", "source_b")
       .agg(round(sum(col("term")) / 2.0, 6).as("js_divergence"))
   }
+
+  /** Quality-filter FUNNEL: cumulative per-stage survivor counts for a
+    * fixed cascade of the portable quality rules above — the standard
+    * curation diagnostic ("how many documents does each filter cost
+    * me?") that every training-data pipeline reports before committing
+    * to a rule set. Stages are CUMULATIVE (a doc surviving stage i has
+    * passed 1..i), so the yields read directly as the pipeline's
+    * retention curve:
+    *   1 nonempty       — n_words >= 1
+    *   2 min_30_words   — n_words >= 30 (the qualityScore short cut)
+    *   3 stopword_hits  — stop_hits >= 2 ([[stopwordQuality]] signal)
+    *   4 low_repetition — rep_ratio <= 0.3 ([[repetition]] signal)
+    *
+    * Shape at scale: ONE narrow codegen pass over the corpus into a
+    * single partial-aggregated global row (4 conditional sums — no
+    * shuffle beyond the 1-row final agg), then the row explodes into
+    * the 4-row funnel. At 100 TB this is exactly one corpus scan, the
+    * same cost as any single signal query; the rule thresholds reuse
+    * the SAME expressions as the per-doc signal operators so the
+    * funnel's counts are consistent with filtering on those signals
+    * (an inconsistent re-implementation would report a funnel no
+    * filter reproduces). */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val nw = size(words).cast("long")
+    val repRatio = lit(1.0) -
+      size(array_distinct(words)).cast("double") / nw.cast("double")
+    val c1 = nw >= 1
+    val c2 = c1 && nw >= 30
+    val c3 = c2 && stopHitsExpr >= 2
+    val c4 = c3 && repRatio <= lit(0.3)
+    val agg = docs(spark, dir).agg(
+      count(lit(1)).as("total"),
+      sum(when(c1, 1L).otherwise(0L)).as("s1"),
+      sum(when(c2, 1L).otherwise(0L)).as("s2"),
+      sum(when(c3, 1L).otherwise(0L)).as("s3"),
+      sum(when(c4, 1L).otherwise(0L)).as("s4"))
+    def stage(i: Int, name: String): Column =
+      struct(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+        col(s"s$i").as("survivors"), col("total").as("total"))
+    agg.select(explode(array(
+        stage(1, "nonempty"), stage(2, "min_30_words"),
+        stage(3, "stopword_hits"), stage(4, "low_repetition"))).as("x"))
+      .select(col("x.stage_idx"), col("x.stage"),
+        col("x.survivors").cast("long").as("survivors"),
+        round(col("x.survivors").cast("double") /
+          col("x.total").cast("double"), 4).as("yield_ratio"))
+  }
 }

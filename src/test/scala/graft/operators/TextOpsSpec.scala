@@ -42,6 +42,32 @@ class TextOpsSpec extends SparkSpec {
     assert(stop === expect, "stopwordQuality")
   }
 
+  test("quality funnel: cumulative stage survivors on a hand-computed " +
+      "corpus (each stage knocks out exactly the planted doc)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    val long35 = (1 to 31).map(i => s"w$i").mkString(" ") + " the and of a"
+    val repet = Array.fill(30)("x").mkString(" ") + " the and of a"
+    Seq(
+      (1L, ""),            // fails nonempty (0 words)
+      (2L, "a b"),         // fails min_30_words
+      (3L, long35),        // passes all (35 distinct words, 4 stop hits)
+      (4L, repet))         // fails low_repetition (rep = 1 - 5/34 ≈ 0.85)
+      .toDF("doc_id", "text").withColumn("lang",
+        org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.qualityFunnel(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows === Seq(
+      (1L, "nonempty", 3L, 0.75),
+      (2L, "min_30_words", 2L, 0.5),
+      (3L, "stopword_hits", 2L, 0.5),
+      (4L, "low_repetition", 1L, 0.25)))
+    // funnel is monotone by construction — pin it anyway
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("token count: bpe estimate = ceil(chars/4)") {
     val rows = TextOps.tokenCount(spark, sfDir).limit(20).collect()
     assert(rows.forall(r => r.getLong(2) >= 1))
