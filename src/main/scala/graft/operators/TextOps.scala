@@ -1184,15 +1184,24 @@ object TextOps {
     * (an inconsistent re-implementation would report a funnel no
     * filter reproduces). */
   def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // bind the per-row signals ONCE below the aggregate: the naive form
+    // (conditions inlined into each conditional sum) re-evaluates the
+    // \s+ split ~10× per row — CollapseProject keeps these projections
+    // materialized because the non-cheap exprs are multi-referenced
+    // (same Columns-are-trees discipline as ExprLet.bindOnce)
     val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
-    val nw = size(words).cast("long")
-    val repRatio = lit(1.0) -
-      size(array_distinct(words)).cast("double") / nw.cast("double")
-    val c1 = nw >= 1
-    val c2 = c1 && nw >= 30
-    val c3 = c2 && stopHitsExpr >= 2
-    val c4 = c3 && repRatio <= lit(0.3)
-    val agg = docs(spark, dir).agg(
+    val pre = docs(spark, dir)
+      .select(col("text"), words.as("w"))
+      .select(
+        size(col("w")).cast("long").as("nw"),
+        size(array_distinct(col("w"))).cast("long").as("nd"),
+        stopHitsExpr.cast("long").as("sh"))
+    val c1 = col("nw") >= 1
+    val c2 = c1 && col("nw") >= 30
+    val c3 = c2 && col("sh") >= 2
+    val c4 = c3 && (lit(1.0) -
+      col("nd").cast("double") / col("nw").cast("double")) <= lit(0.3)
+    val agg = pre.agg(
       count(lit(1)).as("total"),
       sum(when(c1, 1L).otherwise(0L)).as("s1"),
       sum(when(c2, 1L).otherwise(0L)).as("s2"),
