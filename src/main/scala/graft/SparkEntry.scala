@@ -36,7 +36,8 @@ object SparkEntry {
     entries.SimilarityEntries.queries ++
     entries.MultimodalEntries.queries ++
     entries.SudanEntries.queries ++
-    entries.StreamEntries.queries
+    entries.StreamEntries.queries ++
+    entries.PrivacyEntries.queries
 
   def oracleSql: Map[String, String] =
     entries.RelationalEntries.oracleSql ++
@@ -47,5 +48,6 @@ object SparkEntry {
     entries.SimilarityEntries.oracleSql ++
     entries.MultimodalEntries.oracleSql ++
     entries.SudanEntries.oracleSql ++
-    entries.StreamEntries.oracleSql
+    entries.StreamEntries.oracleSql ++
+    entries.PrivacyEntries.oracleSql
 }

@@ -594,6 +594,33 @@ object CorpusTableFunctions {
         kNn = optNum(fn, bound, "k", 10).toInt))
     }
 
+    tvf("corpus_kanon",
+      "corpus_kanon(dir[, k[, l]]) - k-anonymous release of the events " +
+        "table: hour -> day -> suppress generalization ladder (every " +
+        "released cell covers >= k distinct users, default 5) with an " +
+        "l-diversity audit column (default l = 3).",
+      "SELECT * FROM corpus_kanon('/data/c1', 10) WHERE l_ok;") { args =>
+      val fn = "corpus_kanon"
+      val bound = bind(fn, args, Seq("dir", "k", "l"), Set.empty)
+      val k = optNum(fn, bound, "k", 5).toInt
+      val l = optNum(fn, bound, "l", 3).toInt
+      if (k < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'k' must be >= 1, got $k.")
+      if (l < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'l' must be >= 1, got $l.")
+      plan(graft.operators.Privacy.kAnonymize(
+        SparkSession.active, reqDir(fn, bound), k = k, l = l))
+    }
+
+    tvf("corpus_noisy_hist",
+      "corpus_noisy_hist(dir) - Noisy per-(event_type, day) histogram " +
+        "release: counts perturbed by keyed integer noise in [-10, 10] " +
+        "and clamped at zero (reproducible stand-in for Laplace; see " +
+        "Privacy.noisyHistogram).",
+      "SELECT * FROM corpus_noisy_hist('/data/c1');")(
+      dirOnly("corpus_noisy_hist")(
+        graft.operators.Privacy.noisyHistogram))
+
     out.result()
   }
 

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release operators over the events table:
+  * k-anonymity with a generalization ladder, and a noisy-histogram
+  * release mechanism. Rounds 1-13 covered ingestion → dedup → quality →
+  * packing; this family covers the LAST step of a training-data
+  * pipeline — what leaves the enclave. Both operators publish only
+  * group-level aggregates, never rows.
+  *
+  * Scale shape (the part that must survive 100 TB): both operators are
+  * one map-side-combinable shuffle over the raw events to a DISTINCT
+  * GRAIN table — (event_type, day, hour, user_id, sensitive-bucket) —
+  * whose cardinality is bounded by (types × hours × users-per-hour),
+  * i.e. proportional to the DISTINCT activity, not the event volume.
+  * Every k-anonymity decision above that grain operates on group-level
+  * frames bounded by (types × time buckets) — kilobytes at any corpus
+  * size — so the generalization ladder's residual joins broadcast by
+  * construction. No pass rescans raw events more than once.
+  */
+object Privacy {
+
+  /** Width of the sensitive-attribute bucket (`floor(value / sensWidth)`)
+    * used for the l-diversity audit column. */
+  private val sensWidth = 50.0
+
+  /** The shared distinct grain: one exact pass over events. Rows are
+    * distinct (event_type, day, hour, user_id, sens) with their event
+    * count — the finest unit any release below needs, so user- and
+    * value-distinctness at EVERY ladder level is an exact rollup of
+    * this table (countDistinct over grain rows), never a rescan. */
+  private def grain(spark: SparkSession, dir: String): DataFrame =
+    Relational.events(spark, dir)
+      .select(
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("user_id"),
+        floor(col("value") / sensWidth).cast("long").as("sens"))
+      .groupBy("event_type", "day", "hour", "user_id", "sens")
+      .agg(count(lit(1)).as("n"))
+
+  /** k-anonymous release of the events table with an hour → day →
+    * suppress generalization ladder.
+    *
+    * A (event_type, time-bucket) cell is released only when it covers
+    * at least `k` DISTINCT users. Cells failing at hour granularity are
+    * generalized: their rows regroup into the (event_type, day) cell,
+    * which is released if the RESIDUAL rows (failed hours only — hours
+    * already released at level 0 do not double-count) cover ≥ k users.
+    * Cells failing at day granularity are suppressed: their rows
+    * surface only as a per-event_type remainder with a NULL bucket, so
+    * row accounting is conserved (Σ n_rows = count(events)) without
+    * revealing a small group's time locality.
+    *
+    * Each released row carries the l-diversity audit `l_ok`: whether
+    * the cell spans ≥ `l` distinct sensitive-value buckets
+    * (floor(value/50)) — a released-but-not-l-diverse cell is safe
+    * against identity disclosure yet still leaks the attribute; callers
+    * filter on it per policy rather than this operator choosing.
+    *
+    * At 100 TB: one shuffle over events to the distinct grain (map-side
+    * combine), then every ladder step is a group-level aggregate over
+    * frames bounded by types × time buckets; the failed-cell key sets
+    * broadcast (they cannot exceed types × hours in the retention
+    * window, regardless of event volume). The grain and both stats
+    * frames are persisted (each feeds two branches) and registered
+    * with [[Relational.ProbeRegistry]], so repeated calls in a
+    * long-lived session keep a bounded cache.
+    */
+  def kAnonymize(spark: SparkSession, dir: String,
+                 k: Int = 5, l: Int = 3): DataFrame = {
+    // the grain feeds three ladder levels and each stats frame feeds a
+    // released + failed branch: persist all three (grain once per raw
+    // scan; the stats frames are group-level — kilobytes at any scale)
+    // and hand their lifecycle to ProbeRegistry so a long-lived session
+    // holds a bounded cache, not one frame per historical call
+    def keep(df: DataFrame): DataFrame = {
+      val p = df.persist()
+      Relational.ProbeRegistry.register(p)
+      p
+    }
+    val g = keep(grain(spark, dir))
+    val hourStats = keep(g.groupBy("event_type", "day", "hour")
+      .agg(sum("n").as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        countDistinct("sens").as("n_values")))
+    val relHour = hourStats.filter(col("n_users") >= k)
+    val failHourKeys = hourStats.filter(col("n_users") < k)
+      .select("event_type", "day", "hour")
+    // residual rows: grain restricted to failed hour cells (broadcast —
+    // the key set is bounded by types × hours, not by data volume)
+    val dayGrain = g.join(broadcast(failHourKeys),
+      Seq("event_type", "day", "hour"))
+    val dayStats = keep(dayGrain.groupBy("event_type", "day")
+      .agg(sum("n").as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        countDistinct("sens").as("n_values")))
+    val relDay = dayStats.filter(col("n_users") >= k)
+    val failDayKeys = dayStats.filter(col("n_users") < k)
+      .select("event_type", "day")
+    val suppressed = dayGrain
+      .join(broadcast(failDayKeys), Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        countDistinct("sens").as("n_values"))
+    def shape(df: DataFrame, gran: String, bucket: org.apache.spark.sql.Column) =
+      df.select(
+        col("event_type"),
+        lit(gran).as("granularity"),
+        bucket.as("bucket"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_users").cast("long").as("n_users"),
+        (col("n_values") >= l).as("l_ok"))
+    shape(relHour, "hour", col("hour"))
+      .unionAll(shape(relDay, "day", col("day")))
+      .unionAll(shape(suppressed, "suppressed", lit(null).cast("string")))
+      .orderBy("event_type", "granularity", "bucket")
+  }
+
+  /** Noisy per-(event_type, day) histogram release.
+    *
+    * The released count is `max(0, true_count + noise)` where `noise`
+    * is an integer in [-10, 10] derived DETERMINISTICALLY from the cell
+    * key (a keyed LCG over day-of-month and the type name) — a
+    * test-reproducible stand-in for calibrated Laplace noise so the
+    * cross-engine oracle can verify the mechanism's plumbing bit-exact.
+    * A production deployment swaps ONLY the noise column for a seeded
+    * Laplace sample (scale 1/ε); everything that matters at 100 TB is
+    * unchanged and real here: the noise is applied at GROUP grain after
+    * the aggregate (O(cells) work, never O(rows)), the true counts
+    * never leave the plan, and the clamp keeps released values
+    * non-negative without re-reading data.
+    */
+  def noisyHistogram(spark: SparkSession, dir: String): DataFrame =
+    Relational.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_true"))
+      .select(
+        col("event_type"), col("day"),
+        greatest(lit(0L),
+          col("n_true") +
+            (substring(col("day"), 9, 2).cast("int") * 131 +
+              length(col("event_type")) * 17) % 21 - 10)
+          .cast("long").as("n_noisy"))
+      .orderBy("event_type", "day")
+}

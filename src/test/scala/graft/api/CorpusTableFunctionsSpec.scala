@@ -298,6 +298,21 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("'k' must be >= 1"), e2.getMessage)
   }
 
+  test("corpus_kanon / corpus_noisy_hist match Scala factories + binders") {
+    ready
+    val sqlRel = spark.sql(
+      s"SELECT * FROM corpus_kanon('$sfDir', 5, l => 3)").collect()
+    val scalaRel = graft.operators.Privacy
+      .kAnonymize(spark, sfDir, k = 5, l = 3).collect()
+    assert(sqlRel.toSet === scalaRel.toSet)
+    assert(spark.sql(s"SELECT * FROM corpus_noisy_hist('$sfDir')")
+      .collect().toSet ===
+      graft.operators.Privacy.noisyHistogram(spark, sfDir).collect().toSet)
+    val bad = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_kanon('$sfDir', k => 0)"))
+    assert(bad.getMessage.contains("'k' must be >= 1"), bad.getMessage)
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Privacy-release family: the k-anonymity contract (every released
+  * cell covers ≥ k distinct users), conservation of row accounting
+  * across the generalization ladder, ladder coverage (all three levels
+  * exercised on the fixtures), and the noisy histogram's bounded
+  * perturbation. */
+class PrivacySpec extends SparkSpec {
+
+  test("kAnonymize: every released cell has >= k distinct users") {
+    val k = 5
+    val rel = Privacy.kAnonymize(spark, sfDir, k = k)
+      .filter(col("granularity") =!= "suppressed")
+    assert(rel.filter(col("n_users") < k).count() === 0)
+  }
+
+  test("kAnonymize: row accounting conserved across the ladder") {
+    val total = Relational.events(spark, sfDir).count()
+    val released = Privacy.kAnonymize(spark, sfDir)
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(released === total)
+  }
+
+  test("kAnonymize: suppressed remainder hides time locality") {
+    val sup = Privacy.kAnonymize(spark, sfDir)
+      .filter(col("granularity") === "suppressed")
+    // NULL bucket on every suppressed row — no time bucket escapes
+    assert(sup.filter(col("bucket").isNotNull).count() === 0)
+  }
+
+  test("kAnonymize: ladder levels behave under k extremes") {
+    // k=1: nothing fails the hour level, so nothing generalizes
+    val all = Privacy.kAnonymize(spark, sfDir, k = 1)
+    assert(all.filter(col("granularity") =!= "hour").count() === 0)
+    // k > user count: nothing is releasable, everything suppresses
+    val none = Privacy.kAnonymize(spark, sfDir, k = 100000)
+    assert(none.filter(col("granularity") =!= "suppressed").count() === 0)
+    val total = Relational.events(spark, sfDir).count()
+    assert(none.agg(sum("n_rows")).collect()(0).getLong(0) === total)
+  }
+
+  test("kAnonymize: l_ok reflects distinct sensitive buckets") {
+    // at k=1 every hour cell releases whole (no residual regrouping),
+    // so the flag is recomputable by hand from the raw events: check
+    // EVERY released cell's distinct floor(value/50) against l_ok
+    val rel = Privacy.kAnonymize(spark, sfDir, k = 1, l = 3)
+      .filter(col("granularity") === "hour")
+      .select(col("event_type"), col("bucket"), col("l_ok"))
+    val truth = Relational.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("bucket"))
+      .agg((countDistinct(floor(col("value") / 50.0)) >= 3).as("l_truth"))
+    val joined = rel.join(truth, Seq("event_type", "bucket")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.length === truth.count())
+    joined.foreach(r => assert(r.getBoolean(2) === r.getBoolean(3)))
+  }
+
+  test("noisyHistogram: bounded perturbation, non-negative, all cells") {
+    val truth = Relational.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_true"))
+    val noisy = Privacy.noisyHistogram(spark, sfDir)
+    val joined = noisy.join(truth, Seq("event_type", "day")).collect()
+    assert(joined.length === truth.count())
+    joined.foreach { r =>
+      val (nNoisy, nTrue) = (r.getLong(2), r.getLong(3))
+      assert(nNoisy >= 0L)
+      assert(math.abs(nNoisy - math.max(0L, nTrue)) <= 10L)
+    }
+  }
+}
