@@ -28,12 +28,18 @@ def med(d, q):
 
 # committed r13 ledgers + r14 supplemental ONLY-run ledgers (merged;
 # supplemental rows only ADD queries the r13 set did not carry)
-m01 = {**load('bench_sfx01_medians.json'), **load('bench14_sfx01_medians.json')}
-m1 = {**load('bench_sfx1_medians.json'), **load('bench14_sfx1_medians.json')}
-m10 = {**load('bench_sfx10_medians.json'), **load('bench14_sfx10_medians.json')}
-b01 = {**load('bench_sfx01_build_costs.json'), **load('bench14_sfx01_build_costs.json')}
-b1 = {**load('bench_sfx1_build_costs.json'), **load('bench14_sfx1_build_costs.json')}
-b10 = {**load('bench_sfx10_build_costs.json'), **load('bench14_sfx10_build_costs.json')}
+m01 = {**load('bench_sfx01_medians.json'), **load('bench14_sfx01_medians.json'),
+       **load('bench14b_sfx01_medians.json')}
+m1 = {**load('bench_sfx1_medians.json'), **load('bench14_sfx1_medians.json'),
+      **load('bench14b_sfx1_medians.json')}
+m10 = {**load('bench_sfx10_medians.json'), **load('bench14_sfx10_medians.json'),
+       **load('bench14b_sfx10_medians.json')}
+b01 = {**load('bench_sfx01_build_costs.json'), **load('bench14_sfx01_build_costs.json'),
+       **load('bench14b_sfx01_build_costs.json')}
+b1 = {**load('bench_sfx1_build_costs.json'), **load('bench14_sfx1_build_costs.json'),
+      **load('bench14b_sfx1_build_costs.json')}
+b10 = {**load('bench_sfx10_build_costs.json'), **load('bench14_sfx10_build_costs.json'),
+       **load('bench14b_sfx10_build_costs.json')}
 
 # adjudicated scaling class per query (the honesty ledger: 'linear'
 # families are proven two decades deep; the three non-linear classes
@@ -56,6 +62,8 @@ CLASSES = {
     'q_priority_totals': ('linear', 'stored-state merge; near-flat.'),
     'q_quantile_sources': ('linear', 'stored-state merge; near-flat.'),
     'q_sketch_snapshot_merge': ('linear', 'stored-state reads; FLAT (x0.87) - the 100 TB steady-state shape.'),
+    'q_kanon_release': ('linear', 'one shuffle to the distinct-activity grain, then group-level ladder rollups bounded by types x time buckets (privacy family, added late r14).'),
+    'q_noisy_hist': ('linear', 'one groupBy; noise applied at group grain post-aggregate, O(cells) never O(rows).'),
 }
 
 queries = {}
@@ -76,6 +84,12 @@ for q, (cls, note) in CLASSES.items():
     queries[q] = row
 
 probes = {'pair_volume': [], 'bag_prune': [], 'scale_probe': []}
+# no fresh probe file -> carry the committed artifact's probe rows
+# forward (a ledger-extension rerun must not drop the measured probes)
+if len(sys.argv) <= 1:
+    prev = load('BENCH_sf10_r14.json')
+    if isinstance(prev.get('probes'), dict):
+        probes = prev['probes']
 if len(sys.argv) > 1:
     for line in open(sys.argv[1]):
         line = line.strip()
