@@ -140,12 +140,40 @@ object Privacy {
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_true"))
-      .select(
-        col("event_type"), col("day"),
-        greatest(lit(0L),
-          col("n_true") +
-            (substring(col("day"), 9, 2).cast("int") * 131 +
-              length(col("event_type")) * 17) % 21 - 10)
-          .cast("long").as("n_noisy"))
+      .select(col("event_type"), col("day"),
+        releasedCount(col("n_true"), col("day"), col("event_type"))
+          .as("n_noisy"))
       .orderBy("event_type", "day")
+
+  /** The release arithmetic shared by the batch and streaming forms:
+    * `max(0, n + noise(day, type))` with the keyed noise in [-10, 10]. */
+  private def releasedCount(nTrue: org.apache.spark.sql.Column,
+      day: org.apache.spark.sql.Column,
+      eventType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(lit(0L),
+      nTrue + (substring(day, 9, 2).cast("int") * 131 +
+        length(eventType) * 17) % 21 - 10)
+      .cast("long")
+
+  /** Streaming form of [[noisyHistogram]]: the same release over a
+    * watermarked 1-day tumbling window, so cells publish as their
+    * window closes instead of in a batch job. The noise is applied in
+    * the post-aggregate SELECT — still O(cells) work at GROUP grain —
+    * and the released value is identical to the batch form's for every
+    * (event_type, day) cell once the cell's events have all arrived
+    * (spec-pinned ≡ on the real fixture). State is one count per open
+    * (type, day) window, evicted by the watermark — bounded by types ×
+    * days inside the watermark horizon, regardless of event rate. */
+  def noisyHistStream(events: DataFrame,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("n_true"))
+      .select(col("event_type"), col("day"),
+        releasedCount(col("n_true"), col("day"), col("event_type"))
+          .as("n_noisy"))
 }

@@ -59,6 +59,38 @@ class PrivacySpec extends SparkSpec {
     joined.foreach(r => assert(r.getBoolean(2) === r.getBoolean(3)))
   }
 
+  test("noisyHistStream ≡ noisyHistogram on the real events fixture") {
+    // same fixture both ways: replay events through a MemoryStream with
+    // a far-future sentinel to advance the watermark past every real
+    // day window, and require the released (type, day, n_noisy) cells
+    // to equal the batch release exactly
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Relational.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evRows = ev.as[graft.streaming.EventStream.Event].collect()
+    val batch = Privacy.noisyHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val input = MemoryStream[graft.streaming.EventStream.Event]
+    val query = Privacy.noisyHistStream(input.toDF())
+      .writeStream.format("memory").queryName("noisy_hist_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      input.addData(evRows.toSeq)
+      query.processAllAvailable()
+      val flushTs = new java.sql.Timestamp(
+        evRows.map(_.ts.getTime).max + 3L * 24 * 3600 * 1000)
+      input.addData(graft.streaming.EventStream.Event(-1L, flushTs, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("noisy_hist_stream")
+        .filter(col("event_type") =!= "sentinel").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("noisyHistogram: bounded perturbation, non-negative, all cells") {
     val truth = Relational.events(spark, sfDir)
       .groupBy(col("event_type"),
