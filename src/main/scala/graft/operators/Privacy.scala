@@ -31,8 +31,8 @@ object Privacy {
     * count — the finest unit any release below needs, so user- and
     * value-distinctness at EVERY ladder level is an exact rollup of
     * this table (countDistinct over grain rows), never a rescan. */
-  private def grain(spark: SparkSession, dir: String): DataFrame =
-    Relational.events(spark, dir)
+  private def grain(events: DataFrame): DataFrame =
+    events
       .select(
         col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
@@ -71,7 +71,13 @@ object Privacy {
     * long-lived session keep a bounded cache.
     */
   def kAnonymize(spark: SparkSession, dir: String,
-                 k: Int = 5, l: Int = 3): DataFrame = {
+                 k: Int = 5, l: Int = 3): DataFrame =
+    kAnonymize(Relational.events(spark, dir), k, l)
+
+  /** Frame-input form of [[kAnonymize]]: `events` needs (event_type,
+    * ts TIMESTAMP, user_id, value) columns — the composable entry point
+    * (and the one the random-input invariant spec drives). */
+  def kAnonymize(events: DataFrame, k: Int, l: Int): DataFrame = {
     // the grain feeds three ladder levels and each stats frame feeds a
     // released + failed branch: persist all three (grain once per raw
     // scan; the stats frames are group-level — kilobytes at any scale)
@@ -82,7 +88,7 @@ object Privacy {
       Relational.ProbeRegistry.register(p)
       p
     }
-    val g = keep(grain(spark, dir))
+    val g = keep(grain(events))
     val hourStats = keep(g.groupBy("event_type", "day", "hour")
       .agg(sum("n").as("n_rows"),
         countDistinct("user_id").as("n_users"),

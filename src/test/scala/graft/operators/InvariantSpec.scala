@@ -240,4 +240,57 @@ class InvariantSpec extends SparkSpec {
       }
     }
   }
+  test("kAnonymize equals a plain-Scala generalization ladder on random events") {
+    import spark.implicits._
+    val utc = java.time.ZoneOffset.UTC
+    val fmtDay = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd").withZone(utc)
+    val fmtHour = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00").withZone(utc)
+    val rnd = new Random(91)
+    (1 to 5).foreach { round =>
+      val k = 2 + rnd.nextInt(4)
+      val l = 2 + rnd.nextInt(2)
+      val n = 80 + rnd.nextInt(120)
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val rows = (1 to n).map { i =>
+        val ts = new java.sql.Timestamp(
+          base + rnd.nextInt(3 * 24 * 3600).toLong * 1000L)
+        (i.toLong, ts, rnd.nextInt(8).toLong, s"t${rnd.nextInt(3)}",
+          rnd.nextInt(300).toDouble)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      // driver-side reference: the same ladder over plain collections
+      final case class R(t: String, day: String, hour: String,
+          u: Long, s: Long)
+      val rs = rows.map { case (_, ts, u, t, v) =>
+        val inst = java.time.Instant.ofEpochMilli(ts.getTime)
+        R(t, fmtDay.format(inst), fmtHour.format(inst), u,
+          math.floor(v / 50.0).toLong)
+      }
+      def cell(xs: Seq[R]): (Long, Long, Boolean) =
+        (xs.size.toLong, xs.map(_.u).distinct.size.toLong,
+          xs.map(_.s).distinct.size >= l)
+      val byHour = rs.groupBy(r => (r.t, r.day, r.hour))
+      val (relH, failH) = byHour.partition {
+        case (_, xs) => xs.map(_.u).distinct.size >= k }
+      val residual = failH.values.flatten.toSeq
+      val byDay = residual.groupBy(r => (r.t, r.day))
+      val (relD, failD) = byDay.partition {
+        case (_, xs) => xs.map(_.u).distinct.size >= k }
+      val supp = failD.values.flatten.toSeq.groupBy(_.t)
+      val expected: Set[(String, String, String, Long, Long, Boolean)] =
+        (relH.map { case ((t, _, h), xs) =>
+          val (nr, nu, lo) = cell(xs.toSeq); (t, "hour", h, nr, nu, lo) } ++
+        relD.map { case ((t, d), xs) =>
+          val (nr, nu, lo) = cell(xs.toSeq); (t, "day", d, nr, nu, lo) } ++
+        supp.map { case (t, xs) =>
+          val (nr, nu, lo) = cell(xs.toSeq)
+          (t, "suppressed", null: String, nr, nu, lo) }).toSet
+      val got = Privacy.kAnonymize(df, k, l).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(got === expected, s"round $round k=$k l=$l")
+    }
+  }
 }
