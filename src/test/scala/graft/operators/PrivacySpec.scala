@@ -59,6 +59,21 @@ class PrivacySpec extends SparkSpec {
     joined.foreach(r => assert(r.getBoolean(2) === r.getBoolean(3)))
   }
 
+  test("kAnonymize plan: broadcast residual joins, pruned scan, no SMJ") {
+    // the ladder's failed-cell key sets are bounded by types × time
+    // buckets, so the residual joins must BROADCAST — a sort-merge (or
+    // worse, cartesian) here would shuffle the grain twice at scale
+    val plan = Privacy.kAnonymize(spark, sfDir, k = 5, l = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // column pruning reaches the parquet scan: the release never needs
+    // event_id or the props payload
+    assert(!plan.contains("event_id"), "scan reads event_id")
+    assert(!plan.contains("props"), "scan reads props")
+  }
+
   test("noisyHistStream ≡ noisyHistogram on the real events fixture") {
     // same fixture both ways: replay events through a MemoryStream with
     // a far-future sentinel to advance the watermark past every real
