@@ -257,6 +257,41 @@ private[graft] object SketchEntries {
         .agg(max("n_rows").as("n_rows"),
           (min(when(col("ok"), 1).otherwise(0)) === 1).as("within_bound"))
     }),
+    // Count-Min estimator-regime contract — the OVERCOUNT dual of
+    // q_hh_error_bound's Misra-Gries theorem: width=64 < the gate's
+    // 150 distinct users per type forces counter collisions AT the
+    // gate, and the CM theorem (estimate >= true count, always — every
+    // occurrence lands in every probed counter, collisions only ADD)
+    // plus row conservation (any counter row sums to N) are DETERMINISTIC,
+    // so over_only/conserved are the literal contract values in DuckDB
+    // (which has no CM sketch); n_true is the exact cross-engine value.
+    "q_cm_error_bound" -> ((s, d) => {
+      import graft.functions.CountMinSketch
+      val depth = 4; val width = 64
+      val probes = (0 until 10).map(_.toString)
+      val ev = Relational.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val st = ev.groupBy("event_type")
+        .agg(CountMinSketch.sketchState(col("uid"), depth, width)
+          .as("state"),
+          count(lit(1)).as("n_rows"))
+      val probed = st.select(col("event_type"), col("n_rows"),
+        CountMinSketch.totalExpr(col("state"), width).as("n_state"),
+        explode(array(probes.map(p => struct(lit(p).as("probe_user"),
+          CountMinSketch.estimateItem(col("state"), p, depth, width)
+            .as("est"))): _*)).as("pr"))
+        .select(col("event_type"), col("pr.probe_user").as("probe_user"),
+          col("pr.est").as("est"), col("n_rows"), col("n_state"))
+      val exact = ev.filter(col("uid").isin(probes: _*))
+        .groupBy(col("event_type"), col("uid").as("probe_user"))
+        .agg(count(lit(1)).as("n_true"))
+      probed.join(broadcast(exact), Seq("event_type", "probe_user"), "left")
+        .na.fill(0L, Seq("n_true"))
+        .select(col("event_type"), col("probe_user"),
+          col("n_true").cast("long").as("n_true"),
+          (col("est") >= col("n_true")).as("over_only"),
+          (col("n_state") === col("n_rows")).as("conserved"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -502,5 +537,19 @@ private[graft] object SketchEntries {
     "q_hh_error_bound" ->
       ("SELECT event_type, count(*) AS n_rows, true AS within_bound " +
         "FROM events GROUP BY event_type"),
+    // CM contract: over_only (est >= true) and row conservation are
+    // theorems of the sketch, so their booleans are the literal
+    // contract values; the exact per-probe n_true is cross-engine
+    "q_cm_error_bound" ->
+      ("WITH p AS (SELECT unnest(['0','1','2','3','4','5','6','7','8'," +
+        "'9']) AS probe_user), " +
+        "t AS (SELECT event_type FROM events GROUP BY 1), " +
+        "ex AS (SELECT event_type, CAST(user_id AS VARCHAR) AS pu, " +
+        "count(*) AS c FROM events GROUP BY 1, 2) " +
+        "SELECT t.event_type, p.probe_user, " +
+        "CAST(coalesce(ex.c, 0) AS BIGINT) AS n_true, " +
+        "true AS over_only, true AS conserved " +
+        "FROM t CROSS JOIN p LEFT JOIN ex " +
+        "ON ex.event_type = t.event_type AND ex.pu = p.probe_user"),
   )
 }
