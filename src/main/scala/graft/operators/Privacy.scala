@@ -170,6 +170,79 @@ object Privacy {
     * (spec-pinned ≡ on the real fixture). State is one count per open
     * (type, day) window, evicted by the watermark — bounded by types ×
     * days inside the watermark horizon, regardless of event rate. */
+  /** State of one open (event_type, hour) cell in the streaming gate:
+    * the EXACT distinct-user and sensitive-bucket sets plus the row
+    * count. Exactness is non-negotiable here — an approximate user
+    * count (KMV/HLL) could release a cell that in truth covers < k
+    * users, inverting the privacy guarantee — so the state is
+    * O(active users per hour cell), the irreducible cost of exact
+    * k-anonymity, evicted when the watermark passes the cell. */
+  final case class HourCellState(users: Set[Long], sens: Set[Long],
+      nRows: Long)
+
+  /** One streaming release decision per closed (event_type, hour)
+    * cell. A released cell carries its bucket; a FAILED cell carries a
+    * NULL bucket — the live channel never reveals a small group's time
+    * locality — and its rows are expected to re-enter the BATCH ladder
+    * ([[kAnonymize]]) where day-level generalization can still release
+    * them. */
+  final case class HourRelease(event_type: String, bucket: String,
+      released: Boolean, n_rows: Long, n_users: Long, l_ok: Boolean)
+
+  /** Streaming k-anonymity HOUR gate: the real-time face of
+    * [[kAnonymize]]. Events group by (event_type, hour); when the
+    * watermark passes a cell (event-time timeout), the cell emits ONE
+    * release decision — released iff it covered ≥ k distinct users,
+    * with the same l-diversity audit as the batch ladder. Decisions
+    * are spec-pinned ≡ the batch ladder's hour-level statistics on the
+    * real fixture. State is one [[HourCellState]] per open cell,
+    * bounded by (types × hours inside the watermark horizon) × active
+    * users per cell — never by stream length. */
+  def kAnonHourStream(events: org.apache.spark.sql.Dataset[
+        graft.streaming.EventStream.Event],
+      k: Int = 5, l: Int = 3, watermark: String = "2 hours")(
+      implicit spark: SparkSession):
+      org.apache.spark.sql.Dataset[HourRelease] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val hourMs = 3600L * 1000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+
+    def update(key: (String, Long),
+        rows: Iterator[graft.streaming.EventStream.Event],
+        state: GroupState[HourCellState]): Iterator[HourRelease] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map { s =>
+          val released = s.users.size >= k
+          HourRelease(key._1,
+            if (released) fmt.format(new java.util.Date(key._2)) else null,
+            released, s.nRows, s.users.size.toLong, s.sens.size >= l)
+        }
+        state.remove()
+        return out.iterator
+      }
+      var s = state.getOption.getOrElse(HourCellState(Set.empty, Set.empty, 0L))
+      rows.foreach { e =>
+        s = HourCellState(s.users + e.user_id,
+          s.sens + math.floor(e.value / sensWidth).toLong, s.nRows + 1L)
+      }
+      state.update(s)
+      // close once the watermark passes the hour's end; must stay ahead
+      // of the current watermark or Spark rejects the timestamp
+      state.setTimeoutTimestamp(
+        math.max(key._2 + hourMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, e.ts.getTime - Math.floorMod(
+        e.ts.getTime, hourMs)))
+      .flatMapGroupsWithState[HourCellState, HourRelease](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   def noisyHistStream(events: DataFrame,
       watermark: String = "1 day"): DataFrame =
     events

@@ -106,6 +106,59 @@ class PrivacySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("kAnonHourStream decisions ≡ batch hour-level statistics") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val k = 5; val l = 3
+    val ev = Relational.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evRows = ev.as[graft.streaming.EventStream.Event].collect()
+    // batch truth: per-(type, hour) exact stats from the raw fixture
+    val truth = Relational.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        (countDistinct(floor(col("value") / 50.0)) >= l).as("l_ok"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val input = MemoryStream[graft.streaming.EventStream.Event]
+    val query = Privacy.kAnonHourStream(input.toDS(), k, l)
+      .writeStream.format("memory").queryName("kanon_hours")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      input.addData(evRows.toSeq)
+      query.processAllAvailable()
+      val flushTs = new java.sql.Timestamp(
+        evRows.map(_.ts.getTime).max + 24L * 3600 * 1000)
+      input.addData(
+        graft.streaming.EventStream.Event(-1L, flushTs, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("kanon_hours")
+        .filter(col("event_type") =!= "sentinel").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      // released rows match the >= k truth cells exactly
+      val relGot = got.filter(_._3)
+        .map(t => (t._1, t._2, t._4, t._5, t._6)).toSet
+      val relTruth = truth.filter(_._4 >= k)
+        .map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+      assert(relGot === relTruth)
+      // failed rows: NULL buckets, per-type counts and row totals match
+      val failGot = got.filterNot(_._3)
+      assert(failGot.forall(_._2 == null), "failed cell leaked its bucket")
+      val failTruthByType = truth.filter(_._4 < k)
+        .groupBy(_._1).view.mapValues(xs => (xs.length, xs.map(_._3).sum))
+      val failGotByType = failGot
+        .groupBy(_._1).view.mapValues(xs => (xs.length, xs.map(_._4).sum))
+      assert(failGotByType.toMap === failTruthByType.toMap)
+    } finally query.stop()
+  }
+
   test("noisyHistogram: bounded perturbation, non-negative, all cells") {
     val truth = Relational.events(spark, sfDir)
       .groupBy(col("event_type"),
