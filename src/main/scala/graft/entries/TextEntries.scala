@@ -32,6 +32,12 @@ private[graft] object TextEntries {
     "q_bigram_vocab" -> ((s, d) => TextOps.bigramVocab(s, d)),
     "q_bpe_merges" -> ((s, d) => TextOps.learnBpeMerges(s, d)),
     "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenize(s, d)),
+    // unigram-LM (SentencePiece-style) trainer: hard-EM over Viterbi
+    // segmentations of the bounded distinct-word dictionary; golden
+    // VALUES oracle (the EM loop is not expressible in SQL), semantics
+    // spec-pinned on hand fixtures in UnigramLmSpec
+    "q_unigram_vocab" -> ((s, d) =>
+      graft.operators.UnigramLm.learnVocab(s, d)),
     "q_pii_redact" -> (TextOps.piiRedact _),
     "q_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "q_unigram_logprob" -> (TextOps.unigramLogProb _),
@@ -104,6 +110,19 @@ private[graft] object TextEntries {
     // apply half of the BPE pair: corpus token frequencies under the 20
     // learned merges (deterministic encode + tie-broken top-k → golden
     // VALUES; merged tokens e·/er·/ow·/or/st visibly in the vocabulary)
+    // final-EM piece use counts at the gate corpus; (n_uses desc,
+    // piece asc) ties pinned (i before v at 1809)
+    "q_unigram_vocab" ->
+      ("SELECT piece, n_uses FROM (VALUES " +
+        Seq(
+          ("e", 6272), ("t", 6251), ("a", 6247), ("l", 5531), ("g", 4474),
+          ("s", 3598), ("m", 2750), ("d", 2732), ("or", 2696), ("r", 2637),
+          ("mer", 1852), ("er", 1845), ("u", 1838), ("al", 1825),
+          ("o", 1812), ("i", 1809), ("v", 1809), ("ow", 1804),
+          ("in", 1796), ("f", 1787)
+        ).map { case (p, n) => s"('$p', CAST($n AS BIGINT))" }
+          .mkString(", ") +
+        ") AS t(piece, n_uses)"),
     "q_bpe_tokens" ->
       ("SELECT token, n FROM (VALUES " +
         Seq(

@@ -405,7 +405,7 @@ object TextOps {
   /** One row per (doc, token), \s+ split, empty tokens dropped — the
     * exploded word stream the frequency operators share. Narrow map +
     * generator; the shuffle happens in the consumer's aggregation. */
-  private def words(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def words(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"),
       explode(filter(split(col("text"), "\\s+"), w => length(w) > 0))
         .as("word"))
