@@ -612,6 +612,60 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k = k, l = l))
     }
 
+    tvf("corpus_bpe_merges",
+      "corpus_bpe_merges(dir[, n]) - Learned BPE merge table (rank, " +
+        "left, right, pair_freq) over the corpus word dictionary " +
+        "(default 20 merges).",
+      "SELECT * FROM corpus_bpe_merges('/data/c1', 30);") { args =>
+      val fn = "corpus_bpe_merges"
+      val bound = bind(fn, args, Seq("dir", "n"), Set.empty)
+      val n = optNum(fn, bound, "n", 20).toInt
+      if (n < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'n' must be >= 1, got $n.")
+      plan(TextOps.learnBpeMerges(SparkSession.active,
+        reqDir(fn, bound), numMerges = n))
+    }
+
+    tvf("corpus_bpe_tokens",
+      "corpus_bpe_tokens(dir[, n]) - Corpus token-frequency table " +
+        "under the learned BPE tokenizer (default 20 merges).",
+      "SELECT * FROM corpus_bpe_tokens('/data/c1');") { args =>
+      val fn = "corpus_bpe_tokens"
+      val bound = bind(fn, args, Seq("dir", "n"), Set.empty)
+      val n = optNum(fn, bound, "n", 20).toInt
+      if (n < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'n' must be >= 1, got $n.")
+      plan(TextOps.bpeTokenize(SparkSession.active,
+        reqDir(fn, bound), numMerges = n))
+    }
+
+    tvf("corpus_unigram_vocab",
+      "corpus_unigram_vocab(dir[, vocab_size]) - Unigram-LM " +
+        "(SentencePiece-style) subword vocabulary: final-EM piece use " +
+        "counts (default vocab 40, top 20 rows).",
+      "SELECT * FROM corpus_unigram_vocab('/data/c1');") { args =>
+      val fn = "corpus_unigram_vocab"
+      val bound = bind(fn, args, Seq("dir", "vocab_size"), Set.empty)
+      val v = optNum(fn, bound, "vocab_size", 40).toInt
+      if (v < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'vocab_size' must be >= 1, got $v.")
+      plan(graft.operators.UnigramLm.learnVocab(SparkSession.active,
+        reqDir(fn, bound), vocabSize = v))
+    }
+
+    tvf("corpus_unigram_tokens",
+      "corpus_unigram_tokens(dir[, vocab_size]) - Corpus piece-" +
+        "frequency table under the learned unigram-LM vocabulary.",
+      "SELECT * FROM corpus_unigram_tokens('/data/c1');") { args =>
+      val fn = "corpus_unigram_tokens"
+      val bound = bind(fn, args, Seq("dir", "vocab_size"), Set.empty)
+      val v = optNum(fn, bound, "vocab_size", 40).toInt
+      if (v < 1) throw new IllegalArgumentException(
+        s"SUDAN: $fn() parameter 'vocab_size' must be >= 1, got $v.")
+      plan(graft.operators.UnigramLm.tokenize(SparkSession.active,
+        reqDir(fn, bound), vocabSize = v))
+    }
+
     tvf("corpus_noisy_hist",
       "corpus_noisy_hist(dir) - Noisy per-(event_type, day) histogram " +
         "release: counts perturbed by keyed integer noise in [-10, 10] " +

@@ -313,6 +313,24 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("'k' must be >= 1"), bad.getMessage)
   }
 
+  test("tokenizer TVFs match Scala factories + binders") {
+    ready
+    assert(spark.sql(s"SELECT * FROM corpus_bpe_merges('$sfDir', 5)")
+      .collect().toSeq ===
+      TextOps.learnBpeMerges(spark, sfDir, numMerges = 5).collect().toSeq)
+    assert(spark.sql(s"SELECT * FROM corpus_unigram_vocab('$sfDir')")
+      .collect().toSeq ===
+      graft.operators.UnigramLm.learnVocab(spark, sfDir).collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM corpus_unigram_tokens('$sfDir', vocab_size => 30)")
+      .collect().toSeq ===
+      graft.operators.UnigramLm.tokenize(spark, sfDir, vocabSize = 30)
+        .collect().toSeq)
+    val bad = intercept[Exception](spark.sql(
+      s"SELECT * FROM corpus_bpe_merges('$sfDir', n => 0)"))
+    assert(bad.getMessage.contains("'n' must be >= 1"), bad.getMessage)
+  }
+
   test("binder errors: missing dir / unknown param") {
     ready
     val missing = intercept[Exception](spark.sql(

@@ -37,7 +37,9 @@ class TvfBinderFuzzSpec extends SparkSpec {
     "corpus_range_estimate", "corpus_join_estimate", "corpus_scd2",
     "corpus_apply_changes", "corpus_token_windows",
     "corpus_expectations", "corpus_heavy_hitters", "corpus_sketch_delta",
-    "corpus_quantile_drift", "corpus_kanon", "corpus_noisy_hist")
+    "corpus_quantile_drift", "corpus_kanon", "corpus_noisy_hist",
+    "corpus_bpe_merges", "corpus_bpe_tokens", "corpus_unigram_vocab",
+    "corpus_unigram_tokens")
 
   // argument-VALUE generator: literals of assorted types, arrays, and
   // non-foldable expressions (rand()); keys both known and unknown;
