@@ -28,18 +28,15 @@ def med(d, q):
 
 # committed r13 ledgers + r14 supplemental ONLY-run ledgers (merged;
 # supplemental rows only ADD queries the r13 set did not carry)
-m01 = {**load('bench_sfx01_medians.json'), **load('bench14_sfx01_medians.json'),
-       **load('bench14b_sfx01_medians.json')}
-m1 = {**load('bench_sfx1_medians.json'), **load('bench14_sfx1_medians.json'),
-      **load('bench14b_sfx1_medians.json')}
-m10 = {**load('bench_sfx10_medians.json'), **load('bench14_sfx10_medians.json'),
-       **load('bench14b_sfx10_medians.json')}
-b01 = {**load('bench_sfx01_build_costs.json'), **load('bench14_sfx01_build_costs.json'),
-       **load('bench14b_sfx01_build_costs.json')}
-b1 = {**load('bench_sfx1_build_costs.json'), **load('bench14_sfx1_build_costs.json'),
-      **load('bench14b_sfx1_build_costs.json')}
-b10 = {**load('bench_sfx10_build_costs.json'), **load('bench14_sfx10_build_costs.json'),
-       **load('bench14b_sfx10_build_costs.json')}
+def merged(suffix):
+    out = {}
+    for prefix in ('bench', 'bench14', 'bench14b', 'bench14c'):
+        out.update(load(f'{prefix}_{suffix}.json'))
+    return out
+
+m01, m1, m10 = (merged(f'{s}_medians') for s in ('sfx01', 'sfx1', 'sfx10'))
+b01, b1, b10 = (merged(f'{s}_build_costs')
+                for s in ('sfx01', 'sfx1', 'sfx10'))
 
 # adjudicated scaling class per query (the honesty ledger: 'linear'
 # families are proven two decades deep; the three non-linear classes
@@ -64,6 +61,8 @@ CLASSES = {
     'q_sketch_snapshot_merge': ('linear', 'stored-state reads; FLAT (x0.87) - the 100 TB steady-state shape.'),
     'q_kanon_release': ('linear', 'one shuffle to the distinct-activity grain, then group-level ladder rollups bounded by types x time buckets (privacy family, added late r14).'),
     'q_noisy_hist': ('linear', 'one groupBy; noise applied at group grain post-aggregate, O(cells) never O(rows).'),
+    'q_cm_error_bound': ('linear', 'one shuffle carrying a constant-size counter array per group; probes are literal-index column reads (sketch family, added late r14).'),
+    'q_unigram_vocab': ('linear', 'one distributed word-count; EM runs on the bounded distinct-word dictionary, corpus-size-independent after the aggregate (tokenizer family, added late r14).'),
 }
 
 queries = {}
