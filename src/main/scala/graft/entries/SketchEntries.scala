@@ -292,6 +292,12 @@ private[graft] object SketchEntries {
           (col("est") >= col("n_true")).as("over_only"),
           (col("n_state") === col("n_rows")).as("conserved"))
     }),
+    // native-probe rare-token audit: CM never undercounts, so the
+    // probe's rare set is a SUBSET of the true rare set per document
+    // (subset_ok — a theorem, the literal DuckDB boolean); n_tokens and
+    // the exact true_rare_n are cross-engine values
+    "q_cm_rare_ratio" -> ((s, d) =>
+      graft.operators.SketchOps.cmRareRatio(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -551,5 +557,14 @@ private[graft] object SketchEntries {
         "true AS over_only, true AS conserved " +
         "FROM t CROSS JOIN p LEFT JOIN ex " +
         "ON ex.event_type = t.event_type AND ex.pu = p.probe_user"),
+    // per-doc token counts + exact rare counts; subset_ok is the CM
+    // no-undercount theorem's literal value
+    "q_cm_rare_ratio" ->
+      (OracleLib.wordCteWith() +
+        ", f AS (SELECT word, count(*) AS c FROM w GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN f.c < 2000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS true_rare_n, true AS subset_ok " +
+        "FROM w JOIN f USING (word) GROUP BY doc_id"),
   )
 }

@@ -103,4 +103,93 @@ object CountMinSketch {
     * here) — the conservation read used by error-bound contracts. */
   def totalExpr(state: Column, width: Int): Column =
     aggregate(slice(state, 1, width), lit(0L), (acc, x) => acc + x)
+
+  /** Point-frequency estimate of a COLUMN of items against a
+    * driver-held state array — the native-expression probe (see
+    * [[CmEstimateExpression]]): the state (depth×width longs, a few KB)
+    * rides inside the generated code via `addReferenceObj`, so a corpus
+    * scan scores every row's frequency estimate map-side with no UDF
+    * boundary, no join and no shuffle. */
+  def estimate(item: Column, state: Array[Long],
+      depth: Int, width: Int): Column = {
+    requireLayout(depth, width)
+    require(state.length == depth * width,
+      s"state length ${state.length} != depth*width ${depth * width}")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CmEstimateExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(item),
+        state, depth, width))
+  }
+
+  /** Shared probe core (aggregator, literal probes and the native
+    * expression route through the same index function). */
+  private[functions] def probe(state: Array[Long], s: String,
+      depth: Int, width: Int): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = state(r * width + index(s, r, width))
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+}
+
+/** Native Catalyst expression for the Count-Min point probe — the
+  * map-side frequency scorer. The counter array (depth×width longs)
+  * rides via `ctx.addReferenceObj` so the probe stays inside
+  * whole-stage codegen: no UDF boundary, no broadcast variable, no
+  * join — a corpus scan estimates every token's frequency at
+  * memory-bandwidth speed. NULL items yield 0 (a NULL token trivially
+  * has no occurrences), keeping the probe a total function like
+  * [[BloomMightContainExpression]]. */
+final case class CmEstimateExpression(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    state: Array[Long], depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cm_estimate"
+  override def inputTypes = Seq(StringType)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else CmEstimateExpression.probe(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      state, depth, width)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmState", state, "long[]")
+    val childGen = child.genCode(ctx)
+    val fn = "graft.functions.CmEstimateExpression.probe"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = ${childGen.isNull} ? 0L :
+          $fn(${childGen.value}, $ref, $depth, $width);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : CmEstimateExpression = copy(child = newChild)
+}
+
+object CmEstimateExpression {
+  /** Codegen entry point (static call from generated Java). */
+  def probe(item: org.apache.spark.unsafe.types.UTF8String,
+      state: Array[Long], depth: Int, width: Int): Long =
+    if (item == null) 0L
+    else CountMinSketch.probe(state, item.toString, depth, width)
 }

@@ -617,4 +617,41 @@ object SketchOps {
     clean.select(col("doc_id"), col("source"))
       .unionByName(rescued.select(col("doc_id"), col("source")))
   }
+
+  /** Per-document rare-token audit via the NATIVE Count-Min probe
+    * ([[graft.functions.CmEstimateExpression]]): one corpus pass builds
+    * a single global CM state (depth×width longs — a few KB, collected
+    * once), and the scoring pass estimates every token's corpus
+    * frequency MAP-SIDE inside whole-stage codegen — no UDF, no join,
+    * no frequency-table shuffle on the hot path. That is the 100 TB
+    * shape: the exact unigram table over a web corpus is billions of
+    * rows and joins against every token; the CM state is 8 KB and rides
+    * inside the generated code.
+    *
+    * Contract (the oracle-able half): CM never undercounts, so a token
+    * the probe calls rare (estimate < threshold) is TRULY rare — the
+    * CM-rare set is a SUBSET of the true rare set, per document
+    * (`subset_ok`). The exact `true_rare_n` here is computed with a
+    * broadcast frequency join for the contract only; production uses
+    * just the map-side probe column. */
+  def cmRareRatio(spark: SparkSession, dir: String,
+      threshold: Long = 2000L, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    import graft.functions.CountMinSketch
+    val w = TextOps.words(spark, dir).select("doc_id", "word")
+    val state: Array[Long] = w
+      .agg(CountMinSketch.sketchState(col("word"), depth, width).as("st"))
+      .collect()(0).getSeq[Long](0).toArray
+    val est = CountMinSketch.estimate(col("word"), state, depth, width)
+    val freq = w.groupBy("word").agg(count(lit(1)).as("f"))
+    w.withColumn("cm_rare", est < threshold)
+      .join(broadcast(freq), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("f") < threshold, 1L).otherwise(0L))
+          .cast("long").as("true_rare_n"),
+        (sum(when(col("cm_rare"), 1L).otherwise(0L)) <=
+          sum(when(col("f") < threshold, 1L).otherwise(0L)))
+          .as("subset_ok"))
+  }
 }

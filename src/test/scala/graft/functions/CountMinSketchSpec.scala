@@ -88,6 +88,30 @@ class CountMinSketchSpec extends SparkSpec {
     assert(row.getLong(probeItems.size) === items.size.toLong)
   }
 
+  test("native probe expression matches the reference and stays codegen'd") {
+    import spark.implicits._
+    val rnd = new Random(3)
+    val items = Seq.fill(3000)(s"w${rnd.nextInt(120)}")
+    val st = refState(items)
+    val df = (items.take(200) ++ Seq("absent1", "absent2")).toDF("s")
+      .select(col("s"),
+        CountMinSketch.estimate(col("s"), st, depth, width).as("est"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === refEstimate(st, r.getString(0)), r.getString(0))
+    }
+    // NULL item -> 0, not NULL (total function)
+    val nulls = Seq(Some("w0"), None).toDF("s")
+      .select(CountMinSketch.estimate(col("s"), st, depth, width).as("e"))
+      .collect()
+    assert(!nulls(1).isNullAt(0) && nulls(1).getLong(0) === 0L)
+    // the probe rides inside a WholeStageCodegen projection
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(CountMinSketch.estimate(col("source"), st, depth, width)
+        .as("e"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cm_estimate"), plan)
+  }
+
   test("layout validation refuses bad depth/width") {
     intercept[IllegalArgumentException](
       CountMinSketch.sketchState(col("s"), depth = 0, width = 64))

@@ -30,7 +30,7 @@ def med(d, q):
 # supplemental rows only ADD queries the r13 set did not carry)
 def merged(suffix):
     out = {}
-    for prefix in ('bench', 'bench14', 'bench14b', 'bench14c'):
+    for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -63,6 +63,7 @@ CLASSES = {
     'q_noisy_hist': ('linear', 'one groupBy; noise applied at group grain post-aggregate, O(cells) never O(rows).'),
     'q_cm_error_bound': ('linear', 'one shuffle carrying a constant-size counter array per group; probes are literal-index column reads (sketch family, added late r14).'),
     'q_unigram_vocab': ('linear', 'one distributed word-count; EM runs on the bounded distinct-word dictionary, corpus-size-independent after the aggregate (tokenizer family, added late r14).'),
+    'q_cm_rare_ratio': ('linear', 'native cm_estimate probe scores every token map-side inside codegen; the exact-join half exists for the contract only (added late r14).'),
 }
 
 queries = {}
