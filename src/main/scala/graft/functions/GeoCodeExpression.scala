@@ -74,6 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.api.SudanTableFunctions.register(ext)
     // corpus-pipeline TVFs (corpus_clean('/dir'), corpus_ann_probe(...), …)
     graft.api.CorpusTableFunctions.register(ext)
+    // auto-inject the char-bag reject ahead of raw levenshtein(a,b)<=k
+    // predicates (exact — see LevenshteinPruneRule's safety gates)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruneRule)
     // catalog-visible docs, mirroring the reference's per-function
     // description/example metadata (function_builder.hpp:10-41,
     // sudan_extension.cpp:21-31): DESCRIBE FUNCTION [EXTENDED] shows them
