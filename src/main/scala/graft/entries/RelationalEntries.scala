@@ -96,6 +96,8 @@ private[graft] object RelationalEntries {
     // temporal joins (beyond the reference): as-of enrichment and a
     // no-equality-key proximity range join, both scale-safe rewrites
     "q_asof_join" -> (AsOf.eventsAsOfLastPurchase _),
+    "q_asof_exec" -> (AsOf.eventsAsOfLastPurchaseExec _),
+    "q_asof_broadcast" -> (AsOf.eventsAsOfLastPurchaseBroadcast _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
   )
 
@@ -465,6 +467,26 @@ private[graft] object RelationalEntries {
     // union+window rewrite (purchases deduped per (user_id, ts) on both
     // sides so the as-of match is unique)
     "q_asof_join" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    // same workload through the custom physical operators
+    // (plans/AsOfJoinExec.scala) — one oracle per execution path
+    "q_asof_broadcast" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q_asof_exec" ->
       ("SELECT l.event_id, l.user_id, " +
         "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +

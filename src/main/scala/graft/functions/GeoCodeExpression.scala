@@ -77,6 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-inject the char-bag reject ahead of raw levenshtein(a,b)<=k
     // predicates (exact — see LevenshteinPruneRule's safety gates)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruneRule)
+    // physical as-of join (custom LogicalPlan -> SparkPlan tier); the
+    // Scala factory also self-installs via experimental.extraStrategies
+    // so stock sessions work — this registration covers SQL-configured
+    // sessions (spark.sql.extensions=graft.functions.GraftExtensions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // catalog-visible docs, mirroring the reference's per-function
     // description/example metadata (function_builder.hpp:10-41,
     // sudan_extension.cpp:21-31): DESCRIBE FUNCTION [EXTENDED] shows them

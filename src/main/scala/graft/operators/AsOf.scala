@@ -59,10 +59,17 @@ object AsOf {
     // right rows, so ignoreNulls skips only the left rows interleaved in
     // the union, never a legitimate all-NULL payload.
     val payloadStruct = struct(payload.map(p => col(p).as(rename(p))): _*)
-    // right rows sort first (side 0) at equal ts → `>=` tie semantics
+    // right rows sort first (side 0) at equal ts → `>=` ties semantics.
+    // Null-ts RIGHT rows are dropped: they'd sort at the partition front
+    // (nulls first) and `last(..., ignoreNulls)` would carry their
+    // payload into every left row with no earlier real match — but a
+    // NULL timestamp compares false against everything, so under SQL /
+    // DuckDB-ASOF semantics such rows can never match (round-14 fix,
+    // caught by the physical operator's parity spec).
     val l = left.withColumn("_side", lit(1))
-    val r = right.select(((keys :+ ts).map(col) :+ lit(0).as("_side")) :+
-      payloadStruct.as("_payload"): _*)
+    val r = right.filter(col(ts).isNotNull)
+      .select(((keys :+ ts).map(col) :+ lit(0).as("_side")) :+
+        payloadStruct.as("_payload"): _*)
     // align schemas: right contributes nulls for left-only columns
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -87,19 +94,135 @@ object AsOf {
         carried.map(c => col(s"_carried.$c").as(c)): _*)
   }
 
+  /** Left-as-of-join via the physical operator
+    * ([[graft.plans.AsOfJoinExec]]) — same semantics and parameters as
+    * [[asOfJoin]] (spec-pinned equivalence), different execution: one
+    * hash shuffle per side on the keys + an in-partition two-pointer
+    * merge with O(1) state, instead of the union's single window pass
+    * over BOTH sides. Prefer this form when the right side is large
+    * (the union form sorts left+right together; the merge form sorts
+    * each side independently and never materializes the union), or when
+    * either side is already hash-partitioned on the keys (the planner
+    * then skips that side's exchange entirely — spec-pinned).
+    *
+    * The strategy is installed idempotently into
+    * `spark.experimental.extraStrategies` so stock sessions work;
+    * `spark.sql.extensions=graft.functions.GraftExtensions` sessions
+    * already carry it. */
+  def asOfJoinExec(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String], rename: String => String,
+      direction: String = "backward"): DataFrame =
+    asOfJoinPlanned(left, right, keys, ts, payload, rename, direction,
+      broadcast = false)
+
+  /** Broadcast as-of join ([[graft.plans.BroadcastAsOfJoinExec]]) — the
+    * 100 TB enrichment shape: the SMALL right side (reference prices,
+    * config snapshots, rollout versions) is broadcast once and the huge
+    * left side is enriched MAP-SIDE — no left shuffle, no left sort,
+    * the scan's partitioning/ordering/pruning all pass through. Probe
+    * cost per left row: one hash lookup + one binary search over that
+    * key's ts array. Same semantics as [[asOfJoin]]/[[asOfJoinExec]]
+    * (parity spec); Spark's own broadcast limits guard the right side's
+    * size at the BroadcastExchange. */
+  def asOfJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String], rename: String => String,
+      direction: String = "backward"): DataFrame =
+    asOfJoinPlanned(left, right, keys, ts, payload, rename, direction,
+      broadcast = true)
+
+  private def asOfJoinPlanned(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, payload: Seq[String],
+      rename: String => String, direction: String,
+      broadcast: Boolean): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val leftCols = left.columns.toSeq
+    val carriedNames = payload.map(rename)
+    require(carriedNames.intersect(leftCols).isEmpty,
+      s"renamed payload collides with left columns: ${carriedNames.intersect(leftCols)}")
+    require(carriedNames.distinct.size == carriedNames.size,
+      s"rename maps two payload columns to the same name: $carriedNames")
+    val spark = left.sparkSession
+    installStrategy(spark)
+    // fresh right-side projection: aliasing keys/ts/payload mints new
+    // exprIds, so a self-join (left and right from the same Dataset)
+    // cannot produce ambiguous attributes inside the custom node
+    import org.apache.spark.sql.functions.col
+    val keyAliases = keys.zipWithIndex.map { case (k, i) => s"__graft_rk_$i" }
+    val rightProj = right.select(
+      keys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(ts).as("__graft_rts")) ++
+        payload.zip(carriedNames).map { case (p, c) => col(p).as(c) }: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightProj.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found in ${plan.output.map(_.name)}"))
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keyAliases.map(attr(rPlan, _))
+    val lTs = attr(lPlan, ts)
+    val rTs = attr(rPlan, "__graft_rts")
+    require(lTs.dataType == rTs.dataType,
+      s"ts type mismatch: left $ts is ${lTs.dataType}, right is ${rTs.dataType}")
+    (lKeys ++ rKeys :+ lTs).foreach { a =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(a.dataType),
+        s"as-of key/ts column '${a.name}' has unorderable type ${a.dataType}")
+    }
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"key type mismatch: ${l.name} ${l.dataType} vs ${r.dataType}")
+    }
+    val carried = carriedNames.map(attr(rPlan, _))
+    org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
+        carried, forward = direction == "forward", broadcast = broadcast))
+  }
+
+  /** Idempotently add [[graft.plans.AsOfJoinStrategy]] to the session's
+    * experimental strategies (first in planner order, so the custom
+    * node always plans). No-op for Connect sessions — those must carry
+    * the GraftExtensions config. */
+  private def installStrategy(spark: SparkSession): Unit = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession =>
+      val ex = c.experimental
+      if (!ex.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        ex.extraStrategies = ex.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    case _ => ()
+  }
+
   /** Demo entry: every event enriched with the user's most recent purchase
     * (value + time) as of the event's timestamp — purchases tie-broken
     * to one row per (user_id, ts) so the as-of match is unique. */
-  def eventsAsOfLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+  def eventsAsOfLastPurchase(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, asOfJoin(_, _, _, _, _, _))
+
+  /** Same workload through the PHYSICAL operator ([[asOfJoinExec]]) —
+    * a second gate entry against the identical DuckDB ASOF oracle, so
+    * the custom `SparkPlan`'s merge is oracle-checked end-to-end, not
+    * just spec-pinned against the compose form. */
+  def eventsAsOfLastPurchaseExec(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, asOfJoinExec(_, _, _, _, _, _))
+
+  /** Same workload through the BROADCAST physical operator — the
+    * deduped purchases side is small (one row per (user, ts)), exactly
+    * the broadcast contract; third gate entry on the same oracle. */
+  def eventsAsOfLastPurchaseBroadcast(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, asOfJoinBroadcast(_, _, _, _, _, _))
+
+  private def eventsAsOfVia(spark: SparkSession, dir: String,
+      join: (DataFrame, DataFrame, Seq[String], String, Seq[String],
+        String => String) => DataFrame): DataFrame = {
     val events = Relational.events(spark, dir)
       .select("event_id", "user_id", "ts", "event_type", "value")
     val purchases = events.filter(col("event_type") === "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("value"))
       .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("value"))
-    asOfJoin(events, purchases, keys = Seq("user_id"), ts = "ts",
-      payload = Seq("p_ts", "value"),
-      rename = { case "p_ts" => "purchase_ts"; case "value" => "purchase_value"
-                 case other => other })
+    join(events, purchases, Seq("user_id"), "ts",
+      Seq("p_ts", "value"),
+      { case "p_ts" => "purchase_ts"; case "value" => "purchase_value"
+        case other => other })
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
         col("event_type"),

@@ -52,6 +52,29 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("NULL right timestamp matches nothing in EITHER direction (round-14 fix)") {
+    import spark.implicits._
+    // a null-ts right row would sort at the partition front and get
+    // carried into every left row with no earlier real match
+    val left = Seq((1L, "k", 5L), (2L, "k", 50L)).toDF("id", "key", "t")
+    val right = Seq(("k", Option.empty[Long], "ghost"), ("k", Some(40L), "real"))
+      .toDF("key", "t", "state")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOf.asOfJoin(left, right, keys = Seq("key"), ts = "t",
+          payload = Seq("state"), rename = s => s"r_$s", direction = dir)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      if (dir == "backward") {
+        assert(out(1L) === None, "no real right row at ts <= 5; the " +
+          "null-ts row must NOT be treated as an earlier match")
+        assert(out(2L) === Some("real"))
+      } else {
+        assert(out(1L) === Some("real"))
+        assert(out(2L) === None, "no real right row at ts >= 50; the " +
+          "null-ts row must NOT match")
+      }
+    }
+  }
+
   test("NULL payload in the matched right row is carried as NULL") {
     import spark.implicits._
     // the matched row's fields must come from ONE right row: per-column

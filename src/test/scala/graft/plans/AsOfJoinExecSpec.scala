@@ -1,0 +1,273 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.AsOf
+
+/** Pins the physical as-of join ([[AsOfJoinExec]]) — the extension
+  * ladder's whole-operator tier — against the compose form
+  * ([[AsOf.asOfJoin]], oracle-checked vs DuckDB ASOF JOIN since round
+  * 5) and against hand-computed fixtures for the null/tie edges, plus
+  * the plan-shape contracts the 100 TB story rests on (one exchange
+  * per side, zero when pre-partitioned). */
+class AsOfJoinExecSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sorted(df: DataFrame): Seq[Row] = {
+    val cols = df.columns.toSeq
+    df.orderBy(cols.map(col): _*).collect().toSeq
+  }
+
+  /** Both implementations on the same inputs must agree row-for-row. */
+  private def assertParity(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, payload: Seq[String],
+      rename: String => String, direction: String): Unit = {
+    val compose = AsOf.asOfJoin(left, right, keys, ts, payload, rename, direction)
+    val exec = AsOf.asOfJoinExec(left, right, keys, ts, payload, rename, direction)
+    assert(exec.columns.toSeq == compose.columns.toSeq)
+    assert(sorted(exec) == sorted(compose))
+  }
+
+  private def trades = Seq(
+    ("AA", 1L, "t1"), ("AA", 3L, "t2"), ("AA", 7L, "t3"),
+    ("BB", 2L, "t4"), ("CC", 5L, "t5")
+  ).toDF("sym", "ts", "trade_id")
+
+  private def quotes = Seq(
+    ("AA", 1L, 10.0), ("AA", 3L, 11.0), ("AA", 5L, 12.0),
+    ("BB", 4L, 20.0), ("DD", 1L, 30.0)
+  ).toDF("sym", "ts", "px")
+
+  test("backward: greatest right ts <= left ts, ties match, no-match is null") {
+    val out = AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+      payload = Seq("ts", "px"),
+      rename = { case "ts" => "q_ts"; case other => other })
+    val got = out.select("trade_id", "q_ts", "px").collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(got("t1") == ((1L, 10.0))) // tie: ts=1 matches quote ts=1
+    assert(got("t2") == ((3L, 11.0)))
+    assert(got("t3") == ((5L, 12.0))) // latest quote <= 7
+    assert(got("t4") == ((null, null))) // BB quote is at 4 > 2
+    assert(got("t5") == ((null, null))) // CC has no quotes
+  }
+
+  test("forward: smallest right ts >= left ts") {
+    val out = AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+      payload = Seq("ts", "px"),
+      rename = { case "ts" => "q_ts"; case other => other },
+      direction = "forward")
+    val got = out.select("trade_id", "q_ts").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toMap
+    assert(got("t1") == 1L)
+    assert(got("t2") == 3L)
+    assert(got("t3") == null) // no AA quote at ts >= 7
+    assert(got("t4") == 4L)
+    assert(got("t5") == null)
+  }
+
+  test("parity with the compose form on the events fixture, both directions") {
+    val dir = sfDir
+    val events = graft.operators.Relational.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("value"))
+    for (d <- Seq("backward", "forward")) {
+      assertParity(events, purchases, Seq("user_id"), "ts",
+        payload = Seq("p_ts", "value"),
+        rename = { case "p_ts" => "m_ts"; case v => "m_" + v }, direction = d)
+    }
+  }
+
+  test("parity on adversarial random data: null keys, null ts, dense ties") {
+    val rnd = new scala.util.Random(42)
+    def side(n: Int) = (0 until n).map { i =>
+      val key: java.lang.Integer =
+        if (rnd.nextInt(10) == 0) null else Int.box(rnd.nextInt(5))
+      val ts: java.lang.Long =
+        if (rnd.nextInt(12) == 0) null else Long.box(rnd.nextInt(8).toLong)
+      (key, ts, i.toLong)
+    }
+    // right side unique per (key, ts) — the documented determinism contract
+    val left = side(300).toDF("k", "ts", "pay")
+    val right = side(300).toDF("k", "ts", "pay")
+      .groupBy("k", "ts").agg(max("pay").as("pay"))
+    for (d <- Seq("backward", "forward")) {
+      assertParity(left, right, Seq("k"), "ts", payload = Seq("pay"),
+        rename = _ => "r_pay", direction = d)
+    }
+  }
+
+  test("two-key join and string timestamps") {
+    val left = Seq(("a", 1, "2024-01-05", 1L), ("a", 1, "2024-03-01", 2L),
+      ("a", 2, "2024-02-01", 3L), ("b", 1, "2024-01-01", 4L))
+      .toDF("k1", "k2", "day", "id")
+    val right = Seq(("a", 1, "2024-01-01", 10.0), ("a", 1, "2024-02-01", 20.0),
+      ("a", 2, "2024-09-09", 30.0)).toDF("k1", "k2", "day", "v")
+    for (d <- Seq("backward", "forward")) {
+      assertParity(left, right, Seq("k1", "k2"), "day", payload = Seq("v"),
+        rename = _ => "r_v", direction = d)
+    }
+  }
+
+  test("empty right side: every left row emitted with null payload") {
+    val out = AsOf.asOfJoinExec(trades, quotes.filter(lit(false)),
+      Seq("sym"), "ts", payload = Seq("px"), rename = _ => "r_px")
+    assert(out.count() == trades.count())
+    assert(out.filter(col("r_px").isNotNull).count() == 0)
+  }
+
+  test("self-as-of-join (same Dataset both sides) plans without ambiguity") {
+    val df = trades
+    val out = AsOf.asOfJoinExec(df, df, Seq("sym"), "ts",
+      payload = Seq("trade_id"), rename = _ => "prev_id")
+    // backward, ts ties inclusive → every row at least matches itself
+    assert(out.filter(col("prev_id").isNull).count() == 0)
+  }
+
+  /** Plan-shape assertions run with AQE off: query stages are
+    * LeafExecNodes, so `plan.collect` can't see through them — the
+    * static plan is the contract being pinned anyway (EnsureRequirements
+    * runs identically under AQE, as the printouts in the AQE-on parity
+    * tests above show). */
+  private def withStaticPlans[A](body: => A): A = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("plan shape: AsOfJoinExec node, one shuffle per side") {
+    withStaticPlans {
+      val out = AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+      val plan = executed(out)
+      assert(plan.collect { case e: AsOfJoinExec => e }.size == 1)
+      val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size == 2, s"expected 2 exchanges, got:\n$plan")
+    }
+  }
+
+  test("plan shape: pre-partitioned sides skip the exchanges entirely") {
+    withStaticPlans {
+      val lp = trades.repartition(8, col("sym"))
+      val rp = quotes.repartition(8, col("sym"))
+      val out = AsOf.asOfJoinExec(lp, rp, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+      val plan = executed(out)
+      assert(plan.collect { case e: AsOfJoinExec => e }.size == 1)
+      val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+      // the two REPARTITION_BY_COL shuffles only — EnsureRequirements
+      // must recognize hashpartitioning(sym, 8) on both sides and add
+      // no ENSURE_REQUIREMENTS exchange on top of either
+      assert(shuffles.size == 2, s"unexpected extra exchange:\n$plan")
+      assert(sorted(out) == sorted(AsOf.asOfJoin(lp, rp, Seq("sym"), "ts",
+        Seq("px"), _ => "r_px")))
+    }
+  }
+
+  test("left output ordering and partitioning are preserved upward (no re-shuffle for a downstream window over the same key)") {
+    withStaticPlans {
+      val out = AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+      import org.apache.spark.sql.expressions.Window
+      val windowed = out.withColumn("rn",
+        row_number().over(Window.partitionBy("sym").orderBy("ts")))
+      val plan = executed(windowed)
+      val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+      // window reuses the as-of join's partitioning+ordering: still 2 total
+      assert(shuffles.size == 2, s"window added a shuffle:\n$plan")
+      // and no sort either: output ordering (sym, ts) satisfies the window
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.size == 2, s"window added a sort:\n$plan")
+    }
+  }
+
+  test("broadcast variant: parity on fixture and adversarial random data") {
+    // fixture, both directions, vs BOTH other implementations
+    for (d <- Seq("backward", "forward")) {
+      val b = AsOf.asOfJoinBroadcast(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("ts", "px"),
+        rename = { case "ts" => "q_ts"; case o => o }, direction = d)
+      val c = AsOf.asOfJoin(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("ts", "px"),
+        rename = { case "ts" => "q_ts"; case o => o }, direction = d)
+      assert(sorted(b) == sorted(c), s"direction=$d")
+    }
+    // adversarial: null keys, null ts, dense ties (same generator as the
+    // sort-merge parity test, different seed)
+    val rnd = new scala.util.Random(7)
+    def side(n: Int) = (0 until n).map { i =>
+      val key: java.lang.Integer =
+        if (rnd.nextInt(10) == 0) null else Int.box(rnd.nextInt(5))
+      val ts: java.lang.Long =
+        if (rnd.nextInt(12) == 0) null else Long.box(rnd.nextInt(8).toLong)
+      (key, ts, i.toLong)
+    }
+    val left = side(300).toDF("k", "ts", "pay")
+    val right = side(300).toDF("k", "ts", "pay")
+      .groupBy("k", "ts").agg(max("pay").as("pay"))
+    for (d <- Seq("backward", "forward")) {
+      val b = AsOf.asOfJoinBroadcast(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", direction = d)
+      val c = AsOf.asOfJoin(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", direction = d)
+      assert(sorted(b) == sorted(c), s"direction=$d")
+    }
+  }
+
+  test("broadcast plan shape: ZERO shuffles, one broadcast exchange, no sorts") {
+    withStaticPlans {
+      val out = AsOf.asOfJoinBroadcast(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+      val plan = executed(out)
+      assert(plan.collect { case e: BroadcastAsOfJoinExec => e }.size == 1)
+      assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+        s"broadcast as-of must not shuffle either side:\n$plan")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+      }.size == 1, s"expected one broadcast exchange:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"broadcast as-of must not sort either side:\n$plan")
+    }
+  }
+
+  test("argument validation fails loudly") {
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r", direction = "sideways")
+    }
+    intercept[IllegalArgumentException] { // collision with left column
+      AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "trade_id")
+    }
+    intercept[Exception] { // missing column (right side fails at analysis
+      // inside the factory's projection; left-side misses raise
+      // IllegalArgumentException from the attribute lookup)
+      AsOf.asOfJoinExec(trades, quotes, Seq("nope"), "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+    }
+    intercept[IllegalArgumentException] { // two payloads, one name
+      AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px", "ts"), rename = _ => "same")
+    }
+  }
+}

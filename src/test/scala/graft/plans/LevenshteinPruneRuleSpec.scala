@@ -95,7 +95,11 @@ class LevenshteinPruneRuleSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(opt.contains("char_bag_within"), opt)
     } finally {
-      s2.stop()
+      // do NOT s2.stop(): getOrCreate reused the JVM-shared SparkContext,
+      // so stopping s2 would kill the context under every OTHER suite
+      // running concurrently in this fork (observed: unpersist NPEs in
+      // RelationalSpec's broadcastIfUnder tests). Restoring the shared
+      // session is the whole cleanup; s2's sessionState is just GC'd.
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
     }
