@@ -98,6 +98,7 @@ private[graft] object RelationalEntries {
     "q_asof_join" -> (AsOf.eventsAsOfLastPurchase _),
     "q_asof_exec" -> (AsOf.eventsAsOfLastPurchaseExec _),
     "q_asof_broadcast" -> (AsOf.eventsAsOfLastPurchaseBroadcast _),
+    "q_asof_tolerance" -> (AsOf.eventsAsOfRecentPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
   )
 
@@ -477,6 +478,19 @@ private[graft] object RelationalEntries {
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     // same workload through the custom physical operators
     // (plans/AsOfJoinExec.scala) — one oracle per execution path
+    // tolerance form: the ASOF nearest match is NULLed when older than
+    // one hour — CASE replays the exec's withinTolerance check exactly
+    "q_asof_tolerance" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 1 HOUR " +
+        "THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') END AS purchase_ts, " +
+        "CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 1 HOUR " +
+        "THEN r.value END AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "q_asof_broadcast" ->
       ("SELECT l.event_id, l.user_id, " +
         "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +

@@ -111,9 +111,10 @@ object AsOf {
     * already carry it. */
   def asOfJoinExec(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payload: Seq[String], rename: String => String,
-      direction: String = "backward"): DataFrame =
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame =
     asOfJoinPlanned(left, right, keys, ts, payload, rename, direction,
-      broadcast = false)
+      broadcast = false, tolerance)
 
   /** Broadcast as-of join ([[graft.plans.BroadcastAsOfJoinExec]]) — the
     * 100 TB enrichment shape: the SMALL right side (reference prices,
@@ -126,16 +127,23 @@ object AsOf {
     * size at the BroadcastExchange. */
   def asOfJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payload: Seq[String], rename: String => String,
-      direction: String = "backward"): DataFrame =
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame =
     asOfJoinPlanned(left, right, keys, ts, payload, rename, direction,
-      broadcast = true)
+      broadcast = true, tolerance)
 
+  /** @param tolerance max allowed |left ts - matched right ts| in the
+    *        ts type's INTERNAL units (microseconds for TIMESTAMP /
+    *        TIMESTAMP_NTZ, days for DATE, raw value for integral
+    *        columns); the nearest candidate beyond it becomes a
+    *        no-match NULL — pandas merge_asof semantics. */
   private def asOfJoinPlanned(left: DataFrame, right: DataFrame,
       keys: Seq[String], ts: String, payload: Seq[String],
       rename: String => String, direction: String,
-      broadcast: Boolean): DataFrame = {
+      broadcast: Boolean, tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val leftCols = left.columns.toSeq
     val carriedNames = payload.map(rename)
     require(carriedNames.intersect(leftCols).isEmpty,
@@ -165,6 +173,16 @@ object AsOf {
     val rTs = attr(rPlan, "__graft_rts")
     require(lTs.dataType == rTs.dataType,
       s"ts type mismatch: left $ts is ${lTs.dataType}, right is ${rTs.dataType}")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val integralBacked = lTs.dataType match {
+        case TimestampType | TimestampNTZType | DateType |
+             LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      require(integralBacked, "tolerance requires an integral-backed ts " +
+        s"type (timestamp/date/integer); got ${lTs.dataType}")
+    }
     (lKeys ++ rKeys :+ lTs).foreach { a =>
       require(org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(a.dataType),
@@ -177,7 +195,8 @@ object AsOf {
     val carried = carriedNames.map(attr(rPlan, _))
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
-        carried, forward = direction == "forward", broadcast = broadcast))
+        carried, forward = direction == "forward", broadcast = broadcast,
+        tolerance = tolerance))
   }
 
   /** Idempotently add [[graft.plans.AsOfJoinStrategy]] to the session's
@@ -210,6 +229,14 @@ object AsOf {
     * the broadcast contract; third gate entry on the same oracle. */
   def eventsAsOfLastPurchaseBroadcast(spark: SparkSession, dir: String): DataFrame =
     eventsAsOfVia(spark, dir, asOfJoinBroadcast(_, _, _, _, _, _))
+
+  /** Tolerance demo entry: purchases older than ONE HOUR are stale —
+    * the nearest candidate beyond 3.6e9 microseconds becomes a NULL
+    * (pandas merge_asof `tolerance` semantics); oracled via DuckDB ASOF
+    * + an interval CASE. */
+  def eventsAsOfRecentPurchase(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
+      asOfJoinExec(l, r, k, t, p, rn, tolerance = Some(3600000000L)))
 
   private def eventsAsOfVia(spark: SparkSession, dir: String,
       join: (DataFrame, DataFrame, Seq[String], String, Seq[String],

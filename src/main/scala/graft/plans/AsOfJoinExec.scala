@@ -55,7 +55,8 @@ case class AsOfJoinPlan(
     rightTs: Expression,
     carried: Seq[Attribute],
     forward: Boolean,
-    broadcast: Boolean = false) extends BinaryNode {
+    broadcast: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ carried.map(_.withNullability(true))
@@ -76,11 +77,11 @@ case class AsOfJoinPlan(
   * [[graft.operators.AsOf.asOfJoinExec]] factory for stock sessions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, carried, fwd, bcast) =>
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, carried, fwd, bcast, tol) =>
       val exec: SparkPlan =
-        if (bcast) BroadcastAsOfJoinExec(lk, rk, lts, rts, carried, fwd,
+        if (bcast) BroadcastAsOfJoinExec(lk, rk, lts, rts, carried, fwd, tol,
           planLater(l), planLater(r))
-        else AsOfJoinExec(lk, rk, lts, rts, carried, fwd,
+        else AsOfJoinExec(lk, rk, lts, rts, carried, fwd, tol,
           planLater(l), planLater(r))
       exec :: Nil
     case _ => Nil
@@ -118,6 +119,7 @@ case class AsOfJoinExec(
     rightTs: Expression,
     carried: Seq[Attribute],
     forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -159,6 +161,7 @@ case class AsOfJoinExec(
     val rTsExpr = rightTs
     val carriedAttrs = carried
     val outAttrs = output
+    val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -203,6 +206,7 @@ case class AsOfJoinExec(
       // ignore a stale candidate with one compare
       var candKey: UnsafeRow = null
       var candCarried: UnsafeRow = null
+      var candTs: Any = null
 
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
@@ -223,12 +227,14 @@ case class AsOfJoinExec(
               if (if (fwd) t >= 0 else t <= 0) {
                 candKey = headKey
                 candCarried = headCarried
+                candTs = headTs
                 advanceHead(); continue = headValid
               } else continue = false
             }
           }
           val matched = lts != null && candKey != null &&
-            keyOrd.compare(candKey, lk) == 0
+            keyOrd.compare(candKey, lk) == 0 &&
+            AsOfMerge.withinTolerance(tol, lts, candTs)
           numOutputRows += 1
           if (matched) {
             numMatched += 1
@@ -265,6 +271,7 @@ case class BroadcastAsOfJoinExec(
     rightTs: Expression,
     carried: Seq[Attribute],
     forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -300,6 +307,7 @@ case class BroadcastAsOfJoinExec(
     val rTsExpr = rightTs
     val carriedAttrs = carried
     val outAttrs = output
+    val tol = tolerance
     val bcast = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
@@ -369,7 +377,9 @@ case class BroadcastAsOfJoinExec(
             // unique-(key, ts) contract; under violation, backward picks
             // the first stored at that ts, matching "last in sort order"
             // only when unique — acceptable per the contract
-            if (found >= 0) cand = rows(found)
+            if (found >= 0 &&
+              AsOfMerge.withinTolerance(tol, lts, tss(found)))
+              cand = rows(found)
           }
         }
         numOutputRows += 1
@@ -377,5 +387,35 @@ case class BroadcastAsOfJoinExec(
         else resultProj(joined(l, nullCarried))
       }
     }
+  }
+}
+
+/** Shared merge helpers for the as-of execs. */
+private[plans] object AsOfMerge {
+
+  /** Tolerance check on the nearest candidate: the as-of match is
+    * rejected (left row emitted with NULL payload) when the candidate's
+    * timestamp is further than `tol` from the left timestamp. The
+    * nearest-candidate property makes this complete: no farther right
+    * row could be closer, so rejecting the candidate rejects the key.
+    * Units are the ts type's INTERNAL representation — microseconds for
+    * TIMESTAMP/TIMESTAMP_NTZ, days for DATE, the raw value for integral
+    * types (factory-validated). */
+  def withinTolerance(tol: Option[Long], lts: Any, rts: Any): Boolean =
+    tol match {
+      case None => true
+      case Some(t) =>
+        val l = asLong(lts)
+        val r = asLong(rts)
+        (if (l >= r) l - r else r - l) <= t
+    }
+
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalStateException(
+      s"as-of tolerance requires an integral-backed ts (got ${other.getClass})")
   }
 }

@@ -250,6 +250,26 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: nearest candidate beyond the bound becomes a no-match NULL") {
+    // AA trades at ts 1,3,7; quotes at 1,3,5 → t3's nearest is 5 (diff 2)
+    for (mk <- Seq(
+      (tol: Option[Long]) => AsOf.asOfJoinExec(trades, quotes, Seq("sym"),
+        "ts", Seq("px"), _ => "r_px", tolerance = tol),
+      (tol: Option[Long]) => AsOf.asOfJoinBroadcast(trades, quotes, Seq("sym"),
+        "ts", Seq("px"), _ => "r_px", tolerance = tol))) {
+      def byId(tol: Option[Long]) = mk(tol).collect()
+        .map(r => r.getString(2) -> !r.isNullAt(3)).toMap
+      val loose = byId(Some(2L))
+      assert(loose("t1") && loose("t2") && loose("t3"))
+      assert(!loose("t4") && !loose("t5"))
+      val tight = byId(Some(1L))
+      assert(tight("t1") && tight("t2"))
+      assert(!tight("t3"), "diff 2 > tolerance 1 must null the match")
+      val zero = byId(Some(0L))
+      assert(zero("t1") && zero("t2") && !zero("t3"), "0 = exact ties only")
+    }
+  }
+
   test("argument validation fails loudly") {
     intercept[IllegalArgumentException] {
       AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
@@ -268,6 +288,16 @@ class AsOfJoinExecSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // two payloads, one name
       AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
         payload = Seq("px", "ts"), rename = _ => "same")
+    }
+    intercept[IllegalArgumentException] { // negative tolerance
+      AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px", tolerance = Some(-1L))
+    }
+    intercept[IllegalArgumentException] { // tolerance on a string ts
+      val l = Seq(("a", "2024-01-01", 1)).toDF("k", "day", "v")
+      AsOf.asOfJoinExec(l, l.select(col("k"), col("day"), col("v").as("w")),
+        Seq("k"), "day", payload = Seq("w"), rename = _ => "r_w",
+        tolerance = Some(5L))
     }
   }
 }
