@@ -66,9 +66,25 @@ private[graft] object StreamEntries {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_end"),
           col("n_events"), col("total_value"))),
+    // batch twin of the stream-static as-of enrichment (keyless global
+    // as-of against the bounded daily-rate reference; the streaming
+    // form — AsOf.asOfJoinBroadcast on a MemoryStream — is spec-pinned
+    // equal in EventStreamSpec)
+    "q_stream_asof" -> ((s, d) =>
+      graft.streaming.EventStream.asOfDailyRateBatch(Relational.events(s, d))),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // keyless ASOF against the day-grain reference (max, not avg:
+    // bit-stable across engines)
+    "q_stream_asof" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.day_ts, '%Y-%m-%d %H:%M:%S.%f') AS rate_ts, " +
+        "r.day_rate FROM events l ASOF LEFT JOIN " +
+        "(SELECT date_trunc('day', ts) AS day_ts, max(value) AS day_rate " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) r " +
+        "ON l.ts >= r.day_ts"),
     // first occurrence per content key in event-time order (micros —
     // the Spark session's timestamp precision — so both engines rank
     // at identical resolution)

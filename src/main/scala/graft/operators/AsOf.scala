@@ -144,6 +144,11 @@ object AsOf {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
     tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    // keyless (global-timeline) as-of: the broadcast form supports it
+    // (one index group); the sort-merge form would need an all-to-one
+    // ClusteredDistribution - refuse rather than silently single-task
+    require(keys.nonEmpty || broadcast,
+      "keyless as-of requires the broadcast form (asOfJoinBroadcast)")
     val leftCols = left.columns.toSeq
     val carriedNames = payload.map(rename)
     require(carriedNames.intersect(leftCols).isEmpty,

@@ -26,6 +26,53 @@ object EventStream {
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
 
+  /** STREAM-STATIC AS-OF enrichment — the operator Structured Streaming
+    * is missing natively: every streaming event picks the latest
+    * reference row (rates, config snapshots, model rollouts) at or
+    * before its event time, via [[graft.operators.AsOf.asOfJoinBroadcast]].
+    * The reference is broadcast once per (re)plan; each micro-batch is
+    * enriched MAP-SIDE — stateless, no watermark, no stream-side
+    * shuffle, so the streaming plan stays the scan→project shape and
+    * output mode Append works untouched. The reference side must be
+    * BOUNDED (the broadcast contract): at 100 TB/day of events the
+    * right side is still the handful of reference rows.
+    *
+    * Replays deterministically: the same events through the same
+    * reference give the same rows, so the batch twin
+    * ([[asOfDailyRateBatch]]) is the oracle surface and the streaming
+    * form is spec-pinned equal (EventStreamSpec). */
+  def asOfEnrichStream(stream: DataFrame, ref: DataFrame,
+      keys: Seq[String], ts: String, payload: Seq[String],
+      rename: String => String, direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame =
+    graft.operators.AsOf.asOfJoinBroadcast(stream, ref, keys, ts,
+      payload, rename, direction, tolerance)
+
+  /** Bounded reference table for the as-of demos: one row per day with
+    * that day's MAX purchase value (max, not avg — bit-stable across
+    * engines). Day grain keeps the table O(days), the proper broadcast
+    * shape. */
+  def dailyRateRef(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("ts"))
+      .agg(max(col("value")).as("day_rate"))
+
+  /** Batch twin of the stream-static as-of enrichment (gate entry
+    * q_stream_asof; streaming form spec-pinned equal): keyless global
+    * as-of against the daily-rate reference. */
+  def asOfDailyRateBatch(events: DataFrame): DataFrame =
+    asOfEnrichStream(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      dailyRateRef(events),
+      keys = Nil, ts = "ts", payload = Seq("ts", "day_rate"),
+      rename = { case "ts" => "rate_ts"; case o => o })
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"),
+        date_format(col("rate_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("rate_ts"),
+        col("day_rate"))
+
   /** Tumbling-window counts/sums per event type with a watermark: the
     * canonical `readStream → withWatermark → groupBy(window) → agg` shape. */
   def windowedStats(events: DataFrame, windowLength: String = "1 hour",

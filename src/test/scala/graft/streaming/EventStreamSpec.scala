@@ -34,6 +34,40 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static as-of enrichment: custom broadcast operator inside a streaming plan, equal to the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static bounded reference: rate valid FROM its timestamp onward
+    // (ts column shares the stream's name — the as-of API contract)
+    val ref = Seq((ts(0), 1.0), (ts(10), 2.0), (ts(20), 3.0))
+      .toDF("ts", "rate")
+    val events = Seq(
+      Event(1, ts(5), 100, "click", 0.0),   // rate 1.0
+      Event(2, ts(10), 100, "click", 0.0),  // tie → rate 2.0
+      Event(3, ts(25), 101, "view", 0.0),   // rate 3.0
+      Event(4, ts(59), 101, "view", 0.0))   // rate 3.0
+    val input = MemoryStream[Event]
+    val query = asOfEnrichStream(input.toDF(), ref, keys = Nil, ts = "ts",
+        payload = Seq("rate"), rename = _ => "asof_rate")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(2): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(2): _*) // second micro-batch, same ref
+      query.processAllAvailable()
+      val got = spark.table("asof_stream").select("event_id", "asof_rate")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 3.0))
+      // and the batch form on the same rows gives identical output
+      val batch = graft.operators.AsOf.asOfJoinBroadcast(events.toDF(), ref,
+          keys = Nil, ts = "ts", payload = Seq("rate"), rename = _ => "asof_rate")
+        .select("event_id", "asof_rate")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(batch === got)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
