@@ -100,6 +100,7 @@ private[graft] object RelationalEntries {
     "q_asof_broadcast" -> (AsOf.eventsAsOfLastPurchaseBroadcast _),
     "q_asof_tolerance" -> (AsOf.eventsAsOfRecentPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
+    "q_overlap_join" -> ((s, d) => RangeJoin.shipWeekOverlaps(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -518,5 +519,21 @@ private[graft] object RelationalEntries {
         "AND c.event_type = 'click' " +
         "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
         "AND e.ts + INTERVAL 60 SECOND"),
+    // interval-overlap join: the canonical-bin rewrite must equal the
+    // plain two-inequality join (DuckDB IEJoin); day-number arithmetic
+    // keeps both engines integer-exact
+    "q_overlap_join" ->
+      ("WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo " +
+        "FROM lineitem) " +
+        "SELECT a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber, " +
+        "b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber, " +
+        "a.l_partkey AS partkey, " +
+        "CAST(least(a.lo + 7, b.lo + 7) - greatest(a.lo, b.lo) + 1 AS BIGINT) " +
+        "AS overlap_days " +
+        "FROM li a JOIN li b ON a.l_partkey = b.l_partkey " +
+        "AND a.lo <= b.lo + 7 AND b.lo <= a.lo + 7 " +
+        "AND (a.l_orderkey < b.l_orderkey OR (a.l_orderkey = b.l_orderkey " +
+        "AND a.l_linenumber < b.l_linenumber))"),
   )
 }
