@@ -101,6 +101,23 @@ private[graft] object RelationalEntries {
     "q_asof_tolerance" -> (AsOf.eventsAsOfRecentPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
     "q_overlap_join" -> ((s, d) => RangeJoin.shipWeekOverlaps(s, d)),
+    // the SQL band join through RangeBinJoinRule: the optimizer rewrite
+    // gives the SQL user the binned equi-join the Scala API builds by
+    // hand (rule installed idempotently - extensions sessions carry it)
+    "q_sql_range_join" -> ((s, d) => {
+      val ex = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental
+      if (!ex.extraOptimizations.contains(graft.plans.RangeBinJoinRule))
+        ex.extraOptimizations = ex.extraOptimizations :+
+          graft.plans.RangeBinJoinRule
+      Relational.events(s, d).createOrReplaceTempView("graft_events_rbj")
+      s.sql("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "unix_micros(c.ts) - unix_micros(e.ts) AS gap_us " +
+        "FROM graft_events_rbj e JOIN graft_events_rbj c " +
+        "ON e.event_type = 'error' AND c.event_type = 'click' " +
+        "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
+        "AND e.ts + INTERVAL 60 SECOND")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,6 +530,15 @@ private[graft] object RelationalEntries {
     // range join: the binned equi-join rewrite must equal the plain
     // inequality join (which DuckDB runs natively as an IEJoin)
     "q_range_join" ->
+      ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
+        "FROM events e JOIN events c ON e.event_type = 'error' " +
+        "AND c.event_type = 'click' " +
+        "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
+        "AND e.ts + INTERVAL 60 SECOND"),
+    // SQL band join via the optimizer rule — same oracle shape as
+    // q_range_join (DuckDB IEJoin runs the plain inequality form)
+    "q_sql_range_join" ->
       ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
         "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
         "FROM events e JOIN events c ON e.event_type = 'error' " +

@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-inject the char-bag reject ahead of raw levenshtein(a,b)<=k
     // predicates (exact — see LevenshteinPruneRule's safety gates)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruneRule)
+    // auto-rewrite band joins (x BETWEEN y-k1 AND y+k2, no equi key)
+    // from BNLJ/cartesian into the binned equi-join (exact; gated —
+    // see RangeBinJoinRule's scaladoc; spark.graft.rangeBinJoin.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     // physical as-of join (custom LogicalPlan -> SparkPlan tier); the
     // Scala factory also self-installs via experimental.extraStrategies
     // so stock sessions work — this registration covers SQL-configured

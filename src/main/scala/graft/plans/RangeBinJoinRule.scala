@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
+
+/** Optimizer rule: rewrite BAND JOINS — inner joins whose only join
+  * predicate is a two-sided range `eR + k1 <= eL <= eR + k2` — from the
+  * BroadcastNestedLoopJoin / cartesian plan Spark would otherwise pick
+  * into the binned equi-join the Scala API
+  * ([[graft.operators.RangeJoin.intervalJoin]]) builds by hand. Second
+  * `Rule[LogicalPlan]` in the repo (after [[LevenshteinPruneRule]]),
+  * registered via [[graft.functions.GraftExtensions]].
+  *
+  * Rewrite (W = k2 − k1): the right side generates the ≤ 2 bin ids its
+  * band [eR+k1, eR+k2] covers (`explode(sequence(floor((eR+k1)/W),
+  * floor((eR+k2)/W)))`), the join becomes an EQUI-join on
+  * `floor(eL/W) = bin` — shuffle-keyed, AQE-skew-handled — and the FULL
+  * original condition stays as the residual, so the rewrite is exact by
+  * construction: a matching pair has eL inside the band, hence its bin
+  * among the generated ones, exactly once (sequence ids are distinct).
+  * A zero-width band (k1 = k2) is an equality in disguise: the rule
+  * adds the explicit equi-conjunct instead, unlocking SMJ/SHJ directly.
+  *
+  * Safety gates, each spec-pinned:
+  *  - INNER/CROSS joins only; any other join type is left untouched
+  *    (outer-join null-extension interacts with the generate fan-out).
+  *  - fires only when NO equi-conjunct is already extractable — if one
+  *    exists the planner already avoids the nested loop, and the extra
+  *    generate would only add work.
+  *  - both band endpoints must be FOLDABLE integral offsets of the same
+  *    right-side expression against the same left-side expression
+  *    (literal ± k, or a day-time interval literal on a timestamp —
+  *    normalized through `unix_micros`; calendar intervals with months
+  *    are untouched, their length is not constant).
+  *  - deterministic point expressions only; kill switch
+  *    `spark.graft.rangeBinJoin.enabled`; idempotent (the generated
+  *    bin attribute marks a rewritten right side).
+  */
+object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BinName = "__graft_range_bin"
+
+  /** A right child whose generator output is our bin attribute marks an
+    * already-rewritten join (idempotency under the fixed-point batch);
+    * a USER's Generate (e.g. a lateral explode) must not block the
+    * rewrite, so the name is checked, not the node class. */
+  private def alreadyRewritten(p: LogicalPlan): Boolean = p match {
+    case g: Generate => g.generatorOutput.exists(_.name == BinName)
+    case _ => false
+  }
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.rangeBinJoin.enabled", "true") == "true"
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  /** Normalize an expression to (point-in-LONG-domain, constant offset):
+    * integral `x ± k`, bare integral `x`, timestamp `ts ± INTERVAL`
+    * (day-time literal, micros) via unix_micros, or bare timestamp. */
+  private def pointOffset(e: Expression): Option[(Expression, Long)] = e match {
+    case Add(x, k, _) if integral(x) && litLong(k).isDefined =>
+      Some((x, litLong(k).get))
+    case Add(k, x, _) if integral(x) && litLong(k).isDefined =>
+      Some((x, litLong(k).get))
+    case Subtract(x, k, _) if integral(x) && litLong(k).isDefined =>
+      Some((x, -litLong(k).get))
+    case TimestampAddInterval(ts, Literal(v: Long, _: DayTimeIntervalType), _)
+        if ts.dataType == TimestampType =>
+      Some((UnixMicros(ts), v))
+    case x if x.dataType == TimestampType => Some((UnixMicros(x), 0L))
+    case x if integral(x) => Some((x, 0L))
+    case _ => None
+  }
+
+  /** One conjunct → a directed bound: (leftPoint, rightPoint, k, isLower)
+    * meaning `leftPoint >= rightPoint + k` (lower) or `<= ` (upper),
+    * with points normalized to the LONG domain. Strict forms tighten k
+    * by one (the domain is integral). Side-ness is NOT resolved here. */
+  private def bound(e: Expression): Option[(Expression, Expression, Long, Boolean)] = {
+    def mk(l: Expression, r: Expression, slack: Long, lower: Boolean) =
+      for ((lp, lk) <- pointOffset(l); (rp, rk) <- pointOffset(r))
+        yield (lp, rp, rk - lk + slack, lower)
+    e match {
+      case GreaterThanOrEqual(l, r) => mk(l, r, 0L, lower = true)
+      case GreaterThan(l, r) => mk(l, r, 1L, lower = true)
+      case LessThanOrEqual(l, r) => mk(l, r, 0L, lower = false)
+      case LessThan(l, r) => mk(l, r, -1L, lower = false)
+      case _ => None
+    }
+  }
+
+  private def floorBin(e: Expression, width: Long): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble))), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt == Inner || jt == Cross) &&
+            !alreadyRewritten(right) && j.resolved =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        // gate: an extractable equi-conjunct means the planner already
+        // has a shuffle/broadcast hash path — leave the plan alone
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet)) ||
+            (b.references.subsetOf(left.outputSet) &&
+              a.references.subsetOf(right.outputSet))
+          case EqualNullSafe(a, b) =>
+            (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet)) ||
+            (b.references.subsetOf(left.outputSet) &&
+              a.references.subsetOf(right.outputSet))
+          case _ => false
+        }
+        if (hasEqui) j
+        else {
+          // directed bounds with side-ness resolved: (eL, eR, k, lower)
+          // meaning eL >= eR + k (lower) / eL <= eR + k (upper), where
+          // eL references only `left` and eR only `right`
+          val dirBounds = conjuncts.flatMap(bound).flatMap {
+            case (p1, p2, k, lower) =>
+              if (p1.deterministic && p2.deterministic &&
+                p1.references.nonEmpty && p2.references.nonEmpty) {
+                if (p1.references.subsetOf(left.outputSet) &&
+                  p2.references.subsetOf(right.outputSet))
+                  Some((p1, p2, k, lower))
+                else if (p1.references.subsetOf(right.outputSet) &&
+                  p2.references.subsetOf(left.outputSet))
+                  // p1 >= p2 + k  ⇔  p2 <= p1 - k (flip side and sense)
+                  Some((p2, p1, -k, !lower))
+                else None
+              } else None
+          }
+          val banded = for {
+            (el1, er1, k1, _) <- dirBounds.find(_._4)         // lower
+            (el2, er2, k2, _) <- dirBounds.find(b => !b._4 && // matching upper
+              b._1.semanticEquals(el1) && b._2.semanticEquals(er1))
+            if k1 <= k2
+          } yield (el1, er1, k1, k2)
+          banded match {
+            case None => j
+            case Some((el, er, k1, k2)) if k1 == k2 =>
+              // zero-width band = equality in disguise: add the explicit
+              // equi-conjunct so ExtractEquiJoinKeys unlocks SMJ/SHJ
+              val eq = EqualTo(el, Add(er, Literal(k1)))
+              Join(left, right, jt, Some(And(cond, eq)), hint)
+            case Some((el, er, k1, k2)) =>
+              val w = k2 - k1
+              val binAttr = AttributeReference(BinName, LongType,
+                nullable = false)()
+              // Sequence is TimeZoneAwareExpression: an unset zone leaves
+              // the rewritten plan UNRESOLVED (plan validation rejects it)
+              val gen = Generate(
+                Explode(Sequence(
+                  floorBin(Add(er, Literal(k1)), w),
+                  floorBin(Add(er, Literal(k2)), w),
+                  None, Some(SQLConf.get.sessionLocalTimeZone))),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(binAttr), child = right)
+              val newCond = And(EqualTo(floorBin(el, w), binAttr), cond)
+              Project(j.output,
+                Join(left, gen, jt, Some(newCond), hint))
+          }
+        }
+    }
+  }
+}

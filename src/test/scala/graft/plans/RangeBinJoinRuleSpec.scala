@@ -1,0 +1,151 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The band-join auto-bin rule: fires on pure range (band) join
+  * conditions, turns the BNLJ/cartesian plan into a binned equi-join
+  * with identical rows, adds the explicit equality for zero-width
+  * bands, and leaves every gated shape untouched. */
+class RangeBinJoinRuleSpec extends SparkSpec {
+
+  private def withRule[A](body: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RangeBinJoinRule
+    try body
+    finally spark.experimental.extraOptimizations = before
+  }
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private lazy val events =
+    graft.operators.Relational.events(spark, sfDir)
+
+  test("timestamp band join: rewrite fires, rows identical to the unrewritten plan") {
+    events.createOrReplaceTempView("ev_rule_test")
+    val sql =
+      """SELECT e.event_id AS error_id, c.event_id AS click_id
+        |FROM ev_rule_test e JOIN ev_rule_test c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts BETWEEN e.ts - INTERVAL 30 MINUTE
+        |                AND e.ts + INTERVAL 30 MINUTE""".stripMargin
+    val without = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(without.nonEmpty, "fixture must produce matches")
+    withRule {
+      val df = spark.sql(sql)
+      val opt = optimized(df)
+      assert(opt.contains("__graft_range_bin"), opt)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+        s"rewritten plan must not nested-loop:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === without)
+    }
+  }
+
+  test("integral band join (long columns, asymmetric band, strict bounds)") {
+    import spark.implicits._
+    val a = Seq((1L, 100L), (2L, 250L), (3L, 999L)).toDF("a_id", "a_v")
+    val b = Seq((10L, 90L), (11L, 260L), (12L, 5000L)).toDF("b_id", "b_v")
+    a.createOrReplaceTempView("rb_a"); b.createOrReplaceTempView("rb_b")
+    for (cond <- Seq(
+      "a_v >= b_v - 15 AND a_v <= b_v + 20",   // inclusive asymmetric
+      "a_v > b_v - 16 AND a_v < b_v + 21")) {  // strict, same band
+      val sql = s"SELECT a_id, b_id FROM rb_a JOIN rb_b ON $cond"
+      val without = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(without === Set((1L, 10L), (2L, 11L)))
+      withRule {
+        val df = spark.sql(sql)
+        assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+        assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === without)
+      }
+    }
+  }
+
+  test("zero-width band becomes an explicit equi-join (no generate)") {
+    import spark.implicits._
+    Seq((1L, 5L)).toDF("a_id", "a_v").createOrReplaceTempView("rb_z1")
+    Seq((2L, 8L)).toDF("b_id", "b_v").createOrReplaceTempView("rb_z2")
+    withRule {
+      val df = spark.sql(
+        "SELECT a_id, b_id FROM rb_z1 JOIN rb_z2 ON a_v >= b_v - 3 AND a_v <= b_v - 3")
+      val opt = optimized(df)
+      assert(!opt.contains("__graft_range_bin"), opt)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+        s"zero-width band must plan as a hash/merge join:\n$plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    }
+  }
+
+  test("gates: equi-conjunct present, outer join, non-foldable bound — all untouched") {
+    import spark.implicits._
+    val a = Seq((1L, 5L, 1L)).toDF("a_id", "a_v", "a_k")
+    val b = Seq((2L, 6L, 1L, 2L)).toDF("b_id", "b_v", "b_k", "b_w")
+    a.createOrReplaceTempView("rb_g1"); b.createOrReplaceTempView("rb_g2")
+    withRule {
+      // equi-conjunct already extractable → no rewrite
+      val equi = spark.sql("SELECT a_id FROM rb_g1 JOIN rb_g2 ON a_k = b_k " +
+        "AND a_v BETWEEN b_v - 5 AND b_v + 5")
+      assert(!optimized(equi).contains("__graft_range_bin"), optimized(equi))
+      assert(equi.count() == 1)
+      // outer join → untouched
+      val outer = spark.sql("SELECT a_id FROM rb_g1 LEFT JOIN rb_g2 " +
+        "ON a_v BETWEEN b_v - 5 AND b_v + 5")
+      assert(!optimized(outer).contains("__graft_range_bin"), optimized(outer))
+      // non-foldable bound (column width) → untouched
+      val dyn = spark.sql("SELECT a_id FROM rb_g1 JOIN rb_g2 " +
+        "ON a_v BETWEEN b_v - b_w AND b_v + b_w")
+      assert(!optimized(dyn).contains("__graft_range_bin"), optimized(dyn))
+      assert(dyn.count() == 1)
+      // kill switch
+      spark.conf.set("spark.graft.rangeBinJoin.enabled", "false")
+      try {
+        val off = spark.sql("SELECT a_id FROM rb_g1 JOIN rb_g2 " +
+          "ON a_v BETWEEN b_v - 5 AND b_v + 5")
+        assert(!optimized(off).contains("__graft_range_bin"), optimized(off))
+      } finally spark.conf.unset("spark.graft.rangeBinJoin.enabled")
+    }
+  }
+
+  test("idempotent under repeated application; GraftExtensions sessions carry the rule") {
+    events.createOrReplaceTempView("ev_rule_test2")
+    withRule {
+      val df = spark.sql("SELECT e.event_id FROM ev_rule_test2 e JOIN " +
+        "ev_rule_test2 c ON c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
+        "AND e.ts + INTERVAL 60 SECOND AND e.event_type = 'error' " +
+        "AND c.event_type = 'click'")
+      val opt = df.queryExecution.optimizedPlan
+      // exactly ONE generated bin attribute even though the optimizer
+      // batch runs to fixed point
+      val bins = opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generatorOutput.exists(_.name == "__graft_range_bin") => g
+      }
+      assert(bins.size == 1, opt.toString)
+    }
+  }
+
+  test("randomized parity: binned rows equal nested-loop rows on adversarial data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def mk(p: String) = (0 until 150).map { i =>
+      val v: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(400).toLong - 200)
+      (i.toLong, v)
+    }.toDF(s"${p}_id", s"${p}_v")
+    mk("a").createOrReplaceTempView("rb_r1")
+    mk("b").createOrReplaceTempView("rb_r2")
+    val sql = "SELECT a_id, b_id FROM rb_r1 JOIN rb_r2 " +
+      "ON a_v BETWEEN b_v - 17 AND b_v + 4"
+    val without = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule {
+      val df = spark.sql(sql)
+      assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === without)
+    }
+    assert(without.nonEmpty)
+  }
+}

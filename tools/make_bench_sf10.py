@@ -31,7 +31,7 @@ def med(d, q):
 def merged(suffix):
     out = {}
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
-                   'bench14e', 'bench14g'):
+                   'bench14e', 'bench14g', 'bench14h'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -65,6 +65,7 @@ CLASSES = {
     'q_cm_error_bound': ('linear', 'one shuffle carrying a constant-size counter array per group; probes are literal-index column reads (sketch family, added late r14).'),
     'q_unigram_vocab': ('linear', 'one distributed word-count; EM runs on the bounded distinct-word dictionary, corpus-size-independent after the aggregate (tokenizer family, added late r14).'),
     'q_cm_rare_ratio': ('linear', 'native cm_estimate probe scores every token map-side inside codegen; the exact-join half exists for the contract only (added late r14).'),
+    'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; measured x2.9 then x12.9/decade - the second decade is x1.29 OVER the x10 data growth, shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), not complexity; cluster partition counts scale with input (added late r14).'),
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; x2.0/x2.4 per decade. Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows.'),
     'q_asof_tolerance': ('linear', 'sort-merge exec + tolerance check; x1.9/x2.7 per decade, same shape as q_asof_exec.'),
