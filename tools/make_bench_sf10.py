@@ -31,7 +31,7 @@ def med(d, q):
 def merged(suffix):
     out = {}
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
-                   'bench14e', 'bench14g', 'bench14h'):
+                   'bench14e', 'bench14g', 'bench14h', 'bench14i'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -65,6 +65,7 @@ CLASSES = {
     'q_cm_error_bound': ('linear', 'one shuffle carrying a constant-size counter array per group; probes are literal-index column reads (sketch family, added late r14).'),
     'q_unigram_vocab': ('linear', 'one distributed word-count; EM runs on the bounded distinct-word dictionary, corpus-size-independent after the aggregate (tokenizer family, added late r14).'),
     'q_cm_rare_ratio': ('linear', 'native cm_estimate probe scores every token map-side inside codegen; the exact-join half exists for the contract only (added late r14).'),
+    'q_sql_range_join': ('output-bound', 'the +-60s proximity band over events with a FIXED time range: true pairs are n_err*n_click*(band/range) = Theta(n^2) by density - same class as q_image_neardup, a property of the QUERY, not the rewrite (the rule only changes the plan from BNLJ to the binned equi-join). Measured x1/x10 (0.25 -> 0.66 s, x2.6); the x100 twin is a stated exclusion: ~1.6e9 true output rows (1.7e6 errors x 1.7e6 clicks x 5.5e-4 band density) - no plan emits a quadratic pair set in subquadratic time; production callers band-join against a bounded reference or aggregate the pairs (added late r14).'),
     'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; measured x2.9 then x12.9/decade - the second decade is x1.29 OVER the x10 data growth, shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), not complexity; cluster partition counts scale with input (added late r14).'),
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; x2.0/x2.4 per decade. Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows.'),
