@@ -99,6 +99,7 @@ private[graft] object RelationalEntries {
     "q_asof_exec" -> (AsOf.eventsAsOfLastPurchaseExec _),
     "q_asof_broadcast" -> (AsOf.eventsAsOfLastPurchaseBroadcast _),
     "q_asof_tolerance" -> (AsOf.eventsAsOfRecentPurchase _),
+    "q_asof_forward" -> (AsOf.eventsAsOfNextPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
     "q_overlap_join" -> ((s, d) => RangeJoin.shipWeekOverlaps(s, d)),
     // the SQL band join through RangeBinJoinRule: the optimizer rewrite
@@ -496,6 +497,18 @@ private[graft] object RelationalEntries {
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     // same workload through the custom physical operators
     // (plans/AsOfJoinExec.scala) — one oracle per execution path
+    // forward direction: DuckDB ASOF with the inequality flipped picks
+    // the nearest LATER right row — the only oracle-side pin of the
+    // forward merge (other directions' forward forms are spec-pinned)
+    "q_asof_forward" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts <= r.ts"),
     // tolerance form: the ASOF nearest match is NULLed when older than
     // one hour — CASE replays the exec's withinTolerance check exactly
     "q_asof_tolerance" ->

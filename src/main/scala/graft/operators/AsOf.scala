@@ -235,6 +235,14 @@ object AsOf {
   def eventsAsOfLastPurchaseBroadcast(spark: SparkSession, dir: String): DataFrame =
     eventsAsOfVia(spark, dir, asOfJoinBroadcast(_, _, _, _, _, _))
 
+  /** FORWARD-direction demo entry (q_asof_forward): each event enriched
+    * with the user's NEXT purchase at or after its timestamp — closes
+    * the oracle gap on the forward merge (everything else pins forward
+    * only spec-side); runs through the physical operator. */
+  def eventsAsOfNextPurchase(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
+      asOfJoinExec(l, r, k, t, p, rn, direction = "forward"))
+
   /** Tolerance demo entry: purchases older than ONE HOUR are stale —
     * the nearest candidate beyond 3.6e9 microseconds becomes a NULL
     * (pandas merge_asof `tolerance` semantics); oracled via DuckDB ASOF

@@ -128,6 +128,21 @@ class RangeBinJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("comma-join + WHERE clause shape: pushdown delivers the band to the join and the rule fires") {
+    import spark.implicits._
+    Seq((1L, 100L), (2L, 500L)).toDF("a_id", "a_v")
+      .createOrReplaceTempView("rb_w1")
+    Seq((10L, 103L), (11L, 900L)).toDF("b_id", "b_v")
+      .createOrReplaceTempView("rb_w2")
+    withRule {
+      val df = spark.sql("SELECT a_id, b_id FROM rb_w1, rb_w2 " +
+        "WHERE a_v BETWEEN b_v - 5 AND b_v + 5")
+      assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 10L)))
+    }
+  }
+
   test("randomized parity: binned rows equal nested-loop rows on adversarial data") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

@@ -31,7 +31,7 @@ def med(d, q):
 def merged(suffix):
     out = {}
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
-                   'bench14e', 'bench14g', 'bench14h', 'bench14i'):
+                   'bench14e', 'bench14g', 'bench14h', 'bench14i', 'bench14j'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -69,6 +69,7 @@ CLASSES = {
     'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; measured x2.9 then x12.9/decade - the second decade is x1.29 OVER the x10 data growth, shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), not complexity; cluster partition counts scale with input (added late r14).'),
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; x2.0/x2.4 per decade. Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows.'),
+    'q_asof_forward': ('linear', 'forward (next-row) direction of the sort-merge exec: descending-ts merge, same shape - x4.0 then x1.8/decade (short-run variance dominates the absolute sub-4s numbers). The only oracle-pinned forward as-of (DuckDB ASOF with the inequality flipped).'),
     'q_asof_tolerance': ('linear', 'sort-merge exec + tolerance check; x1.9/x2.7 per decade, same shape as q_asof_exec.'),
     'q_stream_asof': ('linear', 'the broadcast contract done RIGHT: keyless as-of against a day-grain reference whose size is O(days), corpus-independent - x1.7/x2.8 per decade, all growth on the left scan. Streaming form (stream-static as-of, EventStream.asOfEnrichStream) is spec-pinned equal.'),
     'q_asof_broadcast': ('broadcast-contract', 'map-side enrichment, ZERO left shuffle/sort (spec-pinned plan). The twin GROWS the right side with n (purchases ~ n/5, 2M rows at x100), deliberately violating the small-right contract to measure the envelope: x2.6 then x5.8/decade, the second decade dominated by the per-execution index rebuild of the oversized right side - when the right grows, the sort-merge exec (2.2 s) or compose (0.6 s) is the path. Two measured build-sharing bugs fixed en route: per-task index duplication OOM-ed an 8g heap (32 concurrent 2M-row builds), then an identity-keyed cache missed per-task-deserialized Broadcast handles and serialized 32 redundant builds behind the lock (4.4 s at x10); keying by the BlockManager-cached value array restores one build per executor (0.9 s at x10, 5.4 s at x100).'),
