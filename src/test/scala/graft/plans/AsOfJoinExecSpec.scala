@@ -200,6 +200,44 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("heavy key skew: one key holding ~90% of both sides stays exact under AQE") {
+    // AQE's skew-split applies only to SMJ/SHJ, but its COALESCING must
+    // keep the custom node's two exchanges aligned — zipPartitions pairs
+    // partition i with partition i, so misaligned coalescing would be a
+    // silent wrong-rows bug, not a crash. Parity over a skewed corpus
+    // exercises exactly that path.
+    val rnd = new scala.util.Random(5)
+    def side(n: Int) = (0 until n).map { i =>
+      val key = if (rnd.nextInt(10) == 0) rnd.nextInt(40) + 1 else 0 // 90% key 0
+      (key, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val left = side(20000).toDF("k", "ts", "pay")
+    val right = side(4000).toDF("k", "ts", "pay")
+      .groupBy("k", "ts").agg(max("pay").as("pay"))
+    for (d <- Seq("backward", "forward")) {
+      assertParity(left, right, Seq("k"), "ts", payload = Seq("pay"),
+        rename = _ => "r_pay", direction = d)
+    }
+  }
+
+  test("AQE partition coalescing keeps the two sides aligned (tiny targets force coalescing)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "97")
+    try {
+      val rnd = new scala.util.Random(11)
+      def side(n: Int) = (0 until n).map { i =>
+        (rnd.nextInt(50), rnd.nextInt(100).toLong, i.toLong)
+      }
+      val left = side(5000).toDF("k", "ts", "pay")
+      val right = side(1000).toDF("k", "ts", "pay")
+        .groupBy("k", "ts").agg(max("pay").as("pay"))
+      // 97 partitions over ~100 KB forces AQE to coalesce aggressively;
+      // rows must still match the compose form exactly
+      assertParity(left, right, Seq("k"), "ts", payload = Seq("pay"),
+        rename = _ => "r_pay", direction = "backward")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("broadcast variant: parity on fixture and adversarial random data") {
     // fixture, both directions, vs BOTH other implementations
     for (d <- Seq("backward", "forward")) {
