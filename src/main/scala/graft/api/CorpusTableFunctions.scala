@@ -612,6 +612,26 @@ object CorpusTableFunctions {
         SparkSession.active, reqDir(fn, bound), k = k, l = l))
     }
 
+    tvf("corpus_asof_purchase",
+      "corpus_asof_purchase(dir) - Each event enriched with the user's " +
+        "most recent purchase (value + time) as of the event's " +
+        "timestamp, executed by the physical sort-merge as-of join " +
+        "(AsOfJoinExec).",
+      "SELECT * FROM corpus_asof_purchase('/data/c1') " +
+        "WHERE purchase_value > 100;")(
+      dirOnly("corpus_asof_purchase")(
+        graft.operators.AsOf.eventsAsOfLastPurchaseExec))
+
+    tvf("corpus_asof_rates",
+      "corpus_asof_rates(dir) - Each event enriched with the day-grain " +
+        "max purchase rate as of its timestamp (keyless global-timeline " +
+        "as-of through the broadcast operator; the batch twin of the " +
+        "stream-static enrichment).",
+      "SELECT * FROM corpus_asof_rates('/data/c1') WHERE day_rate > 50;")(
+      dirOnly("corpus_asof_rates")((s, d) =>
+        graft.streaming.EventStream.asOfDailyRateBatch(
+          graft.operators.Relational.events(s, d))))
+
     tvf("corpus_bpe_merges",
       "corpus_bpe_merges(dir[, n]) - Learned BPE merge table (rank, " +
         "left, right, pair_freq) over the corpus word dictionary " +

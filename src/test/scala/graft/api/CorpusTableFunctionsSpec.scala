@@ -313,6 +313,18 @@ class CorpusTableFunctionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("'k' must be >= 1"), bad.getMessage)
   }
 
+  test("as-of TVFs match Scala factories (custom SparkPlan behind SQL)") {
+    ready
+    assert(spark.sql(s"SELECT * FROM corpus_asof_purchase('$sfDir')")
+      .collect().toSet ===
+      graft.operators.AsOf.eventsAsOfLastPurchaseExec(spark, sfDir)
+        .collect().toSet)
+    assert(spark.sql(s"SELECT * FROM corpus_asof_rates('$sfDir')")
+      .collect().toSet ===
+      graft.streaming.EventStream.asOfDailyRateBatch(
+        graft.operators.Relational.events(spark, sfDir)).collect().toSet)
+  }
+
   test("tokenizer TVFs match Scala factories + binders") {
     ready
     assert(spark.sql(s"SELECT * FROM corpus_bpe_merges('$sfDir', 5)")
