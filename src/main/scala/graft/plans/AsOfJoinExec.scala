@@ -297,7 +297,6 @@ case class BroadcastAsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val fwd = forward
-    val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val lOut = left.output
     val rOut = right.output
