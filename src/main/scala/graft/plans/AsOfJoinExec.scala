@@ -326,7 +326,8 @@ case class BroadcastAsOfJoinExec(
       // EXECUTOR per broadcast via BroadcastAsOfIndexCache — building it
       // per task multiplies the d-row structure by the task-slot count
       // (measured: 32 concurrent tasks x a 2M-row right side OOM'd an
-      // 8g heap at the x100 twin; one shared build fits easily). Keyed
+      // 8g heap at the x100 twin — BENCH_sf10_r14.json q_asof_broadcast
+      // note; one shared build fits easily). Keyed
       // arrays beat a sorted flat array because left keys hash straight
       // to their group.
       val index = BroadcastAsOfIndexCache.getOrBuild(bcast.value, () => {
@@ -435,7 +436,9 @@ private[plans] object AsOfMerge {
   * closures are deserialized per task (even in local mode), so every
   * task holds a DISTINCT Broadcast instance and an identity-keyed map
   * would miss for all of them — measured: 32 redundant builds
-  * serialized behind the lock, 0.9 s → 4.4 s at the ×10 twin. The
+  * serialized behind the lock, 0.9 s → 4.4 s at the ×10 twin
+  * (committed: BENCH_sf10_r14.json q_asof_broadcast note; PLANS.md
+  * round-14 as-of section carries both bug post-mortems). The
   * value array IS identity-stable per executor (BlockManager caches
   * the deserialized block once), and the weak key dies exactly when
   * the block is evicted or the broadcast destroyed. */
