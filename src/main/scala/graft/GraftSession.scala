@@ -56,6 +56,29 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installPlanExtensions(spark)
     spark
+  }
+
+  /** Idempotently install the library's optimizer rules and planner
+    * strategy into a STOCK session — the harness-level half of what
+    * `spark.sql.extensions=graft.functions.GraftExtensions` does at
+    * session build time (a `getOrCreate`'d session cannot add
+    * extensions after the fact). Query entries stay pure queries; the
+    * session carries the plan surface (r14 verdict: an entry mutating
+    * `experimental.extraOptimizations` was the one impure entry). */
+  def installPlanExtensions(spark: SparkSession): Unit = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession =>
+      val ex = c.experimental
+      if (!ex.extraOptimizations.contains(graft.plans.LevenshteinPruneRule))
+        ex.extraOptimizations =
+          ex.extraOptimizations :+ graft.plans.LevenshteinPruneRule
+      if (!ex.extraOptimizations.contains(graft.plans.RangeBinJoinRule))
+        ex.extraOptimizations =
+          ex.extraOptimizations :+ graft.plans.RangeBinJoinRule
+      if (!ex.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        ex.extraStrategies =
+          ex.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    case _ => () // Connect sessions must carry GraftExtensions config
   }
 }

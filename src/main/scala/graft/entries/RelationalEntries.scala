@@ -98,19 +98,17 @@ private[graft] object RelationalEntries {
     "q_asof_join" -> (AsOf.eventsAsOfLastPurchase _),
     "q_asof_exec" -> (AsOf.eventsAsOfLastPurchaseExec _),
     "q_asof_broadcast" -> (AsOf.eventsAsOfLastPurchaseBroadcast _),
+    "q_asof_auto" -> (AsOf.eventsAsOfLastPurchaseAuto _),
     "q_asof_tolerance" -> (AsOf.eventsAsOfRecentPurchase _),
     "q_asof_forward" -> (AsOf.eventsAsOfNextPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
     "q_overlap_join" -> ((s, d) => RangeJoin.shipWeekOverlaps(s, d)),
     // the SQL band join through RangeBinJoinRule: the optimizer rewrite
     // gives the SQL user the binned equi-join the Scala API builds by
-    // hand (rule installed idempotently - extensions sessions carry it)
+    // hand. The rule is carried by the SESSION (GraftExtensions config,
+    // or GraftSession.installPlanExtensions for stock sessions — the
+    // Verify/Bench harness path), so this entry is a pure query.
     "q_sql_range_join" -> ((s, d) => {
-      val ex = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .experimental
-      if (!ex.extraOptimizations.contains(graft.plans.RangeBinJoinRule))
-        ex.extraOptimizations = ex.extraOptimizations :+
-          graft.plans.RangeBinJoinRule
       Relational.events(s, d).createOrReplaceTempView("graft_events_rbj")
       s.sql("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
         "unix_micros(c.ts) - unix_micros(e.ts) AS gap_us " +
@@ -532,6 +530,17 @@ private[graft] object RelationalEntries {
         "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "q_asof_exec" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    // the ROUTED factory (auto-broadcast skew path): same semantics,
+    // same oracle — the router may pick either exec and must stay exact
+    "q_asof_auto" ->
       ("SELECT l.event_id, l.user_id, " +
         "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +

@@ -108,13 +108,27 @@ object AsOf {
     * The strategy is installed idempotently into
     * `spark.experimental.extraStrategies` so stock sessions work;
     * `spark.sql.extensions=graft.functions.GraftExtensions` sessions
-    * already carry it. */
+    * already carry it.
+    *
+    * @param autoBroadcast when true (the default) AND the session conf
+    *        [[AutoBroadcastConf]] is not "false", the factory AUTO-ROUTES
+    *        to the broadcast exec whenever the right side's estimated
+    *        plan size fits `spark.sql.autoBroadcastJoinThreshold` — the
+    *        skew story for the common 100 TB enrichment shape: AQE's
+    *        skew-split only matches SMJ/SHJ nodes, so a hot key on the
+    *        sort-merge exec is one straggler task, while the broadcast
+    *        form has no key-partitioned shuffle to skew at all. Pass
+    *        false to pin the sort-merge exec (the gate entries do, so
+    *        the merge path keeps independent oracle/bench coverage);
+    *        for a LARGE right side with a known hot key, use
+    *        [[asOfJoinSalted]]. */
   def asOfJoinExec(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payload: Seq[String], rename: String => String,
       direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame =
+      tolerance: Option[Long] = None,
+      autoBroadcast: Boolean = true): DataFrame =
     asOfJoinPlanned(left, right, keys, ts, payload, rename, direction,
-      broadcast = false, tolerance)
+      broadcast = false, tolerance, autoBroadcast = autoBroadcast)
 
   /** Broadcast as-of join ([[graft.plans.BroadcastAsOfJoinExec]]) — the
     * 100 TB enrichment shape: the SMALL right side (reference prices,
@@ -140,7 +154,8 @@ object AsOf {
   private def asOfJoinPlanned(left: DataFrame, right: DataFrame,
       keys: Seq[String], ts: String, payload: Seq[String],
       rename: String => String, direction: String,
-      broadcast: Boolean, tolerance: Option[Long] = None): DataFrame = {
+      broadcast: Boolean, tolerance: Option[Long] = None,
+      autoBroadcast: Boolean = false): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
     tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
@@ -169,9 +184,16 @@ object AsOf {
     val lPlan = left.queryExecution.analyzed
     val rPlan = rightProj.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String) = plan.output.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"column '$name' not found in ${plan.output.map(_.name)}"))
+        name: String) = plan.output.filter(_.name == name) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column '$name' not found in ${plan.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        // match the DataFrame API's ambiguity contract instead of
+        // silently binding the first occurrence (r15 advice fix)
+        s"as-of column '$name' is ambiguous: ${many.size} attributes " +
+          s"share the name in ${plan.output.map(_.name)}")
+    }
     val lKeys = keys.map(attr(lPlan, _))
     val rKeys = keyAliases.map(attr(rPlan, _))
     val lTs = attr(lPlan, ts)
@@ -198,10 +220,81 @@ object AsOf {
         s"key type mismatch: ${l.name} ${l.dataType} vs ${r.dataType}")
     }
     val carried = carriedNames.map(attr(rPlan, _))
+    // skew routing: AQE's OptimizeSkewedJoin matches only SMJ/SHJ
+    // nodes, so a hot key on the custom sort-merge exec is one
+    // straggler task it cannot split. When the right side's estimated
+    // size fits the session's broadcast threshold, the broadcast exec
+    // is strictly better placed: no key-partitioned shuffle exists to
+    // skew, and the left side streams map-side. Estimate-only check
+    // (logical stats, same signal Spark's own JoinSelection uses);
+    // unknown/huge estimates keep the merge path.
+    val routeBroadcast = broadcast || (autoBroadcast &&
+      spark.conf.get(AutoBroadcastConf, "true").toBoolean && {
+        val threshold = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        threshold > 0 &&
+          rightProj.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+      })
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
-        carried, forward = direction == "forward", broadcast = broadcast,
-        tolerance = tolerance))
+        carried, forward = direction == "forward",
+        broadcast = routeBroadcast, tolerance = tolerance))
+  }
+
+  /** Session-conf kill switch for [[asOfJoinExec]]'s automatic
+    * broadcast routing (default on). */
+  val AutoBroadcastConf = "spark.graft.asof.autoBroadcast"
+
+  /** SALTED sort-merge as-of join — the skew path for the case the
+    * broadcast route can't take: a LARGE right side with hot keys.
+    * AQE cannot split a custom exec node, so on the plain sort-merge
+    * form a key holding 90% of an event log becomes one straggler
+    * task. Here the left side is salted `pmod(hash(saltBy), salts)`
+    * and the right side is REPLICATED across all `salts` buckets, so
+    * the join keys become (keys, salt) and the hot key's left rows
+    * spread over `salts` reducers — EXACT by construction, because the
+    * as-of merge is per-key independent and every (key, salt) bucket
+    * sees the key's complete right-side run.
+    *
+    * Cost model at 100 TB: right shuffle volume × `salts` buys hot-key
+    * parallelism `salts` — the classic salted-join trade
+    * ([[Skew.saltedJoin]]); size `salts` ≈ hot-key rows /
+    * target-partition rows, and keep this form for right sides too big
+    * to broadcast but far smaller than the left (the event-enrichment
+    * norm). Salt determinism: `saltBy` must be a unique left column
+    * (primary key / event id) — a content hash of all columns is the
+    * fallback, with [[Skew]]'s duplicate-multiplicity caveat (logged).
+    *
+    * Parity with [[asOfJoin]]/[[asOfJoinExec]] is spec-pinned on a
+    * 90%-hot-key fixture ([[graft.plans.AsOfJoinExecSpec]]). */
+  def asOfJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String], rename: String => String,
+      direction: String = "backward", tolerance: Option[Long] = None,
+      salts: Int = 16, saltBy: Option[String] = None): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    require(keys.nonEmpty,
+      "keyless as-of has a single global group - salting cannot help; " +
+        "use asOfJoinBroadcast")
+    val saltCol = "__graft_asof_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"column name $saltCol is reserved by asOfJoinSalted")
+    // named imports only: functions.{left, right} would shadow the params
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, sequence}
+    val src = saltBy match {
+      case Some(c) => Seq(col(c))
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "asOfJoinSalted: no saltBy column passed - salting by content " +
+            "hash of all left columns; fully-duplicate rows of a hot key " +
+            "will share one salt bucket. Pass any unique column.")
+        left.columns.toSeq.map(col)
+    }
+    val l = left.withColumn(saltCol, pmod(hash(src: _*), lit(salts)))
+    val r = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    asOfJoinPlanned(l, r, keys :+ saltCol, ts, payload, rename, direction,
+      broadcast = false, tolerance, autoBroadcast = false)
+      .drop(saltCol)
   }
 
   /** Idempotently add [[graft.plans.AsOfJoinStrategy]] to the session's
@@ -225,8 +318,20 @@ object AsOf {
   /** Same workload through the PHYSICAL operator ([[asOfJoinExec]]) —
     * a second gate entry against the identical DuckDB ASOF oracle, so
     * the custom `SparkPlan`'s merge is oracle-checked end-to-end, not
-    * just spec-pinned against the compose form. */
+    * just spec-pinned against the compose form. `autoBroadcast=false`
+    * pins the SORT-MERGE exec: at gate scale the deduped purchases side
+    * fits the broadcast threshold, and without the pin the router would
+    * (correctly) collapse this entry onto q_asof_broadcast's plan. */
   def eventsAsOfLastPurchaseExec(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
+      asOfJoinExec(l, r, k, t, p, rn, autoBroadcast = false))
+
+  /** The ROUTED workload (q_asof_auto): default [[asOfJoinExec]] — the
+    * factory's skew routing picks the broadcast exec here (the deduped
+    * purchases side fits the threshold), oracle-checked end-to-end, so
+    * the auto-route path has its own gate row rather than riding on
+    * the spec pins. */
+  def eventsAsOfLastPurchaseAuto(spark: SparkSession, dir: String): DataFrame =
     eventsAsOfVia(spark, dir, asOfJoinExec(_, _, _, _, _, _))
 
   /** Same workload through the BROADCAST physical operator — the
@@ -241,7 +346,8 @@ object AsOf {
     * only spec-side); runs through the physical operator. */
   def eventsAsOfNextPurchase(spark: SparkSession, dir: String): DataFrame =
     eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
-      asOfJoinExec(l, r, k, t, p, rn, direction = "forward"))
+      asOfJoinExec(l, r, k, t, p, rn, direction = "forward",
+        autoBroadcast = false))
 
   /** Tolerance demo entry: purchases older than ONE HOUR are stale —
     * the nearest candidate beyond 3.6e9 microseconds becomes a NULL
@@ -249,7 +355,8 @@ object AsOf {
     * + an interval CASE. */
   def eventsAsOfRecentPurchase(spark: SparkSession, dir: String): DataFrame =
     eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
-      asOfJoinExec(l, r, k, t, p, rn, tolerance = Some(3600000000L)))
+      asOfJoinExec(l, r, k, t, p, rn, tolerance = Some(3600000000L),
+        autoBroadcast = false))
 
   private def eventsAsOfVia(spark: SparkSession, dir: String,
       join: (DataFrame, DataFrame, Seq[String], String, Seq[String],

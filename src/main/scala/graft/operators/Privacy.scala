@@ -22,16 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
-  /** Width of the sensitive-attribute bucket (`floor(value / sensWidth)`)
-    * used for the l-diversity audit column. */
-  private val sensWidth = 50.0
+  /** Default width of the sensitive-attribute bucket
+    * (`floor(value / sensWidth)`) used for the l-diversity audit column;
+    * callers with a different attribute scale pass their own
+    * (r15: parameterized per the r14 verdict). */
+  val DefaultSensWidth = 50.0
+
+  /** Session conf selecting the noise mechanism for the histogram
+    * releases: `deterministic` (default — the keyed-LCG stand-in the
+    * cross-engine oracle verifies bit-exact) or `laplace:<eps>:<seed>`
+    * (production: calibrated Laplace, scale 1/ε for the
+    * sensitivity-1 counting query, seeded + keyed-hash driven so every
+    * task retry draws the SAME noise — `rand()` would re-draw per
+    * retry and leak between attempts). */
+  val NoiseConf = "spark.graft.privacy.noise"
 
   /** The shared distinct grain: one exact pass over events. Rows are
     * distinct (event_type, day, hour, user_id, sens) with their event
     * count — the finest unit any release below needs, so user- and
     * value-distinctness at EVERY ladder level is an exact rollup of
     * this table (countDistinct over grain rows), never a rescan. */
-  private def grain(events: DataFrame): DataFrame =
+  private def grain(events: DataFrame, sensWidth: Double): DataFrame =
     events
       .select(
         col("event_type"),
@@ -76,8 +87,20 @@ object Privacy {
 
   /** Frame-input form of [[kAnonymize]]: `events` needs (event_type,
     * ts TIMESTAMP, user_id, value) columns — the composable entry point
-    * (and the one the random-input invariant spec drives). */
-  def kAnonymize(events: DataFrame, k: Int, l: Int): DataFrame = {
+    * (and the one the random-input invariant spec drives).
+    * @param sensWidth width of the sensitive-attribute bucket for the
+    *        l-diversity audit (`floor(value / sensWidth)`); match it to
+    *        the attribute's scale — too wide and distinct values
+    *        collapse into one bucket (l_ok false negatives), too narrow
+    *        and near-identical values count as diverse. */
+  def kAnonymize(events: DataFrame, k: Int, l: Int): DataFrame =
+    kAnonymize(events, k, l, DefaultSensWidth)
+
+  /** [[kAnonymize]] with an explicit sensitive-bucket width (a separate
+    * overload because only one alternative may carry defaults). */
+  def kAnonymize(events: DataFrame, k: Int, l: Int,
+      sensWidth: Double): DataFrame = {
+    require(sensWidth > 0, s"sensWidth must be positive, got $sensWidth")
     // the grain feeds three ladder levels and each stats frame feeds a
     // released + failed branch: persist all three (grain once per raw
     // scan; the stats frames are group-level — kilobytes at any scale)
@@ -88,7 +111,7 @@ object Privacy {
       Relational.ProbeRegistry.register(p)
       p
     }
-    val g = keep(grain(events))
+    val g = keep(grain(events, sensWidth))
     val hourStats = keep(g.groupBy("event_type", "day", "hour")
       .agg(sum("n").as("n_rows"),
         countDistinct("user_id").as("n_users"),
@@ -129,17 +152,29 @@ object Privacy {
 
   /** Noisy per-(event_type, day) histogram release.
     *
-    * The released count is `max(0, true_count + noise)` where `noise`
-    * is an integer in [-10, 10] derived DETERMINISTICALLY from the cell
-    * key (a keyed LCG over day-of-month and the type name) — a
-    * test-reproducible stand-in for calibrated Laplace noise so the
-    * cross-engine oracle can verify the mechanism's plumbing bit-exact.
-    * A production deployment swaps ONLY the noise column for a seeded
-    * Laplace sample (scale 1/ε); everything that matters at 100 TB is
-    * unchanged and real here: the noise is applied at GROUP grain after
-    * the aggregate (O(cells) work, never O(rows)), the true counts
-    * never leave the plan, and the clamp keeps released values
-    * non-negative without re-reading data.
+    * The released count is `max(0, true_count + noise)` where the
+    * noise mechanism is chosen by [[NoiseConf]]:
+    *
+    *  - `deterministic` (default): an integer in [-10, 10] from a
+    *    keyed LCG over day-of-month and the type name — a
+    *    test-reproducible stand-in so the cross-engine oracle verifies
+    *    the mechanism's plumbing bit-exact (the gate entry pins this
+    *    path).
+    *  - `laplace:<eps>:<seed>`: calibrated Laplace, scale 1/ε for this
+    *    sensitivity-1 counting query, sampled by inverse CDF from a
+    *    keyed xxhash64(seed, type, day) uniform — per-cell independent,
+    *    reproducible under task retry (a `rand()` draw is not: a retried
+    *    task would re-draw, silently double-dipping the privacy budget
+    *    within one release). ε ACCOUNTING IS THE CALLER'S: one release
+    *    at eps consumes ε of budget; re-releasing the same cells with a
+    *    new seed consumes again. Rounded to an integer (post-processing
+    *    — does not affect the guarantee).
+    *
+    * Everything that matters at 100 TB is identical either side of the
+    * swap: noise applies at GROUP grain after the aggregate (O(cells)
+    * work, never O(rows)), the true counts never leave the plan, and
+    * the clamp keeps released values non-negative (also
+    * post-processing) without re-reading data.
     */
   def noisyHistogram(spark: SparkSession, dir: String): DataFrame =
     Relational.events(spark, dir)
@@ -147,19 +182,49 @@ object Privacy {
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_true"))
       .select(col("event_type"), col("day"),
-        releasedCount(col("n_true"), col("day"), col("event_type"))
+        releasedCount(spark, col("n_true"), col("day"), col("event_type"))
           .as("n_noisy"))
       .orderBy("event_type", "day")
 
   /** The release arithmetic shared by the batch and streaming forms:
-    * `max(0, n + noise(day, type))` with the keyed noise in [-10, 10]. */
-  private def releasedCount(nTrue: org.apache.spark.sql.Column,
+    * `max(0, n + noise(day, type))` with the mechanism from
+    * [[NoiseConf]] (read at PLAN TIME — the streaming form fixes the
+    * mechanism when the query starts, as a release policy should). */
+  private def releasedCount(spark: SparkSession,
+      nTrue: org.apache.spark.sql.Column,
       day: org.apache.spark.sql.Column,
-      eventType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    greatest(lit(0L),
-      nTrue + (substring(day, 9, 2).cast("int") * 131 +
-        length(eventType) * 17) % 21 - 10)
-      .cast("long")
+      eventType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // each branch yields an integral LONG noise term: adding a double
+    // to a Long count would lose exactness above 2^53 — counts that
+    // large are exactly the 100 TB regime this column must survive
+    val noise = spark.conf.get(NoiseConf, "deterministic") match {
+      case "deterministic" =>
+        ((substring(day, 9, 2).cast("int") * 131 +
+          length(eventType) * 17) % 21 - 10).cast("long")
+      case laplace if laplace.startsWith("laplace:") =>
+        val (eps, seed) = laplace.stripPrefix("laplace:").split(":") match {
+          case Array(e, s) => (e.toDouble, s.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"$NoiseConf must be 'deterministic' or 'laplace:<eps>:<seed>'" +
+              s", got '$laplace'")
+        }
+        require(eps > 0, s"laplace eps must be positive, got $eps")
+        // inverse-CDF Laplace(0, 1/eps) from a keyed uniform in
+        // (-0.5, 0.5): u = (hash mod M + 0.5)/M - 0.5 never hits the
+        // log's pole at ±0.5, and xxhash64 keying makes the draw a pure
+        // function of (seed, cell) — retry-stable and per-cell
+        // independent
+        val m = 1000000007L
+        val u = (pmod(xxhash64(lit(seed), eventType, day), lit(m))
+          .cast("double") + 0.5) / m.toDouble - 0.5
+        round(signum(u) * lit(-1.0 / eps) *
+          log(lit(1.0) - lit(2.0) * abs(u))).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"$NoiseConf must be 'deterministic' or 'laplace:<eps>:<seed>', " +
+          s"got '$other'")
+    }
+    greatest(lit(0L), nTrue + noise).cast("long")
+  }
 
   /** Streaming form of [[noisyHistogram]]: the same release over a
     * watermarked 1-day tumbling window, so cells publish as their
@@ -200,9 +265,11 @@ object Privacy {
     * users per cell — never by stream length. */
   def kAnonHourStream(events: org.apache.spark.sql.Dataset[
         graft.streaming.EventStream.Event],
-      k: Int = 5, l: Int = 3, watermark: String = "2 hours")(
+      k: Int = 5, l: Int = 3, watermark: String = "2 hours",
+      sensWidth: Double = DefaultSensWidth)(
       implicit spark: SparkSession):
       org.apache.spark.sql.Dataset[HourRelease] = {
+    require(sensWidth > 0, s"sensWidth must be positive, got $sensWidth")
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
       OutputMode}
@@ -253,6 +320,6 @@ object Privacy {
         date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("n_true"))
       .select(col("event_type"), col("day"),
-        releasedCount(col("n_true"), col("day"), col("event_type"))
-          .as("n_noisy"))
+        releasedCount(events.sparkSession, col("n_true"), col("day"),
+          col("event_type")).as("n_noisy"))
 }

@@ -379,9 +379,11 @@ case class BroadcastAsOfJoinExec(
               }
             }
             // ties: multiple equal ts can't exist under the documented
-            // unique-(key, ts) contract; under violation, backward picks
-            // the first stored at that ts, matching "last in sort order"
-            // only when unique — acceptable per the contract
+            // unique-(key, ts) contract; under violation, backward's
+            // `found = mid; lo = mid + 1` keeps advancing through equal
+            // timestamps, selecting the LAST stored row at that ts
+            // (sortBy is stable) — the same last-in-sort-order rule as
+            // the sort-merge exec
             if (found >= 0 &&
               AsOfMerge.withinTolerance(tol, lts, tss(found)))
               cand = rows(found)

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rule: rewrite BAND JOINS — inner joins whose only join
   * predicate is a two-sided range `eR + k1 <= eL <= eR + k2` — from the
@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, DoubleType, In
   * `Rule[LogicalPlan]` in the repo (after [[LevenshteinPruneRule]]),
   * registered via [[graft.functions.GraftExtensions]].
   *
-  * Rewrite (W = k2 − k1): the right side generates the ≤ 2 bin ids its
-  * band [eR+k1, eR+k2] covers (`explode(sequence(floor((eR+k1)/W),
-  * floor((eR+k2)/W)))`), the join becomes an EQUI-join on
-  * `floor(eL/W) = bin` — shuffle-keyed, AQE-skew-handled — and the FULL
-  * original condition stays as the residual, so the rewrite is exact by
-  * construction: a matching pair has eL inside the band, hence its bin
-  * among the generated ones, exactly once (sequence ids are distinct).
+  * Rewrite (W = k2 − k1): the right side generates the EXACTLY 2 bin
+  * ids its band [eR+k1, eR+k2] covers — floor((eR+k1)/W) and that +1,
+  * identically equal to floor((eR+k2)/W) since the band is exactly one
+  * bin wide — the join becomes an EQUI-join on `floor(eL/W) = bin`
+  * (shuffle-keyed, AQE-skew-handled) and the FULL original condition
+  * stays as the residual, so the rewrite is exact by construction: a
+  * matching pair has eL inside the band, hence its bin among the
+  * generated ones, exactly once (the two bin ids are distinct).
+  * All bin arithmetic is EXACT Long floor-division ([[FloorBin]], incl.
+  * the overflow-free shifted form for eR+k) — double-based floors round
+  * above 2^53 and the two sides round independently, silently dropping
+  * true matches on nanosecond-epoch domains (r14 verdict finding).
   * A zero-width band (k1 = k2) is an equality in disguise: the rule
   * adds the explicit equi-conjunct instead, unlocking SMJ/SHJ directly.
   *
@@ -69,21 +74,31 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** All bin/offset arithmetic below runs in the LONG domain; narrower
+    * integral points are widened here (exact), so every Add/EqualTo the
+    * rewrite builds is Long-vs-Long — an INT point left unwidened would
+    * leave `Add(er, Literal(k: Long))` type-mismatched and the plan
+    * UNRESOLVED (plan validation rejects the whole rule batch). */
+  private def toLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
   /** Normalize an expression to (point-in-LONG-domain, constant offset):
     * integral `x ± k`, bare integral `x`, timestamp `ts ± INTERVAL`
-    * (day-time literal, micros) via unix_micros, or bare timestamp. */
+    * (day-time literal, micros) via unix_micros, or bare timestamp.
+    * Negating `Subtract`'s literal overflows for Long.MinValue — skip. */
   private def pointOffset(e: Expression): Option[(Expression, Long)] = e match {
     case Add(x, k, _) if integral(x) && litLong(k).isDefined =>
-      Some((x, litLong(k).get))
+      Some((toLong(x), litLong(k).get))
     case Add(k, x, _) if integral(x) && litLong(k).isDefined =>
-      Some((x, litLong(k).get))
-    case Subtract(x, k, _) if integral(x) && litLong(k).isDefined =>
-      Some((x, -litLong(k).get))
+      Some((toLong(x), litLong(k).get))
+    case Subtract(x, k, _) if integral(x) &&
+        litLong(k).exists(_ != Long.MinValue) =>
+      Some((toLong(x), -litLong(k).get))
     case TimestampAddInterval(ts, Literal(v: Long, _: DayTimeIntervalType), _)
         if ts.dataType == TimestampType =>
       Some((UnixMicros(ts), v))
     case x if x.dataType == TimestampType => Some((UnixMicros(x), 0L))
-    case x if integral(x) => Some((x, 0L))
+    case x if integral(x) => Some((toLong(x), 0L))
     case _ => None
   }
 
@@ -93,8 +108,16 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * by one (the domain is integral). Side-ness is NOT resolved here. */
   private def bound(e: Expression): Option[(Expression, Expression, Long, Boolean)] = {
     def mk(l: Expression, r: Expression, slack: Long, lower: Boolean) =
-      for ((lp, lk) <- pointOffset(l); (rp, rk) <- pointOffset(r))
-        yield (lp, rp, rk - lk + slack, lower)
+      for {
+        (lp, lk) <- pointOffset(l)
+        (rp, rk) <- pointOffset(r)
+        // exact driver-side offset algebra: pathological literals whose
+        // combined offset leaves the Long domain make the conjunct
+        // ineligible (rewrite skipped — BNLJ stays correct) rather
+        // than silently wrapped into a wrong band
+        k <- scala.util.Try(
+          Math.addExact(Math.subtractExact(rk, lk), slack)).toOption
+      } yield (lp, rp, k, lower)
     e match {
       case GreaterThanOrEqual(l, r) => mk(l, r, 0L, lower = true)
       case GreaterThan(l, r) => mk(l, r, 1L, lower = true)
@@ -103,9 +126,6 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
   }
-
-  private def floorBin(e: Expression, width: Long): Expression =
-    Cast(Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -142,8 +162,10 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   p2.references.subsetOf(right.outputSet))
                   Some((p1, p2, k, lower))
                 else if (p1.references.subsetOf(right.outputSet) &&
-                  p2.references.subsetOf(left.outputSet))
-                  // p1 >= p2 + k  ⇔  p2 <= p1 - k (flip side and sense)
+                  p2.references.subsetOf(left.outputSet) &&
+                  k != Long.MinValue)
+                  // p1 >= p2 + k  ⇔  p2 <= p1 - k (flip side and sense;
+                  // -Long.MinValue overflows, so that k is ineligible)
                   Some((p2, p1, -k, !lower))
                 else None
               } else None
@@ -153,28 +175,40 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             (el2, er2, k2, _) <- dirBounds.find(b => !b._4 && // matching upper
               b._1.semanticEquals(el1) && b._2.semanticEquals(er1))
             if k1 <= k2
-          } yield (el1, er1, k1, k2)
+            // the band width and both shifted-floor decompositions must
+            // stay inside exact Long arithmetic; a band wide enough to
+            // fail these (|k| near 2^63) is left on the BNLJ path
+            w <- scala.util.Try(Math.subtractExact(k2, k1)).toOption
+            if k1 == k2 ||
+              (FloorBin.shiftSafe(k1, w) && FloorBin.shiftSafe(k2, w))
+          } yield (el1, er1, k1, k2, w)
           banded match {
             case None => j
-            case Some((el, er, k1, k2)) if k1 == k2 =>
+            case Some((el, er, k1, k2, _)) if k1 == k2 =>
               // zero-width band = equality in disguise: add the explicit
               // equi-conjunct so ExtractEquiJoinKeys unlocks SMJ/SHJ
               val eq = EqualTo(el, Add(er, Literal(k1)))
               Join(left, right, jt, Some(And(cond, eq)), hint)
-            case Some((el, er, k1, k2)) =>
-              val w = k2 - k1
+            case Some((el, er, k1, _, w)) =>
               val binAttr = AttributeReference(BinName, LongType,
                 nullable = false)()
-              // Sequence is TimeZoneAwareExpression: an unset zone leaves
-              // the rewritten plan UNRESOLVED (plan validation rejects it)
+              // bin ids in EXACT Long arithmetic (FloorBin — the r14
+              // verdict's 2^53 finding: double floors round, and the
+              // two sides round INDEPENDENTLY, silently dropping true
+              // matches on nanosecond-epoch domains). The band spans
+              // exactly two bins — floor((er+k2)/w) = floor((er+k1)/w)+1
+              // identically, because k2-k1 = w — so the generator is a
+              // 2-element array, not a Sequence (no timezone coupling,
+              // no descending-sequence hazard). A null right point can
+              // never match an inner join, so it is filtered BELOW the
+              // generate, keeping the bin attribute truthfully non-null.
+              val binLo = FloorBin.floorDivShifted(er, k1, w)
               val gen = Generate(
-                Explode(Sequence(
-                  floorBin(Add(er, Literal(k1)), w),
-                  floorBin(Add(er, Literal(k2)), w),
-                  None, Some(SQLConf.get.sessionLocalTimeZone))),
+                Explode(CreateArray(Seq(binLo, Add(binLo, Literal(1L))))),
                 unrequiredChildIndex = Nil, outer = false, qualifier = None,
-                generatorOutput = Seq(binAttr), child = right)
-              val newCond = And(EqualTo(floorBin(el, w), binAttr), cond)
+                generatorOutput = Seq(binAttr),
+                child = Filter(IsNotNull(er), right))
+              val newCond = And(EqualTo(FloorBin.floorDiv(el, w), binAttr), cond)
               Project(j.output,
                 Join(left, gen, jt, Some(newCond), hint))
           }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * one small struct per active user key, evicted on timeout. Both shuffle
   * once on their grouping key — the standard streaming topology.
   */
-object EventStream {
+// Serializable: asOfJoinStream's stateful update closure calls object
+// methods (asOfStreamDrain/tsMicros), so the task closure captures the
+// module reference
+object EventStream extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -47,6 +50,152 @@ object EventStream {
       tolerance: Option[Long] = None): DataFrame =
     graft.operators.AsOf.asOfJoinBroadcast(stream, ref, keys, ts,
       payload, rename, direction, tolerance)
+
+  /** One tagged row of the stream-stream as-of union: side 0 = right
+    * (the reference/feature stream), side 1 = left (the stream being
+    * enriched). */
+  final case class AsOfTagged(side: Int, event_id: Long, ts: Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Per-key state of the stream-stream as-of: right rows buffered in
+    * event-time order (retention: everything above the watermark plus
+    * the single LATEST row at or below it — see [[asOfStreamDrain]]),
+    * and left rows pending until the watermark certifies no earlier
+    * right row can still arrive. */
+  final case class AsOfStreamState(rights: List[AsOfRightRow],
+      pending: List[Event])
+
+  /** A buffered right row: event-time micros (exact — Timestamp
+    * millis alone would tie sub-millisecond updates), the original
+    * timestamp, and the carried value. */
+  final case class AsOfRightRow(tsUs: Long, ts: Timestamp, value: Double)
+
+  /** One enriched left row: the left event plus the matched right row's
+    * (timestamp, value), both NULL when no right row qualifies. */
+  final case class AsOfEnriched(event_id: Long, user_id: Long,
+      ts: Timestamp, event_type: String, value: Double,
+      matched_ts: Timestamp, matched_value: java.lang.Double)
+
+  /** Exact event-time micros of a Timestamp (getTime is millis; the
+    * sub-millisecond digits live in getNanos). */
+  private[streaming] def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** STREAM-STREAM AS-OF join — the shape the broadcast form
+    * ([[asOfEnrichStream]]) can't cover: the right side is itself a
+    * LIVE stream (late-arriving features, rolling model scores,
+    * streaming reference updates), so no static snapshot exists to
+    * broadcast. Built on `flatMapGroupsWithState` over the UNION of
+    * both streams keyed by user: Structured Streaming's native
+    * stream-stream join cannot express "latest right ≤ left ts" (that
+    * needs a per-left argmax, a second stateful stage), while one
+    * custom state pass gives it exactly.
+    *
+    * Correctness contract (backward direction, ties inclusive —
+    * matching [[graft.operators.AsOf.asOfJoinExec]], batch-parity
+    * spec-pinned):
+    *  - a left row is emitted ONLY once the watermark passes its event
+    *    time: until then a right row with a smaller-but-closer
+    *    timestamp could still arrive (both inputs carry `watermark`,
+    *    and the union's watermark is their MIN — the multi-watermark
+    *    policy default — so the gate holds for the slower stream);
+    *  - the match is the LAST buffered right row with ts ≤ left ts,
+    *    within `toleranceUs` when given (merge_asof semantics);
+    *  - right rows arriving later than the watermark horizon are
+    *    dropped by Spark upstream, which is exactly what makes the
+    *    emit gate sound.
+    *
+    * State bound (the 100 TB property): per key, pending lefts ≤ left
+    * rate × watermark delay, buffered rights ≤ right rate × watermark
+    * delay + ONE — the retained latest-at-or-below-watermark row. That
+    * floor row is irreducible: as-of lookback is unbounded (a key
+    * whose reference updated once, years ago, still matches), so the
+    * steady state is ONE row per key — the same O(keys) a snapshot
+    * table would cost, but live. Eviction is pinned by the
+    * [[asOfStreamDrain]] unit spec; end-to-end behavior by the
+    * MemoryStream parity spec. */
+  def asOfJoinStream(left: Dataset[Event], right: Dataset[Event],
+      toleranceUs: Option[Long] = None, watermark: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[AsOfEnriched] = {
+    import spark.implicits._
+    toleranceUs.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    // tag with COLUMN ops, not a typed map: the event-time watermark is
+    // column metadata, and a map through objects mints fresh attributes
+    // that lose it (the stateful op would then reject EventTimeTimeout)
+    def tag(ds: Dataset[Event], side: Int) =
+      ds.withWatermark("ts", watermark)
+        .select(lit(side).as("side"), col("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    val tol = toleranceUs
+
+    def update(userId: Long, rows: Iterator[AsOfTagged],
+        state: GroupState[AsOfStreamState]): Iterator[AsOfEnriched] = {
+      val wm = state.getCurrentWatermarkMs()
+      var s = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+      if (!state.hasTimedOut) {
+        val batch = rows.toSeq
+        val newRights = batch.filter(_.side == 0)
+          .map(r => AsOfRightRow(tsMicros(r.ts), r.ts, r.value))
+        val newLefts = batch.filter(_.side == 1).map(t =>
+          Event(t.event_id, t.ts, t.user_id, t.event_type, t.value))
+        s = AsOfStreamState(
+          // stable sort: equal-ts rights keep arrival order, and the
+          // match picks the LAST — the exec family's tie rule under
+          // the documented unique-(key, ts) contract
+          (s.rights ++ newRights).sortBy(_.tsUs),
+          s.pending ++ newLefts)
+      }
+      val (s2, out) = asOfStreamDrain(userId, s, wm, tol)
+      if (s2.rights.isEmpty && s2.pending.isEmpty) state.remove()
+      else {
+        state.update(s2)
+        // wake up when the watermark passes the earliest pending left;
+        // a rights-only state needs no wakeup (it is the steady-state
+        // carry, consulted when the key's next left arrives)
+        if (s2.pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(
+            s2.pending.map(_.ts.getTime).min + 1,
+            state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    tag(left, 1).unionByName(tag(right, 0)).as[AsOfTagged]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfStreamState, AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** The pure drain step of [[asOfJoinStream]] — separated so the
+    * retention/eviction contract is unit-testable without a streaming
+    * harness: emit every pending left the watermark has passed
+    * (strictly: `ts.getTime < wm`, so a sub-millisecond-later right
+    * cannot be outrun), match each against the last right ≤ its ts
+    * (within tolerance), then evict every right row that can no longer
+    * win ANY future left — i.e. all but the latest at or below the
+    * watermark (a future left has ts ≥ wm, and the as-of match for it
+    * is either that latest row or one still above the watermark). */
+  private[streaming] def asOfStreamDrain(userId: Long, s: AsOfStreamState,
+      wmMs: Long, tolUs: Option[Long]): (AsOfStreamState, Seq[AsOfEnriched]) = {
+    val (ready, stillPending) = s.pending.partition(_.ts.getTime < wmMs)
+    val out = ready.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+      val lUs = tsMicros(e.ts)
+      val cand = s.rights.foldLeft(Option.empty[AsOfRightRow]) { (acc, r) =>
+        if (r.tsUs <= lUs) Some(r) else acc
+      }
+      cand.filter(r => tolUs.forall(t => lUs - r.tsUs <= t)) match {
+        case Some(r) => AsOfEnriched(e.event_id, e.user_id, e.ts,
+          e.event_type, e.value, r.ts, r.value)
+        case None => AsOfEnriched(e.event_id, e.user_id, e.ts,
+          e.event_type, e.value, null, null)
+      }
+    }
+    // ms → µs with a clamp (a pathological watermark near Long.MaxValue
+    // must evict everything below, not wrap negative)
+    val wmUs = if (wmMs > Long.MaxValue / 1000L) Long.MaxValue else wmMs * 1000L
+    val (below, above) = s.rights.partition(_.tsUs < wmUs)
+    (AsOfStreamState(below.takeRight(1) ++ above, stillPending), out)
+  }
 
   /** Bounded reference table for the as-of demos: one row per day with
     * that day's MAX purchase value (max, not avg — bit-stable across

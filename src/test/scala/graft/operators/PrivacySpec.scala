@@ -173,4 +173,58 @@ class PrivacySpec extends SparkSpec {
       assert(math.abs(nNoisy - math.max(0L, nTrue)) <= 10L)
     }
   }
+
+  test("noise mechanism swap: laplace changes ONLY the noise column, is seeded-deterministic, and scales with 1/eps") {
+    def hist() = Privacy.noisyHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val deterministic = hist()
+    def withNoise[A](v: String)(body: => A): A = {
+      spark.conf.set(Privacy.NoiseConf, v)
+      try body finally spark.conf.unset(Privacy.NoiseConf)
+    }
+    // explicit 'deterministic' ≡ default
+    assert(withNoise("deterministic")(hist()) === deterministic)
+    // laplace: same CELLS (mechanism swap touches nothing but noise),
+    // reproducible under the same seed, different under another
+    val lap1 = withNoise("laplace:0.5:42")(hist())
+    assert(lap1.keySet === deterministic.keySet)
+    assert(withNoise("laplace:0.5:42")(hist()) === lap1,
+      "same seed must re-draw identical noise (retry-stability)")
+    val lap2 = withNoise("laplace:0.5:43")(hist())
+    assert(lap2 != lap1, "a new seed must draw fresh noise")
+    // eps → ∞ degenerates to the true counts (scale 1/eps → round to 0)
+    val truth = Relational.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_true")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lapTight = withNoise("laplace:1000000:7")(hist())
+    assert(lapTight === truth.map { case (k, v) => k -> math.max(0L, v) })
+    // and at eps = 0.5 the noise is actually doing something
+    assert(lap1.exists { case (k, v) => v != truth(k) })
+    // malformed / unknown confs fail loudly at plan time
+    intercept[IllegalArgumentException] {
+      withNoise("laplace:0.5")(hist())
+    }
+    intercept[IllegalArgumentException] { withNoise("gaussian")(hist()) }
+    intercept[IllegalArgumentException] {
+      withNoise("laplace:-1:3")(hist())
+    }
+  }
+
+  test("kAnonymize sensWidth: bucket width drives the l-diversity audit") {
+    import spark.implicits._
+    // 3 users (k passes at k=3), values 0..8 in one hour cell
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val events = (0 until 9).map(i =>
+      (i.toLong, ts, (i % 3).toLong, "click", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def lOk(w: Double) = Privacy.kAnonymize(events, 3, 3, w)
+      .filter(col("granularity") === "hour").collect().map(_.getBoolean(5))
+    assert(lOk(1.0).forall(identity),
+      "width 1: values 0..8 span 9 buckets >= l=3")
+    assert(lOk(1000.0).forall(!_),
+      "width 1000: all values collapse into one bucket < l=3")
+    intercept[IllegalArgumentException] { Privacy.kAnonymize(events, 3, 3, 0.0) }
+  }
 }

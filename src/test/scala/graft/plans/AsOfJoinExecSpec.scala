@@ -18,6 +18,22 @@ class AsOfJoinExecSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // Pin the factory to the SORT-MERGE exec for the whole suite: every
+  // fixture here is tiny, so the r15 auto-broadcast router would
+  // otherwise silently re-point all merge-path assertions (and their
+  // parity coverage) at the broadcast exec. The routing tests below
+  // flip the conf back on locally. Only this suite reads the conf, so
+  // the shared-session mutation cannot race other forked suites.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(AsOf.AutoBroadcastConf, "false")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset(AsOf.AutoBroadcastConf)
+    super.afterAll()
+  }
+
   private def sorted(df: DataFrame): Seq[Row] = {
     val cols = df.columns.toSeq
     df.orderBy(cols.map(col): _*).collect().toSeq
@@ -336,6 +352,97 @@ class AsOfJoinExecSpec extends SparkSpec {
       AsOf.asOfJoinExec(l, l.select(col("k"), col("day"), col("v").as("w")),
         Seq("k"), "day", payload = Seq("w"), rename = _ => "r_w",
         tolerance = Some(5L))
+    }
+  }
+
+  test("auto-broadcast routing: small right side routes to the broadcast exec; pins and kill switches hold") {
+    def planOf(autoBc: Boolean): SparkPlan = withStaticPlans {
+      executed(AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px", autoBroadcast = autoBc))
+    }
+    spark.conf.set(AsOf.AutoBroadcastConf, "true")
+    try {
+      // default: quotes' estimate is far under the 10MB threshold → route
+      assert(planOf(true).collect {
+        case b: BroadcastAsOfJoinExec => b }.size == 1)
+      // explicit pin beats the conf (the gate entries' contract)
+      assert(planOf(false).collect { case e: AsOfJoinExec => e }.size == 1)
+      // Spark's broadcast threshold disabled → merge path
+      val tBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try assert(planOf(true).collect { case e: AsOfJoinExec => e }.size == 1)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", tBefore)
+      // graft kill switch → merge path
+      spark.conf.set(AsOf.AutoBroadcastConf, "false")
+      assert(planOf(true).collect { case e: AsOfJoinExec => e }.size == 1)
+      // routed rows equal the compose form (semantics unchanged by route)
+      spark.conf.set(AsOf.AutoBroadcastConf, "true")
+      val routed = AsOf.asOfJoinExec(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+      assert(sorted(routed) == sorted(AsOf.asOfJoin(trades, quotes,
+        Seq("sym"), "ts", payload = Seq("px"), rename = _ => "r_px")))
+    } finally spark.conf.set(AsOf.AutoBroadcastConf, "false")
+  }
+
+  test("salted as-of: exact parity on a 90%-hot-key corpus, both directions, with tolerance") {
+    // the skew path for a LARGE right side AQE can't split on a custom
+    // node: left salted, right replicated ×salts, join key (key, salt)
+    val rnd = new scala.util.Random(13)
+    def side(n: Int) = (0 until n).map { i =>
+      val key = if (rnd.nextInt(10) == 0) rnd.nextInt(40) + 1 else 0 // 90% key 0
+      (key, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val left = side(20000).toDF("k", "ts", "pay")
+    val right = side(4000).toDF("k", "ts", "pay")
+      .groupBy("k", "ts").agg(max("pay").as("pay"))
+    for (d <- Seq("backward", "forward"); tol <- Seq(None, Some(50L))) {
+      val salted = AsOf.asOfJoinSalted(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", direction = d,
+        tolerance = tol, salts = 8, saltBy = Some("pay"))
+      val compose0 = AsOf.asOfJoinExec(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", direction = d,
+        tolerance = tol, autoBroadcast = false)
+      assert(salted.columns.toSeq == compose0.columns.toSeq,
+        "salt column must not leak into the output")
+      assert(sorted(salted) == sorted(compose0), s"direction=$d tol=$tol")
+    }
+  }
+
+  test("salted as-of: plan spreads the hot key over the salt buckets") {
+    withStaticPlans {
+      val left = (0 until 5000).map(i => (0, (i % 977).toLong, i.toLong))
+        .toDF("k", "ts", "pay") // ONE key: the unsalted merge is 1 task
+      val right = (0 until 500).map(i => (0, i.toLong * 2, i.toLong))
+        .toDF("k", "ts", "pay")
+      val out = AsOf.asOfJoinSalted(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", salts = 4,
+        saltBy = Some("pay"))
+      val plan = executed(out)
+      assert(plan.collect { case e: AsOfJoinExec => e }.size == 1)
+      // the left exchange partitions on (k, salt): rows of the single
+      // hot key land in multiple partitions — observable as >1 distinct
+      // salt value actually produced
+      val salts = left.select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("pay")),
+        lit(4)).as("s")).distinct().count()
+      assert(salts > 1, "content salt must spread the hot key")
+      assert(out.count() == left.count())
+    }
+  }
+
+  test("salted as-of: argument guards") {
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoinSalted(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px", salts = 1)
+    }
+    intercept[IllegalArgumentException] { // keyless
+      AsOf.asOfJoinSalted(trades, quotes, Nil, "ts",
+        payload = Seq("px"), rename = _ => "r_px")
+    }
+    intercept[IllegalArgumentException] { // reserved column
+      AsOf.asOfJoinSalted(
+        trades.withColumn("__graft_asof_salt", lit(1)), quotes,
+        Seq("sym"), "ts", payload = Seq("px"), rename = _ => "r_px")
     }
   }
 }

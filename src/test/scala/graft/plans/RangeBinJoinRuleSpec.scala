@@ -128,6 +128,27 @@ class RangeBinJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("GraftSession.installPlanExtensions carries the rule (the Verify/Bench harness path)") {
+    // q_sql_range_join is a PURE query since r15: it relies on the
+    // SESSION carrying the rule — GraftExtensions config, or this
+    // harness-level installer for stock/getOrCreate'd sessions
+    val before = spark.experimental.extraOptimizations
+    try {
+      graft.GraftSession.installPlanExtensions(spark)
+      assert(spark.experimental.extraOptimizations.contains(RangeBinJoinRule))
+      // idempotent: a second install adds nothing
+      graft.GraftSession.installPlanExtensions(spark)
+      assert(spark.experimental.extraOptimizations.count(_ == RangeBinJoinRule) == 1)
+      import spark.implicits._
+      Seq((1L, 100L)).toDF("a_id", "a_v").createOrReplaceTempView("rb_h1")
+      Seq((2L, 103L)).toDF("b_id", "b_v").createOrReplaceTempView("rb_h2")
+      val df = spark.sql("SELECT a_id, b_id FROM rb_h1 JOIN rb_h2 " +
+        "ON a_v BETWEEN b_v - 5 AND b_v + 5")
+      assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+      assert(df.count() === 1)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("comma-join + WHERE clause shape: pushdown delivers the band to the join and the rule fires") {
     import spark.implicits._
     Seq((1L, 100L), (2L, 500L)).toDF("a_id", "a_v")
@@ -140,6 +161,79 @@ class RangeBinJoinRuleSpec extends SparkSpec {
       assert(optimized(df).contains("__graft_range_bin"), optimized(df))
       assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
         Seq((1L, 10L)))
+    }
+  }
+
+  test("INT/SHORT column band join: rewrite resolves (Long-domain widening) and rows match") {
+    // r15 advice fix: the rewrite used to build Add(er, Literal(k: Long))
+    // against an INT point, leaving the plan UNRESOLVED and failing
+    // previously-working BNLJ queries with PLAN_VALIDATION_FAILED
+    import spark.implicits._
+    Seq((1, 100), (2, 250), (3, 999)).toDF("a_id", "a_v")
+      .createOrReplaceTempView("rb_i1")
+    Seq((10, 90), (11, 260), (12, 5000)).toDF("b_id", "b_v")
+      .createOrReplaceTempView("rb_i2")
+    val sql = "SELECT a_id, b_id FROM rb_i1 JOIN rb_i2 " +
+      "ON a_v >= b_v - 15 AND a_v <= b_v + 20"
+    val without = spark.sql(sql).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(without === Set((1, 10), (2, 11)))
+    withRule {
+      val df = spark.sql(sql)
+      assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+      assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet === without)
+      // SHORT columns + the zero-width (equality) path also resolve
+      Seq((1, 5.toShort)).toDF("s_id", "s_v").createOrReplaceTempView("rb_s1")
+      Seq((2, 8.toShort)).toDF("t_id", "t_v").createOrReplaceTempView("rb_s2")
+      val zw = spark.sql("SELECT s_id, t_id FROM rb_s1 JOIN rb_s2 " +
+        "ON s_v >= t_v - 3 AND s_v <= t_v - 3")
+      assert(zw.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 2)))
+    }
+  }
+
+  test("exact bins above 2^53: values a double floor would mis-bin keep their true matches") {
+    // r14 verdict headline: floor(cast(x as double)/w) rounds above
+    // 2^53, the two sides round INDEPENDENTLY, and a true match whose
+    // bins rounded across a boundary was silently dropped. Fixture:
+    // nanosecond-epoch values around 1.7e18 (the verdict's verified
+    // mis-floor: 1700000000000000896/1000 floors to …001 in double vs
+    // …000 exact) plus pairs straddling 2^53 itself, joined on a ±1000
+    // band and compared against the unrewritten (BNLJ) rows.
+    import spark.implicits._
+    val p53 = 9007199254740992L // 2^53
+    val ns = 1700000000000000000L
+    val aVals = Seq(ns + 896L, ns + 1000L, p53 - 2L, p53 + 2L, 4L)
+    val bVals = Seq(ns + 896L, ns - 104L, ns + 1896L, p53 + 1L, p53 - 1L, 1004L)
+    aVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("a_id", "a_v").createOrReplaceTempView("rb_53a")
+    bVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("b_id", "b_v").createOrReplaceTempView("rb_53b")
+    val sql = "SELECT a_id, b_id FROM rb_53a JOIN rb_53b " +
+      "ON a_v BETWEEN b_v - 1000 AND b_v + 1000"
+    val without = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every a value has at least one in-band b partner by construction
+    assert(without.map(_._1) === aVals.indices.map(_.toLong).toSet)
+    withRule {
+      val df = spark.sql(sql)
+      assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === without)
+    }
+  }
+
+  test("negative domain + null points: exact floor handles both sides of zero; null right rows drop") {
+    import spark.implicits._
+    val a = Seq((1L, Long.box(-1000L)), (2L, Long.box(-1L)), (3L, Long.box(0L)),
+      (4L, null.asInstanceOf[java.lang.Long])).toDF("a_id", "a_v")
+    val b = Seq((10L, Long.box(-995L)), (11L, Long.box(3L)),
+      (12L, null.asInstanceOf[java.lang.Long])).toDF("b_id", "b_v")
+    a.createOrReplaceTempView("rb_n1"); b.createOrReplaceTempView("rb_n2")
+    val sql = "SELECT a_id, b_id FROM rb_n1 JOIN rb_n2 " +
+      "ON a_v BETWEEN b_v - 7 AND b_v + 7"
+    val without = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(without === Set((1L, 10L), (2L, 11L), (3L, 11L)))
+    withRule {
+      val df = spark.sql(sql)
+      assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === without)
     }
   }
 

@@ -68,6 +68,95 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("asOfStreamDrain: watermark emit gate, last-right-≤ match, tolerance, and right eviction to the steady-state carry") {
+    import EventStream.{AsOfRightRow, AsOfStreamState, asOfStreamDrain, tsMicros}
+    def ev(id: Long, m: Int) = Event(id, ts(m), 7L, "click", 0.0)
+    def rr(m: Int, v: Double) = AsOfRightRow(tsMicros(ts(m)), ts(m), v)
+    val s = AsOfStreamState(
+      rights = List(rr(1, 1.0), rr(5, 5.0), rr(9, 9.0), rr(40, 40.0)),
+      pending = List(ev(1, 6), ev(2, 30), ev(3, 50)))
+    // watermark at minute 35: lefts at 6 and 30 emit, 50 stays pending
+    val (s2, out) = asOfStreamDrain(7L, s, ts(35).getTime, None)
+    assert(out.map(e => e.event_id -> e.matched_value) ===
+      Seq(1L -> java.lang.Double.valueOf(5.0),
+        2L -> java.lang.Double.valueOf(9.0)))
+    assert(s2.pending.map(_.event_id) === List(3L))
+    // eviction: below-watermark rights collapse to the LATEST (minute 9
+    // — the steady-state carry a future left still needs); 40 is above
+    assert(s2.rights === List(rr(9, 9.0), rr(40, 40.0)))
+    // strict gate: a left AT the watermark does not emit (a right at
+    // the same millisecond could still arrive)
+    val atWm = AsOfStreamState(Nil, List(ev(4, 35)))
+    assert(asOfStreamDrain(7L, atWm, ts(35).getTime, None)._2.isEmpty)
+    // tolerance: minute-30 left vs minute-9 right is 21 min apart
+    val (_, tout) = asOfStreamDrain(7L, s, ts(35).getTime,
+      Some(10L * 60L * 1000000L))
+    assert(tout.map(e => e.event_id -> Option(e.matched_value)) ===
+      Seq(1L -> Some(5.0), 2L -> None))
+    // no right at all → null match, state fully drains to empty
+    val (s3, nout) = asOfStreamDrain(7L, AsOfStreamState(Nil,
+      List(ev(5, 1))), ts(35).getTime, None)
+    assert(nout.head.matched_value == null && nout.head.matched_ts == null)
+    assert(s3.rights.isEmpty && s3.pending.isEmpty)
+  }
+
+  test("stream-stream as-of: late-within-watermark rights are honored, parity with the batch exec") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val lefts = Seq(
+      Event(1, ts(5), 100, "click", 0.0),
+      Event(2, ts(12), 100, "view", 0.0),
+      Event(3, ts(12), 200, "click", 0.0), // key with a late right
+      Event(4, ts(3), 200, "view", 0.0))   // before any right → null
+    val rights = Seq(
+      Event(50, ts(2), 100, "purchase", 2.0),
+      Event(51, ts(12), 100, "purchase", 12.0), // tie with left 2
+      Event(52, ts(10), 200, "purchase", 10.0)) // arrives LATE
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val query = EventStream.asOfJoinStream(lIn.toDS(), rIn.toDS(),
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof_ss")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(lefts: _*)
+      rIn.addData(rights.take(2): _*)
+      query.processAllAvailable()
+      // the late right for key 200 arrives in batch 2, still within
+      // the 30-minute watermark of the lefts at minute 12
+      rIn.addData(rights.drop(2): _*)
+      query.processAllAvailable()
+      assert(spark.table("asof_ss").count() == 0,
+        "nothing may emit before the watermark passes the lefts")
+      // advance BOTH watermarks past every real left (union watermark
+      // is the MIN of the two inputs)
+      lIn.addData(Event(98, ts(59), 999, "click", 0.0))
+      rIn.addData(Event(99, ts(59), 999, "purchase", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("asof_ss")
+        .filter(col("user_id") =!= 999)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+      assert(got === Map(1L -> 2.0, 2L -> 12.0, 3L -> 10.0, 4L -> null))
+      // batch parity: the exec family on the same rows
+      val batch = graft.operators.AsOf.asOfJoinExec(
+        lefts.toDF(), rights.toDF().select(col("user_id"), col("ts"),
+          col("ts").as("p_ts"), col("value")),
+        Seq("user_id"), "ts", payload = Seq("value"),
+        rename = _ => "m_value", autoBroadcast = false)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(5)) null else r.getDouble(5))).toMap
+      assert(batch === got)
+      // steady-state: every keyed group keeps exactly its carry row —
+      // state has not grown past one entry per key
+      val progress = query.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten).lastOption
+      assert(progress.exists(_.numRowsTotal <= 3),
+        s"state must be bounded by keys, got ${progress.map(_.numRowsTotal)}")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
