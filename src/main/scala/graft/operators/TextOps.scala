@@ -703,9 +703,40 @@ object TextOps {
     *   spec-guarded output-identical to the declarative form below;
     *   the recomputing form re-winnows per consumer branch and exists
     *   for one-shot exploration). */
+  /** Exact pair-enumeration volume of [[containmentPairs]]:
+    * Σ_h df_h·(df_h−1)/2 over fingerprint hashes SURVIVING the
+    * boilerplate prune (df ≤ maxDf) — the number of rows the fp_hash
+    * self-join emits before any containment filter. The r14 scale
+    * sweep measured this corpus at ×0.55/decade (fingerprints
+    * diversify faster than docs), but a boilerplate-heavy corpus
+    * (shared headers, license blocks, templated pages) saturates the
+    * sub-cap df band and the term goes df² — the same hazard class
+    * PairGuard already fences for setsim/edit. Computed from the
+    * build-once fingerprint table (one map-side-combinable aggregate;
+    * the join itself scans that table twice). */
+  def containmentCandidateEstimate(spark: SparkSession, dir: String,
+      maxDf: Int): Double = {
+    val fps = spark.read.parquet(materializeFingerprints(spark, dir))
+    val r = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .agg(sum(col("df") * (col("df") - 1L)).as("twice_pairs"))
+      .head.get(0)
+    if (r == null) 0.0 else r.asInstanceOf[Long].toDouble / 2.0
+  }
+
   def containmentPairs(spark: SparkSession, dir: String,
       maxDf: Int = 100, minContainment: Double = 0.5,
       materialized: Boolean = false): DataFrame = {
+    // pre-flight (r15, verdict task #6): price the df² join before it
+    // runs; a saturated corpus refuses with the remedy named instead of
+    // paying for the enumeration. Skips itself when the budget is off.
+    if (PairGuard.budget(spark) > 0)
+      PairGuard.check(spark, "containmentPairs",
+        containmentCandidateEstimate(spark, dir, maxDf),
+        "lower maxDf (each surviving hash's pair term is capped at " +
+          "maxDf²/2 - the boilerplate band between your current cap and " +
+          "the signal-bearing tail is what saturated), or use " +
+          "minHashPairs for near-dup recall at scale")
     if (materialized) {
       // index rows carry (fp_hash, doc_id, n_fp) with the prune and
       // sizes baked in at build time: both join sides bring their own

@@ -279,6 +279,55 @@ class TextOpsSpec extends SparkSpec {
     } finally TextOps.clearFingerprintCache()
   }
 
+  test("containment fan-out guard: boilerplate saturation refuses before the df-squared join") {
+    import spark.implicits._
+    // same doc count, same per-doc length; only difference: a shared
+    // boilerplate block. Every boilerplate fingerprint lands in ALL 40
+    // docs (df=40, under the default maxDf=100 cap) so each contributes
+    // C(40,2) pairs — the sub-cap saturation band the r14 verdict named
+    def corpus(body: Int => String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("contain_guard").toString
+      (0 until 40).map(i => (i.toLong, body(i), "en"))
+        .toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    val boilerBlock = (1 to 60).map(i => s"legal$i").mkString(" ")
+    val boiler = corpus(i =>
+      boilerBlock + " " + (1 to 10).map(j => s"u${i}_$j").mkString(" "))
+    val distinct = corpus(i =>
+      (1 to 70).map(j => s"d${i}_$j").mkString(" "))
+    val boilerEst = TextOps.containmentCandidateEstimate(spark, boiler, 100)
+    val distinctEst = TextOps.containmentCandidateEstimate(spark, distinct, 100)
+    assert(boilerEst > 20 * math.max(distinctEst, 1.0),
+      s"boilerplate must dominate the estimate: $boilerEst vs $distinctEst")
+    // exactness: the estimate IS sum(df·(df−1))/2 over surviving hashes
+    val expected = TextOps.fingerprints(spark, boiler)
+      .groupBy("fp_hash").count().filter(col("count") <= 100)
+      .agg(sum(col("count") * (col("count") - 1L))).head.getLong(0) / 2.0
+    assert(boilerEst === expected)
+    // a budget between the two corpora: boilerplate refuses with the
+    // remedy named, the healthy corpus passes silently
+    val budget = ((boilerEst + distinctEst) / 2).toLong.max(2L)
+    spark.conf.set(PairGuard.BudgetConf, budget.toString)
+    try {
+      val e = intercept[IllegalStateException] {
+        TextOps.containmentPairs(spark, boiler)
+      }
+      assert(e.getMessage.contains("containmentPairs"))
+      assert(e.getMessage.contains("maxDf"))
+      // the materialized form is guarded too
+      intercept[IllegalStateException] {
+        TextOps.containmentPairs(spark, boiler, materialized = true)
+      }
+      assert(TextOps.containmentPairs(spark, distinct).count() === 0L)
+    } finally spark.conf.unset(PairGuard.BudgetConf)
+    // and with the default budget the boilerplate fixture (tiny in
+    // absolute terms) still runs — the guard prices, never blanket-bans
+    assert(TextOps.containmentPairs(spark, boiler,
+      minContainment = 0.8).count() > 0L)
+  }
+
   test("gopher repetition: dup lines, top word/bigram token shares") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
