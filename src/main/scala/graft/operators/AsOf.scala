@@ -258,10 +258,17 @@ object AsOf {
     *
     * Cost model at 100 TB: right shuffle volume × `salts` buys hot-key
     * parallelism `salts` — the classic salted-join trade
-    * ([[Skew.saltedJoin]]); size `salts` ≈ hot-key rows /
-    * target-partition rows, and keep this form for right sides too big
-    * to broadcast but far smaller than the left (the event-enrichment
-    * norm). Salt determinism: `saltBy` must be a unique left column
+    * ([[Skew.saltedJoin]]); per hot key the task cost goes from
+    * (hotLeft + hotRight) serialized to (hotLeft/salts + hotRight), so
+    * the achievable speedup is CAPPED at (L+R)/R by the replicated
+    * right run — measured on the 90%-hot-key probe
+    * (`tools/AsOfSkewProbe`, committed in BENCH_sf10_r15.json):
+    * right = left/5 recovers only ×1.16 of a ×5.5 straggler, while the
+    * event-enrichment shape (right = left/50, too big to broadcast,
+    * far smaller than the left) brings a ×6.7 straggler back to ×1.74
+    * of the uniform layout. Keep this form for that enrichment shape;
+    * a hot key whose RIGHT side is also huge needs a ts-range split,
+    * not salting. Salt determinism: `saltBy` must be a unique left column
     * (primary key / event id) — a content hash of all columns is the
     * fallback, with [[Skew]]'s duplicate-multiplicity caveat (logged).
     *

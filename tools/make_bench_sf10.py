@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
-"""Assemble BENCH_sf10_r14.json — the second-decade evidence artifact
-(r13 verdict task #1).
+"""Assemble BENCH_sf10_r15.json — the second-decade evidence artifact
+(r13 verdict task #1; extended r15 per r14 verdict task #8: the as-of /
+overlap / privacy / Count-Min / unigram / funnel families re-measured
+at n=9 medians on all three twins, plus the new q_asof_auto router row,
+q_range_join, and the asof_skew probe).
 
 Reads the committed twin ledgers (bench_sfx01/sfx1/sfx10_{medians,
 build_costs}.json), this round's supplemental rows (bench14_sfx*_
@@ -30,8 +33,11 @@ def med(d, q):
 # supplemental rows only ADD queries the r13 set did not carry)
 def merged(suffix):
     out = {}
+    # bench15a LAST: its n=9 rows override the r14 min-of-3 supplemental
+    # rows for the re-measured families (r14 verdict task #8)
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
-                   'bench14e', 'bench14g', 'bench14h', 'bench14i', 'bench14j'):
+                   'bench14e', 'bench14g', 'bench14h', 'bench14i', 'bench14j',
+                   'bench15a'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -60,15 +66,19 @@ CLASSES = {
     'q_priority_totals': ('linear', 'stored-state merge; near-flat.'),
     'q_quantile_sources': ('linear', 'stored-state merge; near-flat.'),
     'q_sketch_snapshot_merge': ('linear', 'stored-state reads; FLAT (x0.87) - the 100 TB steady-state shape.'),
-    'q_kanon_release': ('linear', 'one shuffle to the distinct-activity grain, then group-level ladder rollups bounded by types x time buckets (privacy family, added late r14).'),
+    'q_kanon_release': ('linear', 'one shuffle to the distinct-activity grain, then group-level ladder rollups bounded by types x time buckets (privacy family); r15 n=9: x2.0/x3.5 per decade - the second decade carries the countDistinct rollup constants at 32 partitions, volume term stays the single grain shuffle.'),
     'q_noisy_hist': ('linear', 'one groupBy; noise applied at group grain post-aggregate, O(cells) never O(rows).'),
     'q_cm_error_bound': ('linear', 'one shuffle carrying a constant-size counter array per group; probes are literal-index column reads (sketch family, added late r14).'),
     'q_unigram_vocab': ('linear', 'one distributed word-count; EM runs on the bounded distinct-word dictionary, corpus-size-independent after the aggregate (tokenizer family, added late r14).'),
     'q_cm_rare_ratio': ('linear', 'native cm_estimate probe scores every token map-side inside codegen; the exact-join half exists for the contract only (added late r14).'),
     'q_sql_range_join': ('output-bound', 'the +-60s proximity band over events with a FIXED time range: true pairs are n_err*n_click*(band/range) = Theta(n^2) by density - same class as q_image_neardup, a property of the QUERY, not the rewrite (the rule only changes the plan from BNLJ to the binned equi-join). Measured x1/x10 (0.25 -> 0.66 s, x2.6); the x100 twin is a stated exclusion: ~1.6e9 true output rows (1.7e6 errors x 1.7e6 clicks x 5.5e-4 band density) - no plan emits a quadratic pair set in subquadratic time; production callers band-join against a bounded reference or aggregate the pairs (added late r14).'),
-    'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; measured x2.9 then x12.9/decade - the second decade is x1.29 OVER the x10 data growth, shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), not complexity; cluster partition counts scale with input (added late r14).'),
+    'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; r15 n=9 re-measure with EXACT integer bin floors (FloorBin, replacing the double-division floors the r14 verdict flagged as a 2^53 correctness edge) AND the new fan-out pre-flight: x2.0 then x7.3/decade - the second decade is shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), improved from r14 x12.9 (integer div+pmod bins beat the double-divide path); cluster partition counts scale with input.'),
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
-    'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; x2.0/x2.4 per decade. Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows.'),
+    'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; r15 n=9: x1.7/x2.7 per decade (merge path pinned via autoBroadcast=false). Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows. Hot-key skew path since r15: the factory auto-routes to the broadcast exec under the threshold, asOfJoinSalted covers large skewed rights (asof_skew probe rows below).'),
+    'q_asof_auto': ('linear', 'the r15 ROUTER row: default asOfJoinExec picks the broadcast exec while the right side estimate fits spark.sql.autoBroadcastJoinThreshold and the sort-merge exec beyond it. Measured n=9: x1 0.56 s (broadcast regime) -> x100 2.36 s, tracking q_asof_exec (2.39 s) where the x100 right side (~2M rows) outgrows the threshold - the router turns the r14 broadcast-contract violation (forced broadcast at x100: 6.35 s) into the merge plan automatically; same DuckDB ASOF oracle as the pinned forms.'),
+    'q_range_join': ('output-bound', 'Scala-API twin of q_sql_range_join (same +-60s proximity band, intervalJoin instead of the optimizer rule): same fixed-time-range density argument, so true pairs are Theta(n^2); measured x1/x10 at n=9 (0.50 -> 1.17 s, x2.35) with EXACT integer bin floors + the r15 fan-out pre-flight guard (one map-side SUM over probe intervals - the visible delta vs the r14 gate row); x100 is the same stated exclusion as q_sql_range_join.'),
+    'q_quality_funnel': ('linear', 'per-row signals bound once below the aggregate; r15 n=9: x1.2/x2.5 per decade, sub-second absolute at x100.'),
+    'q_edit_estimate': ('linear', 'the PairGuard pre-flight itself as a gate row: one length-histogram aggregate; FLAT across both decades (0.08 -> 0.06 s) because the histogram is bounded by distinct lengths, not corpus size.'),
     'q_asof_forward': ('linear', 'forward (next-row) direction of the sort-merge exec: descending-ts merge, same shape - x4.0 then x1.8/decade (short-run variance dominates the absolute sub-4s numbers). The only oracle-pinned forward as-of (DuckDB ASOF with the inequality flipped).'),
     'q_asof_tolerance': ('linear', 'sort-merge exec + tolerance check; x1.9/x2.7 per decade, same shape as q_asof_exec.'),
     'q_stream_asof': ('linear', 'the broadcast contract done RIGHT: keyless as-of against a day-grain reference whose size is O(days), corpus-independent - x1.7/x2.8 per decade, all growth on the left scan. Streaming form (stream-static as-of, EventStream.asOfEnrichStream) is spec-pinned equal.'),
@@ -92,13 +102,14 @@ for q, (cls, note) in CLASSES.items():
         row['build_decade2'] = round(c10 / c1, 2)
     queries[q] = row
 
-probes = {'pair_volume': [], 'bag_prune': [], 'scale_probe': []}
-# no fresh probe file -> carry the committed artifact's probe rows
-# forward (a ledger-extension rerun must not drop the measured probes)
-if len(sys.argv) <= 1:
-    prev = load('BENCH_sf10_r14.json')
-    if isinstance(prev.get('probes'), dict):
-        probes = prev['probes']
+probes = {'pair_volume': [], 'bag_prune': [], 'scale_probe': [],
+          'asof_skew': []}
+# always carry the committed r14 probe rows forward (a ledger-extension
+# rerun must not drop measured probes), then append any fresh lines
+prev = load('BENCH_sf10_r14.json')
+if isinstance(prev.get('probes'), dict):
+    for k, v in prev['probes'].items():
+        probes.setdefault(k, []).extend(v)
 if len(sys.argv) > 1:
     for line in open(sys.argv[1]):
         line = line.strip()
@@ -112,18 +123,25 @@ if len(sys.argv) > 1:
             probes['bag_prune'].append(j)
         elif kind == 'knn_join_autoplanes':
             probes['scale_probe'].append(j)
+        elif kind == 'asof_skew':
+            probes['asof_skew'].append(j)
 
 out = {
-    'artifact': 'BENCH_sf10_r14.json',
-    'round': 14,
+    'artifact': 'BENCH_sf10_r15.json',
+    'round': 15,
     'protocol': (
         'generator twins (tools/GenData, deterministic xxhash64 fixtures '
         'matching the sf0.1 schema/domains) at scale 1/10/100 of the '
         'sf0.1 row counts = sf0.1/sf1/sf10 equivalents; warm = per-query '
         'median of 3 interleaved passes after a rep-0 build pass '
         '(committed bench_sfx*_medians.json from r13 + the r14 '
-        'bench14_sfx* supplemental ONLY-runs for rows the r13 set '
-        'lacked); build = rep-0 seconds. pair_volume = exact enumerated '
+        'bench14_sfx* supplemental ONLY-runs + the r15 bench15a_sfx* '
+        'n=9 re-measures of the as-of/overlap/privacy/CM/unigram/'
+        'funnel families, which override the r14 min-of-3 rows for '
+        'those queries; the r15 runs were taken under a host ~1.47x '
+        'slower than the r13 pinning - same-run decade RATIOS are '
+        'unaffected, cross-round absolute compares need the sentinel); '
+        'build = rep-0 seconds. pair_volume = exact enumerated '
         'candidate-row counts (tools/PairVolumeProbe, the PairGuard '
         'estimates); bag_prune = tools/BagPruneProbe 10%-doc sample; '
         'scale_probe = tools/ScaleProbe AutoPlanes knn cold/warm per '
@@ -134,6 +152,7 @@ out = {
         'linear_backbone': 'minhash pairs/keep, image keep, repeated spans, span guard, sketch merges: all <=x2.8 warm per decade through BOTH decades',
         'guarded_quadratics': 'q_edit_distance (x99.5 warm, enumeration-bound) and q_setsim_pairs (x28 warm, collision-quadratic) now FAIL FAST via PairGuard above 5e8 enumerated candidates instead of running',
         'output_bound': 'q_image_neardup x85/decade is the pair SET growing, not the algorithm; q_image_keep is the production default on dup-heavy corpora',
+        'asof_skew': 'a 90%-hot-key layout costs the pinned sort-merge exec x5.5-6.7 the uniform runtime (one straggler task AQE cannot split on a custom node); the r15 router picks the broadcast exec under the threshold, and asOfJoinSalted brings the enrichment shape (right=left/50) back to x1.74 of uniform - while the right=left/5 twin shows the documented replication cap (x1.16 recovery), the honest boundary of salting',
     },
 }
 json.dump(out, sys.stdout, indent=1)
