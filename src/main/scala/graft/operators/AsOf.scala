@@ -265,10 +265,15 @@ object AsOf {
     * (`tools/AsOfSkewProbe`, committed in BENCH_sf10_r15.json):
     * right = left/5 recovers only ×1.16 of a ×5.5 straggler, while the
     * event-enrichment shape (right = left/50, too big to broadcast,
-    * far smaller than the left) brings a ×6.7 straggler back to ×1.74
-    * of the uniform layout. Keep this form for that enrichment shape;
-    * a hot key whose RIGHT side is also huge needs a ts-range split,
-    * not salting. Salt determinism: `saltBy` must be a unique left column
+    * far smaller than the left) brings a ×6.7–8.2 straggler back to
+    * ×1.74–2.22 of the uniform layout (two committed runs). Keep this
+    * form for that enrichment shape; a hot key whose RIGHT side is
+    * also huge needs [[asOfJoinBucketed]] — the ts-range split,
+    * measured better exactly where salting is capped (×2.97 vs ×4.17
+    * at right=left/5) and worse where replication is cheap (×4.20 vs
+    * ×2.22 at right=left/50: its bucket-spine pass over the left
+    * outweighs the saved replication there).
+    * Salt determinism: `saltBy` must be a unique left column
     * (primary key / event id) — a content hash of all columns is the
     * fallback, with [[Skew]]'s duplicate-multiplicity caveat (logged).
     *
@@ -314,6 +319,112 @@ object AsOf {
       if (!ex.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
         ex.extraStrategies = ex.extraStrategies :+ graft.plans.AsOfJoinStrategy
     case _ => ()
+  }
+
+  /** TS-RANGE-SPLIT (bucketed) as-of join — the skew path for the case
+    * NEITHER broadcast nor salting covers: a hot key whose RIGHT side
+    * is also huge. [[asOfJoinSalted]] replicates each hot key's whole
+    * right run ×salts, capping its speedup at (L+R)/R (measured ×1.16
+    * at right=left/5 — BENCH_sf10_r15.json asof_skew rows); here the
+    * time axis itself is the split: both sides bucket by
+    * `floor(ts / bucketWidth)`, the join key becomes (keys, bucket),
+    * and each bucket receives ONE carry row — the latest right at or
+    * before its start (backward; earliest-after for forward) — so the
+    * per-key merge parallelism is the number of time buckets the key's
+    * rows span, with right-side duplication O(#buckets), not
+    * O(salts × |right run|).
+    *
+    * Exactness: for a left row in bucket b, the as-of candidates are
+    * (rights in b with ts ≤ lts) ∪ {latest right in buckets < b} —
+    * and the carry row IS that latest (computed on bucket-level
+    * aggregates: one row per (key, bucket), kilobytes at any volume,
+    * so its window pass never touches raw rows). The merge inside
+    * (keys, bucket) then picks the true maximum. Ties, null-ts,
+    * tolerance and direction semantics are the exec family's,
+    * parity-pinned on hot-key and adversarial fixtures.
+    *
+    * Plan shape at 100 TB: one map-side-combinable aggregate of the
+    * right side to bucket grain, one small window over that grain,
+    * one distinct of the left's (keys, bucket) spine (map-side
+    * combinable), then the standard two-exchange merge on
+    * (keys, bucket). Choose `bucketWidth` ≈ hot-key time span /
+    * desired parallelism.
+    *
+    * Requires an integral-backed ts (timestamp/date/integer — the
+    * same contract as `tolerance`); timestamps bucket on their
+    * internal micros. */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, payload: Seq[String],
+      rename: String => String, direction: String = "backward",
+      tolerance: Option[Long] = None, bucketWidth: Long): DataFrame = {
+    // named imports only: functions.{left, right} would shadow the params
+    import org.apache.spark.sql.functions.{col, first, last, max, min, struct, unix_micros}
+    import org.apache.spark.sql.types._
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val bucketCol = "__graft_asof_bucket"
+    require(!left.columns.contains(bucketCol) &&
+      !right.columns.contains(bucketCol),
+      s"column name $bucketCol is reserved by asOfJoinBucketed")
+    // the carry row is rebuilt from a struct keyed by field name, so a
+    // payload column named like the ts column would be ambiguous there
+    // (the compose/exec forms allow it; alias the right side first)
+    require(!payload.contains(ts),
+      s"asOfJoinBucketed payload may not repeat the ts column '$ts' - " +
+        "alias it on the right side first")
+    val forward = direction == "forward"
+    def tsLong(df: DataFrame): org.apache.spark.sql.Column =
+      df.schema(ts).dataType match {
+        case TimestampType | TimestampNTZType => unix_micros(col(ts))
+        case DateType => col(ts).cast("int").cast("long")
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(ts).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asOfJoinBucketed requires an integral-backed ts, got $other")
+      }
+    def withBucket(df: DataFrame) = df.withColumn(bucketCol,
+      graft.plans.FloorBin.floorDivCol(tsLong(df), bucketWidth))
+
+    val lb = withBucket(left)
+    // null right ts never matches — drop before bucketing so a null
+    // bucket group cannot swallow the carry chain
+    val rb = withBucket(right.filter(col(ts).isNotNull))
+    // bucket-grain extreme per (keys, bucket): max/min over a struct
+    // ordered by ts first — one row per occupied right bucket
+    val rowStruct = struct((col(ts) +: payload.map(col)): _*)
+    val grainAgg = if (forward) min(rowStruct) else max(rowStruct)
+    val grain = rb.groupBy((keys :+ bucketCol).map(col): _*)
+      .agg(grainAgg.as("_extreme"))
+    // bucket spine: every (keys, bucket) either side occupies, so a
+    // left bucket with no in-bucket rights still receives its carry
+    val spine = lb.select((keys :+ bucketCol).map(col): _*).distinct()
+      .unionByName(grain.select((keys :+ bucketCol).map(col): _*))
+      .distinct()
+    // carry per spine bucket: the last (first, forward) extreme among
+    // strictly earlier (later) buckets — a window over BUCKET-GRAIN
+    // rows only
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val w =
+      if (forward) w0.orderBy(col(bucketCol).asc)
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      else w0.orderBy(col(bucketCol).asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carryFn = if (forward) first(col("_extreme"), ignoreNulls = true)
+      else last(col("_extreme"), ignoreNulls = true)
+    val carries = spine.join(grain, keys :+ bucketCol, "left")
+      .withColumn("_carry", carryFn.over(w))
+      .filter(col("_carry").isNotNull)
+      .select((keys :+ bucketCol).map(col) ++
+        (col(s"_carry.$ts").as(ts) +:
+          payload.map(p => col(s"_carry.$p").as(p))): _*)
+    val rightSplit = rb
+      .select((keys :+ bucketCol).map(col) ++ (ts +: payload).map(col): _*)
+      .unionByName(carries)
+    asOfJoinExec(lb, rightSplit, keys :+ bucketCol, ts, payload, rename,
+      direction, tolerance, autoBroadcast = false)
+      .drop(bucketCol)
   }
 
   /** Demo entry: every event enriched with the user's most recent purchase

@@ -83,15 +83,25 @@ object AsOfSkewProbe {
       (samples.sorted.apply(1), sum0)
     }
 
-    def join(l: DataFrame, r: DataFrame, salted: Boolean): DataFrame =
-      if (salted)
-        AsOf.asOfJoinSalted(l, r, Seq("k"), "ts",
-          payload = Seq("r_ts", "rv"), rename = "m_" + _,
-          salts = salts, saltBy = Some("row_id"))
-      else
-        AsOf.asOfJoinExec(l, r, Seq("k"), "ts",
-          payload = Seq("r_ts", "rv"), rename = "m_" + _,
-          autoBroadcast = false)
+    // ts domain is [0, 1e6); bucket it into `salts` ranges so the two
+    // skew paths get the same parallelism budget
+    val bucketW = 1000000L / salts
+
+    def join(l: DataFrame, r: DataFrame, mode: String): DataFrame =
+      mode match {
+        case "salted" =>
+          AsOf.asOfJoinSalted(l, r, Seq("k"), "ts",
+            payload = Seq("r_ts", "rv"), rename = "m_" + _,
+            salts = salts, saltBy = Some("row_id"))
+        case "bucketed" =>
+          AsOf.asOfJoinBucketed(l, r, Seq("k"), "ts",
+            payload = Seq("r_ts", "rv"), rename = "m_" + _,
+            bucketWidth = bucketW)
+        case _ =>
+          AsOf.asOfJoinExec(l, r, Seq("k"), "ts",
+            payload = Seq("r_ts", "rv"), rename = "m_" + _,
+            autoBroadcast = false)
+      }
 
     val (lu, ru) = (side(leftRows, skewed = false, seed = 11).cache(),
       right(skewed = false).cache())
@@ -99,18 +109,23 @@ object AsOfSkewProbe {
       right(skewed = true).cache())
     Seq(lu, ru, ls, rs).foreach(_.count()) // materialize inputs off the clock
 
-    val (uniformS, _) = timed(() => join(lu, ru, salted = false))
-    val (skewedS, skewSum) = timed(() => join(ls, rs, salted = false))
-    val (saltedS, saltSum) = timed(() => join(ls, rs, salted = true))
+    val (uniformS, _) = timed(() => join(lu, ru, "merge"))
+    val (skewedS, skewSum) = timed(() => join(ls, rs, "merge"))
+    val (saltedS, saltSum) = timed(() => join(ls, rs, "salted"))
+    val (bucketedS, bucketSum) = timed(() => join(ls, rs, "bucketed"))
     require(saltSum == skewSum,
       s"salted result diverged from unsalted on the skewed twin: " +
         s"$saltSum vs $skewSum")
+    require(bucketSum == skewSum,
+      s"bucketed result diverged from unsalted on the skewed twin: " +
+        s"$bucketSum vs $skewSum")
 
     println(f"""{"probe":"asof_skew","left_rows":$leftRows,""" +
       f""""right_rows":$rightRows,"salts":$salts,""" +
       f""""uniform_s":$uniformS%.3f,"skewed_s":$skewedS%.3f,""" +
-      f""""salted_s":$saltedS%.3f,""" +
+      f""""salted_s":$saltedS%.3f,"bucketed_s":$bucketedS%.3f,""" +
       f""""salted_vs_uniform":${saltedS / uniformS}%.2f,""" +
+      f""""bucketed_vs_uniform":${bucketedS / uniformS}%.2f,""" +
       f""""skewed_vs_uniform":${skewedS / uniformS}%.2f}""")
     spark.stop()
   }

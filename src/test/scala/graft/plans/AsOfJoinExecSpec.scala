@@ -430,6 +430,77 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("bucketed (ts-range-split) as-of: exact parity across bucket widths, directions, tolerance") {
+    // the skew path for hot keys whose RIGHT side is also huge: both
+    // sides split on floor(ts/W) with one carry row per bucket; must
+    // be row-identical to the merge exec for EVERY width, including
+    // W=1 (every ts its own bucket — all matches via carries) and a
+    // width larger than the whole range (single bucket — degenerates
+    // to the plain merge)
+    val rnd = new scala.util.Random(29)
+    def side(n: Int) = (0 until n).map { i =>
+      val key = if (rnd.nextInt(10) == 0) rnd.nextInt(40) + 1 else 0 // hot key
+      val ts: java.lang.Long =
+        if (rnd.nextInt(15) == 0) null else Long.box(rnd.nextInt(1000).toLong)
+      (key, ts, i.toLong)
+    }
+    val left = side(4000).toDF("k", "ts", "pay")
+    val right = side(3000).toDF("k", "ts", "pay")
+      .groupBy("k", "ts").agg(max("pay").as("pay"))
+    for (d <- Seq("backward", "forward"); w <- Seq(1L, 7L, 64L, 100000L);
+         tol <- Seq(None, Some(25L))) {
+      val bucketed = AsOf.asOfJoinBucketed(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", direction = d,
+        tolerance = tol, bucketWidth = w)
+      val exec = AsOf.asOfJoinExec(left, right, Seq("k"), "ts",
+        payload = Seq("pay"), rename = _ => "r_pay", direction = d,
+        tolerance = tol, autoBroadcast = false)
+      assert(bucketed.columns.toSeq == exec.columns.toSeq,
+        "bucket column must not leak into the output")
+      assert(sorted(bucketed) == sorted(exec), s"d=$d w=$w tol=$tol")
+    }
+  }
+
+  test("bucketed as-of: timestamp ts buckets on internal micros; sparse right buckets carry across gaps") {
+    // quotes only in the FIRST minute; trades hours later — every
+    // later bucket must still see the carry (spine includes left-only
+    // buckets, the carry window crosses arbitrarily many empty ones)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val trades = Seq(("AA", at(3600), "t1"), ("AA", at(7200), "t2"),
+      ("BB", at(3600), "t3")).toDF("sym", "ts", "trade_id")
+    val quotes = Seq(("AA", at(10), 1.0), ("AA", at(20), 2.0))
+      .toDF("sym", "ts", "px")
+    val out = AsOf.asOfJoinBucketed(trades, quotes, Seq("sym"), "ts",
+      payload = Seq("px"), rename = _ => "r_px",
+      bucketWidth = 60L * 1000000L) // one-minute buckets in micros
+    val got = out.select("trade_id", "r_px").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+    assert(got === Map("t1" -> 2.0, "t2" -> 2.0, "t3" -> null))
+    // parity with the exec on the same data
+    assert(sorted(out) == sorted(AsOf.asOfJoinExec(trades, quotes,
+      Seq("sym"), "ts", payload = Seq("px"), rename = _ => "r_px",
+      autoBroadcast = false)))
+  }
+
+  test("bucketed as-of: argument guards") {
+    intercept[IllegalArgumentException] { // non-positive width
+      AsOf.asOfJoinBucketed(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("px"), rename = _ => "r_px", bucketWidth = 0L)
+    }
+    intercept[IllegalArgumentException] { // payload repeats ts
+      AsOf.asOfJoinBucketed(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("ts", "px"), rename = _ => "r", bucketWidth = 10L)
+    }
+    intercept[IllegalArgumentException] { // non-integral ts
+      val l = Seq(("a", "2024-01-01", 1)).toDF("k", "day", "v")
+      AsOf.asOfJoinBucketed(l, l.select(col("k"), col("day"),
+        col("v").as("w")), Seq("k"), "day", payload = Seq("w"),
+        rename = _ => "r_w", bucketWidth = 10L)
+    }
+  }
+
   test("salted as-of: argument guards") {
     intercept[IllegalArgumentException] {
       AsOf.asOfJoinSalted(trades, quotes, Seq("sym"), "ts",

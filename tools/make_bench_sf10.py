@@ -152,7 +152,7 @@ out = {
         'linear_backbone': 'minhash pairs/keep, image keep, repeated spans, span guard, sketch merges: all <=x2.8 warm per decade through BOTH decades',
         'guarded_quadratics': 'q_edit_distance (x99.5 warm, enumeration-bound) and q_setsim_pairs (x28 warm, collision-quadratic) now FAIL FAST via PairGuard above 5e8 enumerated candidates instead of running',
         'output_bound': 'q_image_neardup x85/decade is the pair SET growing, not the algorithm; q_image_keep is the production default on dup-heavy corpora',
-        'asof_skew': 'a 90%-hot-key layout costs the pinned sort-merge exec x5.5-6.7 the uniform runtime (one straggler task AQE cannot split on a custom node); the r15 router picks the broadcast exec under the threshold, and asOfJoinSalted brings the enrichment shape (right=left/50) back to x1.74 of uniform - while the right=left/5 twin shows the documented replication cap (x1.16 recovery), the honest boundary of salting',
+        'asof_skew': 'a 90%-hot-key layout costs the pinned sort-merge exec x5-8 the uniform runtime (one straggler task AQE cannot split on a custom node). Three r15 paths, measured COMPLEMENTARY: the router picks the broadcast exec under the threshold; asOfJoinSalted brings the enrichment shape (right=left/50) to x1.74-2.22 of uniform but is capped at (L+R)/R when the right run is huge (x1.16-4.17 recovery at right=left/5); asOfJoinBucketed (ts-range split, one carry row per bucket, right never replicated) wins exactly that heavy-right regime (x2.97 vs x4.17) at the price of a bucket-spine pass that loses to salting when the right is small (x4.20 vs x2.22)',
     },
 }
 json.dump(out, sys.stdout, indent=1)
