@@ -458,6 +458,15 @@ object AsOf {
   def eventsAsOfLastPurchaseBroadcast(spark: SparkSession, dir: String): DataFrame =
     eventsAsOfVia(spark, dir, asOfJoinBroadcast(_, _, _, _, _, _))
 
+  /** Bucketed (ts-range-split) demo entry (q_asof_bucketed): the same
+    * last-purchase workload through [[asOfJoinBucketed]] with one-hour
+    * buckets — fourth gate row on the identical DuckDB ASOF oracle, so
+    * the carry construction is oracle-checked end-to-end on real
+    * event-time data, not just parity-pinned. */
+  def eventsAsOfLastPurchaseBucketed(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
+      asOfJoinBucketed(l, r, k, t, p, rn, bucketWidth = 3600000000L))
+
   /** FORWARD-direction demo entry (q_asof_forward): each event enriched
     * with the user's NEXT purchase at or after its timestamp — closes
     * the oracle gap on the forward merge (everything else pins forward

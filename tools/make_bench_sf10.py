@@ -37,7 +37,7 @@ def merged(suffix):
     # rows for the re-measured families (r14 verdict task #8)
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
                    'bench14e', 'bench14g', 'bench14h', 'bench14i', 'bench14j',
-                   'bench15a'):
+                   'bench15a', 'bench15b'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -75,6 +75,7 @@ CLASSES = {
     'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; r15 n=9 re-measure with EXACT integer bin floors (FloorBin, replacing the double-division floors the r14 verdict flagged as a 2^53 correctness edge) AND the new fan-out pre-flight: x2.0 then x7.3/decade - the second decade is shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), improved from r14 x12.9 (integer div+pmod bins beat the double-divide path); cluster partition counts scale with input.'),
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; r15 n=9: x1.7/x2.7 per decade (merge path pinned via autoBroadcast=false). Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows. Hot-key skew path since r15: the factory auto-routes to the broadcast exec under the threshold, asOfJoinSalted covers large skewed rights (asof_skew probe rows below).'),
+    'q_asof_bucketed': ('linear', 'the r15 ts-range-split row: join key (keys, floor(ts/1h)) with one carry row per bucket; x1.4/x3.5 per decade at n=9 - the same linear family as the merge exec it decomposes, paying the bucket-spine pass (x100: 6.9 s vs exec 2.4 s on uniform keys) to buy hot-key time-axis parallelism the flat exec cannot have (asof_skew probe: x2.97 vs salting x4.17 of uniform in the heavy-right skew regime this operator exists for).'),
     'q_asof_auto': ('linear', 'the r15 ROUTER row: default asOfJoinExec picks the broadcast exec while the right side estimate fits spark.sql.autoBroadcastJoinThreshold and the sort-merge exec beyond it. Measured n=9: x1 0.56 s (broadcast regime) -> x100 2.36 s, tracking q_asof_exec (2.39 s) where the x100 right side (~2M rows) outgrows the threshold - the router turns the r14 broadcast-contract violation (forced broadcast at x100: 6.35 s) into the merge plan automatically; same DuckDB ASOF oracle as the pinned forms.'),
     'q_range_join': ('output-bound', 'Scala-API twin of q_sql_range_join (same +-60s proximity band, intervalJoin instead of the optimizer rule): same fixed-time-range density argument, so true pairs are Theta(n^2); measured x1/x10 at n=9 (0.50 -> 1.17 s, x2.35) with EXACT integer bin floors + the r15 fan-out pre-flight guard (one map-side SUM over probe intervals - the visible delta vs the r14 gate row); x100 is the same stated exclusion as q_sql_range_join.'),
     'q_quality_funnel': ('linear', 'per-row signals bound once below the aggregate; r15 n=9: x1.2/x2.5 per decade, sub-second absolute at x100.'),
