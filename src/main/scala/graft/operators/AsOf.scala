@@ -358,7 +358,7 @@ object AsOf {
       rename: String => String, direction: String = "backward",
       tolerance: Option[Long] = None, bucketWidth: Long): DataFrame = {
     // named imports only: functions.{left, right} would shadow the params
-    import org.apache.spark.sql.functions.{col, first, last, max, min, struct, unix_micros}
+    import org.apache.spark.sql.functions.{col, first, last, max, min, struct, unix_date, unix_micros}
     import org.apache.spark.sql.types._
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(direction == "backward" || direction == "forward",
@@ -377,7 +377,9 @@ object AsOf {
     def tsLong(df: DataFrame): org.apache.spark.sql.Column =
       df.schema(ts).dataType match {
         case TimestampType | TimestampNTZType => unix_micros(col(ts))
-        case DateType => col(ts).cast("int").cast("long")
+        // DATE does not cast to INT; unix_date gives the internal
+        // day number (the same unit the tolerance contract documents)
+        case DateType => unix_date(col(ts)).cast("long")
         case ByteType | ShortType | IntegerType | LongType =>
           col(ts).cast("long")
         case other => throw new IllegalArgumentException(

@@ -484,6 +484,24 @@ class AsOfJoinExecSpec extends SparkSpec {
       autoBroadcast = false)))
   }
 
+  test("bucketed as-of: DATE ts buckets on the day number") {
+    val left = Seq(("a", java.sql.Date.valueOf("2024-03-01"), 1L),
+      ("a", java.sql.Date.valueOf("2024-06-01"), 2L),
+      ("b", java.sql.Date.valueOf("2024-03-01"), 3L))
+      .toDF("k", "day", "id")
+    val right = Seq(("a", java.sql.Date.valueOf("2024-01-10"), 10.0),
+      ("a", java.sql.Date.valueOf("2024-04-01"), 40.0))
+      .toDF("k", "day", "v")
+    val out = AsOf.asOfJoinBucketed(left, right, Seq("k"), "day",
+      payload = Seq("v"), rename = _ => "r_v", bucketWidth = 30L)
+    val got = out.collect().map(r => r.getLong(2) ->
+      (if (r.isNullAt(3)) null else Double.box(r.getDouble(3)))).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 40.0, 3L -> null))
+    assert(sorted(out) == sorted(AsOf.asOfJoinExec(left, right, Seq("k"),
+      "day", payload = Seq("v"), rename = _ => "r_v",
+      autoBroadcast = false)))
+  }
+
   test("bucketed as-of: argument guards") {
     intercept[IllegalArgumentException] { // non-positive width
       AsOf.asOfJoinBucketed(trades, quotes, Seq("sym"), "ts",
