@@ -632,6 +632,17 @@ object CorpusTableFunctions {
         graft.streaming.EventStream.asOfDailyRateBatch(
           graft.operators.Relational.events(s, d))))
 
+    tvf("corpus_asof_bucketed",
+      "corpus_asof_bucketed(dir) - The corpus_asof_purchase workload " +
+        "through the ts-range-split as-of join (asOfJoinBucketed, " +
+        "one-hour buckets): hot keys parallelize across their time " +
+        "span instead of one straggler task - same rows, skew-safe " +
+        "plan for huge right sides.",
+      "SELECT * FROM corpus_asof_bucketed('/data/c1') " +
+        "WHERE purchase_value > 100;")(
+      dirOnly("corpus_asof_bucketed")(
+        graft.operators.AsOf.eventsAsOfLastPurchaseBucketed))
+
     tvf("corpus_bpe_merges",
       "corpus_bpe_merges(dir[, n]) - Learned BPE merge table (rank, " +
         "left, right, pair_freq) over the corpus word dictionary " +

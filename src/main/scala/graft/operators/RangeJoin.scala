@@ -39,6 +39,10 @@ object RangeJoin {
       binWidth: Long, op: String): Unit = {
     val spark = df.sparkSession
     if (PairGuard.budget(spark) <= 0) return
+    // a streaming frame cannot run the pre-flight aggregate (no eager
+    // actions on unbounded sources) — the guard is a batch economics
+    // check; streaming callers size binWidth from their watermark/window
+    if (df.isStreaming) return
     val est = df.select(sum(greatest(lit(0L),
       graft.plans.FloorBin.floorDivCol(hi, binWidth) -
         graft.plans.FloorBin.floorDivCol(lo, binWidth) + lit(1L))))

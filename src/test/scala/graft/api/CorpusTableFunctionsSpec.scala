@@ -323,6 +323,12 @@ class CorpusTableFunctionsSpec extends SparkSpec {
       .collect().toSet ===
       graft.streaming.EventStream.asOfDailyRateBatch(
         graft.operators.Relational.events(spark, sfDir)).collect().toSet)
+    // the ts-range-split form must return the SAME rows as the merge
+    // exec it decomposes (and as its own Scala factory)
+    assert(spark.sql(s"SELECT * FROM corpus_asof_bucketed('$sfDir')")
+      .collect().toSet ===
+      spark.sql(s"SELECT * FROM corpus_asof_purchase('$sfDir')")
+        .collect().toSet)
   }
 
   test("tokenizer TVFs match Scala factories + binders") {
