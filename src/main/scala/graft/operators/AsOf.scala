@@ -265,14 +265,14 @@ object AsOf {
     * (`tools/AsOfSkewProbe`, committed in BENCH_sf10_r15.json):
     * right = left/5 recovers only ×1.16 of a ×5.5 straggler, while the
     * event-enrichment shape (right = left/50, too big to broadcast,
-    * far smaller than the left) brings a ×6.7–8.2 straggler back to
-    * ×1.74–2.22 of the uniform layout (two committed runs). Keep this
+    * far smaller than the left) brings a ×6.7–7.0 straggler back to
+    * ×1.63–1.74 of the uniform layout (two committed runs). Keep this
     * form for that enrichment shape; a hot key whose RIGHT side is
     * also huge needs [[asOfJoinBucketed]] — the ts-range split,
-    * measured better exactly where salting is capped (×2.97 vs ×4.17
-    * at right=left/5) and worse where replication is cheap (×4.20 vs
-    * ×2.22 at right=left/50: its bucket-spine pass over the left
-    * outweighs the saved replication there).
+    * measured better exactly where salting is capped (×2.85 vs ×4.48
+    * at right=left/5) and close behind where replication is cheap
+    * (×2.11 vs ×1.63 at right=left/50: its bucket-spine pass over the
+    * left roughly offsets the saved replication there).
     * Salt determinism: `saltBy` must be a unique left column
     * (primary key / event id) — a content hash of all columns is the
     * fallback, with [[Skew]]'s duplicate-multiplicity caveat (logged).
@@ -393,14 +393,21 @@ object AsOf {
     // bucket group cannot swallow the carry chain
     val rb = withBucket(right.filter(col(ts).isNotNull))
     // bucket-grain extreme per (keys, bucket): max/min over a struct
-    // ordered by ts first — one row per occupied right bucket
+    // ordered by ts first — one row per occupied right bucket. The
+    // grain feeds the spine AND the carry join; it is SMALL by
+    // construction (bucket grain, not rows), so persist it rather than
+    // re-running the right-side pipeline per consumer — ProbeRegistry
+    // bounds the cache across calls (the Privacy-family pattern)
     val rowStruct = struct((col(ts) +: payload.map(col)): _*)
     val grainAgg = if (forward) min(rowStruct) else max(rowStruct)
     val grain = rb.groupBy((keys :+ bucketCol).map(col): _*)
-      .agg(grainAgg.as("_extreme"))
+      .agg(grainAgg.as("_extreme")).persist()
+    Relational.ProbeRegistry.register(grain)
     // bucket spine: every (keys, bucket) either side occupies, so a
-    // left bucket with no in-bucket rights still receives its carry
-    val spine = lb.select((keys :+ bucketCol).map(col): _*).distinct()
+    // left bucket with no in-bucket rights still receives its carry.
+    // ONE distinct over the union (a distinct per side would add a
+    // whole extra shuffle for rows the union-distinct dedups anyway)
+    val spine = lb.select((keys :+ bucketCol).map(col): _*)
       .unionByName(grain.select((keys :+ bucketCol).map(col): _*))
       .distinct()
     // carry per spine bucket: the last (first, forward) extreme among

@@ -75,7 +75,7 @@ CLASSES = {
     'q_overlap_join': ('linear', 'interval x interval overlap via the canonical-bin equi-join: candidates are Sum_(bin,part) n_a*n_b with li-per-part and dates-per-bin both corpus-constant, so volume is linear; r15 n=9 re-measure with EXACT integer bin floors (FloorBin, replacing the double-division floors the r14 verdict flagged as a 2^53 correctness edge) AND the new fan-out pre-flight: x2.0 then x7.3/decade - the second decade is shuffle-spill constants at local[32] (60M exploded rows / 32 partitions), improved from r14 x12.9 (integer div+pmod bins beat the double-divide path); cluster partition counts scale with input.'),
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; r15 n=9: x1.7/x2.7 per decade (merge path pinned via autoBroadcast=false). Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows. Hot-key skew path since r15: the factory auto-routes to the broadcast exec under the threshold, asOfJoinSalted covers large skewed rights (asof_skew probe rows below).'),
-    'q_asof_bucketed': ('linear', 'the r15 ts-range-split row: join key (keys, floor(ts/1h)) with one carry row per bucket; x1.4/x3.5 per decade at n=9 - the same linear family as the merge exec it decomposes, paying the bucket-spine pass (x100: 6.9 s vs exec 2.4 s on uniform keys) to buy hot-key time-axis parallelism the flat exec cannot have (asof_skew probe: x2.97 vs salting x4.17 of uniform in the heavy-right skew regime this operator exists for).'),
+    'q_asof_bucketed': ('linear', 'the r15 ts-range-split row: join key (keys, floor(ts/1h)) with one carry row per bucket, the bucket grain persisted once and a single spine distinct; x2.0/x3.1 per decade at n=9 - the merge exec family plus the spine pass (x100: 5.4 s vs exec 2.4 s on uniform keys), the deliberate price of hot-key time-axis parallelism the flat exec cannot have (asof_skew probe: x2.85 vs salting x4.48 of uniform in the heavy-right skew regime this operator exists for).'),
     'q_asof_auto': ('linear', 'the r15 ROUTER row: default asOfJoinExec picks the broadcast exec while the right side estimate fits spark.sql.autoBroadcastJoinThreshold and the sort-merge exec beyond it. Measured n=9: x1 0.56 s (broadcast regime) -> x100 2.36 s, tracking q_asof_exec (2.39 s) where the x100 right side (~2M rows) outgrows the threshold - the router turns the r14 broadcast-contract violation (forced broadcast at x100: 6.35 s) into the merge plan automatically; same DuckDB ASOF oracle as the pinned forms.'),
     'q_range_join': ('output-bound', 'Scala-API twin of q_sql_range_join (same +-60s proximity band, intervalJoin instead of the optimizer rule): same fixed-time-range density argument, so true pairs are Theta(n^2); measured x1/x10 at n=9 (0.50 -> 1.17 s, x2.35) with EXACT integer bin floors + the r15 fan-out pre-flight guard (one map-side SUM over probe intervals - the visible delta vs the r14 gate row); x100 is the same stated exclusion as q_sql_range_join.'),
     'q_quality_funnel': ('linear', 'per-row signals bound once below the aggregate; r15 n=9: x1.2/x2.5 per decade, sub-second absolute at x100.'),
@@ -153,7 +153,7 @@ out = {
         'linear_backbone': 'minhash pairs/keep, image keep, repeated spans, span guard, sketch merges: all <=x2.8 warm per decade through BOTH decades',
         'guarded_quadratics': 'q_edit_distance (x99.5 warm, enumeration-bound) and q_setsim_pairs (x28 warm, collision-quadratic) now FAIL FAST via PairGuard above 5e8 enumerated candidates instead of running',
         'output_bound': 'q_image_neardup x85/decade is the pair SET growing, not the algorithm; q_image_keep is the production default on dup-heavy corpora',
-        'asof_skew': 'a 90%-hot-key layout costs the pinned sort-merge exec x5-8 the uniform runtime (one straggler task AQE cannot split on a custom node). Three r15 paths, measured COMPLEMENTARY: the router picks the broadcast exec under the threshold; asOfJoinSalted brings the enrichment shape (right=left/50) to x1.74-2.22 of uniform but is capped at (L+R)/R when the right run is huge (x1.16-4.17 recovery at right=left/5); asOfJoinBucketed (ts-range split, one carry row per bucket, right never replicated) wins exactly that heavy-right regime (x2.97 vs x4.17) at the price of a bucket-spine pass that loses to salting when the right is small (x4.20 vs x2.22)',
+        'asof_skew': 'a 90%-hot-key layout costs the pinned sort-merge exec x5-8 the uniform runtime (one straggler task AQE cannot split on a custom node). Three r15 paths, measured COMPLEMENTARY: the router picks the broadcast exec under the threshold; asOfJoinSalted brings the enrichment shape (right=left/50) to x1.63-1.74 of uniform but is capped at (L+R)/R when the right run is huge (x4.48 at right=left/5); asOfJoinBucketed (ts-range split, one carry row per bucket, right never replicated) wins exactly that heavy-right regime (x2.85 vs x4.48) and stays within ~2x on the enrichment shape (x2.11 vs x1.63) - complementary, crossover at the right-side size',
     },
 }
 json.dump(out, sys.stdout, indent=1)
