@@ -43,6 +43,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Largest `"n"` value in a medians-ledger body — the input to the
+    * no-clobber degrade guard. Whitespace after the colon is tolerated:
+    * a ledger rewritten by `json.dump(indent=...)` says `"n": 9`, and
+    * the original tight regex silently DISARMED the guard (caught live
+    * in r15 when a full n=3 run overwrote the n=9 ledger — restored
+    * from git; spec-pinned since). */
+  private[graft] def maxLedgerN(body: String): Int =
+    """"n":\s*(\d+)""".r.findAllMatchIn(body)
+      .map(_.group(1).toInt).foldLeft(0)(math.max)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,11 +103,8 @@ object Bench {
       val p = java.nio.file.Paths.get(s"${prefix}_medians.json")
       val existingN =
         if (!java.nio.file.Files.exists(p)) 0
-        else {
-          val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          """"n":(\d+)""".r.findAllMatchIn(body)
-            .map(_.group(1).toInt).foldLeft(0)(math.max)
-        }
+        else maxLedgerN(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       if (existingN > Reps) {
         System.err.println(s"[bench] ${prefix}_medians.json holds an " +
           s"n=$existingN ledger > this run's n=$Reps - writing all " +
