@@ -100,6 +100,7 @@ private[graft] object RelationalEntries {
     "q_asof_broadcast" -> (AsOf.eventsAsOfLastPurchaseBroadcast _),
     "q_asof_auto" -> (AsOf.eventsAsOfLastPurchaseAuto _),
     "q_asof_bucketed" -> (AsOf.eventsAsOfLastPurchaseBucketed _),
+    "q_asof_salted" -> (AsOf.eventsAsOfLastPurchaseSalted _),
     "q_asof_tolerance" -> (AsOf.eventsAsOfRecentPurchase _),
     "q_asof_forward" -> (AsOf.eventsAsOfNextPurchase _),
     "q_range_join" -> ((s, d) => RangeJoin.errorClickProximity(s, d)),
@@ -531,6 +532,17 @@ private[graft] object RelationalEntries {
         "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "q_asof_exec" ->
+      ("SELECT l.event_id, l.user_id, " +
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM events l ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, max(value) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    // the salted form (hot keys, replicable right sides): left salt +
+    // right replication must reproduce the same ASOF rows exactly
+    "q_asof_salted" ->
       ("SELECT l.event_id, l.user_id, " +
         "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.event_type, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, " +

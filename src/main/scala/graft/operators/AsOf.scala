@@ -476,6 +476,15 @@ object AsOf {
     eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
       asOfJoinBucketed(l, r, k, t, p, rn, bucketWidth = 3600000000L))
 
+  /** Salted demo entry (q_asof_salted): the same workload through
+    * [[asOfJoinSalted]] (8 salts, event_id as the salt source) — fifth
+    * gate row on the identical DuckDB ASOF oracle, so the salt/replicate
+    * construction is oracle-checked end-to-end, completing oracle
+    * coverage of every skew path (router, salt, ts-range split). */
+  def eventsAsOfLastPurchaseSalted(spark: SparkSession, dir: String): DataFrame =
+    eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
+      asOfJoinSalted(l, r, k, t, p, rn, salts = 8, saltBy = Some("event_id")))
+
   /** FORWARD-direction demo entry (q_asof_forward): each event enriched
     * with the user's NEXT purchase at or after its timestamp — closes
     * the oracle gap on the forward merge (everything else pins forward

@@ -37,7 +37,7 @@ def merged(suffix):
     # rows for the re-measured families (r14 verdict task #8)
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
                    'bench14e', 'bench14g', 'bench14h', 'bench14i', 'bench14j',
-                   'bench15a', 'bench15b'):
+                   'bench15a', 'bench15b', 'bench15d'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -76,6 +76,7 @@ CLASSES = {
     'q_asof_join': ('linear', 'compose form (union+window): one codegen window pass over the keyed shuffle; x1.4/x2.8 per decade, the local wall-clock default at every measured scale (as-of family, added late r14).'),
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; r15 n=9: x1.7/x2.7 per decade (merge path pinned via autoBroadcast=false). Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows. Hot-key skew path since r15: the factory auto-routes to the broadcast exec under the threshold, asOfJoinSalted covers large skewed rights (asof_skew probe rows below).'),
     'q_asof_bucketed': ('linear', 'the r15 ts-range-split row: join key (keys, floor(ts/1h)) with one carry row per bucket, the bucket grain persisted once and a single spine distinct; x2.0/x3.1 per decade at n=9 - the merge exec family plus the spine pass (x100: 5.4 s vs exec 2.4 s on uniform keys), the deliberate price of hot-key time-axis parallelism the flat exec cannot have (asof_skew probe: x2.85 vs salting x4.48 of uniform in the heavy-right skew regime this operator exists for).'),
+    'q_asof_salted': ('linear', 'the r15 salted-skew row on UNIFORM twin keys (the oracle workload; the 90%-hot-key economics live in the asof_skew probe rows): left salted x8, right replicated x8, merge on (keys, salt); x1.9/x3.6 per decade at n=9 - the merge exec family paying the x8 right replication (x100: 3.4 s vs exec 2.4 s), the deliberate price that buys hot-key parallelism when skew is present.'),
     'q_asof_auto': ('linear', 'the r15 ROUTER row: default asOfJoinExec picks the broadcast exec while the right side estimate fits spark.sql.autoBroadcastJoinThreshold and the sort-merge exec beyond it. Measured n=9: x1 0.56 s (broadcast regime) -> x100 2.36 s, tracking q_asof_exec (2.39 s) where the x100 right side (~2M rows) outgrows the threshold - the router turns the r14 broadcast-contract violation (forced broadcast at x100: 6.35 s) into the merge plan automatically; same DuckDB ASOF oracle as the pinned forms.'),
     'q_range_join': ('output-bound', 'Scala-API twin of q_sql_range_join (same +-60s proximity band, intervalJoin instead of the optimizer rule): same fixed-time-range density argument, so true pairs are Theta(n^2); measured x1/x10 at n=9 (0.50 -> 1.17 s, x2.35) with EXACT integer bin floors + the r15 fan-out pre-flight guard (one map-side SUM over probe intervals - the visible delta vs the r14 gate row); x100 is the same stated exclusion as q_sql_range_join.'),
     'q_quality_funnel': ('linear', 'per-row signals bound once below the aggregate; r15 n=9: x1.2/x2.5 per decade, sub-second absolute at x100.'),
