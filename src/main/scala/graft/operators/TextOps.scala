@@ -683,26 +683,6 @@ object TextOps {
       path
     })
 
-  /** Cross-document containment via winnowing fingerprints: pairs of
-    * documents sharing fingerprint hashes, scored by
-    * shared / min(|fp(a)|, |fp(b)|) — the copy/quotation detector of
-    * Schleimer et al. (SIGMOD'03 §5), and the cross-corpus twin of the
-    * MinHash near-dup pass (catches containment, which Jaccard dilutes).
-    *
-    * Scale shape: the candidate generator is an equi-join on fp_hash —
-    * never all-pairs. Hashes shared by more than `maxDf` documents
-    * (boilerplate grams) are pruned first via a broadcast anti-join, the
-    * same hot-bucket cap as Dedup: a gram in thousands of docs carries no
-    * pair signal but O(df²) join cost. Sizes use the pruned universe so
-    * numerator and denominator agree (exact dups still score 1.0).
-    * @param materialized read the build-once PRUNED fingerprint index
-    *   ([[materializePrunedFingerprints]]: (fp_hash, doc_id, n_fp),
-    *   hot hashes dropped, per-doc pruned sizes inline) — the
-    *   steady-state production shape: the warm plan is ONE self-join
-    *   plus ONE aggregate (winnow-free and full-stream-agg-free,
-    *   spec-guarded output-identical to the declarative form below;
-    *   the recomputing form re-winnows per consumer branch and exists
-    *   for one-shot exploration). */
   /** Exact pair-enumeration volume of [[containmentPairs]]:
     * Σ_h df_h·(df_h−1)/2 over fingerprint hashes SURVIVING the
     * boilerplate prune (df ≤ maxDf) — the number of rows the fp_hash
@@ -724,6 +704,26 @@ object TextOps {
     if (r == null) 0.0 else r.asInstanceOf[Long].toDouble / 2.0
   }
 
+  /** Cross-document containment via winnowing fingerprints: pairs of
+    * documents sharing fingerprint hashes, scored by
+    * shared / min(|fp(a)|, |fp(b)|) — the copy/quotation detector of
+    * Schleimer et al. (SIGMOD'03 §5), and the cross-corpus twin of the
+    * MinHash near-dup pass (catches containment, which Jaccard dilutes).
+    *
+    * Scale shape: the candidate generator is an equi-join on fp_hash —
+    * never all-pairs. Hashes shared by more than `maxDf` documents
+    * (boilerplate grams) are pruned first via a broadcast anti-join, the
+    * same hot-bucket cap as Dedup: a gram in thousands of docs carries no
+    * pair signal but O(df²) join cost. Sizes use the pruned universe so
+    * numerator and denominator agree (exact dups still score 1.0).
+    * @param materialized read the build-once PRUNED fingerprint index
+    *   ([[materializePrunedFingerprints]]: (fp_hash, doc_id, n_fp),
+    *   hot hashes dropped, per-doc pruned sizes inline) — the
+    *   steady-state production shape: the warm plan is ONE self-join
+    *   plus ONE aggregate (winnow-free and full-stream-agg-free,
+    *   spec-guarded output-identical to the declarative form below;
+    *   the recomputing form re-winnows per consumer branch and exists
+    *   for one-shot exploration). */
   def containmentPairs(spark: SparkSession, dir: String,
       maxDf: Int = 100, minContainment: Double = 0.5,
       materialized: Boolean = false): DataFrame = {

@@ -32,7 +32,10 @@ class BenchGuardSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get("bench_medians.json")
     assume(java.nio.file.Files.exists(p))
     val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    assert(Bench.maxLedgerN(body) === 9,
-      "the committed n=9 ledger must arm the no-clobber guard")
+    // lower bound, not equality: a future deeper re-measure (n=12, …)
+    // must not fail the suite — the guard arms on anything above the
+    // default 3 reps (r15 advice fix)
+    assert(Bench.maxLedgerN(body) >= 9,
+      "the committed n>=9 ledger must arm the no-clobber guard")
   }
 }

@@ -106,12 +106,23 @@ for q, (cls, note) in CLASSES.items():
 
 probes = {'pair_volume': [], 'bag_prune': [], 'scale_probe': [],
           'asof_skew': []}
-# always carry the committed r14 probe rows forward (a ledger-extension
-# rerun must not drop measured probes), then append any fresh lines
-prev = load('BENCH_sf10_r14.json')
+# always carry the committed prior-round probe rows forward (a ledger-
+# extension rerun must not drop measured probes), then append any fresh
+# lines — DEDUPED on the full normalized row (r15 advice fix: a fresh
+# probe file re-containing an already-committed row must not silently
+# duplicate it in the evidence artifact)
+_seen = set()
+def _add(kind, row):
+    key = json.dumps(row, sort_keys=True)
+    if key not in _seen:
+        _seen.add(key)
+        probes.setdefault(kind, []).append(row)
+
+prev = load('BENCH_sf10_r15.json')
 if isinstance(prev.get('probes'), dict):
     for k, v in prev['probes'].items():
-        probes.setdefault(k, []).extend(v)
+        for row in v:
+            _add(k, row)
 if len(sys.argv) > 1:
     for line in open(sys.argv[1]):
         line = line.strip()
@@ -120,13 +131,13 @@ if len(sys.argv) > 1:
         j = json.loads(line)
         kind = j.get('probe')
         if kind == 'pair_volume':
-            probes['pair_volume'].append(j)
+            _add('pair_volume', j)
         elif kind == 'bag_prune':
-            probes['bag_prune'].append(j)
+            _add('bag_prune', j)
         elif kind == 'knn_join_autoplanes':
-            probes['scale_probe'].append(j)
+            _add('scale_probe', j)
         elif kind == 'asof_skew':
-            probes['asof_skew'].append(j)
+            _add('asof_skew', j)
 
 out = {
     'artifact': 'BENCH_sf10_r15.json',
