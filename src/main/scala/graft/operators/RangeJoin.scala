@@ -28,30 +28,71 @@ object RangeJoin {
     * `span/binWidth + 1` rows, so ONE interval 10^6× wider than the
     * bin width is a million-row generate per input row — quadratic-
     * class work discovered only after the cluster paid for it. This
-    * computes the EXACT explode row count with one map-side SUM over
-    * the side's intervals (no shuffle — cheap relative to the join it
-    * fences) and submits it to [[PairGuard]]: silent within budget,
+    * computes the EXACT explode row count with one SUM over the side's
+    * intervals (map-side partials, a bin-count exchange of one row per
+    * side — cheap relative to the join it fences; all sides of one call
+    * share a single job, see [[guardFanOutSides]]) and submits it to
+    * [[PairGuard]]: silent within budget,
     * stderr warning above half, refusal with the remedy above it.
     * Disabled together with the pair-join budget
     * (`spark.graft.pairGuard.maxCandidates <= 0`). Inverted intervals
     * (hi < lo) contribute 0, matching the join's no-rows semantics. */
   private def guardFanOut(df: DataFrame, lo: Column, hi: Column,
-      binWidth: Long, op: String): Unit = {
-    val spark = df.sparkSession
-    if (PairGuard.budget(spark) <= 0) return
+      binWidth: Long, op: String): Unit =
+    guardFanOutSides(Seq((df, lo, hi, op)), binWidth)
+
+  /** Per-interval bin fan-out `floorDiv(hi,W) − floorDiv(lo,W) + 1` in
+    * overflow-SATURATING Long arithmetic (r15 advice fix): an extreme
+    * span (lo near Long.MinValue, hi near Long.MaxValue, small W) wraps
+    * the plain subtraction negative, and a `greatest(0, ·)` clamp would
+    * then read the most pathological interval the guard exists to fence
+    * as ZERO fan-out. `try_subtract`/`try_add` yield NULL on overflow;
+    * coalescing to Long.MaxValue makes a wrapped span count as huge.
+    * Inverted intervals (hi < lo) still contribute 0 — the join's
+    * no-rows semantics. Summed in DOUBLE (a Long sum of saturated spans
+    * would itself wrap). */
+  private def fanOutSpan(lo: Column, hi: Column, binWidth: Long): Column =
+    greatest(lit(0L), coalesce(
+      try_add(try_subtract(
+        graft.plans.FloorBin.floorDivCol(hi, binWidth),
+        graft.plans.FloorBin.floorDivCol(lo, binWidth)), lit(1L)),
+      lit(Long.MaxValue))).cast("double")
+
+  /** Run the pre-flight fan-out check for one or more interval sides in
+    * ONE Spark job (r16, verdict task #5): the r15 form ran one eager
+    * aggregate per side, so [[overlapJoin]] paid two extra jobs before
+    * its own scans — the whole 1.15× move on the q_overlap_join gate
+    * median. Here the sides' span columns union under a tag and a single
+    * grouped SUM prices every side at once; each side's frame is
+    * column-pruned to its two bound expressions, so the union children
+    * scan only what the estimate needs. (A row-sample above the probe
+    * pipeline would NOT be cheaper — the sample executes the full
+    * upstream pipeline anyway; fewer jobs is the honest lever.) */
+  private def guardFanOutSides(
+      sides: Seq[(DataFrame, Column, Column, String)],
+      binWidth: Long): Unit = {
     // a streaming frame cannot run the pre-flight aggregate (no eager
     // actions on unbounded sources) — the guard is a batch economics
     // check; streaming callers size binWidth from their watermark/window
-    if (df.isStreaming) return
-    val est = df.select(sum(greatest(lit(0L),
-      graft.plans.FloorBin.floorDivCol(hi, binWidth) -
-        graft.plans.FloorBin.floorDivCol(lo, binWidth) + lit(1L))))
-      .head.get(0)
-    val fan = if (est == null) 0.0 else est.asInstanceOf[Long].toDouble
-    PairGuard.check(spark, op, fan,
-      "choose binWidth ≈ the typical interval width so per-interval " +
-        "fan-out stays ~2 bins (wide outlier intervals dominate the " +
-        "generate; cap or split them upstream)")
+    val eligible = sides.filterNot(_._1.isStreaming)
+    if (eligible.isEmpty) return
+    val spark = eligible.head._1.sparkSession
+    if (PairGuard.budget(spark) <= 0) return
+    val tagged = eligible.zipWithIndex.map { case ((df, lo, hi, _), i) =>
+      df.select(lit(i).as("_g_side"),
+        fanOutSpan(lo, hi, binWidth).as("_g_fan"))
+    }
+    val sums = tagged.reduce(_.unionAll(_))
+      .groupBy(col("_g_side")).agg(sum(col("_g_fan")).as("_g_est"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+      .toMap
+    eligible.zipWithIndex.foreach { case ((_, _, _, op), i) =>
+      PairGuard.check(spark, op, sums.getOrElse(i, 0.0),
+        "choose binWidth ≈ the typical interval width so per-interval " +
+          "fan-out stays ~2 bins (wide outlier intervals dominate the " +
+          "generate; cap or split them upstream)")
+    }
   }
 
   /** Join `probe` (interval [lo, hi], both inclusive, LONG expressions) to
@@ -122,8 +163,8 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
       "overlapJoin sides must have disjoint column names - alias first")
-    guardFanOut(a, aLo, aHi, binWidth, "overlapJoin(a)")
-    guardFanOut(b, bLo, bHi, binWidth, "overlapJoin(b)")
+    guardFanOutSides(Seq((a, aLo, aHi, "overlapJoin(a)"),
+      (b, bLo, bHi, "overlapJoin(b)")), binWidth)
     // exact Long bin arithmetic — same FloorBin as intervalJoin/the rule
     val ae = a.withColumn("_alo", aLo).withColumn("_ahi", aHi)
       .withColumn("_abin",

@@ -66,6 +66,62 @@ class RangeJoinSpec extends SparkSpec {
       build, col("bv"), binWidth = 500000000000L).count() === 1)
   }
 
+  test("fan-out guard: a wrapped Long span saturates to huge instead of disarming") {
+    import spark.implicits._
+    // r15 advice fixture: floorDiv(hi,1) - floorDiv(lo,1) + 1 wraps the
+    // plain Long subtraction NEGATIVE for a near-full-domain span, and a
+    // greatest(0, ·) clamp then read the most pathological interval as
+    // zero fan-out — guard disarmed exactly where it matters. The
+    // saturating form must refuse.
+    val probe = Seq((1L, Long.MinValue + 10L, Long.MaxValue - 10L))
+      .toDF("pid", "plo", "phi")
+    val build = Seq((1L, 5L)).toDF("bid", "bv")
+    val e = intercept[IllegalStateException] {
+      RangeJoin.intervalJoin(probe, col("plo"), col("phi"),
+        build, col("bv"), binWidth = 1L)
+    }
+    assert(e.getMessage.contains("intervalJoin"))
+    // inverted intervals (hi < lo) still price as zero — no-rows semantics
+    val inv = Seq((1L, 100L, 0L)).toDF("pid", "plo", "phi")
+    assert(RangeJoin.intervalJoin(inv, col("plo"), col("phi"),
+      build, col("bv"), binWidth = 1L).count() === 0)
+  }
+
+  test("fan-out guard: overlapJoin prices both sides in ONE action") {
+    import spark.implicits._
+    // r16 (verdict task #5): the r15 guard ran one eager aggregate per
+    // side — two extra pre-flight actions before the join's own scans,
+    // the whole q_overlap_join gate move. The combined guard must price
+    // both sides of one overlapJoin call in a single SQL execution
+    // (jobs-per-execution varies under AQE; executions don't).
+    val a = Seq((1L, 0L, 10L)).toDF("a_id", "alo", "ahi")
+    val b = Seq((2L, 5L, 15L)).toDF("b_id", "blo", "bhi")
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction runs ONLY the guard (the join itself is lazy)
+      RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
+        b, col("blo"), col("bhi"), binWidth = 10L)
+      // listener events post asynchronously, but every guard action was
+      // SUBMITTED synchronously before the constructor returned — poll
+      // until the first event lands, then give any second one a beat
+      val deadline = System.nanoTime() + 5000000000L
+      while (execs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(300)
+      assert(execs.get() === 1,
+        s"guard must price both sides in one action, saw ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("exact bins above 2^53: nanosecond-epoch intervals keep their true matches") {
     // r14 verdict headline regression fixture: LONGs above 2^53 are not
     // exactly representable in a double, so the pre-r15 double-floor
