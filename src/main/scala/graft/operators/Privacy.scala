@@ -30,11 +30,16 @@ object Privacy {
 
   /** Session conf selecting the noise mechanism for the histogram
     * releases: `deterministic` (default — the keyed-LCG stand-in the
-    * cross-engine oracle verifies bit-exact) or `laplace:<eps>:<seed>`
-    * (production: calibrated Laplace, scale 1/ε for the
-    * sensitivity-1 counting query, seeded + keyed-hash driven so every
-    * task retry draws the SAME noise — `rand()` would re-draw per
-    * retry and leak between attempts). */
+    * cross-engine oracle verifies bit-exact), `laplace:<eps>:<seed>`
+    * (calibrated Laplace, scale 1/ε for the sensitivity-1 counting
+    * query, rounded to integer — rounding is post-processing so ε
+    * holds), or `geometric:<eps>:<seed>` (production default choice:
+    * the two-sided geometric / discrete Laplace of Ghosh-Roughgarden-
+    * Sundararajan, P(Z=z) ∝ α^|z| with α = e^−ε — INTEGER-NATIVE, so
+    * the release needs no rounding caveat at all, and universally
+    * utility-optimal for counting queries). All seeded mechanisms are
+    * keyed-hash driven so every task retry draws the SAME noise —
+    * `rand()` would re-draw per retry and leak between attempts. */
   val NoiseConf = "spark.graft.privacy.noise"
 
   /** The shared distinct grain: one exact pass over events. Rows are
@@ -177,7 +182,13 @@ object Privacy {
     * post-processing) without re-reading data.
     */
   def noisyHistogram(spark: SparkSession, dir: String): DataFrame =
-    Relational.events(spark, dir)
+    noisyHistogram(Relational.events(spark, dir))
+
+  /** [[noisyHistogram]] over a caller-supplied events frame (same shape
+    * contract as the [[kAnonymize]] overloads). */
+  def noisyHistogram(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_true"))
@@ -185,6 +196,7 @@ object Privacy {
         releasedCount(spark, col("n_true"), col("day"), col("event_type"))
           .as("n_noisy"))
       .orderBy("event_type", "day")
+  }
 
   /** The release arithmetic shared by the batch and streaming forms:
     * `max(0, n + noise(day, type))` with the mechanism from
@@ -202,28 +214,64 @@ object Privacy {
         ((substring(day, 9, 2).cast("int") * 131 +
           length(eventType) * 17) % 21 - 10).cast("long")
       case laplace if laplace.startsWith("laplace:") =>
-        val (eps, seed) = laplace.stripPrefix("laplace:").split(":") match {
-          case Array(e, s) => (e.toDouble, s.toLong)
-          case _ => throw new IllegalArgumentException(
-            s"$NoiseConf must be 'deterministic' or 'laplace:<eps>:<seed>'" +
-              s", got '$laplace'")
-        }
-        require(eps > 0, s"laplace eps must be positive, got $eps")
+        val (eps, seed) = parseEpsSeed(laplace, "laplace")
         // inverse-CDF Laplace(0, 1/eps) from a keyed uniform in
         // (-0.5, 0.5): u = (hash mod M + 0.5)/M - 0.5 never hits the
         // log's pole at ±0.5, and xxhash64 keying makes the draw a pure
         // function of (seed, cell) — retry-stable and per-cell
         // independent
-        val m = 1000000007L
-        val u = (pmod(xxhash64(lit(seed), eventType, day), lit(m))
-          .cast("double") + 0.5) / m.toDouble - 0.5
+        val u = keyedUniform(seed, eventType, day)
         round(signum(u) * lit(-1.0 / eps) *
           log(lit(1.0) - lit(2.0) * abs(u))).cast("long")
+      case geo if geo.startsWith("geometric:") =>
+        val (eps, seed) = parseEpsSeed(geo, "geometric")
+        // two-sided geometric (discrete Laplace): P(Z=z) =
+        // (1−α)/(1+α)·α^|z| with α = e^−ε — integer-native, so no
+        // rounding step exists to caveat. Inverse CDF over the same
+        // keyed uniform v ∈ (−0.5, 0.5): with u = |v|, the magnitude is
+        // the smallest z with P(Z ≥ z+1) = α^(z+1)/(1+α) below u, i.e.
+        // z = max(0, ceil(ln(u(1+α))/ln α) − 1), ln α = −ε. Derivation
+        // check: u ∈ (α/(1+α), 0.5] ⇒ z = 0 with total mass (1−α)/(1+α);
+        // each z ≥ 1 band has mass α^z(1−α)/(1+α) per sign — exactly the
+        // target pmf. u is clamped to its own grid floor (0.5/M) so the
+        // single v = 0 grid point stays finite; its sign term is 0 there
+        // anyway. z is bounded by ln(2M)/ε — integral-exact far below
+        // 2^53 for any sane ε.
+        val v = keyedUniform(seed, eventType, day)
+        val alpha = math.exp(-eps)
+        val z = greatest(lit(0L),
+          ceil(log(greatest(abs(v), lit(0.5 / KeyedUniformM)) *
+            (1.0 + alpha)) / (-eps)) - 1L)
+        (signum(v).cast("long") * z).cast("long")
       case other => throw new IllegalArgumentException(
-        s"$NoiseConf must be 'deterministic' or 'laplace:<eps>:<seed>', " +
-          s"got '$other'")
+        s"$NoiseConf must be 'deterministic', 'laplace:<eps>:<seed>' " +
+          s"or 'geometric:<eps>:<seed>', got '$other'")
     }
     greatest(lit(0L), nTrue + noise).cast("long")
+  }
+
+  /** Modulus of the keyed-uniform grid shared by the seeded mechanisms. */
+  private val KeyedUniformM = 1000000007L
+
+  /** Keyed uniform draw in (−0.5, 0.5): a pure function of
+    * (seed, cell), so task retries and job re-runs see the same noise. */
+  private def keyedUniform(seed: Long,
+      eventType: org.apache.spark.sql.Column,
+      day: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (pmod(xxhash64(lit(seed), eventType, day), lit(KeyedUniformM))
+      .cast("double") + 0.5) / KeyedUniformM.toDouble - 0.5
+
+  /** Parse `<mech>:<eps>:<seed>` with the mechanism's own name in the
+    * error text; eps must be positive. */
+  private def parseEpsSeed(conf: String, mech: String): (Double, Long) = {
+    val (eps, seed) = conf.stripPrefix(mech + ":").split(":") match {
+      case Array(e, s) => (e.toDouble, s.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"$NoiseConf must be 'deterministic', 'laplace:<eps>:<seed>' " +
+          s"or 'geometric:<eps>:<seed>', got '$conf'")
+    }
+    require(eps > 0, s"$mech eps must be positive, got $eps")
+    (eps, seed)
   }
 
   /** Streaming form of [[noisyHistogram]]: the same release over a

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -16,8 +16,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * one small struct per active user key, evicted on timeout. Both shuffle
   * once on their grouping key — the standard streaming topology.
   */
-// Serializable: asOfJoinStream's stateful update closure calls object
-// methods (asOfStreamDrain/tsMicros), so the task closure captures the
+// Serializable: asOfJoinStreamRows' stateful update closure calls object
+// methods (asOfRowDrain/mergeByTs), so the task closure captures the
 // module reference
 object EventStream extends Serializable {
 
@@ -51,24 +51,17 @@ object EventStream extends Serializable {
     graft.operators.AsOf.asOfJoinBroadcast(stream, ref, keys, ts,
       payload, rename, direction, tolerance)
 
-  /** One tagged row of the stream-stream as-of union: side 0 = right
-    * (the reference/feature stream), side 1 = left (the stream being
-    * enriched). */
-  final case class AsOfTagged(side: Int, event_id: Long, ts: Timestamp,
-      user_id: Long, event_type: String, value: Double)
-
-  /** Per-key state of the stream-stream as-of: right rows buffered in
-    * event-time order (retention: everything above the watermark plus
-    * the single LATEST row at or below it — see [[asOfStreamDrain]]),
-    * and left rows pending until the watermark certifies no earlier
-    * right row can still arrive. */
-  final case class AsOfStreamState(rights: List[AsOfRightRow],
-      pending: List[Event])
-
-  /** A buffered right row: event-time micros (exact — Timestamp
-    * millis alone would tie sub-millisecond updates), the original
-    * timestamp, and the carried value. */
-  final case class AsOfRightRow(tsUs: Long, ts: Timestamp, value: Double)
+  /** Per-key state of the stream-stream as-of ([[asOfJoinStreamRows]]):
+    * right rows as (event-time micros, carried-payload Row) kept sorted
+    * by ts (retention: everything the watermark has not finalized plus —
+    * backward only — the single LATEST row at or below it, the
+    * steady-state carry), and left rows as (event-time micros, full left
+    * Row) pending until the watermark certifies their match is final.
+    * Kryo-encoded: the rows are schema-dynamic (the whole point of the
+    * generic form), and per-key state stays small — the watermark bounds
+    * it, so the encoding is never the scale term. */
+  final case class AsOfRowState(rights: List[(Long, Row)],
+      pending: List[(Long, Row)])
 
   /** One enriched left row: the left event plus the matched right row's
     * (timestamp, value), both NULL when no right row qualifies. */
@@ -118,84 +111,291 @@ object EventStream extends Serializable {
       toleranceUs: Option[Long] = None, watermark: String = "1 hour")(
       implicit spark: SparkSession): Dataset[AsOfEnriched] = {
     import spark.implicits._
+    asOfJoinStreamRows(left.toDF(), right.toDF(),
+      keys = Seq("user_id"), ts = "ts",
+      payload = Seq("ts", "value"),
+      rename = { case "ts" => "matched_ts"; case "value" => "matched_value"
+        case other => other },
+      toleranceUs = toleranceUs, watermark = watermark)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("matched_ts"), col("matched_value"))
+      .as[AsOfEnriched]
+  }
+
+  /** Reserved column names of [[asOfJoinStreamRows]]'s internal union
+    * frame (the user's own columns travel inside structs, so only the
+    * ts column's name can collide). */
+  private val AsOfReserved =
+    Set("_side", "_ts_us", "_k", "_left", "_payload")
+
+  /** GENERIC stream-stream as-of join — the streaming twin of
+    * [[graft.operators.AsOf.asOfJoinExec]] (r15 verdict task #1: the
+    * original form hard-coded `Dataset[Event]` with key `user_id` and
+    * payload `value`; that signature now delegates here). Arbitrary key
+    * columns, ts column, payload list + rename, both directions,
+    * tolerance — same `flatMapGroupsWithState` core, same pure drain
+    * ([[asOfRowDrain]]), Row-encoder based so any caller schema works.
+    *
+    * Contract (spec-pinned):
+    *  - `ts` must be a TIMESTAMP column named identically on both sides
+    *    (the event-time watermark contract); keys must exist on both
+    *    sides with equal types; tolerance is in MICROSECONDS (the
+    *    timestamp's internal unit, matching the batch family).
+    *  - backward: each left row matches the LAST right with ts ≤ its
+    *    own (within tolerance), emitted once the watermark passes its
+    *    event time — until then an earlier-but-closer right could still
+    *    arrive. Both inputs carry the watermark; the union's watermark
+    *    is their MIN (the multi-watermark policy default), so the gate
+    *    holds for the slower stream.
+    *  - forward: each left row matches the FIRST right with ts ≥ its
+    *    own within tolerance — and tolerance is REQUIRED: without a
+    *    bound on how far ahead the match may be, an unmatched left
+    *    could never finalize (its nearest-later right may arrive years
+    *    on; no watermark certifies "no right is coming"). A left
+    *    finalizes MATCHED once the watermark reaches its candidate (no
+    *    earlier-ts right can arrive past the watermark), or UNMATCHED
+    *    once the watermark passes its tolerance horizon.
+    *  - null-ts right rows are dropped (a NULL timestamp compares false
+    *    against everything — SQL/ASOF semantics); null-ts left rows
+    *    emit immediately with a NULL match, as the batch forms do.
+    *
+    * State bound (the 100 TB property): per key, pending lefts ≤ left
+    * rate × watermark delay; buffered rights ≤ right rate × watermark
+    * delay + (backward) ONE retained carry row — the steady state is
+    * one row per key, the same O(keys) a snapshot table would cost,
+    * but live. Forward keeps no carry (a right below both the
+    * watermark and every pending left can never win again). The right
+    * buffer is merged, not re-sorted, per micro-batch (r15 verdict
+    * task #7): state rights stay sorted, only the new batch pays a
+    * sort — O(buffer + batch·log batch) per batch instead of
+    * O(buffer·log buffer). */
+  def asOfJoinStreamRows(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, payload: Seq[String],
+      rename: String => String, direction: String = "backward",
+      toleranceUs: Option[Long] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     toleranceUs.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    val forward = direction == "forward"
+    require(!forward || toleranceUs.isDefined,
+      "forward stream-stream as-of requires a tolerance: without a bound " +
+        "on how far ahead the match may be, an unmatched left row could " +
+        "never finalize (its nearest-later right may arrive arbitrarily " +
+        "late, and no watermark certifies that no right is coming)")
+    require(keys.nonEmpty,
+      "stream-stream as-of requires key columns - a keyless as-of has one " +
+        "global state group (a single-task hotspot); for a bounded " +
+        "reference side use asOfEnrichStream (broadcast, stateless)")
+    require(!AsOfReserved.contains(ts),
+      s"ts column name '$ts' is reserved by asOfJoinStreamRows")
+    val leftCols = left.columns.toSeq
+    val carried = payload.map(rename)
+    require(carried.intersect(leftCols).isEmpty,
+      s"renamed payload collides with left columns: ${carried.intersect(leftCols)}")
+    require(carried.distinct.size == carried.size,
+      s"rename maps two payload columns to the same name: $carried")
+    (keys :+ ts).foreach { c =>
+      require(left.columns.contains(c) && right.columns.contains(c),
+        s"as-of column '$c' must exist on both sides")
+    }
+    require(left.schema(ts).dataType == TimestampType &&
+      right.schema(ts).dataType == TimestampType,
+      s"streaming as-of requires a TIMESTAMP ts column on both sides " +
+        s"(the watermark contract); got left ${left.schema(ts).dataType}, " +
+        s"right ${right.schema(ts).dataType}")
+    keys.foreach { k =>
+      require(left.schema(k).dataType == right.schema(k).dataType,
+        s"key type mismatch: $k is ${left.schema(k).dataType} on the " +
+          s"left, ${right.schema(k).dataType} on the right")
+    }
+
+    // metadata-free schemas: the key encoder must not drag the
+    // event-time watermark tag (or any source metadata) into state keys
+    val keySchema = StructType(keys.map(k =>
+      StructField(k, left.schema(k).dataType, nullable = true)))
+    val payloadSchema = StructType(payload.zip(carried).map { case (p, c) =>
+      StructField(c, right.schema(p).dataType, nullable = true) })
+    val leftStructSchema = StructType(left.schema.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = f.nullable)))
+    val outSchema = StructType(leftStructSchema.fields ++ payloadSchema.fields)
+
     // tag with COLUMN ops, not a typed map: the event-time watermark is
     // column metadata, and a map through objects mints fresh attributes
-    // that lose it (the stateful op would then reject EventTimeTimeout)
-    def tag(ds: Dataset[Event], side: Int) =
-      ds.withWatermark("ts", watermark)
-        .select(lit(side).as("side"), col("event_id"), col("ts"),
-          col("user_id"), col("event_type"), col("value"))
-    val tol = toleranceUs
+    // that lose it (the stateful op would then reject EventTimeTimeout).
+    // The watermarked ts column itself stays in the frame (unrenamed) so
+    // the stateful operator finds the event-time attribute.
+    val lf = left.withWatermark(ts, watermark).select(
+      lit(1).as("_side"), col(ts), unix_micros(col(ts)).as("_ts_us"),
+      struct(keys.map(col): _*).as("_k"),
+      struct(leftCols.map(col): _*).as("_left"),
+      lit(null).cast(payloadSchema).as("_payload"))
+    val rf = right.withWatermark(ts, watermark).select(
+      lit(0).as("_side"), col(ts), unix_micros(col(ts)).as("_ts_us"),
+      struct(keys.map(col): _*).as("_k"),
+      lit(null).cast(leftStructSchema).as("_left"),
+      struct(payload.zip(carried).map { case (p, c) => col(p).as(c) }: _*)
+        .as("_payload"))
+    val unioned = lf.unionByName(rf)
+    // column positions in the union frame (fixed by the selects above)
+    val (iSide, iTsUs, iKey, iLeft, iPayload) = (0, 2, 3, 4, 5)
 
-    def update(userId: Long, rows: Iterator[AsOfTagged],
-        state: GroupState[AsOfStreamState]): Iterator[AsOfEnriched] = {
-      val wm = state.getCurrentWatermarkMs()
-      var s = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+    val tol = toleranceUs
+    val nPay = carried.size
+
+    def update(key: Row, rows: Iterator[Row],
+        state: GroupState[AsOfRowState]): Iterator[Row] = {
+      val wmUs = msToUsClamped(state.getCurrentWatermarkMs())
+      var s = state.getOption.getOrElse(AsOfRowState(Nil, Nil))
+      var nullTsLefts: Seq[Row] = Nil
       if (!state.hasTimedOut) {
         val batch = rows.toSeq
-        val newRights = batch.filter(_.side == 0)
-          .map(r => AsOfRightRow(tsMicros(r.ts), r.ts, r.value))
-        val newLefts = batch.filter(_.side == 1).map(t =>
-          Event(t.event_id, t.ts, t.user_id, t.event_type, t.value))
-        s = AsOfStreamState(
-          // stable sort: equal-ts rights keep arrival order, and the
-          // match picks the LAST — the exec family's tie rule under
-          // the documented unique-(key, ts) contract
-          (s.rights ++ newRights).sortBy(_.tsUs),
+        // null-ts rights can never match (NULL compares false against
+        // everything); null-ts lefts emit immediately unmatched — the
+        // batch forms' semantics
+        val newRights = batch
+          .filter(r => r.getInt(iSide) == 0 && !r.isNullAt(iTsUs))
+          .map(r => (r.getLong(iTsUs), r.getStruct(iPayload)))
+        val newLefts = batch
+          .filter(r => r.getInt(iSide) == 1 && !r.isNullAt(iTsUs))
+          .map(r => (r.getLong(iTsUs), r.getStruct(iLeft)))
+        nullTsLefts = batch
+          .filter(r => r.getInt(iSide) == 1 && r.isNullAt(iTsUs))
+          .map(_.getStruct(iLeft))
+        // merge, don't re-sort: equal-ts rights keep arrival order
+        // (old before new), and the backward match picks the LAST —
+        // the exec family's tie rule under the documented
+        // unique-(key, ts) contract
+        s = AsOfRowState(
+          mergeByTs(s.rights, newRights.sortBy(_._1).toList),
           s.pending ++ newLefts)
       }
-      val (s2, out) = asOfStreamDrain(userId, s, wm, tol)
+      val (s2, emits) = asOfRowDrain(s, wmUs, tol, forward)
       if (s2.rights.isEmpty && s2.pending.isEmpty) state.remove()
       else {
         state.update(s2)
-        // wake up when the watermark passes the earliest pending left;
-        // a rights-only state needs no wakeup (it is the steady-state
-        // carry, consulted when the key's next left arrives)
-        if (s2.pending.nonEmpty)
-          state.setTimeoutTimestamp(math.max(
-            s2.pending.map(_.ts.getTime).min + 1,
+        // wake up when the watermark can next finalize a pending left:
+        // backward — passes the left's own ts; forward — reaches its
+        // in-tolerance candidate (or passes the tolerance horizon).
+        // A rights-only state needs no wakeup (backward's retained row
+        // is the steady-state carry, consulted when the key's next
+        // left arrives).
+        if (s2.pending.nonEmpty) {
+          val wakeUs = s2.pending.map { case (lUs, _) =>
+            if (!forward) lUs
+            else {
+              val h = satAddUs(lUs, tol.get)
+              s2.rights.find(_._1 >= lUs).map(_._1)
+                .filter(_ <= h).getOrElse(h)
+            }
+          }.min
+          // EventTimeTimeout fires when wm(ms) EXCEEDS the set value;
+          // floor(wakeUs/1000) guarantees wmUs > / >= wakeUs on fire
+          state.setTimeoutTimestamp(math.max(Math.floorDiv(wakeUs, 1000L),
             state.getCurrentWatermarkMs() + 1))
+        }
       }
-      out.iterator
+      val matchedOut = emits.map { case (_, lrow, m) =>
+        Row.fromSeq(lrow.toSeq ++ (m match {
+          case Some(p) => p.toSeq
+          case None => Seq.fill[Any](nPay)(null)
+        }))
+      }
+      val nullOut = nullTsLefts.map(lrow =>
+        Row.fromSeq(lrow.toSeq ++ Seq.fill[Any](nPay)(null)))
+      (nullOut ++ matchedOut).iterator
     }
 
-    tag(left, 1).unionByName(tag(right, 0)).as[AsOfTagged]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[AsOfStreamState, AsOfEnriched](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+    unioned
+      .groupByKey((r: Row) => r.getStruct(iKey))(Encoders.row(keySchema))
+      .flatMapGroupsWithState[AsOfRowState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)(
+        Encoders.kryo[AsOfRowState], Encoders.row(outSchema))
   }
 
-  /** The pure drain step of [[asOfJoinStream]] — separated so the
+  /** ms → µs with a clamp: a pathological watermark near Long.MaxValue
+    * must evict everything below, not wrap negative. */
+  private[streaming] def msToUsClamped(wmMs: Long): Long =
+    if (wmMs > Long.MaxValue / 1000L) Long.MaxValue else wmMs * 1000L
+
+  /** Saturating `lUs + tolUs` (the forward horizon must cap at the
+    * domain edge, not wrap). */
+  private[streaming] def satAddUs(lUs: Long, tolUs: Long): Long =
+    if (lUs > Long.MaxValue - tolUs) Long.MaxValue else lUs + tolUs
+
+  /** Merge two ts-sorted right buffers in one linear pass (r15 verdict
+    * task #7: the previous form re-sorted the WHOLE buffer every
+    * micro-batch — bounded by rate × watermark delay, so not a
+    * scale-killer, but O(n log n) where a merge is O(n)). Ties keep
+    * `old` rows first — arrival order, the stable-sort tie rule the
+    * drain's last-match contract relies on. */
+  private[streaming] def mergeByTs(old: List[(Long, Row)],
+      fresh: List[(Long, Row)]): List[(Long, Row)] = {
+    val out = List.newBuilder[(Long, Row)]
+    @annotation.tailrec
+    def loop(a: List[(Long, Row)], b: List[(Long, Row)]): Unit = (a, b) match {
+      case (Nil, r) => out ++= r
+      case (l, Nil) => out ++= l
+      case (x :: at, y :: bt) =>
+        if (x._1 <= y._1) { out += x; loop(at, b) }
+        else { out += y; loop(a, bt) }
+    }
+    loop(old, fresh)
+    out.result()
+  }
+
+  /** The pure drain step of [[asOfJoinStreamRows]] — separated so the
     * retention/eviction contract is unit-testable without a streaming
-    * harness: emit every pending left the watermark has passed
-    * (strictly: `ts.getTime < wm`, so a sub-millisecond-later right
-    * cannot be outrun), match each against the last right ≤ its ts
-    * (within tolerance), then evict every right row that can no longer
-    * win ANY future left — i.e. all but the latest at or below the
-    * watermark (a future left has ts ≥ wm, and the as-of match for it
-    * is either that latest row or one still above the watermark). */
-  private[streaming] def asOfStreamDrain(userId: Long, s: AsOfStreamState,
-      wmMs: Long, tolUs: Option[Long]): (AsOfStreamState, Seq[AsOfEnriched]) = {
-    val (ready, stillPending) = s.pending.partition(_.ts.getTime < wmMs)
-    val out = ready.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
-      val lUs = tsMicros(e.ts)
-      val cand = s.rights.foldLeft(Option.empty[AsOfRightRow]) { (acc, r) =>
-        if (r.tsUs <= lUs) Some(r) else acc
+    * harness. Emissions are (left ts µs, left Row, matched payload).
+    *
+    * Backward: emit every pending left the watermark has passed
+    * (strictly `lUs < wmUs`, so a sub-microsecond-later right cannot be
+    * outrun), match each against the last right ≤ its ts (within
+    * tolerance), then evict every right that can no longer win ANY
+    * future left — all but the latest at or below the watermark (a
+    * future left has ts ≥ wm, and its as-of match is either that
+    * latest row or one still above the watermark).
+    *
+    * Forward (tolerance REQUIRED — see [[asOfJoinStreamRows]]): a left
+    * finalizes MATCHED on its first right in [lUs, lUs+tol] once
+    * `wmUs ≥` that right's ts (no earlier-ts right can arrive past the
+    * watermark), or UNMATCHED once `wmUs >` its horizon (every future
+    * right lands beyond tolerance). Eviction keeps a right iff a
+    * pending or future left could still pick it: ts ≥ min(watermark,
+    * earliest pending left) — no steady-state carry exists in this
+    * direction. */
+  private[streaming] def asOfRowDrain(s: AsOfRowState, wmUs: Long,
+      tolUs: Option[Long], forward: Boolean)
+      : (AsOfRowState, Seq[(Long, Row, Option[Row])]) =
+    if (!forward) {
+      val (ready, stillPending) = s.pending.partition(_._1 < wmUs)
+      val out = ready.sortBy(_._1).map { case (lUs, lrow) =>
+        val cand = s.rights.foldLeft(Option.empty[(Long, Row)]) { (acc, r) =>
+          if (r._1 <= lUs) Some(r) else acc
+        }
+        val m = cand.filter(r => tolUs.forall(t => lUs - r._1 <= t))
+        (lUs, lrow, m.map(_._2))
       }
-      cand.filter(r => tolUs.forall(t => lUs - r.tsUs <= t)) match {
-        case Some(r) => AsOfEnriched(e.event_id, e.user_id, e.ts,
-          e.event_type, e.value, r.ts, r.value)
-        case None => AsOfEnriched(e.event_id, e.user_id, e.ts,
-          e.event_type, e.value, null, null)
+      val (below, above) = s.rights.partition(_._1 < wmUs)
+      (AsOfRowState(below.takeRight(1) ++ above, stillPending), out)
+    } else {
+      val t = tolUs.get
+      def candidate(lUs: Long): Option[(Long, Row)] =
+        s.rights.find(_._1 >= lUs).filter(_._1 <= satAddUs(lUs, t))
+      val (ready, stillPending) = s.pending.partition { case (lUs, _) =>
+        candidate(lUs) match {
+          case Some((bUs, _)) => wmUs >= bUs
+          case None => wmUs > satAddUs(lUs, t)
+        }
       }
+      val out = ready.sortBy(_._1).map { case (lUs, lrow) =>
+        (lUs, lrow, candidate(lUs).map(_._2))
+      }
+      val minPending = stillPending.map(_._1).minOption.getOrElse(Long.MaxValue)
+      val keepFrom = math.min(wmUs, minPending)
+      (AsOfRowState(s.rights.filter(_._1 >= keepFrom), stillPending), out)
     }
-    // ms → µs with a clamp (a pathological watermark near Long.MaxValue
-    // must evict everything below, not wrap negative)
-    val wmUs = if (wmMs > Long.MaxValue / 1000L) Long.MaxValue else wmMs * 1000L
-    val (below, above) = s.rights.partition(_.tsUs < wmUs)
-    (AsOfStreamState(below.takeRight(1) ++ above, stillPending), out)
-  }
 
   /** Bounded reference table for the as-of demos: one row per day with
     * that day's MAX purchase value (max, not avg — bit-stable across

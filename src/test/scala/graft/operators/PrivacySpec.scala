@@ -212,6 +212,60 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("geometric mechanism: integer-native pmf matches theory, tails track laplace at the same eps") {
+    import spark.implicits._
+    def withNoise[A](v: String)(body: => A): A = {
+      spark.conf.set(Privacy.NoiseConf, v)
+      try body finally spark.conf.unset(Privacy.NoiseConf)
+    }
+    // 5000 cells (50 types × 100 days) × 20 events: enough draws to pin
+    // the pmf empirically; n_true = 20 keeps the non-negativity clamp
+    // out of the way for eps = 0.5 (P(Z <= -20) ≈ 2e-5)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val events = (0 until 100000).map { i =>
+      val cell = i % 5000
+      (i.toLong, new java.sql.Timestamp(base + (cell / 50) * 86400000L),
+        (i % 7).toLong, "t" + (cell % 50), 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def noises(conf: String): Array[Long] = withNoise(conf) {
+      Privacy.noisyHistogram(events).collect().map(_.getLong(2) - 20L)
+    }
+    val eps = 0.5
+    val geo = noises(s"geometric:$eps:42")
+    val n = geo.length.toDouble
+    assert(geo.length === 5000)
+    // retry-stability and seed sensitivity — same contract as laplace
+    assert(noises(s"geometric:$eps:42").toSeq === geo.toSeq)
+    assert(noises(s"geometric:$eps:43").toSeq !== geo.toSeq)
+    // pmf at 0: (1-α)/(1+α) ≈ 0.2449 at eps=0.5
+    val alpha = math.exp(-eps)
+    val p0 = geo.count(_ == 0L) / n
+    assert(math.abs(p0 - (1 - alpha) / (1 + alpha)) < 0.02,
+      s"P(Z=0) = $p0, theory ${(1 - alpha) / (1 + alpha)}")
+    // symmetric two-sided tail: P(|Z| >= 5) = 2α^5/(1+α) ≈ 0.102
+    val tail5 = geo.count(z => math.abs(z) >= 5L) / n
+    val tailTheory = 2 * math.pow(alpha, 5) / (1 + alpha)
+    assert(math.abs(tail5 - tailTheory) < 0.02,
+      s"P(|Z|>=5) = $tail5, theory $tailTheory")
+    assert(math.abs(geo.count(_ > 0L) - geo.count(_ < 0L)) / n < 0.03,
+      "two-sided symmetry")
+    // the discrete mechanism's tails track the rounded-laplace twin at
+    // the same eps (same keyed uniform, so the comparison is paired)
+    val lap = noises(s"laplace:$eps:42")
+    val lapTail5 = lap.count(z => math.abs(z) >= 5L) / n
+    assert(math.abs(tail5 - lapTail5) < 0.03,
+      s"geometric tail $tail5 vs laplace tail $lapTail5 at eps=$eps")
+    val meanAbsGeo = geo.map(math.abs).sum / n
+    val meanAbsLap = lap.map(math.abs).sum / n
+    assert(math.abs(meanAbsGeo - meanAbsLap) / meanAbsLap < 0.15,
+      s"E|Z| geometric $meanAbsGeo vs laplace $meanAbsLap")
+    // eps → ∞ degenerates to zero noise (true counts), like laplace
+    assert(noises("geometric:1000000:7").forall(_ == 0L))
+    // malformed confs fail loudly
+    intercept[IllegalArgumentException] { noises("geometric:0.5") }
+    intercept[IllegalArgumentException] { noises("geometric:-1:3") }
+  }
+
   test("kAnonymize sensWidth: bucket width drives the l-diversity audit") {
     import spark.implicits._
     // 3 users (k passes at k=3), values 0..8 in one hour cell

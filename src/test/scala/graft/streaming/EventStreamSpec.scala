@@ -68,36 +68,87 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("asOfStreamDrain: watermark emit gate, last-right-≤ match, tolerance, and right eviction to the steady-state carry") {
-    import EventStream.{AsOfRightRow, AsOfStreamState, asOfStreamDrain, tsMicros}
-    def ev(id: Long, m: Int) = Event(id, ts(m), 7L, "click", 0.0)
-    def rr(m: Int, v: Double) = AsOfRightRow(tsMicros(ts(m)), ts(m), v)
-    val s = AsOfStreamState(
-      rights = List(rr(1, 1.0), rr(5, 5.0), rr(9, 9.0), rr(40, 40.0)),
-      pending = List(ev(1, 6), ev(2, 30), ev(3, 50)))
+  test("asOfRowDrain (backward): watermark emit gate, last-right-≤ match, tolerance, and right eviction to the steady-state carry") {
+    import EventStream.{AsOfRowState, asOfRowDrain, msToUsClamped, tsMicros}
+    import org.apache.spark.sql.Row
+    def us(m: Int) = tsMicros(ts(m))
+    def l(id: Long, m: Int) = (us(m), Row(id))
+    def r(m: Int, v: Double) = (us(m), Row(v))
+    val s = AsOfRowState(
+      rights = List(r(1, 1.0), r(5, 5.0), r(9, 9.0), r(40, 40.0)),
+      pending = List(l(1, 6), l(2, 30), l(3, 50)))
     // watermark at minute 35: lefts at 6 and 30 emit, 50 stays pending
-    val (s2, out) = asOfStreamDrain(7L, s, ts(35).getTime, None)
-    assert(out.map(e => e.event_id -> e.matched_value) ===
-      Seq(1L -> java.lang.Double.valueOf(5.0),
-        2L -> java.lang.Double.valueOf(9.0)))
-    assert(s2.pending.map(_.event_id) === List(3L))
+    val wm35 = msToUsClamped(ts(35).getTime)
+    val (s2, out) = asOfRowDrain(s, wm35, None, forward = false)
+    assert(out.map(e => e._2.getLong(0) -> e._3.map(_.getDouble(0))) ===
+      Seq(1L -> Some(5.0), 2L -> Some(9.0)))
+    assert(s2.pending.map(_._2.getLong(0)) === List(3L))
     // eviction: below-watermark rights collapse to the LATEST (minute 9
     // — the steady-state carry a future left still needs); 40 is above
-    assert(s2.rights === List(rr(9, 9.0), rr(40, 40.0)))
+    assert(s2.rights === List(r(9, 9.0), r(40, 40.0)))
     // strict gate: a left AT the watermark does not emit (a right at
-    // the same millisecond could still arrive)
-    val atWm = AsOfStreamState(Nil, List(ev(4, 35)))
-    assert(asOfStreamDrain(7L, atWm, ts(35).getTime, None)._2.isEmpty)
+    // the same microsecond could still arrive)
+    val atWm = AsOfRowState(Nil, List(l(4, 35)))
+    assert(asOfRowDrain(atWm, wm35, None, forward = false)._2.isEmpty)
     // tolerance: minute-30 left vs minute-9 right is 21 min apart
-    val (_, tout) = asOfStreamDrain(7L, s, ts(35).getTime,
-      Some(10L * 60L * 1000000L))
-    assert(tout.map(e => e.event_id -> Option(e.matched_value)) ===
+    val (_, tout) = asOfRowDrain(s, wm35,
+      Some(10L * 60L * 1000000L), forward = false)
+    assert(tout.map(e => e._2.getLong(0) -> e._3.map(_.getDouble(0))) ===
       Seq(1L -> Some(5.0), 2L -> None))
     // no right at all → null match, state fully drains to empty
-    val (s3, nout) = asOfStreamDrain(7L, AsOfStreamState(Nil,
-      List(ev(5, 1))), ts(35).getTime, None)
-    assert(nout.head.matched_value == null && nout.head.matched_ts == null)
+    val (s3, nout) = asOfRowDrain(AsOfRowState(Nil,
+      List(l(5, 1))), wm35, None, forward = false)
+    assert(nout.head._3.isEmpty)
     assert(s3.rights.isEmpty && s3.pending.isEmpty)
+  }
+
+  test("asOfRowDrain (forward): candidate finalization, horizon unmatched, eviction without a carry") {
+    import EventStream.{AsOfRowState, asOfRowDrain, msToUsClamped, tsMicros}
+    import org.apache.spark.sql.Row
+    def us(m: Int) = tsMicros(ts(m))
+    def l(id: Long, m: Int) = (us(m), Row(id))
+    def r(m: Int, v: Double) = (us(m), Row(v))
+    val tol = Some(15L * 60L * 1000000L) // 15 minutes
+    val s = AsOfRowState(
+      rights = List(r(10, 10.0), r(20, 20.0), r(55, 55.0)),
+      pending = List(l(1, 5), l(2, 12), l(3, 50), l(4, 30)))
+    // wm 25: left@5 → right@10 final (wm ≥ 10); left@12 → right@20
+    // final; left@30 (horizon 45, no candidate yet) and left@50
+    // (candidate 55 not yet certified) stay pending
+    val (s2, out) = asOfRowDrain(s, msToUsClamped(ts(25).getTime),
+      tol, forward = true)
+    assert(out.map(e => e._2.getLong(0) -> e._3.map(_.getDouble(0))) ===
+      Seq(1L -> Some(10.0), 2L -> Some(20.0)))
+    assert(s2.pending.map(_._2.getLong(0)).toSet === Set(3L, 4L))
+    // eviction keeps only rights ≥ min(wm=25, minPending=30): no
+    // backward-style carry row in the forward direction
+    assert(s2.rights.map(_._1) === List(us(55)))
+    // wm 46: left@30's horizon (45) has passed with no candidate →
+    // UNMATCHED; left@50 still pending (candidate 55 > wm)
+    val (s3, out3) = asOfRowDrain(s2, msToUsClamped(ts(46).getTime),
+      tol, forward = true)
+    assert(out3.map(e => e._2.getLong(0) -> e._3.map(_.getDouble(0))) ===
+      Seq(4L -> None))
+    assert(s3.pending.map(_._2.getLong(0)) === List(3L))
+    // wm 55: left@50 finalizes on right@55 (wm ≥ candidate ts)
+    val (s4, out4) = asOfRowDrain(s3, msToUsClamped(ts(55).getTime),
+      tol, forward = true)
+    assert(out4.map(e => e._2.getLong(0) -> e._3.map(_.getDouble(0))) ===
+      Seq(3L -> Some(55.0)))
+    assert(s4.pending.isEmpty)
+  }
+
+  test("mergeByTs: linear merge keeps order, old rows first on ties") {
+    import EventStream.mergeByTs
+    import org.apache.spark.sql.Row
+    val old = List((1L, Row("a")), (5L, Row("b")), (9L, Row("c")))
+    val fresh = List((0L, Row("y")), (5L, Row("x")), (12L, Row("z")))
+    val m = mergeByTs(old, fresh)
+    assert(m.map(_._1) === List(0L, 1L, 5L, 5L, 9L, 12L))
+    // tie at 5: the buffered (old) row keeps arrival precedence
+    assert(m.filter(_._1 == 5L).map(_._2.getString(0)) === List("b", "x"))
+    assert(mergeByTs(Nil, fresh) === fresh)
+    assert(mergeByTs(old, Nil) === old)
   }
 
   test("stream-stream as-of: late-within-watermark rights are honored, parity with the batch exec") {
@@ -154,6 +205,72 @@ class EventStreamSpec extends SparkSpec {
         Option(p.stateOperators).toSeq.flatten).lastOption
       assert(progress.exists(_.numRowsTotal <= 3),
         s"state must be bounded by keys, got ${progress.map(_.numRowsTotal)}")
+    } finally query.stop()
+  }
+
+  test("generic stream-stream as-of: arbitrary schema, two keys, forward direction, parity with the batch exec") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // trades enriched with the NEXT quote at or after trade time within
+    // 10 minutes — a schema the old Event-shaped API could not touch:
+    // two key columns (sym, venue), different column names, forward
+    val tol = 10L * 60L * 1000000L
+    val trades = Seq(
+      (1L, ts(5), "A", 1, 100.0),
+      (2L, ts(12), "A", 1, 200.0),
+      (3L, ts(8), "B", 2, 300.0),
+      (4L, ts(40), "A", 1, 400.0)) // no quote in [40, 50] → null
+    val quotes = Seq(
+      (ts(7), "A", 1, 7.0),
+      (ts(13), "A", 1, 13.0),
+      (ts(9), "B", 2, 9.0))
+    // arrives in batch 2, inside the right stream's watermark (max event
+    // time 13 − 5 min delay = minute 8 < 12)
+    val lateQuote = (ts(12), "A", 1, 12.0)
+    val tIn = MemoryStream[(Long, Timestamp, String, Int, Double)]
+    val qIn = MemoryStream[(Timestamp, String, Int, Double)]
+    val out = EventStream.asOfJoinStreamRows(
+      tIn.toDS().toDF("trade_id", "ts", "sym", "venue", "qty"),
+      qIn.toDS().toDF("ts", "sym", "venue", "price"),
+      keys = Seq("sym", "venue"), ts = "ts",
+      payload = Seq("ts", "price"),
+      rename = { case "ts" => "quote_ts"; case o => o },
+      direction = "forward", toleranceUs = Some(tol),
+      // 5-minute delay: the minute-59 sentinels push the union watermark
+      // to 54, past trade 4's tolerance horizon (50) so its unmatched
+      // emission finalizes
+      watermark = "5 minutes")
+    val query = out.writeStream.format("memory").queryName("asof_fwd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      tIn.addData(trades: _*)
+      qIn.addData(quotes: _*)
+      query.processAllAvailable()
+      // the late quote at minute 12 must beat the minute-13 one for
+      // trade 2 (forward picks the FIRST ts ≥ left, and 12 < 13)
+      qIn.addData(lateQuote)
+      query.processAllAvailable()
+      // advance BOTH watermarks past every horizon (min-policy union)
+      tIn.addData((99L, ts(59), "Z", 9, 0.0))
+      qIn.addData((ts(59), "Z", 9, 0.0))
+      query.processAllAvailable()
+      val got = spark.table("asof_fwd").filter(col("sym") =!= "Z")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+      assert(got === Map(1L -> 7.0, 2L -> 12.0, 3L -> 9.0, 4L -> null))
+      // batch parity: the oracle-pinned exec family on the same rows
+      val batch = graft.operators.AsOf.asOfJoinExec(
+        trades.toDF("trade_id", "ts", "sym", "venue", "qty"),
+        (quotes :+ lateQuote).toDF("ts", "sym", "venue", "price")
+          .select(col("sym"), col("venue"), col("ts"),
+            col("ts").as("q_ts"), col("price")),
+        Seq("sym", "venue"), "ts", payload = Seq("q_ts", "price"),
+        rename = { case "q_ts" => "quote_ts"; case o => o },
+        direction = "forward", tolerance = Some(tol),
+        autoBroadcast = false)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+      assert(batch === got)
     } finally query.stop()
   }
 
