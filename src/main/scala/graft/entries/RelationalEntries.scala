@@ -119,6 +119,22 @@ private[graft] object RelationalEntries {
         "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
         "AND e.ts + INTERVAL 60 SECOND")
     }),
+    // LEFT OUTER band join through RangeBinJoinRule (r16): the
+    // keep-unmatched attribution shape — every error keeps a row even
+    // with no click within ±2 s (click_id/gap_us NULL). Without the
+    // rule's r16 LEFT OUTER extension this plans as
+    // BroadcastNestedLoopJoin, the exact plan the rule exists to kill.
+    // ±2 s (vs the inner form's ±60 s) so the sf0.01 oracle exercises
+    // BOTH shapes: a few matched pairs, ~2k null-extended errors.
+    "q_sql_range_join_left" -> ((s, d) => {
+      Relational.events(s, d).createOrReplaceTempView("graft_events_rbjl")
+      s.sql("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "unix_micros(c.ts) - unix_micros(e.ts) AS gap_us " +
+        "FROM (SELECT * FROM graft_events_rbjl WHERE event_type = 'error') e " +
+        "LEFT JOIN (SELECT * FROM graft_events_rbjl WHERE event_type = 'click') c " +
+        "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
+        "AND e.ts + INTERVAL 2 SECOND")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -591,6 +607,15 @@ private[graft] object RelationalEntries {
         "AND c.event_type = 'click' " +
         "AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND " +
         "AND e.ts + INTERVAL 60 SECOND"),
+    // LEFT OUTER band join (rule's r16 extension): DuckDB runs the
+    // plain LEFT JOIN inequality form natively (IEJoin)
+    "q_sql_range_join_left" ->
+      ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
+        "AND e.ts + INTERVAL 2 SECOND"),
     // interval-overlap join: the canonical-bin rewrite must equal the
     // plain two-inequality join (DuckDB IEJoin); day-number arithmetic
     // keeps both engines integer-exact

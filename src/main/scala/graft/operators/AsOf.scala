@@ -110,23 +110,32 @@ object AsOf {
     * `spark.sql.extensions=graft.functions.GraftExtensions` sessions
     * already carry it.
     *
-    * @param autoBroadcast when true (the default) AND the session conf
-    *        [[AutoBroadcastConf]] is not "false", the factory AUTO-ROUTES
-    *        to the broadcast exec whenever the right side's estimated
-    *        plan size fits `spark.sql.autoBroadcastJoinThreshold` — the
-    *        skew story for the common 100 TB enrichment shape: AQE's
+    * @param autoBroadcast OPT-IN (default false since r16 — the r15
+    *        default-on routing silently re-planned existing callers onto
+    *        the broadcast exec whenever the right side's LOGICAL-STATS
+    *        estimate fit `spark.sql.autoBroadcastJoinThreshold`, and
+    *        stats can badly underestimate after joins/aggregates with
+    *        unknown selectivity — a resource-failure mode, not a
+    *        semantics one, so it must be asked for). When true AND the
+    *        session conf [[AutoBroadcastConf]] is not "false", the
+    *        factory routes to the broadcast exec whenever the estimate
+    *        fits the threshold, and LOGS the decision with the estimated
+    *        size so an executor/driver OOM is attributable. The skew
+    *        story for the common 100 TB enrichment shape: AQE's
     *        skew-split only matches SMJ/SHJ nodes, so a hot key on the
     *        sort-merge exec is one straggler task, while the broadcast
-    *        form has no key-partitioned shuffle to skew at all. Pass
-    *        false to pin the sort-merge exec (the gate entries do, so
-    *        the merge path keeps independent oracle/bench coverage);
-    *        for a LARGE right side with a known hot key, use
-    *        [[asOfJoinSalted]]. */
+    *        form has no key-partitioned shuffle to skew at all.
+    *        KILL SWITCH: set [[AutoBroadcastConf]] ("spark.graft.asof.
+    *        autoBroadcast") to "false" to pin the merge path session-wide
+    *        even for opted-in callers. For measured routing across ALL
+    *        skew paths (broadcast / merge / salted / bucketed) use
+    *        [[asOfJoinAuto]]; for a LARGE right side with a known hot
+    *        key, [[asOfJoinSalted]]. */
   def asOfJoinExec(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payload: Seq[String], rename: String => String,
       direction: String = "backward",
       tolerance: Option[Long] = None,
-      autoBroadcast: Boolean = true): DataFrame =
+      autoBroadcast: Boolean = false): DataFrame =
     asOfJoinPlanned(left, right, keys, ts, payload, rename, direction,
       broadcast = false, tolerance, autoBroadcast = autoBroadcast)
 
@@ -232,8 +241,18 @@ object AsOf {
       spark.conf.get(AutoBroadcastConf, "true").toBoolean && {
         val threshold = org.apache.spark.sql.internal.SQLConf.get
           .autoBroadcastJoinThreshold
-        threshold > 0 &&
-          rightProj.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+        val estimate = rightProj.queryExecution.optimizedPlan.stats.sizeInBytes
+        val fits = threshold > 0 && estimate <= threshold
+        // the routing decision is a default-behavior change with a
+        // resource-failure mode (a stats UNDERestimate can broadcast a
+        // huge right side) — log it so an OOM is attributable, and name
+        // the kill switch (r15 advice)
+        if (fits) org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"asOfJoinExec: routing to BroadcastAsOfJoinExec - right side " +
+            s"stats estimate $estimate bytes <= threshold $threshold " +
+            s"(estimate-only; set $AutoBroadcastConf=false or pass " +
+            "autoBroadcast=false to pin the sort-merge exec)")
+        fits
       })
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
@@ -241,9 +260,28 @@ object AsOf {
         broadcast = routeBroadcast, tolerance = tolerance))
   }
 
-  /** Session-conf kill switch for [[asOfJoinExec]]'s automatic
-    * broadcast routing (default on). */
+  /** Session-conf kill switch for [[asOfJoinExec]]'s opt-in broadcast
+    * routing (`autoBroadcast = true`); also gates [[asOfJoinAuto]]'s
+    * broadcast path. */
   val AutoBroadcastConf = "spark.graft.asof.autoBroadcast"
+
+  /** The ts column as an exact Long in its internal unit (micros for
+    * timestamps, days for DATE, the raw value for integrals) — the unit
+    * the `tolerance`/`bucketWidth` contracts document. None when the ts
+    * type is not integral-backed. */
+  private def tsLongColOpt(df: DataFrame,
+      ts: String): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    df.schema(ts).dataType match {
+      case TimestampType | TimestampNTZType => Some(unix_micros(col(ts)))
+      // DATE does not cast to INT; unix_date gives the internal
+      // day number (the same unit the tolerance contract documents)
+      case DateType => Some(unix_date(col(ts)).cast("long"))
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(col(ts).cast("long"))
+      case _ => None
+    }
+  }
 
   /** SALTED sort-merge as-of join — the skew path for the case the
     * broadcast route can't take: a LARGE right side with hot keys.
@@ -375,16 +413,9 @@ object AsOf {
         "alias it on the right side first")
     val forward = direction == "forward"
     def tsLong(df: DataFrame): org.apache.spark.sql.Column =
-      df.schema(ts).dataType match {
-        case TimestampType | TimestampNTZType => unix_micros(col(ts))
-        // DATE does not cast to INT; unix_date gives the internal
-        // day number (the same unit the tolerance contract documents)
-        case DateType => unix_date(col(ts)).cast("long")
-        case ByteType | ShortType | IntegerType | LongType =>
-          col(ts).cast("long")
-        case other => throw new IllegalArgumentException(
-          s"asOfJoinBucketed requires an integral-backed ts, got $other")
-      }
+      tsLongColOpt(df, ts).getOrElse(throw new IllegalArgumentException(
+        s"asOfJoinBucketed requires an integral-backed ts, " +
+          s"got ${df.schema(ts).dataType}"))
     def withBucket(df: DataFrame) = df.withColumn(bucketCol,
       graft.plans.FloorBin.floorDivCol(tsLong(df), bucketWidth))
 
@@ -436,6 +467,162 @@ object AsOf {
       .drop(bucketCol)
   }
 
+  /** One measured-route decision of [[asOfJoinAuto]]: the chosen path,
+    * its sized parameters, and the probe statistics that chose it. */
+  final case class AsOfRoute(path: String, salts: Int, bucketWidth: Long,
+      leftRows: Long, maxKeyRows: Long, rightRows: Long, tsSpan: Long,
+      reason: String)
+
+  /** The PURE routing function behind [[asOfJoinAuto]] — separated so
+    * the regime → path mapping is unit-testable without Spark jobs.
+    * Thresholds encode the committed r15 skew probe
+    * (`BENCH_sf10_r15.json` asof_skew rows):
+    *  - broadcast: stats fit AND the probed row count is under
+    *    `broadcastRowCap` — the row cap guards the stats
+    *    UNDERestimate failure mode (the r14 probe measured a forced
+    *    2M-row broadcast at ×2.7 the merge path, plus OOM exposure);
+    *  - skew trigger: the hottest key's share of the left, times the
+    *    shuffle partition count, is the straggler factor of the merge
+    *    exec's hot task vs the average — above `skewTaskFactor` the
+    *    flat merge is the wrong plan;
+    *  - salted vs bucketed: salting replicates each hot key's right
+    *    run ×salts, capping its win at (L+R)/R — measured ×1.63–1.74
+    *    at right=left/50 but only ×4.48 (vs bucketed's ×2.85) at
+    *    right=left/5; `saltCrossover` = 16 sits at the geometric
+    *    middle of those committed regimes, so smaller rights salt and
+    *    bigger rights split the time axis. */
+  def asOfRouteOf(leftRows: Long, maxKeyRows: Long, rightRows: Long,
+      tsSpan: Long, broadcastFits: Boolean, bucketable: Boolean,
+      partitions: Int, broadcastRowCap: Long = 1000000L,
+      skewTaskFactor: Double = 4.0,
+      saltCrossover: Long = 16L): AsOfRoute = {
+    def route(path: String, salts: Int = 0, width: Long = 0L,
+        reason: String) = AsOfRoute(path, salts, width, leftRows,
+      maxKeyRows, rightRows, tsSpan, reason)
+    if (broadcastFits && rightRows <= broadcastRowCap)
+      route("broadcast", reason = s"right fits the broadcast threshold " +
+        s"and its probed $rightRows rows are under the $broadcastRowCap cap")
+    else if (leftRows <= 0L)
+      route("exec", reason = "empty left probe - any path is fine")
+    else {
+      val straggler = maxKeyRows.toDouble / leftRows * partitions
+      if (straggler <= skewTaskFactor)
+        route("exec", reason = f"hottest key's straggler factor " +
+          f"$straggler%.1f <= $skewTaskFactor%.1f - the flat merge has no skew to fix")
+      else if (rightRows * saltCrossover <= leftRows || !bucketable) {
+        val salts = math.min(64L, math.max(4L,
+          math.ceil(maxKeyRows.toDouble / leftRows * partitions).toLong)).toInt
+        val why = if (rightRows * saltCrossover <= leftRows)
+          s"right ($rightRows rows) is under left/$saltCrossover - replication is cheap"
+        else "ts is not integral-backed, the bucketed split cannot bin it"
+        route("salted", salts = salts,
+          reason = f"straggler $straggler%.1f; $why")
+      } else
+        route("bucketed",
+          width = math.max(1L, tsSpan / math.max(1, partitions)),
+          reason = f"straggler $straggler%.1f and right ($rightRows rows) " +
+            f"is too large to replicate - splitting the time axis")
+    }
+  }
+
+  /** Probe the inputs and return the measured [[AsOfRoute]] — one
+    * sampled aggregate over the left (per-key counts → hottest-key
+    * share + ts span, map-side combined so the shuffle carries distinct
+    * keys, not rows) and one sampled count of the right. Exposed so
+    * callers (and the route spec) can inspect the decision
+    * [[asOfJoinAuto]] would take without running the join. */
+  def asOfRouteDecision(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String,
+      probeFraction: Double = 0.05): AsOfRoute = {
+    require(probeFraction > 0 && probeFraction <= 1.0,
+      s"probeFraction must be in (0, 1], got $probeFraction")
+    val spark = left.sparkSession
+    val tsL = tsLongColOpt(left, ts)
+    def sampled(df: DataFrame) =
+      if (probeFraction >= 1.0) df
+      else df.sample(withReplacement = false, probeFraction, seed = 7L)
+    val perKeyAggs = count(lit(1)).as("_n") +:
+      tsL.toSeq.flatMap(t => Seq(min(t).as("_tn"), max(t).as("_tx")))
+    val perKey = sampled(left).groupBy(keys.map(col): _*)
+      .agg(perKeyAggs.head, perKeyAggs.tail: _*)
+    val aggs = Seq(sum(col("_n")), max(col("_n"))) ++
+      tsL.toSeq.flatMap(_ => Seq(min(col("_tn")), max(col("_tx"))))
+    val row = perKey.agg(aggs.head, aggs.tail: _*).head
+    def scaled(v: Long) = math.round(v / probeFraction)
+    val (leftRows, maxKey) =
+      if (row.isNullAt(0)) (0L, 0L)
+      else (scaled(row.getLong(0)), scaled(row.getLong(1)))
+    val tsSpan = tsL match {
+      case Some(_) if !row.isNullAt(2) && !row.isNullAt(3) =>
+        val (lo, hi) = (row.getLong(2), row.getLong(3))
+        if (hi - lo < 0) Long.MaxValue else hi - lo // saturate, don't wrap
+      case _ => 0L
+    }
+    val rightRows = scaled(sampled(right).count())
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val broadcastFits =
+      spark.conf.get(AutoBroadcastConf, "true").toBoolean &&
+        threshold > 0 &&
+        right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    asOfRouteOf(leftRows, maxKey, rightRows, tsSpan, broadcastFits,
+      bucketable = tsL.isDefined,
+      partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  /** AUTO-ROUTED as-of join (r15 verdict task — encode the measured
+    * crossover): probes the inputs ([[asOfRouteDecision]]) and
+    * dispatches to the measured-best path — broadcast exec under the
+    * threshold, flat sort-merge exec when no key is hot, salted when a
+    * hot key's right side is small enough to replicate, ts-range-split
+    * bucketed when it is not — with `salts`/`bucketWidth` sized from
+    * the probed key histogram. The decision and its statistics are
+    * logged; semantics are identical on every path (all four are
+    * oracle-checked against the same DuckDB ASOF oracle).
+    *
+    * Batch-only: the pre-flight probe is an eager aggregate a
+    * streaming frame cannot run — streaming callers pick
+    * [[graft.streaming.EventStream.asOfJoinStreamRows]] (stream-stream)
+    * or [[graft.streaming.EventStream.asOfEnrichStream]] (broadcast).
+    * Probe cost: one sampled map-side-combined aggregate of the left +
+    * one sampled count of the right — the PairGuard economics: know
+    * the regime before the cluster pays for the wrong plan. */
+  def asOfJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String], rename: String => String,
+      direction: String = "backward", tolerance: Option[Long] = None,
+      saltBy: Option[String] = None,
+      probeFraction: Double = 0.05): DataFrame = {
+    require(!left.isStreaming && !right.isStreaming,
+      "asOfJoinAuto's pre-flight probe is batch-only - streaming callers " +
+        "pick a path explicitly (asOfJoinStreamRows / asOfEnrichStream)")
+    if (keys.isEmpty)
+      // keyless as-of has no key histogram to route on and only the
+      // broadcast form supports it
+      return asOfJoinBroadcast(left, right, keys, ts, payload, rename,
+        direction, tolerance)
+    val route = asOfRouteDecision(left, right, keys, ts, probeFraction)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"asOfJoinAuto: path=${route.path} (${route.reason}); probed " +
+        s"left=${route.leftRows} maxKey=${route.maxKeyRows} " +
+        s"right=${route.rightRows} tsSpan=${route.tsSpan}" +
+        (if (route.salts > 0) s" salts=${route.salts}" else "") +
+        (if (route.bucketWidth > 0) s" bucketWidth=${route.bucketWidth}" else ""))
+    route.path match {
+      case "broadcast" =>
+        asOfJoinBroadcast(left, right, keys, ts, payload, rename,
+          direction, tolerance)
+      case "salted" =>
+        asOfJoinSalted(left, right, keys, ts, payload, rename, direction,
+          tolerance, salts = route.salts, saltBy = saltBy)
+      case "bucketed" =>
+        asOfJoinBucketed(left, right, keys, ts, payload, rename, direction,
+          tolerance, bucketWidth = route.bucketWidth)
+      case _ =>
+        asOfJoinExec(left, right, keys, ts, payload, rename, direction,
+          tolerance, autoBroadcast = false)
+    }
+  }
+
   /** Demo entry: every event enriched with the user's most recent purchase
     * (value + time) as of the event's timestamp — purchases tie-broken
     * to one row per (user_id, ts) so the as-of match is unique. */
@@ -453,13 +640,15 @@ object AsOf {
     eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
       asOfJoinExec(l, r, k, t, p, rn, autoBroadcast = false))
 
-  /** The ROUTED workload (q_asof_auto): default [[asOfJoinExec]] — the
-    * factory's skew routing picks the broadcast exec here (the deduped
-    * purchases side fits the threshold), oracle-checked end-to-end, so
-    * the auto-route path has its own gate row rather than riding on
-    * the spec pins. */
+  /** The ROUTED workload (q_asof_auto): [[asOfJoinAuto]] — the full
+    * measured router (r16; r15 routed only broadcast-vs-merge inside
+    * asOfJoinExec). At gate scale the probe picks the broadcast exec
+    * (the deduped purchases side fits threshold and row cap),
+    * oracle-checked end-to-end, so the auto-route path has its own
+    * gate row rather than riding on the spec pins. */
   def eventsAsOfLastPurchaseAuto(spark: SparkSession, dir: String): DataFrame =
-    eventsAsOfVia(spark, dir, asOfJoinExec(_, _, _, _, _, _))
+    eventsAsOfVia(spark, dir, (l, r, k, t, p, rn) =>
+      asOfJoinAuto(l, r, k, t, p, rn))
 
   /** Same workload through the BROADCAST physical operator — the
     * deduped purchases side is small (one row per (user, ts)), exactly

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -30,9 +30,28 @@ import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, IntegerType, L
   * A zero-width band (k1 = k2) is an equality in disguise: the rule
   * adds the explicit equi-conjunct instead, unlocking SMJ/SHJ directly.
   *
+  * Join types (r16, verdict task #2 extended the r15 INNER/CROSS-only
+  * gate): INNER/CROSS plus LEFT OUTER / LEFT SEMI / LEFT ANTI. The
+  * one-sided extension is sound because the rewrite preserves each left
+  * row's EXACT match multiset: a true (l, r) pair matches exactly one of
+  * r's two generated bin copies (l's single bin is one of them, and the
+  * two are distinct), so
+  *  - LEFT OUTER over the generated right emits a left row's true
+  *    matches, or ONE null-extended row when it has none — the
+  *    keep-unmatched attribution shape (`LEFT JOIN … ON ts BETWEEN …`)
+  *    that otherwise plans as BroadcastNestedLoopJoin, the exact plan
+  *    this rule exists to kill;
+  *  - LEFT SEMI / LEFT ANTI only ask per-left match EXISTENCE, which
+  *    the bin rewrite preserves;
+  *  - the IsNotNull(point) filter under the generate stays valid: a
+  *    null right point matches no left under any of these types, and
+  *    only LEFT-side rows are preserved, so dropping it changes nothing.
+  * RIGHT/FULL OUTER stay untouched: the GENERATED side's unmatched rows
+  * would null-extend once per bin copy (duplicates) — mirroring would
+  * need a child swap, deliberately out of scope.
+  *
   * Safety gates, each spec-pinned:
-  *  - INNER/CROSS joins only; any other join type is left untouched
-  *    (outer-join null-extension interacts with the generate fan-out).
+  *  - join types above only; any other join type is left untouched.
   *  - fires only when NO equi-conjunct is already extractable — if one
   *    exists the planner already avoids the nested loop, and the extra
   *    generate would only add work.
@@ -131,7 +150,8 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (!enabled) return plan
     plan.transform {
       case j @ Join(left, right, jt, Some(cond), hint)
-          if (jt == Inner || jt == Cross) &&
+          if (jt == Inner || jt == Cross || jt == LeftOuter ||
+            jt == LeftSemi || jt == LeftAnti) &&
             !alreadyRewritten(right) && j.resolved =>
         val conjuncts = splitConjunctivePredicates(cond)
         // gate: an extractable equi-conjunct means the planner already

@@ -91,10 +91,15 @@ class RangeBinJoinRuleSpec extends SparkSpec {
         "AND a_v BETWEEN b_v - 5 AND b_v + 5")
       assert(!optimized(equi).contains("__graft_range_bin"), optimized(equi))
       assert(equi.count() == 1)
-      // outer join → untouched
-      val outer = spark.sql("SELECT a_id FROM rb_g1 LEFT JOIN rb_g2 " +
+      // RIGHT/FULL outer joins → untouched (the generated side's
+      // unmatched rows would null-extend once per bin copy); LEFT
+      // OUTER rewrites since r16 — see the dedicated parity test
+      val router = spark.sql("SELECT a_id FROM rb_g1 RIGHT JOIN rb_g2 " +
         "ON a_v BETWEEN b_v - 5 AND b_v + 5")
-      assert(!optimized(outer).contains("__graft_range_bin"), optimized(outer))
+      assert(!optimized(router).contains("__graft_range_bin"), optimized(router))
+      val fouter = spark.sql("SELECT a_id FROM rb_g1 FULL JOIN rb_g2 " +
+        "ON a_v BETWEEN b_v - 5 AND b_v + 5")
+      assert(!optimized(fouter).contains("__graft_range_bin"), optimized(fouter))
       // non-foldable bound (column width) → untouched
       val dyn = spark.sql("SELECT a_id FROM rb_g1 JOIN rb_g2 " +
         "ON a_v BETWEEN b_v - b_w AND b_v + b_w")
@@ -107,6 +112,65 @@ class RangeBinJoinRuleSpec extends SparkSpec {
           "ON a_v BETWEEN b_v - 5 AND b_v + 5")
         assert(!optimized(off).contains("__graft_range_bin"), optimized(off))
       } finally spark.conf.unset("spark.graft.rangeBinJoin.enabled")
+    }
+  }
+
+  test("LEFT OUTER band join: rewrite fires, null-extension exact vs the BNLJ plan on the adversarial fixture") {
+    import spark.implicits._
+    // adversarial: unmatched lefts (null-extension), a left with TWO
+    // matches (multiset preserved), a null right point (dropped under
+    // the generate, still no match), duplicate left values, and
+    // nanosecond-epoch magnitudes where a double floor would mis-bin
+    val ns = 1700000000000000000L
+    val a = Seq((1L, 100L), (2L, 250L), (3L, 999L), (4L, 250L),
+      (5L, ns + 896L)).toDF("a_id", "a_v")
+    val b = Seq((10L, 90L), (11L, 260L), (12L, 5000L), (13L, 245L),
+      (14L, ns + 900L))
+      .toDF("b_id", "b_v")
+      .unionByName(Seq((15L, Option.empty[Long])).toDF("b_id", "b_v"))
+    a.createOrReplaceTempView("rb_lo_a"); b.createOrReplaceTempView("rb_lo_b")
+    for (jt <- Seq("LEFT JOIN", "LEFT OUTER JOIN")) {
+      val sql = s"SELECT a_id, b_id FROM rb_lo_a $jt rb_lo_b " +
+        "ON a_v >= b_v - 15 AND a_v <= b_v + 20"
+      val without = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // the fixture must exercise every adversarial shape
+      assert(without.keySet.exists(_._2 == null), "needs unmatched lefts")
+      assert(without.keySet.count(_._1 == 2L) == 2, "left 2 has two matches")
+      withRule {
+        val df = spark.sql(sql)
+        assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"rewritten LEFT OUTER band join must not nested-loop:\n$plan")
+        val got = df.collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === without)
+      }
+    }
+  }
+
+  test("LEFT SEMI / LEFT ANTI band joins: existence preserved under the rewrite") {
+    import spark.implicits._
+    val a = Seq((1L, 100L), (2L, 250L), (3L, 999L)).toDF("a_id", "a_v")
+    val b = Seq((10L, 90L), (11L, 260L), (13L, 245L)).toDF("b_id", "b_v")
+    a.createOrReplaceTempView("rb_sa_a"); b.createOrReplaceTempView("rb_sa_b")
+    for ((jt, want) <- Seq(
+      ("LEFT SEMI JOIN", Set(1L, 2L)),
+      ("LEFT ANTI JOIN", Set(3L)))) {
+      val sql = s"SELECT a_id FROM rb_sa_a $jt rb_sa_b " +
+        "ON a_v >= b_v - 15 AND a_v <= b_v + 20"
+      assert(spark.sql(sql).collect().map(_.getLong(0)).toSet === want)
+      withRule {
+        val df = spark.sql(sql)
+        assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+        // semi/anti emit each left AT MOST ONCE even though left 2
+        // matches two right rows across bin copies
+        assert(df.collect().map(_.getLong(0)).toSet === want)
+        assert(df.count() === want.size)
+      }
     }
   }
 
