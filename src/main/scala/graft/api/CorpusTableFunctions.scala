@@ -643,6 +643,29 @@ object CorpusTableFunctions {
       dirOnly("corpus_asof_bucketed")(
         graft.operators.AsOf.eventsAsOfLastPurchaseBucketed))
 
+    tvf("corpus_asof_salted",
+      "corpus_asof_salted(dir) - The corpus_asof_purchase workload " +
+        "through the salted as-of join (asOfJoinSalted, 8 salts keyed " +
+        "by event_id): a hot user's events spread over the salt " +
+        "buckets while the right side replicates - same rows, the " +
+        "skew path for a right side too large to broadcast but far " +
+        "smaller than the left.",
+      "SELECT * FROM corpus_asof_salted('/data/c1') " +
+        "WHERE purchase_value > 100;")(
+      dirOnly("corpus_asof_salted")(
+        graft.operators.AsOf.eventsAsOfLastPurchaseSalted))
+
+    tvf("corpus_asof_auto",
+      "corpus_asof_auto(dir) - The corpus_asof_purchase workload " +
+        "through the measured as-of router (asOfJoinAuto): a sampled " +
+        "pre-flight probe of the key histogram picks broadcast / " +
+        "sort-merge / salted / ts-range-split and sizes " +
+        "salts/bucketWidth - same rows on every path.",
+      "SELECT * FROM corpus_asof_auto('/data/c1') " +
+        "WHERE purchase_value > 100;")(
+      dirOnly("corpus_asof_auto")(
+        graft.operators.AsOf.eventsAsOfLastPurchaseAuto))
+
     tvf("corpus_bpe_merges",
       "corpus_bpe_merges(dir[, n]) - Learned BPE merge table (rank, " +
         "left, right, pair_freq) over the corpus word dictionary " +

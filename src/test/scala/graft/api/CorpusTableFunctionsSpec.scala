@@ -329,6 +329,16 @@ class CorpusTableFunctionsSpec extends SparkSpec {
       .collect().toSet ===
       spark.sql(s"SELECT * FROM corpus_asof_purchase('$sfDir')")
         .collect().toSet)
+    // every skew path is reachable from SQL and returns the same rows:
+    // the salted form and the measured router against the merge exec
+    assert(spark.sql(s"SELECT * FROM corpus_asof_salted('$sfDir')")
+      .collect().toSet ===
+      spark.sql(s"SELECT * FROM corpus_asof_purchase('$sfDir')")
+        .collect().toSet)
+    assert(spark.sql(s"SELECT * FROM corpus_asof_auto('$sfDir')")
+      .collect().toSet ===
+      spark.sql(s"SELECT * FROM corpus_asof_purchase('$sfDir')")
+        .collect().toSet)
   }
 
   test("tokenizer TVFs match Scala factories + binders") {
