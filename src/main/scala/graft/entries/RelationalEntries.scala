@@ -135,6 +135,31 @@ private[graft] object RelationalEntries {
         "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
         "AND e.ts + INTERVAL 2 SECOND")
     }),
+    // RIGHT OUTER band join (r16): the rule mirrors the band, swaps the
+    // child roles so the generate lands on the non-preserved left, and
+    // restores column order — every click keeps a row even with no
+    // error within ±2 s. Same BNLJ-killing rationale as the LEFT form.
+    "q_sql_range_join_right" -> ((s, d) => {
+      Relational.events(s, d).createOrReplaceTempView("graft_events_rbjr")
+      s.sql("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "unix_micros(c.ts) - unix_micros(e.ts) AS gap_us " +
+        "FROM (SELECT * FROM graft_events_rbjr WHERE event_type = 'error') e " +
+        "RIGHT JOIN (SELECT * FROM graft_events_rbjr WHERE event_type = 'click') c " +
+        "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
+        "AND e.ts + INTERVAL 2 SECOND")
+    }),
+    // FULL OUTER band join (r16): binned LEFT OUTER ∪ mirrored binned
+    // LEFT ANTI null-extended — errors AND clicks both keep their
+    // unmatched rows, each exactly once.
+    "q_sql_range_join_full" -> ((s, d) => {
+      Relational.events(s, d).createOrReplaceTempView("graft_events_rbjf")
+      s.sql("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "unix_micros(c.ts) - unix_micros(e.ts) AS gap_us " +
+        "FROM (SELECT * FROM graft_events_rbjf WHERE event_type = 'error') e " +
+        "FULL JOIN (SELECT * FROM graft_events_rbjf WHERE event_type = 'click') c " +
+        "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
+        "AND e.ts + INTERVAL 2 SECOND")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -614,6 +639,20 @@ private[graft] object RelationalEntries {
         "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
         "FROM (SELECT * FROM events WHERE event_type = 'error') e " +
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
+        "AND e.ts + INTERVAL 2 SECOND"),
+    "q_sql_range_join_right" ->
+      ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e " +
+        "RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
+        "AND e.ts + INTERVAL 2 SECOND"),
+    "q_sql_range_join_full" ->
+      ("SELECT e.event_id AS error_id, c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(e.ts) AS gap_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON c.ts BETWEEN e.ts - INTERVAL 2 SECOND " +
         "AND e.ts + INTERVAL 2 SECOND"),
     // interval-overlap join: the canonical-bin rewrite must equal the

@@ -91,15 +91,8 @@ class RangeBinJoinRuleSpec extends SparkSpec {
         "AND a_v BETWEEN b_v - 5 AND b_v + 5")
       assert(!optimized(equi).contains("__graft_range_bin"), optimized(equi))
       assert(equi.count() == 1)
-      // RIGHT/FULL outer joins → untouched (the generated side's
-      // unmatched rows would null-extend once per bin copy); LEFT
-      // OUTER rewrites since r16 — see the dedicated parity test
-      val router = spark.sql("SELECT a_id FROM rb_g1 RIGHT JOIN rb_g2 " +
-        "ON a_v BETWEEN b_v - 5 AND b_v + 5")
-      assert(!optimized(router).contains("__graft_range_bin"), optimized(router))
-      val fouter = spark.sql("SELECT a_id FROM rb_g1 FULL JOIN rb_g2 " +
-        "ON a_v BETWEEN b_v - 5 AND b_v + 5")
-      assert(!optimized(fouter).contains("__graft_range_bin"), optimized(fouter))
+      // every outer type rewrites since r16 — see the dedicated
+      // parity tests below for RIGHT and FULL
       // non-foldable bound (column width) → untouched
       val dyn = spark.sql("SELECT a_id FROM rb_g1 JOIN rb_g2 " +
         "ON a_v BETWEEN b_v - b_w AND b_v + b_w")
@@ -148,6 +141,41 @@ class RangeBinJoinRuleSpec extends SparkSpec {
           .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
           .groupBy(identity).view.mapValues(_.length).toMap
         assert(got === without)
+      }
+    }
+  }
+
+  test("RIGHT and FULL OUTER band joins: mirrored/unioned rewrites exact vs the BNLJ plan on the adversarial fixture") {
+    import spark.implicits._
+    // the same adversarial shapes as the LEFT OUTER test, but now the
+    // UNMATCHED rows on BOTH sides matter: unmatched lefts (null-extend
+    // under FULL only), unmatched rights (null-extend under RIGHT and
+    // FULL, exactly once despite the two bin copies), a multi-match
+    // left, null points on both sides, and 2^53-straddling magnitudes
+    val ns = 1700000000000000000L
+    val a = Seq((1L, Some(100L)), (2L, Some(250L)), (3L, Some(999L)),
+      (4L, Some(250L)), (5L, Some(ns + 896L)), (6L, Option.empty[Long]))
+      .toDF("a_id", "a_v")
+    val b = Seq((10L, Some(90L)), (11L, Some(260L)), (12L, Some(5000L)),
+      (13L, Some(245L)), (14L, Some(ns + 900L)), (15L, Option.empty[Long]))
+      .toDF("b_id", "b_v")
+    a.createOrReplaceTempView("rb_rf_a"); b.createOrReplaceTempView("rb_rf_b")
+    for (jt <- Seq("RIGHT JOIN", "FULL JOIN")) {
+      val sql = s"SELECT a_id, b_id FROM rb_rf_a $jt rb_rf_b " +
+        "ON a_v >= b_v - 15 AND a_v <= b_v + 20"
+      def bag(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val without = bag(spark.sql(sql).collect())
+      assert(without.keySet.exists(_._1 == null), "needs unmatched rights")
+      withRule {
+        val df = spark.sql(sql)
+        assert(optimized(df).contains("__graft_range_bin"), optimized(df))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"rewritten $jt band join must not nested-loop:\n$plan")
+        assert(bag(df.collect()) === without, jt)
       }
     }
   }
