@@ -211,6 +211,9 @@ object Privacy {
     // large are exactly the 100 TB regime this column must survive
     val noise = spark.conf.get(NoiseConf, "deterministic") match {
       case "deterministic" =>
+        // Int arithmetic cannot overflow here: day-of-month <= 31 so
+        // the sum is <= 31*131 + len*17, and event_type lengths are
+        // bounded words — far inside Int before the % 21 - 10 fold
         ((substring(day, 9, 2).cast("int") * 131 +
           length(eventType) * 17) % 21 - 10).cast("long")
       case laplace if laplace.startsWith("laplace:") =>

@@ -22,7 +22,15 @@ d = os.environ['SELFCHECK_SF']
 out = os.environ['SELFCHECK_DIR']
 budget = float(os.environ.get('SELFCHECK_BUDGET', '120'))
 
-con = duckdb.connect()
+# SELFCHECK_THREADS caps DuckDB's thread pool. Needed because this
+# process also imports pyarrow/pandas, and on this box a MULTI-threaded
+# DuckDB LEFT IE_JOIN livelocks (kernel-time futex storm, immune to
+# con.interrupt) once pyarrow is loaded — reproduced minimally r16: the
+# identical query runs in 0.5-0.7 s without the pyarrow import or with
+# threads=1, and hangs indefinitely with both. Cap to 1 for the outer
+# band-join oracles; leave unset for the rest (multi-threaded is fine).
+_th = os.environ.get('SELFCHECK_THREADS')
+con = duckdb.connect(config={'threads': int(_th)} if _th else {})
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     p = f'{d}/{t}.parquet'
