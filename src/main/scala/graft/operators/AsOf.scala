@@ -525,12 +525,18 @@ object AsOf {
     }
   }
 
-  /** Probe the inputs and return the measured [[AsOfRoute]] — one
-    * sampled aggregate over the left (per-key counts → hottest-key
-    * share + ts span, map-side combined so the shuffle carries distinct
-    * keys, not rows) and one sampled count of the right. Exposed so
-    * callers (and the route spec) can inspect the decision
-    * [[asOfJoinAuto]] would take without running the join. */
+  /** Probe the inputs and return the measured [[AsOfRoute]] in ONE
+    * Spark job: both sampled sides union under a side tag (the
+    * fan-out-guard trick from [[RangeJoin]]), the left keyed by a
+    * 64-bit hash of its join keys, then a two-level aggregate — per
+    * (side, keyHash) counts + ts min/max, map-side combined so the
+    * shuffle carries distinct keys, not rows, folded to left-rows /
+    * hottest-key / ts-span / right-rows with conditional aggregates.
+    * A keyHash collision can only MERGE two keys' counts, so the
+    * hottest-key share errs conservative (may over-trigger the skew
+    * path, never under). Exposed so callers (and the route spec) can
+    * inspect the decision [[asOfJoinAuto]] would take without running
+    * the join. */
   def asOfRouteDecision(left: DataFrame, right: DataFrame,
       keys: Seq[String], ts: String,
       probeFraction: Double = 0.05): AsOfRoute = {
@@ -541,13 +547,20 @@ object AsOf {
     def sampled(df: DataFrame) =
       if (probeFraction >= 1.0) df
       else df.sample(withReplacement = false, probeFraction, seed = 7L)
-    val perKeyAggs = count(lit(1)).as("_n") +:
-      tsL.toSeq.flatMap(t => Seq(min(t).as("_tn"), max(t).as("_tx")))
-    val perKey = sampled(left).groupBy(keys.map(col): _*)
-      .agg(perKeyAggs.head, perKeyAggs.tail: _*)
-    val aggs = Seq(sum(col("_n")), max(col("_n"))) ++
-      tsL.toSeq.flatMap(_ => Seq(min(col("_tn")), max(col("_tx"))))
-    val row = perKey.agg(aggs.head, aggs.tail: _*).head
+    val lPart = sampled(left).select(lit(0).as("_side"),
+      xxhash64(keys.map(col): _*).as("_kh"),
+      tsL.getOrElse(lit(null).cast("long")).as("_t"))
+    val rPart = sampled(right).select(lit(1).as("_side"),
+      lit(null).cast("long").as("_kh"), lit(null).cast("long").as("_t"))
+    val isLeft = col("_side") === 0
+    val row = lPart.unionByName(rPart)
+      .groupBy(col("_side"), col("_kh"))
+      .agg(count(lit(1)).as("_n"), min(col("_t")).as("_tn"),
+        max(col("_t")).as("_tx"))
+      .agg(sum(when(isLeft, col("_n"))), max(when(isLeft, col("_n"))),
+        min(when(isLeft, col("_tn"))), max(when(isLeft, col("_tx"))),
+        sum(when(!isLeft, col("_n"))))
+      .head
     def scaled(v: Long) = math.round(v / probeFraction)
     val (leftRows, maxKey) =
       if (row.isNullAt(0)) (0L, 0L)
@@ -558,7 +571,7 @@ object AsOf {
         if (hi - lo < 0) Long.MaxValue else hi - lo // saturate, don't wrap
       case _ => 0L
     }
-    val rightRows = scaled(sampled(right).count())
+    val rightRows = if (row.isNullAt(4)) 0L else scaled(row.getLong(4))
     val threshold =
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val broadcastFits =
@@ -584,8 +597,8 @@ object AsOf {
     * streaming frame cannot run — streaming callers pick
     * [[graft.streaming.EventStream.asOfJoinStreamRows]] (stream-stream)
     * or [[graft.streaming.EventStream.asOfEnrichStream]] (broadcast).
-    * Probe cost: one sampled map-side-combined aggregate of the left +
-    * one sampled count of the right — the PairGuard economics: know
+    * Probe cost: ONE sampled tagged-union aggregate job over both
+    * sides ([[asOfRouteDecision]]) — the PairGuard economics: know
     * the regime before the cluster pays for the wrong plan. */
   def asOfJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payload: Seq[String], rename: String => String,

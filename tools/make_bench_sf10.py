@@ -41,7 +41,7 @@ def merged(suffix):
     for prefix in ('bench', 'bench14', 'bench14b', 'bench14c', 'bench14d',
                    'bench14e', 'bench14g', 'bench14h', 'bench14i', 'bench14j',
                    'bench15a', 'bench15b', 'bench15d', 'bench16b',
-                   'bench16c'):
+                   'bench16c', 'bench16d'):
         out.update(load(f'{prefix}_{suffix}.json'))
     return out
 
@@ -81,7 +81,7 @@ CLASSES = {
     'q_asof_exec': ('linear', 'custom sort-merge SparkPlan: two narrow shuffles + O(1)-state merge; r15 n=9: x1.7/x2.7 per decade (merge path pinned via autoBroadcast=false). Pays interpreted-merge constants vs the codegen window locally; its value is plan composability (zero-exchange when pre-partitioned, (keys, ts) ordering propagates to downstream windows) - same oracle, same rows. Hot-key skew path since r15: the factory auto-routes to the broadcast exec under the threshold, asOfJoinSalted covers large skewed rights (asof_skew probe rows below).'),
     'q_asof_bucketed': ('linear', 'the r15 ts-range-split row: join key (keys, floor(ts/1h)) with one carry row per bucket, the bucket grain persisted once and a single spine distinct; x2.0/x3.1 per decade at n=9 - the merge exec family plus the spine pass (x100: 5.4 s vs exec 2.4 s on uniform keys), the deliberate price of hot-key time-axis parallelism the flat exec cannot have (asof_skew probe: x2.85 vs salting x4.48 of uniform in the heavy-right skew regime this operator exists for).'),
     'q_asof_salted': ('linear', 'the r15 salted-skew row on UNIFORM twin keys (the oracle workload; the 90%-hot-key economics live in the asof_skew probe rows): left salted x8, right replicated x8, merge on (keys, salt); x1.9/x3.6 per decade at n=9 - the merge exec family paying the x8 right replication (x100: 3.4 s vs exec 2.4 s), the deliberate price that buys hot-key parallelism when skew is present.'),
-    'q_asof_auto': ('linear', 'r16: the FULL measured router (asOfJoinAuto) - a sampled pre-flight probe (per-key counts -> hottest share + ts span on the left, count on the right) picks broadcast / exec / salted / bucketed and sizes salts/bucketWidth from the committed r15 asof_skew crossovers; broadcast additionally requires the PROBED row count under a 1M cap (the stats-underestimate failure mode). Twins 0.57 -> 1.97 -> 4.68 s: the uniform-key twin routes broadcast at x1 and exec beyond, so the delta vs q_asof_exec (~2.4 s at x100) is the probe itself - one 5%-sampled scan per side, the PairGuard economics: pure overhead when keys are uniform, but it is what catches the 90%-hot-key regime where the wrong plan costs x5.5-7.0 (probe rows below); callers who know their regime call the explicit path (all four oracle-checked against the same DuckDB ASOF).'),
+    'q_asof_auto': ('linear', 'r16: the FULL measured router (asOfJoinAuto) - a sampled pre-flight probe (per-key counts -> hottest share + ts span on the left, count on the right) picks broadcast / exec / salted / bucketed and sizes salts/bucketWidth from the committed r15 asof_skew crossovers; broadcast additionally requires the PROBED row count under a 1M cap (the stats-underestimate failure mode). Twins 0.68 -> 2.46 -> 3.86 s (single-action probe, late r16: both sides priced in ONE tagged-union aggregate job, worth -17% at x100 where scan scheduling dominates): the uniform-key twin routes broadcast at x1 and exec beyond, so the delta vs q_asof_exec (~2.4 s at x100) is the probe itself - one 5%-sampled pass over each side in one job, the PairGuard economics: pure overhead when keys are uniform, but it is what catches the 90%-hot-key regime where the wrong plan costs x5.5-7.0 (probe rows below); callers who know their regime call the explicit path (all four oracle-checked against the same DuckDB ASOF).'),
     'q_range_join': ('output-bound', 'Scala-API twin of q_sql_range_join (same +-60s proximity band, intervalJoin instead of the optimizer rule): same fixed-time-range density argument, so true pairs are Theta(n^2); r16 twins with the single-action saturating guard: 0.33 -> 0.53 -> 2.98 s, the x100 counting the measured 185.5M true pairs (the r14/r15 stated exclusion is retired - see q_sql_range_join). The guard pre-flight is one map-side SUM over probe intervals with try_add/try_subtract saturation.'),
     'q_quality_funnel': ('linear', 'per-row signals bound once below the aggregate; r15 n=9: x1.2/x2.5 per decade, sub-second absolute at x100.'),
     'q_edit_estimate': ('linear', 'the PairGuard pre-flight itself as a gate row: one length-histogram aggregate; FLAT across both decades (0.08 -> 0.06 s) because the histogram is bounded by distinct lengths, not corpus size.'),
