@@ -407,20 +407,41 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
         col("nw").cast("long").as("n_windows"))
   }
 
+  /** (doc_id, p, w, gh) stride-1 anchor HASHES: one row per window
+    * position carrying xxhash64 over the k-word SLICE of the doc's word
+    * array — no gram string is ever built on this path (r16: the
+    * corpus-wide concat_ws was ~the whole anchor-pass CPU; words are
+    * whitespace-free so slice-array equality ⇔ gram-string equality,
+    * and the hash pass was already a collision-superset filter). `w`
+    * rides along unshuffled (the consumer is a broadcast semi-join
+    * inside the same codegen stage) so survivors can build their gram
+    * string AFTER the filter. */
+  private[operators] def anchorHashes(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - k)).as("p"))
+      .select(col("doc_id"), col("p"), col("w"),
+        xxhash64(slice(col("w"), col("p") + 1, lit(k))).as("gh"))
+
   private[operators] def repeatedPositions(spark: SparkSession, dir: String,
       k: Int, minDocs: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(minDocs >= 2, "minDocs must be >= 2")
-    val anchors = anchorGrams(docs(spark, dir), k)
+    val anchors = anchorHashes(docs(spark, dir), k)
     val repHash = anchors
-      .select(xxhash64(col("gram")).as("gh"), col("doc_id"))
+      .select(col("gh"), col("doc_id"))
       .groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("gh")
+    // gram strings materialize only for anchors SURVIVING the hash
+    // semi-join (candidate volume, not corpus volume)
     val cand = anchors
-      .withColumn("gh", xxhash64(col("gram")))
       .join(repHash.hint("broadcast"), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("gram"))
     val repGram = cand
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -51,12 +51,23 @@ object Privacy {
     events
       .select(
         col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+        // group on the TRUNCATED TIMESTAMP (one long), not the formatted
+        // strings: date_format is a per-row formatter call and the two
+        // strings widen the shuffle key by ~29 bytes/row; hour implies
+        // day, so one 8-byte key replaces both. Formatting happens after
+        // the aggregate at GRAIN cardinality (bounded by distinct
+        // activity, not event volume) — byte-identical strings since the
+        // session is pinned UTC (r16, guide §2.3 narrower-keys).
+        date_trunc("HOUR", col("ts")).as("hour_ts"),
         col("user_id"),
         floor(col("value") / sensWidth).cast("long").as("sens"))
-      .groupBy("event_type", "day", "hour", "user_id", "sens")
+      .groupBy("event_type", "hour_ts", "user_id", "sens")
       .agg(count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("user_id"), col("sens"), col("n"))
 
   /** k-anonymous release of the events table with an hour → day →
     * suppress generalization ladder.
@@ -189,9 +200,13 @@ object Privacy {
   def noisyHistogram(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     events
+      // same narrow-key trade as [[grain]]: aggregate on the truncated
+      // timestamp, format the released day string at cell grain
       .groupBy(col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        date_trunc("DAY", col("ts")).as("day_ts"))
       .agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"),
+        date_format(col("day_ts"), "yyyy-MM-dd").as("day"), col("n_true"))
       .select(col("event_type"), col("day"),
         releasedCount(spark, col("n_true"), col("day"), col("event_type"))
           .as("n_noisy"))

@@ -651,6 +651,7 @@ object TextOps {
     prunedFpCache.values.forEach(path =>
       graft.operators.Ivf.deleteRecursively(new java.io.File(path)))
     prunedFpCache.clear()
+    containGuardCache.clear()
   }
 
   /** Session registry of PRUNED fingerprint indexes — the production
@@ -695,14 +696,24 @@ object TextOps {
     * build-once fingerprint table (one map-side-combinable aggregate;
     * the join itself scans that table twice). */
   def containmentCandidateEstimate(spark: SparkSession, dir: String,
-      maxDf: Int): Double = {
-    val fps = spark.read.parquet(materializeFingerprints(spark, dir))
-    val r = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .agg(sum(col("df") * (col("df") - 1L)).as("twice_pairs"))
-      .head.get(0)
-    if (r == null) 0.0 else r.asInstanceOf[Long].toDouble / 2.0
-  }
+      maxDf: Int): Double =
+    containGuardCache.computeIfAbsent((dir, maxDf), { _ =>
+      val fps = spark.read.parquet(materializeFingerprints(spark, dir))
+      val r = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .agg(sum(col("df") * (col("df") - 1L)).as("twice_pairs"))
+        .head.get(0)
+      if (r == null) 0.0 else r.asInstanceOf[Long].toDouble / 2.0
+    })
+
+  /** Per-(dir, maxDf) cache of [[containmentCandidateEstimate]] — the
+    * estimate is a pure function of the immutable corpus (same contract
+    * as the setsim/edit/image guard caches, r16: this was the one guard
+    * still re-running its full-index aggregate on every warm call —
+    * one whole fingerprint-table scan + group-by per query). Cleared
+    * with the fingerprint tables. */
+  private val containGuardCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), java.lang.Double]()
 
   /** Cross-document containment via winnowing fingerprints: pairs of
     * documents sharing fingerprint hashes, scored by
