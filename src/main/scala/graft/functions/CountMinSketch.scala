@@ -77,6 +77,49 @@ object CountMinSketch {
     udaf(new CmStateSketch(depth, width)).apply(c)
   }
 
+  /** Weighted twin of [[CmStateSketch]]: each (item, weight) row adds
+    * `weight` to the item's probed counters in one reduce step. Because
+    * CM updates are additive, the state over a (word, count) frequency
+    * table is BIT-IDENTICAL to the state over the raw occurrence stream
+    * — which lets a caller that already aggregates frequencies (for an
+    * exact-compare column, say) derive the sketch from the tiny
+    * distinct-item table instead of re-scanning the corpus (r16;
+    * spec-pinned equal in CountMinSketchSpec). */
+  final class CmStateSketchWeighted(depth: Int, width: Int)
+      extends Aggregator[(String, Long), Array[Long], Seq[Long]] {
+    requireLayout(depth, width)
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], a: (String, Long)): Array[Long] = {
+      var r = 0
+      while (r < depth) {
+        b(r * width + index(a._1, r, width)) += a._2; r += 1
+      }
+      b
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** CM sketch state from (item, weight) rows — see
+    * [[CmStateSketchWeighted]]. */
+  def sketchStateWeighted(item: Column, weight: Column,
+      depth: Int = 4, width: Int = 256): Column = {
+    requireLayout(depth, width)
+    udaf(new CmStateSketchWeighted(depth, width)).apply(item, weight)
+  }
+
   /** Merge an array-of-states column back into one state: elementwise
     * sum — pure codegen'd array expressions, EXACT (a merged state
     * equals the one-shot state over the concatenated input). */

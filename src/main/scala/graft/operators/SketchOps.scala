@@ -639,11 +639,19 @@ object SketchOps {
       width: Int = 256): DataFrame = {
     import graft.functions.CountMinSketch
     val w = TextOps.words(spark, dir).select("doc_id", "word")
-    val state: Array[Long] = w
-      .agg(CountMinSketch.sketchState(col("word"), depth, width).as("st"))
+    // the exact frequency table is needed anyway (true_rare_n) and CM
+    // updates are additive, so build the sketch FROM the persisted
+    // frequency table instead of a second full-stream UDAF pass: two
+    // corpus scans instead of three, the dropped one being the typed
+    // per-row aggregator (r16; weighted state bit-identical by the
+    // additivity law, spec-pinned)
+    val freq = w.groupBy("word").agg(count(lit(1)).as("f")).persist()
+    Relational.ProbeRegistry.register(freq)
+    val state: Array[Long] = freq
+      .agg(CountMinSketch.sketchStateWeighted(col("word"), col("f"),
+        depth, width).as("st"))
       .collect()(0).getSeq[Long](0).toArray
     val est = CountMinSketch.estimate(col("word"), state, depth, width)
-    val freq = w.groupBy("word").agg(count(lit(1)).as("f"))
     w.withColumn("cm_rare", est < threshold)
       .join(broadcast(freq), Seq("word"))
       .groupBy("doc_id")

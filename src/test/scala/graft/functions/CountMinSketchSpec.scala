@@ -120,4 +120,21 @@ class CountMinSketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CountMinSketch.sketchState(col("s"), depth = 4, width = 8))
   }
+
+  test("weighted state over the frequency table is bit-identical to " +
+    "the occurrence-stream state (additivity law)") {
+    import spark.implicits._
+    val rnd = new Random(67)
+    val items = Seq.fill(6000)(s"w${rnd.nextInt(400)}")
+    val plain = items.toDF("s").repartition(8)
+      .agg(CountMinSketch.sketchState(col("s"), depth, width).as("st"))
+      .collect()(0).getSeq[Long](0)
+    val weighted = items.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.toDF("s", "f").repartition(8)
+      .agg(CountMinSketch.sketchStateWeighted(col("s"), col("f"),
+        depth, width).as("st"))
+      .collect()(0).getSeq[Long](0)
+    assert(weighted === plain)
+    assert(weighted === refState(items).toSeq)
+  }
 }
