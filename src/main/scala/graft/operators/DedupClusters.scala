@@ -39,14 +39,22 @@ private[operators] trait DedupClusters { self: DedupCore with DedupMinHash =>
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    // LAZY cuts (r16): the eager form ran one blocking materialization
+    // job per round on top of the convergence-sum job; lazily-cut
+    // frames materialize as part of that same sum action (the GraphOps
+    // lineageCut lesson), halving the per-round job count. Label
+    // propagation is integer min — no summation-order sensitivity.
     val cut: DataFrame => DataFrame =
       if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df => df.checkpoint()
-      else df => df.localCheckpoint()
+        df => df.checkpoint(eager = false)
+      else df => df.localCheckpoint(eager = false)
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // hash-partition by src before the cut so every round's
+    // neighbor-min join reuses the layout instead of re-exchanging the
+    // edge list (the PageRank pre-partitioning, guide §2.4)
     val edges = cut(half.union(half.select(col("dst").as("src"),
-      col("src").as("dst"))))
+      col("src").as("dst"))).repartition(col("src")))
     var labels = cut(edges.select(col("src").as("v"))
       .distinct().withColumn("label", col("v")))
     var prevSum: java.math.BigDecimal = null

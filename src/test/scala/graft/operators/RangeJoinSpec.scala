@@ -106,6 +106,7 @@ class RangeJoinSpec extends SparkSpec {
         }
     }
     spark.sparkContext.addSparkListener(listener)
+    RangeJoin.clearGuardCache() // count this call's own pricing action
     try {
       // construction runs ONLY the guard (the join itself is lazy)
       RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
@@ -119,6 +120,22 @@ class RangeJoinSpec extends SparkSpec {
       Thread.sleep(300)
       assert(execs.get() === 1,
         s"guard must price both sides in one action, saw ${execs.get()}")
+      // r16: a REPEAT of the semantically identical call hits the
+      // plan-keyed memo — zero further pricing actions (the steady-state
+      // TVF/scheduled-job shape pays the pre-flight once per session)
+      RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
+        b, col("blo"), col("bhi"), binWidth = 10L)
+      Thread.sleep(300)
+      assert(execs.get() === 1,
+        s"repeat call must reuse the memoized sums, saw ${execs.get()}")
+      // ...while the same shape at a DIFFERENT binWidth re-prices (the
+      // width is part of the span expressions, hence of the key)
+      RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
+        b, col("blo"), col("bhi"), binWidth = 5L)
+      val d2 = System.nanoTime() + 5000000000L
+      while (execs.get() < 2 && System.nanoTime() < d2) Thread.sleep(20)
+      assert(execs.get() === 2,
+        s"different binWidth must re-price, saw ${execs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
