@@ -136,14 +136,19 @@ private[operators] trait DedupSetSim { self: DedupCore =>
       hotDf: Int = DefaultHotDf): String =
     setSimCache.computeIfAbsent((dir, threshold, shingleK, hotDf), { _ =>
       val path = java.nio.file.Files.createTempDirectory("setsim").toString
-      // `wh` = per-element xxhash64 of the shingle set: the bulk verify
-      // intersects the LONG arrays (8 B/element, no string equality)
-      // and only survivors touch the string arrays — same
-      // hash-prune/string-confirm split as repeatedPositions
+      // `wh` = per-element xxhash64 of the shingle set, SORTED at build
+      // time (r16): the bulk verify intersects the LONG arrays
+      // (8 B/element, no string equality) and only survivors touch the
+      // string arrays — same hash-prune/string-confirm split as
+      // repeatedPositions. Sorting once here lets the verify run an
+      // allocation-free merge scan ([[graft.functions
+      // .SortedIntersectExpression]]) instead of array_intersect's
+      // per-pair hash set — the probe-measured dominant term of the
+      // warm query.
       val sets = docs(spark, dir)
         .select(col("doc_id"),
           shingleArray(col("text"), shingleK).as("ws"))
-        .withColumn("wh", transform(col("ws"), x => xxhash64(x)))
+        .withColumn("wh", sort_array(transform(col("ws"), x => xxhash64(x))))
       sets.write.mode("overwrite").parquet(s"$path/sets")
       val sorted = raritySorted(spark.read.parquet(s"$path/sets"),
         threshold - 0.001)
@@ -225,7 +230,8 @@ private[operators] trait DedupSetSim { self: DedupCore =>
       } else {
         val s = docs(spark, dir).select(col("doc_id"),
           shingleArray(col("text"), shingleK).as("ws"))
-          .withColumn("wh", transform(col("ws"), x => xxhash64(x)))
+          .withColumn("wh",
+            sort_array(transform(col("ws"), x => xxhash64(x))))
         val sorted = raritySorted(s, tSlack)
         (s, setSimPrefixes(sorted, hotDf), setSimPrefixPairs(sorted, hotDf))
       }
@@ -268,16 +274,20 @@ private[operators] trait DedupSetSim { self: DedupCore =>
     val cand = joinCands(prefixed, "tok")
       .unionByName(joinCands(prefixPairs, "key"))
       .distinct()
-    // bulk verify on the LONG hash arrays with a slack prune, exact
-    // string confirm on the survivors only (a 64-bit collision would
-    // shift the hash-Jaccard by ~2/n — the 0.05 slack absorbs orders of
-    // magnitude more than that; the final filter is string-exact)
+    // bulk verify on the SORTED LONG hash arrays with a slack prune,
+    // exact string confirm on the survivors only (a 64-bit collision
+    // would shift the hash-Jaccard by ~2/n — the 0.05 slack absorbs
+    // orders of magnitude more than that; the final filter is
+    // string-exact). The intersect is the native merge scan over the
+    // build-sorted arrays — array_intersect built a per-candidate hash
+    // set, the probe-measured dominant warm term (r16).
     val bulk = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("wh").as("wh_a")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("wh").as("wh_b")),
         Seq("doc_b"))
-      .withColumn("ih", size(array_intersect(col("wh_a"), col("wh_b"))))
+      .withColumn("ih", graft.functions.SortedIntersectExpression
+        .countCol(col("wh_a"), col("wh_b")).cast("int"))
       .filter(col("ih").cast("double") /
         (size(col("wh_a")) + size(col("wh_b")) - col("ih"))
           .cast("double") >= threshold - 0.05)
