@@ -265,6 +265,15 @@ object AsOf {
     * broadcast path. */
   val AutoBroadcastConf = "spark.graft.asof.autoBroadcast"
 
+  /** Memo of [[asOfRouteDecision]]'s sampled probe row, keyed by the
+    * probe union's semantic plan ([[PlanKey]]): (left n/max-key pair,
+    * ts lo/hi, right n) raw (unscaled) longs. Bounded via the same
+    * clear-on-overflow policy as the fan-out memo. */
+  private val routeProbeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Option[(Long, Long)], Option[(Long, Long)], Option[Long])]()
+
+  def clearRouteProbeCache(): Unit = routeProbeCache.clear()
+
   /** The ts column as an exact Long in its internal unit (micros for
     * timestamps, days for DATE, the raw value for integrals) — the unit
     * the `tolerance`/`bucketWidth` contracts document. None when the ts
@@ -553,25 +562,38 @@ object AsOf {
     val rPart = sampled(right).select(lit(1).as("_side"),
       lit(null).cast("long").as("_kh"), lit(null).cast("long").as("_t"))
     val isLeft = col("_side") === 0
-    val row = lPart.unionByName(rPart)
-      .groupBy(col("_side"), col("_kh"))
-      .agg(count(lit(1)).as("_n"), min(col("_t")).as("_tn"),
-        max(col("_t")).as("_tx"))
-      .agg(sum(when(isLeft, col("_n"))), max(when(isLeft, col("_n"))),
-        min(when(isLeft, col("_tn"))), max(when(isLeft, col("_tx"))),
-        sum(when(!isLeft, col("_n"))))
-      .head
+    val union = lPart.unionByName(rPart)
+    // memoized per semantic plan (r16, same contract as the range-join
+    // fan-out memo): the sampled statistics are a pure, seeded function
+    // of the two input plans, so a session re-running the same as-of
+    // (the TVF steady state) prices the route once. broadcastFits and
+    // the partition count are re-read per call — conf changes re-route.
+    if (routeProbeCache.size > 256) routeProbeCache.clear() // bounded memo
+    val row = routeProbeCache.computeIfAbsent(PlanKey.of(union), { _ =>
+      val r = union
+        .groupBy(col("_side"), col("_kh"))
+        .agg(count(lit(1)).as("_n"), min(col("_t")).as("_tn"),
+          max(col("_t")).as("_tx"))
+        .agg(sum(when(isLeft, col("_n"))), max(when(isLeft, col("_n"))),
+          min(when(isLeft, col("_tn"))), max(when(isLeft, col("_tx"))),
+          sum(when(!isLeft, col("_n"))))
+        .head
+      (if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1))),
+        if (r.isNullAt(2) || r.isNullAt(3)) None
+        else Some((r.getLong(2), r.getLong(3))),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    })
     def scaled(v: Long) = math.round(v / probeFraction)
-    val (leftRows, maxKey) =
-      if (row.isNullAt(0)) (0L, 0L)
-      else (scaled(row.getLong(0)), scaled(row.getLong(1)))
-    val tsSpan = tsL match {
-      case Some(_) if !row.isNullAt(2) && !row.isNullAt(3) =>
-        val (lo, hi) = (row.getLong(2), row.getLong(3))
+    val (leftRows, maxKey) = row._1 match {
+      case Some((n, mx)) => (scaled(n), scaled(mx))
+      case None => (0L, 0L)
+    }
+    val tsSpan = (tsL, row._2) match {
+      case (Some(_), Some((lo, hi))) =>
         if (hi - lo < 0) Long.MaxValue else hi - lo // saturate, don't wrap
       case _ => 0L
     }
-    val rightRows = if (row.isNullAt(4)) 0L else scaled(row.getLong(4))
+    val rightRows = row._3.map(scaled).getOrElse(0L)
     val threshold =
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val broadcastFits =

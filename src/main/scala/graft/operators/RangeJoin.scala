@@ -93,18 +93,7 @@ object RangeJoin {
     // are immutable facts of (plan, binWidth — already inside the span
     // expressions); check() still runs per call, so warn/refuse
     // semantics are unchanged.
-    val analyzed = union.queryExecution.analyzed
-    val leafFp = analyzed.collectLeaves().map {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation =>
-            fs.location.rootPaths.mkString(",")
-          case other => s"${other.getClass.getName}:${other.hashCode}"
-        }
-      case leaf => s"${leaf.getClass.getName}:${leaf.hashCode}"
-    }.mkString("|")
-    val key = analyzed.canonicalized.toString + "#" + leafFp
+    val key = PlanKey.of(union)
     if (fanOutCache.size > 256) fanOutCache.clear() // bounded memo
     val sums = fanOutCache.computeIfAbsent(key, { _ =>
       union
