@@ -430,23 +430,31 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
     require(k >= 2, "k must be >= 2")
     require(minDocs >= 2, "minDocs must be >= 2")
     val anchors = anchorHashes(docs(spark, dir), k)
-    val repHash = anchors
-      .select(col("gh"), col("doc_id"))
-      .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gh")
+    // "seen in >= minDocs DISTINCT docs": for the ubiquitous minDocs=2
+    // case, nd >= 2 ⟺ min(doc_id) != max(doc_id) — ONE
+    // map-side-combinable aggregate phase instead of countDistinct's
+    // (key, doc) dedup exchange + recount (r16; the stage probe put
+    // the distinct aggregate at ~1/3 of the warm query). The generic
+    // minDocs path keeps the exact distinct count.
+    def repeatedBy(rows: DataFrame, key: String): DataFrame =
+      if (minDocs == 2)
+        rows.groupBy(key)
+          .agg(min(col("doc_id")).as("_d0"), max(col("doc_id")).as("_d1"))
+          .filter(col("_d0") =!= col("_d1"))
+          .select(key)
+      else
+        rows.groupBy(key)
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(key)
+    val repHash = repeatedBy(anchors.select(col("gh"), col("doc_id")), "gh")
     // gram strings materialize only for anchors SURVIVING the hash
     // semi-join (candidate volume, not corpus volume)
     val cand = anchors
       .join(repHash.hint("broadcast"), Seq("gh"), "left_semi")
       .select(col("doc_id"), col("p"),
         concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("gram"))
-    val repGram = cand
-      .groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gram")
+    val repGram = repeatedBy(cand, "gram")
     cand.select(col("doc_id"), col("p"), col("gram"))
       .join(repGram.hint("broadcast"), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("p"))
