@@ -199,7 +199,16 @@ object RangeJoin {
           graft.plans.FloorBin.floorDivCol(col("_bhi"), binWidth))))
     val cond = (col("_abin") === col("_bbin")) +:
       keys.map { case (l, r) => l === r }
-    ae.join(be, cond.reduce(_ && _))
+    // pin the SORT-MERGE strategy (r16): both join inputs sit above a
+    // Generate, whose fan-out is invisible to size estimates, so the
+    // planner broadcast-hashed a ~1.2M-row exploded side at the gate —
+    // measured 2.2× slower than SMJ (probe: BHJ 2.24 s / SHJ 0.86 /
+    // SMJ 1.03 on the sf0.1 ship-week shape). SMJ over SHJ
+    // deliberately: it spills gracefully and AQE skew-splits BOTH
+    // sides, the safe shape when an adversarial bin is huge — and it
+    // is the plan any non-broadcastable (i.e. production-scale) run
+    // gets anyway, so the gate now measures the plan that scales.
+    ae.join(be.hint("merge"), cond.reduce(_ && _))
       // true overlap, then the emit-once canonical-bin filter
       .filter(col("_alo") <= col("_bhi") && col("_blo") <= col("_ahi"))
       .filter(col("_abin") === graft.plans.FloorBin.floorDivCol(
