@@ -50,11 +50,12 @@ private[operators] trait DedupClusters { self: DedupCore with DedupMinHash =>
       else df => df.localCheckpoint(eager = false)
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    // hash-partition by src before the cut so every round's
-    // neighbor-min join reuses the layout instead of re-exchanging the
-    // edge list (the PageRank pre-partitioning, guide §2.4)
+    // (r16 note: pre-partitioning by src before the cut was tried and
+    // measured useless — an AQE-wrapped checkpoint surfaces with
+    // unknown partitioning, so rounds re-exchange regardless; see
+    // plans/r16/pagerank_iteration_plans.txt)
     val edges = cut(half.union(half.select(col("dst").as("src"),
-      col("src").as("dst"))).repartition(col("src")))
+      col("src").as("dst"))))
     var labels = cut(edges.select(col("src").as("v"))
       .distinct().withColumn("label", col("v")))
     var prevSum: java.math.BigDecimal = null

@@ -122,16 +122,16 @@ object GraphOps {
     // the edge list once, one (node, pr) row per node per round.
     // undirected → both directions once; deg = out-degree = degree;
     // the contribution join ships (pr/deg) over this co-keyed layout
-    // hash-partition the edge list by src BEFORE the lineage cut: the
-    // checkpoint's LogicalRDD keeps the partitioning, so the degree
-    // aggregate and EVERY iteration's contribution join see the edges
-    // already clustered on the join key instead of re-exchanging the
-    // full edge list once per round (r16, guide §2.4 — the partitioning
-    // is established once and reused 10+ times)
+    // NOTE (r16, measured): pre-partitioning the edge list by src
+    // before the cut does NOT help — under AQE the checkpoint's
+    // LogicalRDD surfaces as Scan ExistingRDD with UNKNOWN partitioning
+    // (verified on both lazy and eager localCheckpoint, Spark 4.1:
+    // plans/r16/pagerank_iteration_plans.txt), so every iteration
+    // re-exchanges the edge scan regardless and the upfront
+    // repartition is a pure extra shuffle. Left unpartitioned.
     val directed = lineageCut(
       edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = lineageCut(directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")))
     val n = deg.count()
@@ -169,12 +169,9 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 10, d: Double = 0.85, roundTo: Int = 9): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    // same pre-cut src partitioning as [[pageRank]] — one exchange up
-    // front instead of one per iteration
     val directed = lineageCut(
       edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val degBase = directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val deg = lineageCut(degBase.join(
