@@ -33,7 +33,15 @@ final case class SortedIntersectExpression(left: Expression,
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "sorted_intersect_n"
-  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  // containsNull = false: `count` reads every slot with getLong, so a
+  // null element would be read as garbage and silently diverge from
+  // size(array_intersect) (which matches nulls as equal). Declaring the
+  // element non-nullable makes analysis REJECT nullable-element arrays
+  // instead — the expression is only sound on the caller's
+  // null-free sorted hash arrays (r17, advisor finding).
+  override def inputTypes =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = left.eval(input)
