@@ -135,21 +135,33 @@ object GraphOps {
     val deg = lineageCut(directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")))
     val n = deg.count()
-    var pr = deg.select(col("node"), lit(1.0 / n).as("pr"))
+    // the rank STATE carries deg (r17): deg is static across rounds, so
+    // joining it back per iteration was one whole SortMergeJoin (plus
+    // both exchanges — the checkpointed frames surface with unknown
+    // partitioning, see the r16 note above) paid 10×; carrying the
+    // 8-byte column through the per-round rebuild join costs n longs of
+    // shuffle and removes that join AND the final deg re-join. Same
+    // per-group arithmetic (sum(pr/deg) over identical groups).
+    var state = deg.select(col("node"), col("deg"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = pr
-        .join(deg, Seq("node"))
+      // mass rows over the edges + one zero-mass ANCHOR row per node
+      // (carrying deg) folded into ONE aggregate: the anchor guarantees
+      // every node survives the round (the old left-join rebuild) and
+      // max(deg) re-derives the static degree (edge rows carry null),
+      // so the per-round plan is join + agg — no rebuild join at all.
+      val mass = state
         .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") / col("deg")).as("in_mass"))
-      pr = lineageCut(deg.select(col("node"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("m"),
+          lit(null).cast("long").as("deg"))
+      state = lineageCut(mass
+        .unionByName(state.select(col("node"), lit(0.0).as("m"), col("deg")))
+        .groupBy("node")
+        .agg(sum(col("m")).as("in_mass"), max(col("deg")).as("deg"))
+        .select(col("node"), col("deg"),
           (lit((1.0 - d) / n) +
-            lit(d) * coalesce(col("in_mass"), lit(0.0))).as("pr")))
+            lit(d) * col("in_mass")).as("pr")))
     }
-    deg.join(pr, Seq("node"))
-      .select(col("node"), col("deg"), round(col("pr"), roundTo).as("pr"))
+    state.select(col("node"), col("deg"), round(col("pr"), roundTo).as("pr"))
   }
 
   /** Personalized PageRank — seeded quality/affinity propagation: the
@@ -183,23 +195,31 @@ object GraphOps {
     require(nSeeds > 0, "no seed appears in the edge set")
     val teleport = when(col("is_seed"), lit((1.0 - d) / nSeeds))
       .otherwise(lit(0.0))
-    var pr = deg.select(col("node"),
+    // deg AND is_seed ride in the rank state (r17, the pageRank trade):
+    // both are static per node, so the per-round deg join and the final
+    // re-join disappear for 9 bytes/node of extra state shuffle.
+    var state = deg.select(col("node"), col("deg"), col("is_seed"),
       when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = pr
-        .join(deg.select(col("node"), col("deg")), Seq("node"))
+      // state-carry round (r17): the contribution join reads (pr, deg)
+      // straight off the state, and the rebuild left-join re-anchors
+      // every node. The pageRank anchored-union form was ALSO tried
+      // here and measured consistently slower for PPR (n=9 medians
+      // 1.77 → 1.98 s at the gate) — the three-aggregate union round
+      // loses to the rebuild join once the anchor row widens to
+      // (deg, is_seed); kept as the measured trade.
+      val contrib = state
         .join(directed.select(col("src").as("node"), col("dst")), Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("in_mass"))
-      pr = lineageCut(deg.select(col("node"), col("is_seed"))
+      state = lineageCut(state.select(col("node"), col("deg"), col("is_seed"))
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"), col("is_seed"),
           (teleport + lit(d) * coalesce(col("in_mass"), lit(0.0)))
             .as("pr")))
     }
-    deg.join(pr, Seq("node"))
-      .select(col("node"), col("deg"), col("is_seed"),
-        round(col("pr"), roundTo).as("pr"))
+    state.select(col("node"), col("deg"), col("is_seed"),
+      round(col("pr"), roundTo).as("pr"))
   }
 
   /** Session registry of materialized k-NN edge lists — the "materialize
