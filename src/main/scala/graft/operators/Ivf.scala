@@ -147,17 +147,15 @@ object Ivf {
     }.sortBy(_._2).take(nprobe).map(_._1).toSeq
 
   /** Sequential-fold dot product of an ARRAY<FLOAT> column against a
-    * literal query vector, in double precision, codegen'd. */
+    * literal query vector, in double precision — the native
+    * whole-stage-codegen kernel (r17, [[graft.functions.DotProductExpression]];
+    * fold order bit-equal to the previous aggregate(zip_with) form). */
   private def dotLit(emb: Column, q: Array[Double]): Column =
-    aggregate(
-      zip_with(emb.cast("array<double>"), typedlit(q.toSeq), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpression.dotCol(emb, typedlit(q.toSeq))
 
   /** Sequential-fold dot product of two ARRAY<FLOAT> columns. */
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpression.dotCol(a, b)
 
   /** Probe a materialized index: read ONLY the `nprobe` nearest cells
     * (partition pruning at the parquet scan), cosine against the LITERAL

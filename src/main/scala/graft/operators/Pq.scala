@@ -195,13 +195,14 @@ object Pq {
   private def cosineCol(qVec: Array[Float]): Column = {
     val q = qVec.map(_.toDouble)
     val qnorm = math.sqrt(q.map(x => x * x).sum)
-    val dotQ: Column = aggregate(
-      zip_with(col("embedding").cast("array<double>"), typedlit(q.toSeq),
-        (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val dotSelf: Column = aggregate(
-      zip_with(col("embedding").cast("array<double>"),
-        col("embedding").cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    // r17: native codegen fold (DotProductExpression), bit-equal to the
+    // previous aggregate(zip_with) form — see Similarity.dotCols
+    val dotQ: Column =
+      graft.functions.DotProductExpression.dotCol(col("embedding"),
+        typedlit(q.toSeq))
+    val dotSelf: Column =
+      graft.functions.DotProductExpression.dotCol(col("embedding"),
+        col("embedding"))
     round(dotQ / (sqrt(dotSelf) * lit(qnorm)), 4)
   }
 

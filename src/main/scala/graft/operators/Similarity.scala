@@ -26,11 +26,16 @@ object Similarity {
 
   /** THE dot-product fold: sequential, index-ordered, in double — the
     * single definition every cosine in this file (and its DuckDB
-    * `list_dot_product` oracle twin) relies on for 4-dp agreement. */
+    * `list_dot_product` oracle twin) relies on for 4-dp agreement.
+    * r17: the `aggregate(zip_with(…))` higher-order form became the
+    * native codegen [[graft.functions.DotProductExpression]] — same
+    * left-to-right double fold (spec-pinned bit-equal, nulls included),
+    * minus the per-call zipped-array allocation, the array<double> cast
+    * copies and the interpreted lambda, which dominated the
+    * per-candidate cost of every LSH pair join here. */
   private def dotCols(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpression.dotCol(a, b)
 
   private def dot(a: String, b: String) = dotCols(col(a), col(b))
 
