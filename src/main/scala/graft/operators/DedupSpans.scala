@@ -66,16 +66,21 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
       if (maxBucket > 0) sized.filter(size(col("ds")).between(2, maxBucket))
       else sized.filter(size(col("ds")) >= 2)
     val ds = col("ds")
-    capped.select(explode(flatten(transform(ds, (a, i) =>
+    // hamming is a pure function of the pair, so filtering BEFORE the
+    // dropDuplicates exchange is output-identical (r17, guide §2.3):
+    // only the ≤ maxHamming survivors cross the wire instead of every
+    // same-band candidate — and the filter runs inside the array
+    // expression, so far pairs never even become rows.
+    capped.select(explode(filter(flatten(transform(ds, (a, i) =>
         transform(slice(ds, i + lit(2), size(ds)), b =>
           struct(a.getField("doc_id").as("doc_a"),
             b.getField("doc_id").as("doc_b"),
             bit_count(a.getField("simhash")
-              .bitwiseXOR(b.getField("simhash"))).as("hamming"))))))
+              .bitwiseXOR(b.getField("simhash"))).as("hamming"))))),
+        p => p.getField("hamming") <= maxHamming))
         .as("pr"))
       .select(col("pr.doc_a"), col("pr.doc_b"), col("pr.hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** C4-style span-level dedup (Raffel et al., JMLR'20 §2.2 — C4 drops
