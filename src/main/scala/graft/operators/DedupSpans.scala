@@ -454,11 +454,24 @@ private[operators] trait DedupSpans { self: DedupCore with DedupMinHash =>
           .select(key)
     val repHash = repeatedBy(anchors.select(col("gh"), col("doc_id")), "gh")
     // gram strings materialize only for anchors SURVIVING the hash
-    // semi-join (candidate volume, not corpus volume)
+    // semi-join (candidate volume, not corpus volume). The candidate
+    // frame feeds TWO consumers (the exact-gram aggregate and the final
+    // semi-join), each of which re-derived the whole corpus anchor pass
+    // before r17 — the stage probe put one full anchor+semi pass at
+    // ~1 s of the 1.9 s query. It is duplicated-content-sized by
+    // construction (the spanGuard probe trade), so persist it and let
+    // both consumers read the cached blocks — persist, NOT a lineage
+    // cut: a localCheckpoint here hides the frame's size statistics
+    // behind an RDD scan, which demoted repeatedSpanExcise's downstream
+    // broadcast anti-join to a sort-merge of the corpus word stream
+    // (measured 3× on the excise gate row before this note).
+    // ProbeRegistry bounds the cache across calls.
     val cand = anchors
       .join(repHash.hint("broadcast"), Seq("gh"), "left_semi")
       .select(col("doc_id"), col("p"),
         concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("gram"))
+      .persist()
+    Relational.ProbeRegistry.register(cand)
     val repGram = repeatedBy(cand, "gram")
     cand.select(col("doc_id"), col("p"), col("gram"))
       .join(repGram.hint("broadcast"), Seq("gram"), "left_semi")
