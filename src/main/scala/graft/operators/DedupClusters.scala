@@ -56,17 +56,25 @@ private[operators] trait DedupClusters { self: DedupCore with DedupMinHash =>
     // plans/r16/pagerank_iteration_plans.txt)
     val edges = cut(half.union(half.select(col("dst").as("src"),
       col("src").as("dst"))))
-    var labels = cut(edges.select(col("src").as("v"))
-      .distinct().withColumn("label", col("v")))
+    var labels: DataFrame = null
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      // min over self + neighbors (one shuffle on v)
-      val neighborMin = edges.join(labels, edges("src") === labels("v"))
-        .select(edges("dst").as("v"), col("label"))
-        .union(labels.select(col("v"), col("label")))
-        .groupBy("v").agg(min("label").as("label"))
+      // min over self + neighbors (one shuffle on v). Round 1 (r17):
+      // with identity labels the neighbor-min join IS the edge list
+      // — (dst, src) per edge plus (src, src) self rows — so the first
+      // round is ONE aggregate with no join, no init distinct and no
+      // init lineage cut (duplicate self rows are absorbed by min).
+      val neighborMin =
+        if (labels == null)
+          edges.select(col("dst").as("v"), col("src").as("label"))
+            .union(edges.select(col("src").as("v"), col("src").as("label")))
+            .groupBy("v").agg(min("label").as("label"))
+        else edges.join(labels, edges("src") === labels("v"))
+          .select(edges("dst").as("v"), col("label"))
+          .union(labels.select(col("v"), col("label")))
+          .groupBy("v").agg(min("label").as("label"))
       // path-halving: label(v) ← label(label(v)); every label value is a
       // vertex id, so the self-join is total
       val hop = neighborMin.select(col("v").as("pv"), col("label").as("pl"))
@@ -81,6 +89,9 @@ private[operators] trait DedupClusters { self: DedupCore with DedupMinHash =>
       iter += 1
     }
     lastCcRounds.set(iter)
+    if (labels == null) // maxIters == 0: identity labeling, as before
+      labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("label", col("v"))
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
