@@ -410,6 +410,22 @@ object TextOps {
       explode(filter(split(col("text"), "\\s+"), w => length(w) > 0))
         .as("word"))
 
+  /** Query-term-SCOPED word stream (r17): the `isin` membership test
+    * runs INSIDE the token array, before the generator, so only
+    * matching tokens ever become rows — `words().filter(isin)` paid the
+    * per-row generator for every token of the corpus and then dropped
+    * almost all of them. Row-identical to
+    * `words(spark, dir).filter(col("word").isin(terms: _*))` for
+    * non-empty terms (the length>0 filter is subsumed: '' is never a
+    * query term). */
+  private def scopedWords(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.forall(_.nonEmpty), "query terms must be non-empty")
+    docs(spark, dir).select(col("doc_id"),
+      explode(filter(split(col("text"), "\\s+"), w => w.isin(terms: _*)))
+        .as("word"))
+  }
+
   /** Unigram log-probability scoring — the poor-man's LM quality filter
     * (the CCNet recipe's shape with a unigram model instead of a trained
     * LM): score each document by the mean log corpus-frequency of its
@@ -900,8 +916,7 @@ object TextOps {
       .filter(col("dl") > 0)
     val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("n_docs"))
-    val tf = words(spark, dir).select("doc_id", "word")
-      .filter(col("word").isin(queryTerms: _*))
+    val tf = scopedWords(spark, dir, queryTerms)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), Seq("word"))
@@ -948,8 +963,7 @@ object TextOps {
     // per-word window in [[tfIdf]] never run. Arithmetic is the exact
     // tfIdf formula (per-word round(…,4) before the sum), so the fused
     // list is bit-identical to filtering the full table (spec-pinned).
-    val tfq = words(spark, dir).select("doc_id", "word")
-      .filter(col("word").isin(queryTerms: _*))
+    val tfq = scopedWords(spark, dir, queryTerms)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfq = tfq.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
