@@ -216,10 +216,13 @@ private[operators] trait DedupMinHash { self: DedupCore with DedupSpanGuard =>
   private def scoreSimEst(joined: DataFrame, numHashes: Int,
       minEstimate: Double): DataFrame =
     joined
+      // r17: native codegen slot-agreement count (the DotProduct trade)
+      // instead of the allocating aggregate(zip_with) pair — same count,
+      // same null totality, spec-pinned (SlotAgreeSpec)
       .withColumn("sim_est",
-        aggregate(zip_with(col("sig"), col("hist_sig"),
-            (a, b) => (a === b).cast("int")),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        graft.functions.SlotAgreeExpression
+          .countCol(col("sig"), col("hist_sig"))
+          .cast("double") / numHashes)
       .filter(col("sim_est") >= minEstimate)
       .select(col("new_id"), col("hist_id"),
         round(col("sim_est"), 4).as("sim_est"))
